@@ -1,0 +1,74 @@
+"""Table catalog over the driver's synthetic parquet testdata.
+
+Registers each table as a temp view so both the DataFrame API and
+``spark.sql`` work — mirroring the reference's model where the schema in
+``init.sql`` declares tables and any SQL client queries them
+(reference ``README.md:18``: ``SELECT * FROM cards WHERE layout='split'``).
+
+At 100 TB these would be catalog tables (Delta/Iceberg/HMS) with
+clustering; the loader keeps an explicit seam (`load_table`) so the
+storage layer can swap without touching operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to always broadcast (reference analog:
+#: ``sets`` is ~1k rows and is THE join target, init.sql:71,110-111).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table's TIMESTAMP(NANOS) parquet portably.
+
+    Spark's parquet reader rejects nano timestamps outright, so we read
+    nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong`` — a
+    dynamic conf, safe to set on any session) and truncate to
+    microseconds — exactly what DuckDB/Arrow consumers do on read, so
+    every engine sees identical event-time values.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(
+    spark: SparkSession, sf_dir: str, register: bool = True
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

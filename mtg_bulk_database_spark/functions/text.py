@@ -1,0 +1,104 @@
+"""Text/tokenization column functions — the engine's FTS core.
+
+This is the Spark replacement for the reference's PostgreSQL full-text
+search access path (GIN index on ``to_tsvector('english', name || ' ' ||
+oracle_text)``, reference ``init.sql:144-146``): we define our own
+documented tokenizer semantics (SURVEY §2.5 Q8) instead of emulating the
+'english' tsvector config bit-for-bit:
+
+    token  := maximal run of [a-z0-9] over the lowercased text
+    ts_tokens := distinct tokens minus a fixed English stopword list
+
+Everything is a JVM-side column expression (split/filter/transform — no
+UDFs), so FTS predicates stay inside whole-stage codegen and the
+``ts_tokens`` column can be precomputed at ingest like a materialized
+tsvector.
+
+Each Spark expression has a ``sql_*`` twin producing the equivalent
+DuckDB SQL — used by the differential-oracle tests so both engines apply
+identical semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Fixed, documented stopword list (deliberately small and versioned with
+#: the engine — unlike PG's locale-dependent 'english' config, this is
+#: reproducible across engines; divergence documented in SURVEY §7).
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "a",
+    "an",
+    "and",
+    "are",
+    "as",
+    "at",
+    "be",
+    "by",
+    "for",
+    "from",
+    "in",
+    "is",
+    "it",
+    "of",
+    "on",
+    "or",
+    "that",
+    "the",
+    "to",
+    "was",
+    "were",
+    "with",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """All tokens of ``col`` in order (lowercased, empty strings removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def ts_tokens(col: Column | str) -> Column:
+    """Distinct non-stopword tokens — the materialized-tsvector column."""
+    return F.array_distinct(
+        F.filter(tokens(col), lambda t: ~t.isin(*ENGLISH_STOPWORDS))
+    )
+
+
+def fts_match_all(doc_tokens: Column, terms: Sequence[str]) -> Column:
+    """``to_tsquery('a & b')`` analog: every term present."""
+    arr = F.array(*[F.lit(t.lower()) for t in terms])
+    return F.size(F.array_intersect(doc_tokens, arr)) == len(set(t.lower() for t in terms))
+
+
+def fts_match_any(doc_tokens: Column, terms: Sequence[str]) -> Column:
+    """``to_tsquery('a | b')`` analog: at least one term present."""
+    arr = F.array(*[F.lit(t.lower()) for t in terms])
+    return F.arrays_overlap(doc_tokens, arr)
+
+
+# --- DuckDB-SQL twins (for the differential oracle) ---------------------
+
+
+def sql_tokens(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'),"
+        " x -> x <> '')"
+    )
+
+
+def sql_stopword_array() -> str:
+    inner = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return f"[{inner}]"
+
+
+def sql_ts_tokens(expr: str) -> str:
+    return (
+        f"list_distinct(list_filter({sql_tokens(expr)},"
+        f" x -> NOT list_contains({sql_stopword_array()}, x)))"
+    )
