@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01...": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized via count-collect (not collect of all
+rows — measures engine work, not driver row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mtg_bulk_database_spark.queries import QUERIES  # noqa: E402
+from mtg_bulk_database_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scans/filters, FTS, joins,
+# aggregation, window, dedup/similarity once those land.
+HEADLINE = [
+    "q01_pk_point_lookup",
+    "q03_containment_single",
+    "q05_ilike_substring",
+    "q06_numeric_range",
+    "q07_fts_match_all",
+    "q10_enrichment_join",
+    "q11_pricing_summary",
+    "q12_window_topk",
+    "q16_sort_limit",
+    "q22_revenue_by_nation",
+    "q23_tumbling_window",
+    "q24_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="mtg-spark-bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM/IO path once with the cheapest query so the first
+    # measured query doesn't pay session spin-up.
+    QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
