@@ -1,0 +1,175 @@
+"""Upsert/merge sinks — the Spark re-expression of the reference's
+batched ``INSERT ... ON CONFLICT (id) DO UPDATE`` sink
+(``import_cards.py:214-255``, SURVEY §2.4 K1-K4).
+
+Three targets, one semantics (key-match → update all columns, no match →
+insert; idempotent by construction):
+
+1. ``merge_upsert``      — engine-native parquet table. Anti-join the
+   target against the source keys, union the new source rows, atomic
+   directory swap. On Delta/Iceberg this is literally ``MERGE INTO``
+   (whenMatchedUpdateAll/whenNotMatchedInsertAll) with file-level
+   pruning; the parquet emulation keeps identical semantics for
+   environments without a table format. Partition the table (e.g. by
+   ``set``) so a merge only rewrites partitions that contain source
+   keys — bounded write amplification at 100 TB.
+2. ``jdbc_stage_merge_sql`` — the OLTP bridge (per the north star
+   "Spark JDBC + DataFrame ops"): bulk-write a staging table via
+   ``df.write.jdbc(batchsize=1000)`` (the reference's
+   execute_values page_size, import_cards.py:222-224), then one
+   server-side ``INSERT ... ON CONFLICT DO UPDATE`` from staging —
+   identical merge semantics, one transaction.
+3. Micro-batching (K3-K4) falls out of partitioning; the reference's
+   batch numbers survive as the JDBC ``batchsize`` default.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: reference constants, import_cards.py:347 and :222-224.
+BATCH_SIZE_ROWS = 10_000
+JDBC_BATCH_SIZE = 1_000
+
+
+def _dedup_last_wins(df: DataFrame, key: str, order_col: str | None) -> DataFrame:
+    """Collapse duplicate keys inside one source batch. With an
+    ``order_col`` the highest wins; otherwise an arbitrary-but-single
+    row per key (matches ON CONFLICT applying the last VALUES row)."""
+    if order_col:
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    else:
+        w = Window.partitionBy(key).orderBy(F.monotonically_increasing_id().desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: str = "id",
+    partition_by: str | None = None,
+    order_col: str | None = None,
+) -> None:
+    """UPSERT ``source`` into the parquet table at ``target_path`` on
+    ``key`` — exact ON CONFLICT(id) DO UPDATE semantics
+    (import_cards.py:218-221).
+
+    Scale notes: the anti-join shuffles on the key once; with a
+    partitioned target plus source-key partition pruning (Delta MERGE
+    does this automatically) only affected partitions rewrite.
+    """
+    source = _dedup_last_wins(source, key, order_col)
+
+    if not _table_exists(target_path):
+        _atomic_write(spark, source, target_path, partition_by)
+        return
+
+    target = spark.read.parquet(target_path)
+    keep = target.join(source, on=key, how="left_anti")
+    merged = keep.unionByName(source, allowMissingColumns=True)
+    _atomic_write(spark, merged, target_path, partition_by)
+
+
+def _table_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
+    )
+
+
+def _atomic_write(
+    spark: SparkSession, df: DataFrame, target_path: str, partition_by: str | None
+) -> None:
+    """Write to a temp dir then swap — readers never see a half-written
+    table (the role Delta's transaction log plays in production)."""
+    tmp = f"{target_path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+# --- JDBC OLTP bridge ---------------------------------------------------
+
+
+def jdbc_stage_merge_sql(
+    table: str, staging_table: str, columns: list[str], key: str = "id"
+) -> str:
+    """The server-side merge statement executed after the staging bulk
+    load — byte-for-byte the reference's conflict clause shape
+    (import_cards.py:216-221), generated from the declared schema."""
+    cols = ", ".join(columns)
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c != key)
+    return (
+        f"INSERT INTO {table} ({cols}) "
+        f"SELECT {cols} FROM {staging_table} "
+        f"ON CONFLICT ({key}) DO UPDATE SET {updates}"
+    )
+
+
+def jdbc_write_staging(
+    df: DataFrame,
+    url: str,
+    staging_table: str,
+    properties: dict[str, str],
+    batchsize: int = JDBC_BATCH_SIZE,
+) -> None:
+    """Bulk-load the staging table. Executors write in parallel with
+    ``batchsize`` rows per round-trip (reference page_size=1000)."""
+    (
+        df.write.mode("overwrite")
+        .option("batchsize", str(batchsize))
+        .option("truncate", "true")
+        .jdbc(url, staging_table, properties=properties)
+    )
+
+
+# --- ingest watermark (S2) ----------------------------------------------
+
+
+def read_watermark(spark: SparkSession, meta_path: str, source: str) -> str | None:
+    """Persisted ``updated_at`` gate — replaces the reference's
+    file-mtime freshness trick (import_cards.py:313-326), which doesn't
+    survive a distributed filesystem."""
+    if not _table_exists(meta_path):
+        return None
+    rows = (
+        spark.read.parquet(meta_path)
+        .filter(F.col("source") == source)
+        .select("updated_at")
+        .collect()
+    )
+    return rows[0][0] if rows else None
+
+
+def write_watermark(
+    spark: SparkSession, meta_path: str, source: str, updated_at: str
+) -> None:
+    df = spark.createDataFrame(
+        [(source, updated_at)], "source string, updated_at string"
+    )
+    merge_upsert(spark, meta_path, df, key="source")
+
+
+def should_refresh(
+    spark: SparkSession, meta_path: str, source: str, server_updated_at: str
+) -> bool:
+    """True when the server's bulk file is newer than what we ingested
+    (string ISO-8601 compare, as the reference does with datetimes)."""
+    local = read_watermark(spark, meta_path, source)
+    return local is None or server_updated_at > local

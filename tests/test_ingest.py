@@ -1,0 +1,179 @@
+"""Golden + property tests for the ingest layer (SURVEY §5.2):
+raw Scryfall-shaped JSON → transform → merge table, twice (idempotency),
+plus update-merge, quarantine policy, watermark gate, JSONL pre-split."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.ingest.pipeline import ingest_cards_file, refresh_if_stale
+from mtg_bulk_database_spark.ingest.sink import (
+    jdbc_stage_merge_sql,
+    merge_upsert,
+    should_refresh,
+    write_watermark,
+)
+from mtg_bulk_database_spark.ingest.transform import (
+    prepare_cards,
+    prepare_sets,
+    quarantine_invalid_layout,
+)
+from mtg_bulk_database_spark.schemas import CARD_COLUMNS, SETS_RAW_SCHEMA
+from mtg_bulk_database_spark.sources.scryfall import (
+    pick_bulk_entry,
+    presplit_to_jsonl,
+    read_cards_json,
+)
+
+from .fixtures import make_cards, make_sets, write_raw_json
+
+
+@pytest.fixture(scope="module")
+def raw_json_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("raw") / "cards.json"
+    write_raw_json(make_cards(n=200), str(path))
+    return str(path)
+
+
+def test_raw_read_drops_unknown_and_nullfills(spark, raw_json_path):
+    df = read_cards_json(spark, raw_json_path)
+    assert "unknown_field" not in df.columns  # P1: unknown keys dropped
+    assert set(CARD_COLUMNS) <= set(df.columns)
+
+
+def test_prepare_cards_policies(spark, raw_json_path):
+    raw = read_cards_json(spark, raw_json_path)
+    out = prepare_cards(raw)
+    rows = out.collect()
+    # F1: rows with NULL id dropped (fixture plants them at i % 101 == 0)
+    assert all(r["id"] is not None for r in rows)
+    src = [c for c in make_cards(n=200) if c["id"] is not None]
+    assert len(rows) == len(src)
+    # P2: invalid date strings became NULL, valid ones parsed
+    by_name = {r["name"]: r for r in rows}
+    for c in src:
+        parsed = by_name[c["name"]]["released_at"]
+        if c["released_at"] in (None, "not-a-date"):
+            assert parsed is None
+        else:
+            assert parsed is not None and str(parsed) == c["released_at"]
+    # P6 default policy: invalid layouts kept (warn-and-keep)
+    assert any(r["layout"] == "bogus_layout" for r in rows)
+    # Q8 prep: ts_tokens materialized, no stopwords
+    tok_rows = [r["ts_tokens"] for r in rows if r["ts_tokens"]]
+    assert tok_rows and all("the" not in t for t in tok_rows)
+
+
+def test_face_image_aggregation_p5(spark, raw_json_path):
+    out = prepare_cards(read_cards_json(spark, raw_json_path))
+    rows = out.select("image_uris", "card_faces", "face_image_uris").collect()
+    fired = [r for r in rows if r["face_image_uris"] is not None]
+    assert fired, "P5 should fire for multiface cards without top-level image"
+    for r in rows:
+        if r["image_uris"] is None and r["card_faces"] is not None:
+            # aggregated: one map per face
+            assert len(r["face_image_uris"]) == len(r["card_faces"])
+        else:
+            assert r["face_image_uris"] is None
+
+
+def test_strict_layout_quarantine(spark, raw_json_path):
+    raw = read_cards_json(spark, raw_json_path)
+    good, bad = quarantine_invalid_layout(raw)
+    assert bad.count() > 0
+    assert good.filter(F.col("layout") == "bogus_layout").count() == 0
+    strict = prepare_cards(raw, strict_layout=True)
+    assert strict.filter(F.col("layout") == "bogus_layout").count() == 0
+
+
+def test_ingest_idempotent_and_updating(spark, raw_json_path, tmp_path):
+    table = str(tmp_path / "cards_table")
+    df1 = ingest_cards_file(spark, raw_json_path, table)
+    n1 = df1.count()
+    # idempotency: ingest(x); ingest(x) == ingest(x)
+    df2 = ingest_cards_file(spark, raw_json_path, table)
+    assert df2.count() == n1
+    h1 = sorted(str(sorted(r.asDict().items(), key=lambda kv: kv[0])) for r in df2.collect())
+
+    # update-merge: change one card's rarity, re-ingest → updated in place
+    cards = make_cards(n=200)
+    victim = next(c for c in cards if c["id"] is not None)
+    victim_updated = dict(victim, rarity="mythic-updated")
+    upd_path = str(tmp_path / "update.json")
+    write_raw_json([victim_updated], upd_path, extra_unknown_keys=False)
+    df3 = ingest_cards_file(spark, upd_path, table)
+    assert df3.count() == n1  # no new rows
+    got = df3.filter(F.col("id") == victim["id"]).select("rarity").collect()
+    assert got[0]["rarity"] == "mythic-updated"
+    # everything else unchanged
+    h3 = sorted(str(sorted(r.asDict().items(), key=lambda kv: kv[0])) for r in df3.collect())
+    assert sum(a != b for a, b in zip(h1, h3)) <= 1
+
+
+def test_merge_dedups_within_batch(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k2", 5)], "id string, v int"
+    )
+    merge_upsert(spark, table, df, key="id")
+    out = spark.read.parquet(table)
+    assert out.count() == 2  # one row per key
+
+
+def test_sets_pipeline_and_watermark(spark, tmp_path):
+    sets_raw = spark.createDataFrame(make_sets(), SETS_RAW_SCHEMA)
+    prepared = prepare_sets(sets_raw)
+    assert prepared.count() == 25
+    assert dict(prepared.dtypes)["released_at"] == "date"
+
+    meta = str(tmp_path / "meta")
+    assert should_refresh(spark, meta, "all_cards", "2026-01-01T00:00:00Z")
+    calls = []
+    refresh_if_stale(
+        spark, meta, "all_cards", "2026-01-01T00:00:00Z", lambda: calls.append(1)
+    )
+    assert calls == [1]
+    # same watermark → skip
+    refresh_if_stale(
+        spark, meta, "all_cards", "2026-01-01T00:00:00Z", lambda: calls.append(2)
+    )
+    assert calls == [1]
+    # newer → re-ingest
+    write_watermark(spark, meta, "all_cards", "2026-01-01T00:00:00Z")
+    assert should_refresh(spark, meta, "all_cards", "2026-02-01T00:00:00Z")
+
+
+def test_jdbc_merge_sql_shape():
+    sql = jdbc_stage_merge_sql("cards", "cards_staging", ["id", "name", "rarity"])
+    assert "INSERT INTO cards (id, name, rarity)" in sql
+    assert "ON CONFLICT (id) DO UPDATE SET" in sql
+    assert "name = EXCLUDED.name" in sql and "id = EXCLUDED.id" not in sql
+
+
+def test_bulk_entry_alias():
+    catalog = {
+        "data": [
+            {"type": "default_cards", "download_uri": "u1"},
+            {"type": "all_cards", "download_uri": "u2", "updated_at": "t"},
+        ]
+    }
+    assert pick_bulk_entry(catalog, "all_prints")["download_uri"] == "u2"
+    with pytest.raises(ValueError):
+        pick_bulk_entry(catalog, "oracle_cards")
+
+
+def test_presplit_jsonl_parallel_read(spark, raw_json_path, tmp_path):
+    jsonl = str(tmp_path / "cards.jsonl")
+    n = presplit_to_jsonl(raw_json_path, jsonl)
+    assert n == 200
+    with open(jsonl) as f:
+        assert sum(1 for _ in f) == n and json.loads(next(iter(open(jsonl))))
+    df = read_cards_json(spark, jsonl)  # auto-detects line-delimited
+    assert df.count() == 200
+    assert prepare_cards(df).count() == read_cards_json(
+        spark, raw_json_path
+    ).transform(prepare_cards).count()
