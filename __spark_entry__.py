@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mtg_bulk_database_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from mtg_bulk_database_spark.registry import load_registry  # noqa: E402
+
+QUERIES, ORACLE_SQL = load_registry()
 
 
 def entry(spark: SparkSession) -> DataFrame:

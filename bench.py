@@ -18,8 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mtg_bulk_database_spark.queries import QUERIES  # noqa: E402
+from mtg_bulk_database_spark.registry import load_registry  # noqa: E402
 from mtg_bulk_database_spark.session import get_spark  # noqa: E402
+
+QUERIES, _ = load_registry()
 
 # Headline set: one per operator family — scans/filters, FTS, joins,
 # aggregation, window, dedup/similarity once those land.
@@ -36,6 +38,14 @@ HEADLINE = [
     "q22_revenue_by_nation",
     "q23_tumbling_window",
     "q24_sessionize",
+    "q30_dedup_exact",
+    "q32_ngram_jaccard_pairs",
+    "q33_minhash_lsh_pairs",
+    "q35_embedding_top_pairs",
+    "q36_cosine_topk",
+    "q38_language_id",
+    "q40_quality_score",
+    "q41_multimodal_metadata",
 ]
 
 

@@ -1,0 +1,382 @@
+"""Deduplication operators for large-scale corpus curation (north-star
+extension, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and blocked embedding-cosine near-dup.
+
+Scale design (the point of each shape):
+- exact:      one hash-groupBy shuffle on the dedup key; map-side partial
+              aggregation makes it bandwidth-bound, not memory-bound.
+- n-gram Jaccard: shingle → explode → equi-join on shingle → per-pair
+              counts. Never an O(n²) cross join — cost is Σ|posting list|²
+              over shingles, which LSH bounds when the corpus grows.
+- MinHash+LSH: fixed-size signatures (64 ints/doc regardless of doc
+              length) → band-bucket equi-join → candidates → exact
+              verify. The 100 TB path: shuffles carry signatures, not
+              documents.
+- SimHash:    one 64-bit fingerprint/doc (Arrow-batched pandas UDF —
+              the bit-twiddling is the one genuinely non-relational
+              step); near-pairs via pigeonhole band join on 16-bit
+              chunks, Hamming-verified.
+- embedding:  blocked (by label / LSH bucket) pair join with a
+              codegen'd cosine — never all-pairs.
+
+Everything returns DataFrames and composes with the registry queries.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..functions.vectors import cosine_similarity
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """One representative row id per distinct key + the duplicate count.
+
+    ``min(id)`` (not ``first``) keeps the result deterministic under any
+    partitioning."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("representative_id"),
+        F.count("*").alias("n_duplicates"),
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep only the representative (min-id) row per key — the corpus
+    after exact dedup."""
+    reps = exact_dedup(df, key_cols, id_col).select(
+        F.col("representative_id").alias(id_col)
+    )
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word-shingle machinery (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles, joined with single spaces.
+
+    IMPORTANT: pass a *materialized* (attribute) token array, not an
+    inline ``tokens(text)`` expression — ``element_at`` references the
+    array k times per position, and an inline expression would be
+    re-evaluated each time (quadratic re-tokenization; observed 30×
+    slowdown at sf0.1). ``with_shingles`` handles this correctly.
+    """
+    n = F.size(tok)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, parts)))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    # two projections: tokens materialize once per row, then the shingle
+    # builder references the bound attribute (see shingles() docstring).
+    # The too-short filter runs on the token count BEFORE the shingle
+    # projection — filtering on shingles afterwards would push the whole
+    # shingle expression down into the Filter and re-evaluate it per row.
+    tok = df.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+        F.size("_tok") >= k
+    )
+    return tok.select(
+        F.col(id_col), shingles(F.col("_tok"), k).alias("shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with word-k-gram Jaccard ≥ threshold.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) with integer counts, so the double
+    division is bit-identical across engines (no rounding needed).
+    """
+    sh = with_shingles(df, text_col, id_col, k)
+    sizes = sh.select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("_n")
+    )
+    # explode_outer + output-side null filter: plain explode makes the
+    # optimizer infer `size(shingles) > 0` and push it below the
+    # projection, re-inlining (and re-evaluating) the whole shingle
+    # expression per row — a 10× slowdown observed at sf0.1.
+    ex = sh.select(F.col(id_col), F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), "s")
+    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE_31 = 2_147_483_647  # 2^31 - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(sh: Column, num_perm: int = 64, seed: int = 13) -> Column:
+    """num_perm-wide MinHash signature of a shingle array.
+
+    Universal hashing over a bounded base hash: h_i(s) = (aᵢ·x + bᵢ) mod p
+    with x = xxhash64(s) mod p — all arithmetic stays < 2⁶², so the
+    expression is safe under ANSI mode and identical on every executor.
+    """
+    # base-hash every shingle ONCE, then each permutation is pure integer
+    # arithmetic over the bound hash array (64 perms × cheap pmod, not
+    # 64 × xxhash64 re-evaluations).
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+
+    def perm_min(hs: Column, a: int, b: int) -> Column:
+        # closure factory: the HOF lambda must expose exactly one parameter
+        def h(x: Column) -> Column:
+            return F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31))
+
+        return F.array_min(F.transform(hs, h))
+
+    def build(hs: Column) -> Column:
+        return F.array(
+            *[perm_min(hs, a, b) for a, b in _perm_params(num_perm, seed)]
+        )
+
+    # single-element transform = let-binding: evaluates `hashes` once and
+    # exposes it to the signature builder as a bound lambda variable.
+    return F.element_at(F.transform(F.array(hashes), build), 1)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash candidates, then **exact**
+    Jaccard verification of candidates only.
+
+    With 64 perms in 16 bands of 4 rows, a pair at s=0.8 is a candidate
+    with p ≈ 0.9998; misses are possible by construction (documented
+    approximate recall), false positives are impossible (exact verify).
+    """
+    rows = num_perm // bands
+    sh = with_shingles(df, text_col, id_col, k).withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_perm, seed)
+    )
+    band_cols = F.explode_outer(  # _outer: see ngram_jaccard_pairs note
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.slice("sig", i * rows + 1, rows)).alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+    ).alias("b")
+    buckets = sh.select(F.col(id_col), band_cols).select(
+        id_col, "b.band", "b.bucket"
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            on=[
+                F.col("x.band") == F.col("y.band"),
+                F.col("x.bucket") == F.col("y.bucket"),
+                F.col(f"x.{id_col}") < F.col(f"y.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, on="id_a")
+        .join(sh_b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def with_simhash(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """64-bit SimHash fingerprint per document over word-k-shingle
+    features (Arrow-batched pandas UDF — deterministic: md5-derived
+    feature hashes, no Python ``hash``). Shingle features make the
+    fingerprint order-sensitive, which separates permuted near-dups
+    from text that merely shares vocabulary."""
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        out = []
+        for text in texts:
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            feats = {
+                " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
+            }
+            acc = [0] * 64
+            for t in feats:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big", signed=False
+                )
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            fp = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    fp |= 1 << bit
+            # wrap to signed 64-bit for Spark LongType
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(id_col, simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 5
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
+    band join: split 64 bits into 8 8-bit chunks — any pair within
+    Hamming 7 shares at least one exact chunk, so the join is an
+    equi-join on (chunk_idx, chunk_value), never all-pairs."""
+    fp = with_simhash(df, text_col, id_col)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.explode_outer(  # _outer: see ngram_jaccard_pairs note
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            on=[
+                F.col("x.chunk") == F.col("y.chunk"),
+                F.col("x.val") == F.col("y.val"),
+                F.col(f"x.{id_col}") < F.col(f"y.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (blocked cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_top_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    top_n: int = 20,
+) -> DataFrame:
+    """Most-similar embedding pairs, blocked so the pair join is
+    per-block (by label here; by LSH bucket when no label exists —
+    see similarity.lsh_buckets). Cosine rounded to 4 dp with id
+    tie-breaks keeps ordering engine-stable."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    e = df.select(*cols)
+    on = [F.col(f"x.{id_col}") < F.col(f"y.{id_col}")]
+    if block_col:
+        on.insert(0, F.col(f"x.{block_col}") == F.col(f"y.{block_col}"))
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), on=on)
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+            ).alias("cosine"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("cosine").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(top_n)

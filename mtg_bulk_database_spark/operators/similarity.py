@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (north-star extension):
+brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+bucketing as the scale path.
+
+Scale design: brute force is one scan with a codegen'd cosine — correct
+at any size but O(n) per query. The LSH variant prunes the scan to one
+bucket (expected n/2^planes candidates): signatures are computed once at
+ingest, bucket becomes the shuffle/cluster key, and queries touch only
+their bucket's files (partition pruning on ``bucket``). IVF would swap
+the hash for k-means centroids — same plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def _query_vec_lit(qv: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in qv])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: scan + TakeOrderedAndProject (per-partition
+    heap top-k, then driver merge — no full sort, no full shuffle)."""
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
+    ).alias("cosine")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → identical buckets
+    on every run/cluster)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit_i = 1[⟨v, plane_i⟩ ≥ 0]. Pure column
+    expression — computable at ingest and usable as a partition key."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec.cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    return df.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed))
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe
+    trades recall for candidate count)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    qb = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(query_vec, plane)) >= 0:
+            qb |= 1 << i
+    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= multiprobe_hamming
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
+    ).alias("cosine")
+    return (
+        bucketed.filter(probe)
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

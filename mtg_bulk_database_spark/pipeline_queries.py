@@ -1,0 +1,253 @@
+"""Registry entries for the large-scale training-data pipeline operators
+(dedup / similarity / text analysis / multimodal / JSON extraction) over
+the ``documents`` and ``embeddings`` tables.
+
+Approximate operators (MinHash-LSH, hyperplane-LSH ANN) register without
+an oracle only when their result is genuinely non-SQL-expressible;
+deterministic ones carry exact DuckDB twins like the parity queries.
+Shared tokenizer/cosine semantics come from ``functions`` so both
+engines compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.text import sql_ts_tokens, sql_tokens
+from .functions.vectors import sql_cosine
+from .operators import dedup, multimodal, similarity, text_analysis
+from .operators.text_analysis import BPE_ISH_RE, sql_stopword_hits
+from .registry import query
+
+_TOKS = sql_tokens("text")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+@query(
+    "q30_dedup_exact",
+    """SELECT text, min(doc_id) AS representative_id, count(*) AS n_duplicates
+       FROM documents GROUP BY text""",
+)
+def q30(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        "text", "representative_id", "n_duplicates"
+    )
+
+
+@query(
+    "q31_dedup_fingerprint",
+    f"""SELECT md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
+              AS fingerprint,
+              min(doc_id) AS representative_id, count(*) AS n_duplicates
+       FROM documents GROUP BY 1""",
+)
+def q31(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text_analysis.with_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count("*").alias("n_duplicates"),
+        )
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+    FROM pairs
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+    WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+"""
+
+
+@query("q32_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q32(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+@query("q33_minhash_lsh_pairs")  # approximate → rows-only driver check;
+# tests/test_dedup.py pins recall==1.0 vs the exact operator on this data
+def q33(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+
+
+@query("q34_simhash_near_pairs")  # pandas-UDF fingerprints → rows-only
+def q34(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "q35_embedding_top_pairs",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        ORDER BY cosine DESC, id_a, id_b LIMIT 20""",
+)
+def q35(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_top_pairs(emb, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+def _query_vector(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+
+@query(
+    "q36_cosine_topk",
+    f"""SELECT e.vec_id,
+               round({sql_cosine('e.embedding', 'q.embedding')}, 4) AS cosine
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+)
+def q36(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10
+    )
+
+
+@query("q37_lsh_ann_topk")  # approximate (bucket-pruned) → rows-only;
+# tests pin its recall against q36 on this data
+def q37(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "q38_language_id",
+    f"""SELECT doc_id,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN {sql_stopword_hits(_TOKS)}::DOUBLE / len({_TOKS})
+                    ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN (CASE WHEN len({_TOKS}) > 0
+                    THEN {sql_stopword_hits(_TOKS)}::DOUBLE / len({_TOKS})
+                    ELSE 0.0 END) >= 0.1 THEN 'en' ELSE 'other' END
+                 AS predicted_lang
+        FROM documents""",
+)
+def q38(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_language_id(docs).select(
+        "doc_id", "stopword_ratio", "predicted_lang"
+    )
+
+
+@query(
+    "q39_token_counts",
+    f"""SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                 AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))
+                 AS bpe_ish_tokens
+        FROM documents""",
+)
+def q39(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_token_counts(docs).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens"
+    )
+
+
+@query(
+    "q40_quality_score",
+    f"""WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks,
+                 length(text) AS n_chars,
+                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+          FROM documents
+        )
+        SELECT doc_id, len(toks) AS n_tokens,
+               round(CASE WHEN n_chars > 0
+                     THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+               round((least(len(toks), 100)::DOUBLE / 100.0
+                      + CASE WHEN n_chars > 0
+                             THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END
+                      + least(CASE WHEN len(toks) > 0
+                              THEN {sql_stopword_hits('toks')}::DOUBLE / len(toks)
+                              ELSE 0.0 END, 0.5) * 2.0) / 3.0, 6) AS quality_score
+        FROM t""",
+)
+def q40(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_quality_score(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio", "quality_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "q41_multimodal_metadata",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS content_bytes,
+              n_chars AS declared_bytes,
+              'image/fake' AS media_type
+       FROM documents""",
+)
+def q41(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.media_metadata(multimodal.as_media_table(docs))
+
+
+@query("q42_multimodal_decode")  # mapInPandas decode stage (stubbed
+# decoder) → rows-only; plumbing + schema is what the check pins
+def q42(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_images(multimodal.as_media_table(docs))
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over the events props column (P4 surface: semi-
+# structured leaves stay queryable without a schema migration)
+# ---------------------------------------------------------------------------
+@query(
+    "q43_json_extract",
+    """SELECT event_id, event_type,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k
+       FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""",
+)
+def q43(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .select("event_id", "event_type", "k")
+    )

@@ -21,9 +21,7 @@ the reference access path it reproduces.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -35,19 +33,7 @@ from .functions.text import (
     tokens,
     ts_tokens,
 )
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-
-def query(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE_SQL[name] = sql
-        return fn
-
-    return deco
+from .registry import ORACLE_SQL, QUERIES, query  # noqa: F401  (re-export)
 
 
 def _dsum(col, alias):

@@ -1,0 +1,33 @@
+"""Query registry shared by the operator-query modules.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` and the optional
+``ORACLE_SQL[name]`` DuckDB twin; see ``queries`` (reference-parity
+operators) and ``pipeline_queries`` (large-scale training-data
+operators) for the registered entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def load_registry():
+    """Import all query modules for their registration side effects."""
+    from . import queries, pipeline_queries  # noqa: F401
+
+    return QUERIES, ORACLE_SQL

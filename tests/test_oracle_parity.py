@@ -13,7 +13,9 @@ import duckdb
 import pytest
 
 from mtg_bulk_database_spark.catalog import TESTDATA_TABLES
-from mtg_bulk_database_spark.queries import ORACLE_SQL, QUERIES
+from mtg_bulk_database_spark.registry import load_registry
+
+QUERIES, ORACLE_SQL = load_registry()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 
