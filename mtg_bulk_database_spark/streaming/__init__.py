@@ -1,0 +1,6 @@
+from .events import (  # noqa: F401
+    run_available_now,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+from .ingest import stream_ingest_cards  # noqa: F401

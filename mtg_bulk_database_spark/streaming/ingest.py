@@ -1,0 +1,48 @@
+"""Streaming ingest: the incremental-file variant of the cards pipeline
+(SURVEY §1.6 — the reference's one-object-at-a-time ingest loop,
+``import_cards.py:351-366``, maps naturally onto a Structured Streaming
+file source with an ``availableNow`` trigger).
+
+Dropping new bulk JSONL files into a landing directory and re-running
+gives exactly-once incremental ingest with checkpoint-tracked progress —
+the distributed answer to the reference's mtime freshness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ingest.transform import prepare_cards
+from ..schemas import CARDS_RAW_SCHEMA
+
+
+def stream_ingest_cards(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """JSONL landing dir → transform layer → append-mode parquet table.
+
+    Note: the streaming sink is append-only; upsert semantics at the
+    table level come from compacting with ``ingest.sink.merge_upsert``
+    (or, in production, a ``foreachBatch`` Delta MERGE — same transform
+    layer, exactly-once via the checkpoint).
+    """
+    raw = (
+        spark.readStream.schema(CARDS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+    )
+    prepared = prepare_cards(raw)
+    q = (
+        prepared.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(table_path)

@@ -1,0 +1,128 @@
+"""Structured Streaming tests: windowed/sessionized aggregations drained
+with availableNow must agree with their batch twins; streaming ingest
+must apply the same transform layer incrementally."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.catalog import load_table
+from mtg_bulk_database_spark.streaming import (
+    run_available_now,
+    stream_session_windows,
+    stream_tumbling_counts,
+    stream_ingest_cards,
+)
+from mtg_bulk_database_spark.streaming.events import read_event_stream
+
+from .fixtures import make_cards, write_raw_json
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Re-materialize events as several *time-ordered* parquet files so
+    the file source produces multiple micro-batches arriving roughly in
+    event-time order — random batch order would trip the watermark
+    (old events in later files would be dropped as late, exactly as on
+    a real out-of-order source)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(d)
+    # FileStreamSource picks files oldest-mtime-first; the writer stamps
+    # identical mtimes, leaving arrival order random. Stamp ascending
+    # mtimes in range order (part-00000 = earliest ts range) so arrival
+    # is deterministic and in event-time order.
+    import time
+
+    parts = sorted(
+        f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(d, f), (base + i * 10, base + i * 10))
+    return d
+
+
+def test_stream_tumbling_matches_batch(spark, event_files):
+    batch_events = spark.read.parquet(event_files)
+    expected = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    streamed = run_available_now(
+        stream_tumbling_counts(read_event_stream(spark, event_files)),
+        "tumbling_test",
+    ).select("window_start", "event_type", "n_events")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_stream_sessions_match_batch_session_window(spark, event_files):
+    batch_events = spark.read.parquet(event_files)
+    expected = (
+        batch_events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    # watermark wider than the data span → no session evicted mid-drain,
+    # so the streamed result must equal the batch session_window result.
+    streamed = run_available_now(
+        stream_session_windows(
+            read_event_stream(spark, event_files), watermark="90 days"
+        ),
+        "session_test",
+    ).select("user_id", "session_start", "n_events")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # production watermark (2h) with in-order arrival: no event is ever
+    # more than the gap late, so bounded state loses nothing — the
+    # drained result still covers every session.
+    bounded = run_available_now(
+        stream_session_windows(read_event_stream(spark, event_files)),
+        "session_test_bounded",
+    )
+    assert bounded.count() == expected.count()
+
+
+def test_stream_ingest_cards_incremental(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cards = make_cards(n=60)
+    half = len(cards) // 2
+    import json
+
+    with open(landing / "batch1.jsonl", "w") as f:
+        for c in cards[:half]:
+            f.write(json.dumps(c) + "\n")
+
+    table = str(tmp_path / "cards_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = stream_ingest_cards(spark, str(landing), table, ckpt)
+    n1 = out1.count()
+    assert n1 == sum(1 for c in cards[:half] if c["id"] is not None)
+    assert "ts_tokens" in out1.columns  # transform layer applied
+
+    # drop a second file → only the new rows are processed (checkpoint)
+    with open(landing / "batch2.jsonl", "w") as f:
+        for c in cards[half:]:
+            f.write(json.dumps(c) + "\n")
+    out2 = stream_ingest_cards(spark, str(landing), table, ckpt)
+    assert out2.count() == sum(1 for c in cards if c["id"] is not None)
+
+    # re-run with no new files → no duplicates (exactly-once)
+    out3 = stream_ingest_cards(spark, str(landing), table, ckpt)
+    assert out3.count() == out2.count()
