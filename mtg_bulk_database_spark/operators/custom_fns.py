@@ -1,0 +1,60 @@
+"""Custom function surface: pandas UDAF and Python UDTF examples
+(SURVEY §2.6 "UDF/UDAF/UDTF: absent in reference" — engine policy is
+built-ins first, so these exist as the documented escape hatch, each in
+the fastest available flavor: Arrow-batched grouped aggregation, and
+Spark 4's vectorized-exchange UDTF).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_weighted_quality(docs_with_scores: DataFrame) -> DataFrame:
+    """Grouped-agg pandas UDAF: token-count-weighted mean quality per
+    source — the aggregation shape built-ins can't express when the
+    weighting logic gets genuinely custom. Arrow moves each group as a
+    pair of numpy arrays; no per-row Python."""
+
+    @F.pandas_udf("double")
+    def weighted_mean(scores: pd.Series, weights: pd.Series) -> float:
+        total = float(weights.sum())
+        if total == 0.0:
+            return 0.0
+        return float((scores * weights).sum() / total)
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
+    # compute the count separately and join (both aggs share the shuffle
+    # key, so AQE coalesces them onto the same exchange).
+    weighted = docs_with_scores.groupBy("source").agg(
+        F.round(
+            weighted_mean(F.col("quality_score"), F.col("n_tokens").cast("double")),
+            6,
+        ).alias("weighted_quality")
+    )
+    counts = docs_with_scores.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return weighted.join(counts, on="source")
+
+
+def shingle_udtf_class():
+    """Python UDTF (Spark 4): one input row → k-shingle rows. The
+    set-returning-function shape; the relational operators stay the
+    preferred path (`dedup.with_shingles`), this is the API coverage."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, shingle string")
+    class ShingleExpander:
+        def eval(self, doc_id: int, text: str, k: int):  # noqa: D102
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            seen = set()
+            for i in range(max(len(toks) - k + 1, 0)):
+                s = " ".join(toks[i : i + k])
+                if s not in seen:
+                    seen.add(s)
+                    yield (doc_id, s)
+
+    return ShingleExpander

@@ -380,3 +380,45 @@ def embedding_top_pairs(
     return pairs.orderBy(
         F.col("cosine").desc(), F.col("id_a"), F.col("id_b")
     ).limit(top_n)
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Label-free embedding near-dup: block by hyperplane-LSH bucket
+    (computable at ingest, usable as a partition key), pair-join within
+    buckets only, verify with exact cosine ≥ threshold.
+
+    Same candidate-then-verify contract as MinHash: precision 1.0 by
+    construction; recall bounded by P(same bucket) = (1 − θ/π)^planes —
+    tune planes (or add multiprobe) per corpus. Candidate volume drops
+    from n² to Σ bucket².
+    """
+    from .similarity import with_lsh_buckets
+
+    dim = len(df.select(vec_col).first()[0])
+    e = with_lsh_buckets(df, dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed)
+    e = e.select(id_col, vec_col, "bucket")
+    pairs = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            on=[
+                F.col("x.bucket") == F.col("y.bucket"),
+                F.col(f"x.{id_col}") < F.col(f"y.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -233,6 +233,22 @@ def q42(spark, sf_dir):
     return multimodal.decode_images(multimodal.as_media_table(docs))
 
 
+@query("q44_udaf_weighted_quality")  # pandas grouped-agg UDAF → float
+# accumulation order isn't engine-stable → rows-only
+def q44(spark, sf_dir):
+    from .operators.custom_fns import token_weighted_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_weighted_quality(text_analysis.with_quality_score(docs))
+
+
+@query("q45_embedding_near_dup_lsh")  # bucket recall is corpus-dependent
+# → rows-only; tests pin candidate-set pruning + precision
+def q45(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(emb, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction over the events props column (P4 surface: semi-
 # structured leaves stay queryable without a schema migration)

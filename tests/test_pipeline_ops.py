@@ -107,3 +107,47 @@ def test_multimodal_plumbing(docs):
     d = decoded.filter(F.col("doc_id") == 0).first()
     assert d["n_channels"] == 3 and d["width"] == d["content_bytes"] % 1024 + 1
     assert decoded.count() == docs.count()
+
+
+def test_udaf_weighted_quality(docs):
+    from mtg_bulk_database_spark.operators.custom_fns import token_weighted_quality
+    from mtg_bulk_database_spark.operators.text_analysis import with_quality_score
+
+    scored = with_quality_score(docs)
+    out = token_weighted_quality(scored).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    # cross-check one group against a pandas-side computation
+    pdf = scored.filter(F.col("source") == "src0").select(
+        "quality_score", "n_tokens"
+    ).toPandas()
+    expect = (pdf["quality_score"] * pdf["n_tokens"]).sum() / pdf["n_tokens"].sum()
+    got = next(r["weighted_quality"] for r in out if r["source"] == "src0")
+    assert abs(got - expect) < 1e-6
+
+
+def test_udtf_shingles(spark, docs):
+    from mtg_bulk_database_spark.operators.custom_fns import shingle_udtf_class
+    from mtg_bulk_database_spark.operators.dedup import with_shingles
+
+    ShingleExpander = shingle_udtf_class()
+    spark.udtf.register("shingle_expand", ShingleExpander)
+    docs.limit(20).createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        """SELECT s.* FROM _udtf_docs,
+           LATERAL shingle_expand(doc_id, text, 3) s"""
+    )
+    relational = with_shingles(docs.limit(20), "text", "doc_id", 3)
+    n_expected = relational.select(
+        F.explode("shingles")
+    ).count()
+    assert out.count() == n_expected
+
+
+def test_embedding_near_dup_lsh_precision(emb):
+    lsh = dedup.embedding_near_dup_lsh(emb, threshold=0.4)
+    rows = lsh.collect()
+    # precision 1.0: every returned pair genuinely >= threshold
+    assert all(r["cosine"] >= 0.4 for r in rows)
+    # blocked join prunes: candidate pairs far below n^2
+    n = emb.count()
+    assert len(rows) < n * (n - 1) / 4
