@@ -46,6 +46,7 @@ HEADLINE = [
     "q38_language_id",
     "q40_quality_score",
     "q41_multimodal_metadata",
+    "q56_asof_join",
 ]
 
 

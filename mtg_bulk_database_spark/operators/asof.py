@@ -1,0 +1,100 @@
+"""As-of (nearest-predecessor) join — an operator Spark lacks natively
+(SURVEY brief: custom operators → composition first, Pandas-backed
+second). Two implementations with identical semantics:
+
+- ``asof_join``         — pure DataFrame composition: range join on the
+                          key + window-rank to keep the nearest match.
+                          Correct everywhere; the range join can explode
+                          when many right rows precede each left row.
+- ``asof_join_pandas``  — cogrouped ``applyInPandas`` running
+                          ``pd.merge_asof`` per key group: both sides
+                          shuffle once on the key, each group is a
+                          sorted O(n+m) merge — the 100 TB path
+                          (this is how time-series stores execute ASOF).
+
+Semantics (match DuckDB's ``ASOF JOIN ... ON l.ts > r.ts``): for each
+left row, the right row with the greatest ``right_ts`` strictly less
+than ``left_ts`` within the same key; left join (no match → NULLs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Relational composition: left ⟕ right on key + right_ts < left_ts,
+    then keep the single latest right row per left row."""
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on).alias("_r_key"), *[F.col(c).alias(f"r_{c}") for c in rcols]
+    )
+    joined = left.join(
+        r,
+        (F.col(on) == F.col("_r_key")) & (F.col(f"r_{right_ts}") < F.col(left_ts)),
+        "left",
+    )
+    w = Window.partitionBy(*lcols).orderBy(F.col(f"r_{right_ts}").desc_nulls_last())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_r_key")
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Cogrouped merge_asof: one shuffle per side on the key, then a
+    linear sorted merge per group via Arrow — no row explosion.
+
+    The right side's non-key columns are renamed (``r_*``) in the Spark
+    layer BEFORE the cogroup: when left and right share lineage (a
+    self-as-of on one table), identically-named attributes are the same
+    attribute to the analyzer and one side's column silently disappears
+    from the Arrow batch — renaming breaks the ambiguity.
+    """
+    rcols = [c for c in right.columns if c != on]
+    right_renamed = right.select(
+        F.col(on), *[F.col(c).alias(f"r_{c}") for c in rcols]
+    )
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f"r_{c}", right.schema[c].dataType) for c in rcols]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            for c in rcols:
+                lpdf[f"r_{c}"] = None
+            return lpdf
+        rpdf = rpdf.drop(columns=[on]).sort_values(
+            f"r_{right_ts}", kind="mergesort"
+        )
+        return pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_ts,
+            right_on=f"r_{right_ts}",
+            allow_exact_matches=False,  # strict predecessor, like ts > ts
+            direction="backward",
+        )
+
+    return left.groupBy(on).cogroup(right_renamed.groupBy(on)).applyInPandas(
+        merge, schema=out_schema
+    )

@@ -117,6 +117,10 @@ def ngram_jaccard_pairs(
     # optimizer infer `size(shingles) > 0` and push it below the
     # projection, re-inlining (and re-evaluating) the whole shingle
     # expression per row — a 10× slowdown observed at sf0.1.
+    # (Measured alternative: carrying per-doc sizes along the exploded
+    # postings to skip the size joins is 2× SLOWER — the wider postings
+    # change the posting-join strategy; the size joins are tiny
+    # broadcasts. Keep this formulation.)
     ex = sh.select(F.col(id_col), F.explode_outer("shingles").alias("s")).filter(
         F.col("s").isNotNull()
     )

@@ -152,3 +152,56 @@ def q55(spark, sf_dir):
             F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("kept")
         ).alias("return_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — custom operator (operators/asof.py): for each error event,
+# the user's most recent strictly-preceding click. Oracle: DuckDB's
+# native ASOF LEFT JOIN. Runs the relational composition (9× faster at
+# this group cardinality — the cogrouped merge_asof variant pays per-
+# group Arrow overhead and wins only when per-key volumes make the range
+# join explode); tests pin both implementations equal.
+# ---------------------------------------------------------------------------
+@query(
+    "q56_asof_join",
+    """SELECT e.event_id, e.user_id, e.ts, c.ts AS r_ts, c.value AS r_value
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+       ASOF LEFT JOIN
+            (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+       ON e.user_id = c.user_id AND e.ts > c.ts""",
+)
+def q56(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based linear interpolation — identical
+# definition in both engines; the approx_percentile sketch is the scale
+# alternative, unverifiable by an exact oracle by construction).
+# ---------------------------------------------------------------------------
+@query(
+    "q57_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.50) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75,
+              quantile_cont(l_extendedprice, 0.9) AS price_p90
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q57(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+    )

@@ -151,3 +151,23 @@ def test_embedding_near_dup_lsh_precision(emb):
     # blocked join prunes: candidate pairs far below n^2
     n = emb.count()
     assert len(rows) < n * (n - 1) / 4
+
+
+def test_asof_join_impls_agree(spark):
+    from mtg_bulk_database_spark.operators.asof import asof_join, asof_join_pandas
+
+    ev = load_table(spark, SF_DIR, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    rel = asof_join(errors, clicks, "user_id", "ts", "ts")
+    pan = asof_join_pandas(errors, clicks, "user_id", "ts", "ts")
+    key = lambda r: (r["event_id"],)  # noqa: E731
+    rel_rows = sorted([tuple(r) for r in rel.collect()])
+    pan_rows = sorted([tuple(r) for r in pan.select(*rel.columns).collect()])
+    assert rel_rows == pan_rows
+    # left-join semantics: every error event present exactly once
+    assert rel.count() == errors.count()
