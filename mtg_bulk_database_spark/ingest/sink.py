@@ -64,9 +64,11 @@ def merge_upsert(
     ``key`` — exact ON CONFLICT(id) DO UPDATE semantics
     (import_cards.py:218-221).
 
-    Scale notes: the anti-join shuffles on the key once; with a
-    partitioned target plus source-key partition pruning (Delta MERGE
-    does this automatically) only affected partitions rewrite.
+    Scale notes: the anti-join shuffles on the key once. With a
+    partitioned target, only partitions that contain source rows are
+    read and rewritten (dynamic partition overwrite — the pruning Delta
+    MERGE does from the transaction log); untouched partitions are never
+    scanned or copied, which bounds write amplification at 100 TB.
     """
     source = _dedup_last_wins(source, key, order_col)
 
@@ -74,10 +76,53 @@ def merge_upsert(
         _atomic_write(spark, source, target_path, partition_by)
         return
 
+    if partition_by:
+        _merge_into_partitions(spark, target_path, source, key, partition_by)
+        return
+
     target = spark.read.parquet(target_path)
     keep = target.join(source, on=key, how="left_anti")
     merged = keep.unionByName(source, allowMissingColumns=True)
     _atomic_write(spark, merged, target_path, partition_by)
+
+
+def _merge_into_partitions(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+    partition_by: str,
+) -> None:
+    """Partition-pruned merge: anti-join only the affected partitions,
+    then dynamic-overwrite exactly those partition directories.
+
+    Assumes the partition column is stable per key (true for cards: a
+    printing never changes set). A key that *did* move partitions would
+    leave its old row behind — Delta MERGE has the same property unless
+    the match condition includes the partition column.
+    """
+    touched = [r[0] for r in source.select(partition_by).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    affected = target.filter(F.col(partition_by).isin(touched))
+    keep = affected.join(source, on=key, how="left_anti")
+    merged = keep.unionByName(source, allowMissingColumns=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            # repartition on the partition key: without it every shuffle
+            # partition writes a sliver into every partition directory
+            # (observed: 32 files per partition for a 100-row merge) —
+            # the small-files problem that kills scan throughput at scale.
+            # AQE coalescing keeps per-partition outputs to few files.
+            merged.repartition(F.col(partition_by))
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def _table_exists(path: str) -> bool:

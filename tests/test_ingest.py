@@ -177,3 +177,37 @@ def test_presplit_jsonl_parallel_read(spark, raw_json_path, tmp_path):
     assert prepare_cards(df).count() == read_cards_json(
         spark, raw_json_path
     ).transform(prepare_cards).count()
+
+
+def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
+    """Partition-pruned MERGE: updating keys in one partition must not
+    rewrite the files of other partitions (bounded write amplification)."""
+    import glob
+    import os
+
+    table = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [("k1", "s1", 1), ("k2", "s1", 2), ("k3", "s2", 3), ("k4", "s3", 4)],
+        "id string, set string, v int",
+    )
+    merge_upsert(spark, table, df, key="id", partition_by="set")
+    files_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{table}/set=*/*.parquet")
+    }
+
+    upd = spark.createDataFrame([("k3", "s2", 30)], "id string, set string, v int")
+    merge_upsert(spark, table, upd, key="id", partition_by="set")
+
+    out = spark.read.parquet(table)
+    assert out.count() == 4
+    assert out.filter(F.col("id") == "k3").first()["v"] == 30
+    # s1 and s3 partition files untouched (same path + mtime)
+    for p, mt in files_before.items():
+        if "set=s2" not in p:
+            assert os.path.exists(p) and os.path.getmtime(p) == mt, p
+    # s2 was rewritten
+    assert all(
+        p not in files_before or os.path.getmtime(p) != files_before[p]
+        for p in glob.glob(f"{table}/set=s2/*.parquet")
+    )
