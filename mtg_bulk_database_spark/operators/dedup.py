@@ -374,10 +374,29 @@ def embedding_top_pairs(
     per-block (by label here; by LSH bucket when no label exists —
     see similarity.lsh_buckets). Cosine rounded to 4 dp with id
     tie-breaks keeps ordering engine-stable."""
+    from ..functions.vectors import dot, l2_norm
+
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:
         cols.append(F.col(block_col))
-    e = df.select(*cols)
+    # normalize each vector ONCE (2k norm folds) instead of per pair
+    # (2×200k) — cosine of unit vectors is just the dot product. The
+    # norm is let-bound via a single-element transform so it computes
+    # once per ROW, not once per element; the normalized table is
+    # checkpointed so both join sides reuse it.
+    vec_dbl = F.col(vec_col).cast("array<double>")
+    normalized = F.element_at(
+        F.transform(
+            F.array(l2_norm(vec_dbl)),
+            lambda n: F.transform(vec_dbl, lambda x: x / n),
+        ),
+        1,
+    )
+    e = (
+        df.select(*cols)
+        .withColumn(vec_col, normalized)
+        .localCheckpoint(eager=False)
+    )
     on = [F.col(f"x.{id_col}") < F.col(f"y.{id_col}")]
     if block_col:
         on.insert(0, F.col(f"x.{block_col}") == F.col(f"y.{block_col}"))
@@ -388,7 +407,7 @@ def embedding_top_pairs(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
             F.round(
-                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+                dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
             ).alias("cosine"),
         )
     )

@@ -102,11 +102,21 @@ def q34(spark, sf_dir):
 
 @query(
     "q35_embedding_top_pairs",
-    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({sql_cosine('a.embedding', 'b.embedding')}, 4) AS cosine
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        ORDER BY cosine DESC, id_a, id_b LIMIT 20""",
+    # same normalize-then-dot formulation as the Spark operator so the
+    # float path is identical (normalizing inside the pair cosine would
+    # differ in final ulps from pre-normalized vectors)
+    """WITH n AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> x::DOUBLE /
+                  sqrt(list_sum(list_transform(embedding,
+                       y -> y::DOUBLE * y::DOUBLE)))) AS v
+         FROM embeddings
+       )
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_sum(list_transform(range(1, len(a.v)+1),
+                    i -> a.v[i] * b.v[i])), 4) AS cosine
+       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       ORDER BY cosine DESC, id_a, id_b LIMIT 20""",
 )
 def q35(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

@@ -126,3 +126,57 @@ def test_stream_ingest_cards_incremental(spark, tmp_path):
     # re-run with no new files → no duplicates (exactly-once)
     out3 = stream_ingest_cards(spark, str(landing), table, ckpt)
     assert out3.count() == out2.count()
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates arriving in LATER
+    micro-batches (and later runs, via the checkpoint) are dropped."""
+    from mtg_bulk_database_spark.streaming.stateful import stream_dedup_events
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream_dedup_events(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    write_batch(
+        [(1, t, 7, "click", 1.0, "{}"), (2, t, 7, "view", 1.0, "{}"),
+         (2, t, 7, "view", 1.0, "{}")],  # within-batch dup
+        "b1",
+    )
+    out1 = drain()
+    assert sorted(r["event_id"] for r in out1.collect()) == [1, 2]
+
+    # second RUN: replay event 1 and 2 + a new event 3 — state from the
+    # checkpoint must drop the replays
+    write_batch(
+        [(1, t, 7, "click", 1.0, "{}"), (2, t, 7, "view", 1.0, "{}"),
+         (3, t, 7, "purchase", 1.0, "{}")],
+        "b2",
+    )
+    out2 = drain()
+    assert sorted(r["event_id"] for r in out2.collect()) == [1, 2, 3]
