@@ -101,10 +101,18 @@ def with_fts_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("ts_tokens", ts_tokens(doc))
 
 
-def prepare_cards(raw: DataFrame, strict_layout: bool = False) -> DataFrame:
+def prepare_cards(
+    raw: DataFrame, strict_layout: bool = False, observation=None
+) -> DataFrame:
     """Full cards transform: P1→P2→P5→P6→F1 (+ FTS tokens), with an
     ``observe`` metric set (rows_in, rows_no_id, rows_bad_layout) —
     the distributed replacement for the importer's warn-prints.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to read the
+    counts after the first action (``obs.get["rows_no_id"]`` — the
+    importer's "missing id" warnings, import_cards.py:355-357, as
+    queryable metrics). Observations are single-use; omit it (a plain
+    named observe is attached) when the frame runs more than once.
 
     With ``strict_layout`` the ENUM-reject behavior applies (invalid
     layouts dropped); default matches the importer (warn-and-keep).
@@ -113,12 +121,12 @@ def prepare_cards(raw: DataFrame, strict_layout: bool = False) -> DataFrame:
     df = coerce_dates(df)
     df = aggregate_face_images(df)
     df = with_layout_validity(df)
-    df = df.observe(
-        OBS_CARDS,
+    metrics = (
         F.count(F.lit(1)).alias("rows_in"),
         F.count(F.when(F.col("id").isNull(), 1)).alias("rows_no_id"),
         F.count(F.when(~F.col("_layout_valid"), 1)).alias("rows_bad_layout"),
     )
+    df = df.observe(observation if observation is not None else OBS_CARDS, *metrics)
     df = drop_missing_id(df)
     if strict_layout:
         df = df.filter(F.col("_layout_valid"))

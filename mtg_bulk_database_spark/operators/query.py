@@ -86,11 +86,44 @@ class CardQuery:
         )
         return ts_tokens(doc)
 
-    def fulltext_all(self, terms: Sequence[str]) -> DataFrame:
-        return self.cards.filter(fts_match_all(self._doc_tokens(), terms))
+    def fulltext_all(
+        self, terms: Sequence[str], include_faces: bool = False
+    ) -> DataFrame:
+        """AND full-text match. ``include_faces`` extends the document
+        to per-face oracle_text — a documented EXTENSION: the reference
+        tsvector (init.sql:144-146) covers only the top-level columns,
+        leaving multiface card text unsearchable."""
+        tok = self._face_tokens() if include_faces else self._doc_tokens()
+        return self.cards.filter(fts_match_all(tok, terms))
 
-    def fulltext_any(self, terms: Sequence[str]) -> DataFrame:
-        return self.cards.filter(fts_match_any(self._doc_tokens(), terms))
+    def fulltext_any(
+        self, terms: Sequence[str], include_faces: bool = False
+    ) -> DataFrame:
+        tok = self._face_tokens() if include_faces else self._doc_tokens()
+        return self.cards.filter(fts_match_any(tok, terms))
+
+    def _face_tokens(self) -> F.Column:
+        face_text = F.when(
+            F.col("card_faces").isNotNull(),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "card_faces",
+                    lambda f: F.concat_ws(
+                        " ",
+                        F.coalesce(f["name"], F.lit("")),
+                        F.coalesce(f["oracle_text"], F.lit("")),
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit(""))
+        doc = F.concat_ws(
+            " ",
+            F.coalesce(F.col("name"), F.lit("")),
+            F.coalesce(F.col("oracle_text"), F.lit("")),
+            face_text,
+        )
+        return ts_tokens(doc)
 
     # -- Q9: layout/ENUM equality (init.sql:47; README.md:18) ------------
     def by_layout(self, layout: str) -> DataFrame:

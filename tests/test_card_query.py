@@ -138,3 +138,14 @@ def test_price_extraction(q, fixture_cards):
     for c in fixture_cards[:50]:
         raw = (c["prices"] or {}).get("usd")
         assert got[c["id"]] == (float(raw) if raw is not None else None)
+
+
+def test_fulltext_include_faces_extension(q, fixture_cards):
+    # face oracle_texts say "deal damage" / "draw a card"; top-level FTS
+    # must not see them, the include_faces extension must
+    base = q.fulltext_all(["fire", "deals"]).count()
+    multiface = [c for c in fixture_cards if c["card_faces"]]
+    with_faces = q.fulltext_all(["face", "damage"], include_faces=True)
+    assert with_faces.count() == len(multiface)
+    without = q.fulltext_all(["face", "damage"], include_faces=False)
+    assert without.count() == 0

@@ -211,3 +211,29 @@ def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
         p not in files_before or os.path.getmtime(p) != files_before[p]
         for p in glob.glob(f"{table}/set=s2/*.parquet")
     )
+
+
+def test_observation_metrics(spark, raw_json_path):
+    from pyspark.sql import Observation
+
+    obs = Observation("cards_ingest")
+    out = prepare_cards(read_cards_json(spark, raw_json_path), observation=obs)
+    out.count()  # first action materializes the metrics
+    m = obs.get
+    src = make_cards(n=200)
+    assert m["rows_in"] == len(src)
+    assert m["rows_no_id"] == sum(1 for c in src if c["id"] is None)
+    assert m["rows_bad_layout"] == sum(1 for c in src if c["layout"] == "bogus_layout")
+
+
+def test_compaction(spark, tmp_path):
+    from mtg_bulk_database_spark.ingest.maintenance import compact, table_file_stats
+
+    table = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    df.repartition(16).write.parquet(table)
+    n_before, _ = table_file_stats(table)
+    assert n_before >= 16
+    b, a = compact(spark, table)
+    assert (b, a) == (n_before, 1)  # 10k longs ≪ 128MB target
+    assert spark.read.parquet(table).count() == 10_000
