@@ -42,20 +42,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_APPS: set[str] = set()
 
 
 def _ensure_worker_imports(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers (once per session).
+    """Ship this package to executor Python workers (once per app).
 
     Closures that reference module-level names are pickled by
     *reference*, so workers must be able to import the package — which
     is only incidentally true when the driver runs from the repo root.
     ``addPyFile`` with a zip of the package makes worker imports
     independent of the launcher's working directory.
+
+    The zip is built fresh in a private temp dir every time (never
+    reused from a predictable path — a cached zip could be stale after
+    code edits, truncated by an earlier crash, or planted by another
+    local user), and the app is only marked shipped on success so a
+    failed attempt retries. Keyed by applicationId, which is unique per
+    context — ``id()`` would be reusable after GC.
     """
-    key = id(spark.sparkContext)
-    if key in _SHIPPED_SESSIONS:
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED_APPS:
         return
     try:
         import tempfile
@@ -63,23 +70,18 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
 
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
         pkg_name = os.path.basename(pkg_dir)
-        zpath = os.path.join(
-            tempfile.gettempdir(), f"{pkg_name}_{os.getpid()}.zip"
-        )
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as z:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    for f in files:
-                        if f.endswith(".py"):
-                            full = os.path.join(root, f)
-                            rel = os.path.join(
-                                pkg_name, os.path.relpath(full, pkg_dir)
-                            )
-                            z.write(full, rel)
+        zpath = os.path.join(tempfile.mkdtemp(prefix="pkgship_"), f"{pkg_name}.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        z.write(full, rel)
         spark.sparkContext.addPyFile(zpath)
+        _SHIPPED_APPS.add(key)
     except Exception:
         pass  # best-effort: self-contained closures don't need it
-    _SHIPPED_SESSIONS.add(key)
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:

@@ -67,30 +67,32 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB — deterministic stand-in for a real image decode.
+def _decode_by_value():
+    """STUB decode, built for by-value pickling — the single source of
+    the fake-decode logic.
 
     Production: ``img = PIL.Image.open(io.BytesIO(payload))`` and return
-    ``img.size + (len(img.getbands()),)``. Here: fake dimensions derived
-    from the byte length so tests are reproducible without media libs.
+    ``img.size + (len(img.getbands()),)``. Here: deterministic fake
+    dimensions derived from the byte length, reproducible without media
+    libs.
 
-    NOTE every mapInPandas closure below re-binds this via
-    ``_decode_by_value()`` instead of referencing the module global: a
-    module-global reference is pickled by *reference*, so the worker
-    would need ``mtg_bulk_database_spark`` importable on its own path —
-    true only when the driver happens to run from the repo root. The
-    by-value copy makes the UDFs self-contained under any launcher.
+    Every mapInPandas closure binds the returned NESTED function instead
+    of a module global: a module-global reference is pickled by
+    *reference*, so workers would need ``mtg_bulk_database_spark``
+    importable on their own path — true only when the driver happens to
+    run from the repo root. The nested copy is pickled by value, making
+    the UDFs self-contained under any launcher.
     """
-    n = len(payload)
-    return (n % 1024 + 1, n % 768 + 1, 3)
 
-
-def _decode_by_value():
     def fake_decode(payload: bytes) -> tuple[int, int, int]:
         n = len(payload)
         return (n % 1024 + 1, n % 768 + 1, 3)
 
     return fake_decode
+
+
+#: module-level alias for tests/interactive use — same object, no drift.
+_fake_decode = _decode_by_value()
 
 
 def decode_images(media: DataFrame) -> DataFrame:
@@ -151,9 +153,10 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                 scale = min(max_side / max(w, h), 1.0)
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
                 # STUB re-encode: truncate payload proportionally to the
-                # pixel reduction so byte sizes behave like a real resize
+                # pixel reduction so byte sizes behave like a real resize;
+                # an empty payload stays empty (slicing can't invent bytes)
                 n_bytes = max(int(len(payload) * scale * scale), 1)
-                rows.append((int(doc_id), nw, nh, bytes(payload[:n_bytes])))
+                rows.append((int(doc_id), nw, nh, bytes(payload)[:n_bytes]))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "content"]
             ).astype({"doc_id": "int64", "width": "int32", "height": "int32"})
@@ -174,7 +177,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(payload)
                 step = max(len(b) // n_frames, 1)
-                for i in range(min(n_frames, len(b))):
+                # contract: ALWAYS n_frames rows per doc — a short/empty
+                # payload yields empty frame slices rather than silently
+                # dropping the document from the output
+                for i in range(n_frames):
                     rows.append((int(doc_id), i, b[i * step : i * step + step]))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame"]

@@ -25,6 +25,26 @@ def _query_vec_lit(qv: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in qv])
 
 
+def _rank_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared ranking tail for every top-k variant — one place defines
+    the rounding scale and tie-break, so brute/LSH/IVF recall
+    comparisons can never diverge on ordering semantics."""
+    sim = F.round(
+        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
+    ).alias("cosine")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -34,14 +54,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: scan + TakeOrderedAndProject (per-partition
     heap top-k, then driver merge — no full sort, no full shuffle)."""
-    sim = F.round(
-        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
-    ).alias("cosine")
-    return (
-        df.select(F.col(id_col), sim)
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return _rank_topk(df, query_vec, k, vec_col, id_col)
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
@@ -101,15 +114,7 @@ def lsh_topk(
         if float(np.dot(query_vec, plane)) >= 0:
             qb |= 1 << i
     probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= multiprobe_hamming
-    sim = F.round(
-        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
-    ).alias("cosine")
-    return (
-        bucketed.filter(probe)
-        .select(F.col(id_col), sim)
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return _rank_topk(bucketed.filter(probe), query_vec, k, vec_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -128,11 +133,28 @@ def ivf_index(
     table is written partitioned/clustered by ``list_id`` so a probe
     scans only its lists' files — same plumbing as the LSH bucket, but
     data-adaptive (centroids follow the distribution, hyperplanes
-    don't)."""
+    don't).
+
+    Vectors are L2-normalized before clustering (spherical k-means):
+    the final ranking metric is cosine, and Euclidean k-means over raw
+    magnitudes would put same-direction/different-norm vectors in
+    different lists — a probe-stage metric mismatch that silently costs
+    recall. On the unit sphere, L2 order ≡ cosine order.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    with_vec = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    from ..functions.vectors import l2_norm
+
+    vec_dbl = F.col(vec_col).cast("array<double>")
+    unit = F.element_at(
+        F.transform(
+            F.array(l2_norm(vec_dbl)),
+            lambda n: F.transform(vec_dbl, lambda x: x / n),
+        ),
+        1,
+    )
+    with_vec = df.withColumn("_features", array_to_vector(unit))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_features", predictionCol="list_id")
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).drop("_features")
@@ -150,17 +172,17 @@ def ivf_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe the ``n_probe`` lists whose centroids are closest to the
-    query (driver-side: centroid table is tiny by construction), then
-    exact cosine over only those lists' vectors."""
+    *normalized* query (driver-side: centroid table is tiny by
+    construction), then exact cosine over only those lists' vectors.
+    The query is unit-normalized to match the spherical index."""
     q = np.asarray(query_vec, dtype=float)
+    q = q / (np.linalg.norm(q) or 1.0)
     dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
     probe_lists = [i for i, _ in sorted(enumerate(dists), key=lambda t: t[1])[:n_probe]]
-    sim = F.round(
-        cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
-    ).alias("cosine")
-    return (
-        assigned.filter(F.col("list_id").isin(probe_lists))
-        .select(F.col(id_col), sim)
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    return _rank_topk(
+        assigned.filter(F.col("list_id").isin(probe_lists)),
+        query_vec,
+        k,
+        vec_col,
+        id_col,
     )

@@ -52,4 +52,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # worker-import safety net at session creation: covers streaming
+    # sources and createDataFrame pipelines that never go through
+    # catalog.load_table (which applies the same net for sessions the
+    # engine didn't create, e.g. the verification driver's)
+    from .catalog import _ensure_worker_imports
+
+    _ensure_worker_imports(spark)
     return spark

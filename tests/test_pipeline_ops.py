@@ -182,9 +182,13 @@ def test_ivf_ann_topk(emb):
     approx = [r["vec_id"] for r in similarity.ivf_topk(assigned, centroids, qv, k=10, n_probe=3).collect()]
     recall = len(set(brute) & set(approx)) / 10
     assert recall >= 0.6, f"IVF recall@10 {recall}"
-    # pruning actually happened: probed lists hold < the whole pool
-    probed = assigned.groupBy("list_id").count().collect()
-    assert len(probed) == 8
+    # pruning actually happened: the 3 largest lists together still hold
+    # fewer vectors than the pool, so any 3-probe scan is a strict subset
+    sizes = sorted(
+        (r["count"] for r in assigned.groupBy("list_id").count().collect()),
+        reverse=True,
+    )
+    assert sum(sizes[:3]) < pool.count()
 
 
 def test_multimodal_resize_and_frames(docs):
@@ -197,6 +201,7 @@ def test_multimodal_resize_and_frames(docs):
 
     frames = multimodal.sample_frames(media, n_frames=4)
     per_doc = frames.groupBy("doc_id").count().collect()
-    assert all(r["count"] == 4 for r in per_doc)
+    # fan-out contract: EVERY doc yields exactly n_frames rows
+    assert len(per_doc) == 50 and all(r["count"] == 4 for r in per_doc)
     f = frames.filter((F.col("doc_id") == 0) & (F.col("frame_idx") == 0)).first()
     assert isinstance(bytes(f["frame"]), bytes) and len(f["frame"]) > 0
