@@ -1,0 +1,59 @@
+"""Skew-handling join strategies (brief: "skewed keys hurt … salting
+for skew, AQE for runtime re-plan").
+
+AQE's skew-join splitting (on in ``session.get_spark``) handles skewed
+SORT-MERGE joins automatically; explicit salting remains the tool when
+(a) the skew is in an aggregation, or (b) a broadcast isn't possible and
+AQE's splitting can't kick in (e.g. bucketed inputs, or pre-3.0
+clusters). Both operators here are pure DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` is skewed on ``key``: left rows get a
+    random-but-deterministic salt (hash of a row id), right rows are
+    replicated ``n_salts`` times, and the join key becomes
+    (key, salt) — one hot key fans out over ``n_salts`` reducers.
+
+    Cost model: right side grows ×n_salts, so use when
+    |right| × n_salts ≪ |left's hot keys|. Row-deterministic salting
+    (pmod of a hash, not rand()) keeps results reproducible under
+    retries.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    salted_left = left.withColumn("_salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    replicated_right = right.select("*", salts)
+    out = salted_left.join(replicated_right, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def salted_count(
+    df: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase aggregation for a skewed groupBy key: partial counts on
+    (key, salt), then final combine on key — the hot key's rows spread
+    over ``n_salts`` partial groups instead of one reducer.
+
+    (Spark's hash aggregate already does map-side partials; explicit
+    salting matters for aggregates without partial pushdown, e.g.
+    collect_list or exact distinct counts per key.)
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias("n_rows"))
