@@ -110,7 +110,7 @@ def load_all(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)  # events needs the nanos shim
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -70,15 +70,38 @@ def ts_tokens(col: Column | str) -> Column:
     )
 
 
+def _query_terms(terms: Sequence[str]) -> list[str]:
+    """Run query terms through the SAME tokenizer+stopword pipeline as
+    the document side (``plainto_tsquery`` behavior): lowercase, split
+    on non-alphanumerics, drop stopwords, dedup. Without this, a
+    stopword term ('the') or punctuated term ('fire-ball') could never
+    match any ts_token and the whole query silently returned nothing."""
+    import re
+
+    out: list[str] = []
+    for t in terms:
+        for tok in re.split(TOKEN_SPLIT_RE, t.lower()):
+            if tok and tok not in ENGLISH_STOPWORDS and tok not in out:
+                out.append(tok)
+    return out
+
+
 def fts_match_all(doc_tokens: Column, terms: Sequence[str]) -> Column:
-    """``to_tsquery('a & b')`` analog: every term present."""
-    arr = F.array(*[F.lit(t.lower()) for t in terms])
-    return F.size(F.array_intersect(doc_tokens, arr)) == len(set(t.lower() for t in terms))
+    """``plainto_tsquery('a & b')`` analog: every (non-stopword) term
+    present. All-stopword queries match nothing, like an empty tsquery."""
+    toks = _query_terms(terms)
+    if not toks:
+        return F.lit(False)
+    arr = F.array(*[F.lit(t) for t in toks])
+    return F.size(F.array_intersect(doc_tokens, arr)) == len(toks)
 
 
 def fts_match_any(doc_tokens: Column, terms: Sequence[str]) -> Column:
     """``to_tsquery('a | b')`` analog: at least one term present."""
-    arr = F.array(*[F.lit(t.lower()) for t in terms])
+    toks = _query_terms(terms)
+    if not toks:
+        return F.lit(False)
+    arr = F.array(*[F.lit(t) for t in toks])
     return F.arrays_overlap(doc_tokens, arr)
 
 

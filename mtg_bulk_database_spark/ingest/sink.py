@@ -94,35 +94,58 @@ def _merge_into_partitions(
     partition_by: str,
 ) -> None:
     """Partition-pruned merge: anti-join only the affected partitions,
-    then dynamic-overwrite exactly those partition directories.
+    stage their merged contents to a temp subtree, then swap the
+    affected partition directories one by one.
+
+    Crash-consistency: staging first means a failure before any swap
+    leaves the table untouched; a failure mid-swap is bounded to single
+    partitions (the transactional version of this is exactly what
+    Delta's log provides — documented gap in ARCHITECTURE.md). Source
+    rows with a NULL partition value can't be pruned to a directory, so
+    their presence falls back to the whole-table merge path.
 
     Assumes the partition column is stable per key (true for cards: a
     printing never changes set). A key that *did* move partitions would
     leave its old row behind — Delta MERGE has the same property unless
     the match condition includes the partition column.
     """
-    touched = [r[0] for r in source.select(partition_by).distinct().collect()]
+    part_vals = [r[0] for r in source.select(partition_by).distinct().collect()]
+    if any(v is None for v in part_vals):
+        target = spark.read.parquet(target_path)
+        keep = target.join(source, on=key, how="left_anti")
+        merged = keep.unionByName(source, allowMissingColumns=True)
+        _atomic_write(spark, merged, target_path, partition_by)
+        return
+
     target = spark.read.parquet(target_path)
-    affected = target.filter(F.col(partition_by).isin(touched))
+    affected = target.filter(F.col(partition_by).isin(part_vals))
     keep = affected.join(source, on=key, how="left_anti")
     merged = keep.unionByName(source, allowMissingColumns=True)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # repartition on the partition key: without it every shuffle
+    # partition writes a sliver into every partition directory
+    # (observed: 32 files per partition for a 100-row merge) — the
+    # small-files problem that kills scan throughput at scale.
+    stage = f"{target_path.rstrip('/')}__stage_{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition(F.col(partition_by))
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+        .parquet(stage)
+    )
     try:
-        (
-            # repartition on the partition key: without it every shuffle
-            # partition writes a sliver into every partition directory
-            # (observed: 32 files per partition for a 100-row merge) —
-            # the small-files problem that kills scan throughput at scale.
-            # AQE coalescing keeps per-partition outputs to few files.
-            merged.repartition(F.col(partition_by))
-            .write.mode("overwrite")
-            .partitionBy(partition_by)
-            .parquet(target_path)
-        )
+        for entry in os.listdir(stage):
+            if not entry.startswith(f"{partition_by}="):
+                continue
+            dst = os.path.join(target_path, entry)
+            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(os.path.join(stage, entry), dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _table_exists(path: str) -> bool:

@@ -33,22 +33,34 @@ def asof_join(
     right_ts: str,
 ) -> DataFrame:
     """Relational composition: left ⟕ right on key + right_ts < left_ts,
-    then keep the single latest right row per left row."""
+    then keep the single latest right row per left row.
+
+    Every left row is preserved — the dedup window partitions on a
+    synthetic per-row id, not on the left columns (identical left rows
+    would otherwise collapse into one). Ties on the greatest right_ts
+    are broken deterministically over the remaining right columns.
+    """
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
     r = right.select(
         F.col(on).alias("_r_key"), *[F.col(c).alias(f"r_{c}") for c in rcols]
     )
-    joined = left.join(
+    tagged = left.withColumn("_row_id", F.monotonically_increasing_id())
+    joined = tagged.join(
         r,
         (F.col(on) == F.col("_r_key")) & (F.col(f"r_{right_ts}") < F.col(left_ts)),
         "left",
     )
-    w = Window.partitionBy(*lcols).orderBy(F.col(f"r_{right_ts}").desc_nulls_last())
+    tie_breaks = [
+        F.col(f"r_{c}").desc_nulls_last() for c in rcols if c != right_ts
+    ]
+    w = Window.partitionBy("_row_id").orderBy(
+        F.col(f"r_{right_ts}").desc_nulls_last(), *tie_breaks
+    )
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_r_key")
+        .drop("_rn", "_r_key", "_row_id")
     )
 
 

@@ -435,7 +435,13 @@ def embedding_near_dup_lsh(
     """
     from .similarity import with_lsh_buckets
 
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).head(1)
+    if not head:
+        # empty input → empty pairs frame, not a crash on first()[0]
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(head[0][0])
     e = with_lsh_buckets(df, dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed)
     e = e.select(id_col, vec_col, "bucket")
     pairs = (

@@ -30,7 +30,15 @@ def salted_join(
     |right| × n_salts ≪ |left's hot keys|. Row-deterministic salting
     (pmod of a hash, not rand()) keeps results reproducible under
     retries.
+
+    Only left-preserving joins are allowed: under right/full outer,
+    an unmatched right row would surface once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r} "
+            "(an unmatched right row would be duplicated per salt)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     salted_left = left.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")

@@ -512,9 +512,12 @@ def q24(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
+    # cast-to-double keeps fractional seconds — unix_timestamp truncates
+    # to whole seconds and would disagree with the oracle's epoch() for
+    # gaps within one second of the 1800s boundary
     new_session = F.when(
         lag_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(lag_ts)) > 1800),
+        | ((F.col("ts").cast("double") - lag_ts.cast("double")) > 1800),
         1,
     ).otherwise(0)
     return (

@@ -103,34 +103,48 @@ def _iter_json_array(path: str) -> Iterable[dict]:
         return
     except ImportError:
         pass
-    # stdlib incremental fallback: raw_decode objects out of a sliding buffer
+    # stdlib incremental fallback: raw_decode objects out of a sliding
+    # buffer. EOF with undecodable leftovers (truncated array, missing
+    # ']', non-array input) raises instead of spinning forever.
     dec = json.JSONDecoder()
     with open(path, encoding="utf-8") as f:
         buf = ""
         started = False
+        eof = False
         while True:
             chunk = f.read(1 << 20)
-            if not chunk and not buf.strip():
-                break
+            eof = chunk == ""
             buf += chunk
             if not started:
                 lb = buf.find("[")
                 if lb < 0:
+                    if eof:
+                        raise ValueError(
+                            f"{path}: no top-level JSON array found"
+                        )
                     continue
                 buf = buf[lb + 1 :]
                 started = True
             while True:
                 buf = buf.lstrip().lstrip(",").lstrip()
-                if not buf or buf.startswith("]"):
-                    if buf.startswith("]") or not chunk:
-                        return
+                if buf.startswith("]"):
+                    return
+                if not buf:
+                    if eof:
+                        return  # tolerate a missing final ']' at clean EOF
                     break
                 try:
                     obj, end = dec.raw_decode(buf)
                 except json.JSONDecodeError:
+                    if eof:
+                        raise ValueError(
+                            f"{path}: truncated JSON at end of array"
+                        ) from None
                     break  # need more data
                 yield obj
                 buf = buf[end:]
+            if eof:
+                return
 
 
 def read_sets_dataframe(

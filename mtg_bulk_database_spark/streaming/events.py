@@ -118,5 +118,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # returning a half-filled memory table would silently hand the
+        # caller a partial aggregation; stop the leaked query and fail
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {query_name!r} still running after {timeout_s}s"
+        )
     return sdf.sparkSession.table(query_name)
