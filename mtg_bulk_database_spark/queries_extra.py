@@ -205,3 +205,140 @@ def q57(spark, sf_dir):
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranked full-text retrieval: TF-IDF scoring over the FTS token sets —
+# the retrieval-quality layer above the boolean Q8 operator. Term
+# document-frequencies come from one tiny driver-side aggregate (two
+# ints); all per-row math is a fixed-order expression, so scores are
+# engine-exact.
+# ---------------------------------------------------------------------------
+_FTS_TERMS = ("spark", "vector")
+
+
+@query(
+    "q58_fts_ranked",
+    f"""WITH toks AS (
+          SELECT doc_id, {{toks}} AS t FROM documents
+        ), stats AS (
+          SELECT count(*) AS n_docs,
+                 sum(CASE WHEN list_contains(t, '{_FTS_TERMS[0]}') THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN list_contains(t, '{_FTS_TERMS[1]}') THEN 1 ELSE 0 END) AS df1
+          FROM toks
+        )
+        SELECT doc_id,
+               round(len(list_filter(t, x -> x = '{_FTS_TERMS[0]}'))
+                       * ln((n_docs + 1.0) / (df0 + 1.0))
+                     + len(list_filter(t, x -> x = '{_FTS_TERMS[1]}'))
+                       * ln((n_docs + 1.0) / (df1 + 1.0)), 6) AS score
+        FROM toks, stats
+        WHERE list_contains(t, '{_FTS_TERMS[0]}') OR list_contains(t, '{_FTS_TERMS[1]}')
+        ORDER BY score DESC, doc_id LIMIT 20""".replace(
+        "{toks}",
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')",
+    ),
+)
+def q58(spark, sf_dir):
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    toks = docs.select("doc_id", tok.alias("t"))
+    contains = [F.array_contains("t", t) for t in _FTS_TERMS]
+    stats = toks.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(c.cast("int")).alias(f"df{i}")
+            for i, c in enumerate(contains)
+        ],
+    ).first()
+    n_docs, dfs = stats["n"], [stats[f"df{i}"] for i in range(len(_FTS_TERMS))]
+
+    def tf(term):
+        # closure over `term` — a default-arg lambda would expose a 2nd
+        # parameter and bind it to filter's element INDEX
+        def eq(x):
+            return x == F.lit(term)
+
+        return F.size(F.filter(F.col("t"), eq))
+
+    import math
+
+    score = None
+    for term, df in zip(_FTS_TERMS, dfs):
+        part = tf(term) * F.lit(math.log((n_docs + 1.0) / (df + 1.0)))
+        score = part if score is None else score + part
+    matched = toks.filter(
+        F.array_contains("t", _FTS_TERMS[0]) | F.array_contains("t", _FTS_TERMS[1])
+    )
+    return (
+        matched.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function suite: lead/lag + rank family with full tie-breaks.
+# ---------------------------------------------------------------------------
+@query(
+    "q59_window_suite",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+              lead(o_totalprice) OVER w AS next_price,
+              lag(o_totalprice) OVER w AS prev_price,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              CAST(row_number() OVER w AS BIGINT) AS rn
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
+)
+def q59(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling aggregation: 5-row moving sum per supplier in ship order —
+# decimal-cast so the frame sum is order-exact like every other SUM.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_moving_sum",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                   OVER (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS qty_5row_sum
+       FROM lineitem""",
+)
+def q60(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_5row_sum"),
+    )
