@@ -20,10 +20,17 @@ def token_weighted_quality(docs_with_scores: DataFrame) -> DataFrame:
 
     @F.pandas_udf("double")
     def weighted_mean(scores: pd.Series, weights: pd.Series) -> float:
-        total = float(weights.sum())
-        if total == 0.0:
+        # Order-independent accumulation: scores are 6-dp doubles (see
+        # with_quality_score), so recovering exact integer micro-units and
+        # summing in int64 makes the result identical no matter how Spark
+        # partitions the group — which is what lets this UDAF carry a
+        # DuckDB oracle (decimal-exact SUM(score*w)/SUM(w)).
+        w = weights.astype("int64")
+        total = int(w.sum())
+        if total == 0:
             return 0.0
-        return float((scores * weights).sum() / total)
+        micros = (scores * 1_000_000).round().astype("int64")
+        return float(int((micros * w).sum())) / 1e6 / total
 
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
     # compute the count separately and join (both aggs share the shuffle

@@ -236,15 +236,53 @@ def q41(spark, sf_dir):
     return multimodal.media_metadata(multimodal.as_media_table(docs))
 
 
-@query("q42_multimodal_decode")  # mapInPandas decode stage (stubbed
-# decoder) → rows-only; plumbing + schema is what the check pins
+@query(
+    "q42_multimodal_decode",
+    # the decode stage dispatches on magic bytes; text stand-in payloads
+    # take the documented deterministic fallback (a pure function of the
+    # byte length), so the whole stage is SQL-expressible for this input
+    """SELECT doc_id,
+              octet_length(encode(text)) AS content_bytes,
+              CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width,
+              CAST(octet_length(encode(text)) % 768 + 1 AS INT) AS height,
+              CAST(3 AS INT) AS n_channels
+       FROM documents""",
+)
 def q42(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_images(multimodal.as_media_table(docs))
 
 
-@query("q44_udaf_weighted_quality")  # pandas grouped-agg UDAF → float
-# accumulation order isn't engine-stable → rows-only
+_WEIGHTED_QUALITY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS} AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             round((least(len(toks), 100)::DOUBLE / 100.0
+                    + CASE WHEN n_chars > 0
+                           THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END
+                    + least(CASE WHEN len(toks) > 0
+                            THEN {sql_stopword_hits('toks')}::DOUBLE / len(toks)
+                            ELSE 0.0 END, 0.5) * 2.0) / 3.0, 6) AS quality_score
+      FROM t
+    )
+    SELECT source,
+           CASE WHEN SUM(n_tokens) = 0 THEN 0.0
+                ELSE round(
+                  CAST(SUM(CAST(quality_score AS DECIMAL(18,6)) * n_tokens)
+                       AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+           END AS weighted_quality,
+           count(*) AS n_docs
+    FROM q GROUP BY source
+"""
+
+
+@query("q44_udaf_weighted_quality", _WEIGHTED_QUALITY_ORACLE)
+# pandas grouped-agg UDAF, made order-independent via exact integer-micro
+# accumulation (scores are 6-dp doubles) → decimal-exact DuckDB twin
 def q44(spark, sf_dir):
     from .operators.custom_fns import token_weighted_quality
 

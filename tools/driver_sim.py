@@ -39,6 +39,9 @@ def canon_cell(v):
     return v
 
 qs, osql = e.queries(), e.oracle_sql()
+only = set(sys.argv[1:])  # optional: driver_sim.py q44_... q42_... for a fast subset
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 fail = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
