@@ -1,0 +1,219 @@
+"""Dependency-free image codec used by the multimodal decode stages.
+
+No media libraries ship in this environment, so the "real decode" branch
+is implemented from the published file-format specs with stdlib only
+(``zlib`` + ``struct``):
+
+- **PNG**: full pixel decode/encode — 8-bit depth, color types
+  0/2/3/4/6, non-interlaced (Adam7 and 16-bit fall back to header-only).
+- **JPEG / GIF / BMP**: header parse (width, height, channels).
+- anything else: the caller falls back to the deterministic stub.
+
+Everything is built inside :func:`build_codec` so the returned functions
+close over each other instead of referencing module globals — cloudpickle
+then serializes them **by value**, keeping the mapInPandas closures
+self-contained under any launcher (see ``multimodal._decode_by_value``).
+"""
+
+from __future__ import annotations
+
+
+def build_codec():
+    """Return a self-contained namespace of pure-Python image functions:
+    ``sniff``, ``decode_header``, ``png_decode``, ``png_encode``,
+    ``resize_nearest``. All inner functions reference only each other and
+    stdlib imports, so the whole bundle pickles by value."""
+    import struct
+    import zlib
+    from types import SimpleNamespace
+
+    PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+    # PNG color type -> samples per pixel (palette counts as 1 pre-expansion)
+    PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+    def sniff(payload: bytes) -> str | None:
+        if payload[:8] == PNG_MAGIC:
+            return "png"
+        if payload[:3] == b"\xff\xd8\xff":
+            return "jpeg"
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
+        if payload[:2] == b"BM" and len(payload) >= 30:
+            return "bmp"
+        return None
+
+    # -- header-only parsers ------------------------------------------------
+    def _png_ihdr(b: bytes):
+        # magic(8) len(4) 'IHDR'(4) w(4) h(4) depth(1) color(1) ...
+        if b[12:16] != b"IHDR" or len(b) < 26:
+            return None
+        w, h = struct.unpack(">II", b[16:24])
+        depth, color = b[24], b[25]
+        if color not in PNG_SAMPLES:
+            return None
+        channels = 3 if color == 3 else PNG_SAMPLES[color]
+        return w, h, depth, color, channels
+
+    def _jpeg_dims(b: bytes):
+        # walk markers to the first SOFn (C0-CF minus C4/C8/CC)
+        i, n = 2, len(b)
+        while i + 9 < n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, b[i + 9]
+            i += 2 + seglen
+        return None
+
+    def _gif_dims(b: bytes):
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, 3
+
+    def _bmp_dims(b: bytes):
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        channels = {8: 1, 24: 3, 32: 4}.get(bpp, 3)
+        return w, abs(h), channels
+
+    def decode_header(payload: bytes):
+        """(width, height, n_channels) for a recognized format, else None."""
+        fmt = sniff(payload)
+        try:
+            if fmt == "png":
+                info = _png_ihdr(payload)
+                return info and (info[0], info[1], info[4])
+            if fmt == "jpeg":
+                return _jpeg_dims(payload)
+            if fmt == "gif":
+                return _gif_dims(payload)
+            if fmt == "bmp":
+                return _bmp_dims(payload)
+        except (struct.error, IndexError):
+            return None
+        return None
+
+    # -- full PNG pixel decode ---------------------------------------------
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def png_decode(payload: bytes):
+        """Decode an 8-bit non-interlaced PNG to raw pixels.
+
+        Returns ``(width, height, n_channels, pixel_bytes)`` with palette
+        images expanded to RGB, or ``None`` for unsupported variants
+        (16-bit, Adam7 interlace, malformed streams).
+        """
+        info = _png_ihdr(payload)
+        if info is None:
+            return None
+        w, h, depth, color, _ = info
+        interlace = payload[28]
+        if depth != 8 or interlace != 0:
+            return None
+        samples = PNG_SAMPLES[color]
+        # walk chunks
+        idat, plte = [], None
+        i = 8
+        try:
+            while i + 8 <= len(payload):
+                (clen,) = struct.unpack(">I", payload[i : i + 4])
+                ctype = payload[i + 4 : i + 8]
+                data = payload[i + 8 : i + 8 + clen]
+                if ctype == b"IDAT":
+                    idat.append(data)
+                elif ctype == b"PLTE":
+                    plte = data
+                elif ctype == b"IEND":
+                    break
+                i += 12 + clen  # len + type + data + crc
+            raw = zlib.decompress(b"".join(idat))
+        except (zlib.error, struct.error):
+            return None
+        stride = w * samples
+        if len(raw) < h * (1 + stride):
+            return None
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        pos = 0
+        for y in range(h):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(samples, stride):
+                    line[x] = (line[x] + line[x - samples]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = line[x - samples] if x >= samples else 0
+                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    left = line[x - samples] if x >= samples else 0
+                    ul = prev[x - samples] if x >= samples else 0
+                    line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+            elif ftype != 0:
+                return None
+            out[y * stride : (y + 1) * stride] = line
+            prev = line
+        if color == 3:  # palette -> RGB
+            if plte is None:
+                return None
+            rgb = bytearray(w * h * 3)
+            for j, idx in enumerate(out):
+                rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+            return w, h, 3, bytes(rgb)
+        return w, h, samples, bytes(out)
+
+    # -- PNG encode (filter 0, one IDAT) ------------------------------------
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    def png_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        stride = w * channels
+        scanlines = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h)
+        )
+        idat = zlib.compress(scanlines, 6)
+        return (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b"")
+        )
+
+    # -- resize --------------------------------------------------------------
+    def resize_nearest(
+        w: int, h: int, channels: int, pixels: bytes, nw: int, nh: int
+    ) -> bytes:
+        """Nearest-neighbor resample (numpy-vectorized; no sequential deps)."""
+        import numpy as np
+
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+        ys = (np.arange(nh) * h) // nh
+        xs = (np.arange(nw) * w) // nw
+        return arr[ys][:, xs].tobytes()
+
+    return SimpleNamespace(
+        sniff=sniff,
+        decode_header=decode_header,
+        png_decode=png_decode,
+        png_encode=png_encode,
+        resize_nearest=resize_nearest,
+    )

@@ -3,11 +3,14 @@ as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side architecture here is real and tested — schema contract,
-batch iteration, partition sizing, UDF signatures. The actual media
-decode is STUBBED (the decode libraries aren't in this environment):
-``decode_image_stub`` derives deterministic fake dimensions from the
-byte content and is clearly marked; swap ``_fake_decode`` for
-PIL/torchaudio/pyav in production — the plumbing doesn't change.
+batch iteration, partition sizing, UDF signatures. The decode itself
+dispatches on magic bytes: recognized image formats take the REAL
+spec-based decoder in ``imagecodec`` (full PNG pixel decode/encode with
+stdlib zlib; JPEG/GIF/BMP header parse — no media libs ship in this
+environment), and unrecognized payloads fall back to a deterministic
+stub (fake dimensions derived from byte length) so text stand-ins stay
+reproducible. Audio/video decode would swap torchaudio/pyav into the
+same contract.
 
 Scale notes: binary payloads ride the columnar format (parquet/Delta
 handle multi-MB binary cells; at 100 TB prefer pointer+object-store for
@@ -68,27 +71,34 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 
 
 def _decode_by_value():
-    """STUB decode, built for by-value pickling — the single source of
-    the fake-decode logic.
+    """Decode dispatcher, built for by-value pickling — the single
+    source of the decode logic.
 
-    Production: ``img = PIL.Image.open(io.BytesIO(payload))`` and return
-    ``img.size + (len(img.getbands()),)``. Here: deterministic fake
-    dimensions derived from the byte length, reproducible without media
-    libs.
+    Recognized image bytes (PNG/JPEG/GIF/BMP magic) are parsed by the
+    real spec-based codec; anything else gets deterministic fake
+    dimensions derived from the byte length (reproducible, and what the
+    ``q42`` oracle expresses in SQL for text stand-in payloads).
 
     Every mapInPandas closure binds the returned NESTED function instead
     of a module global: a module-global reference is pickled by
     *reference*, so workers would need ``mtg_bulk_database_spark``
     importable on their own path — true only when the driver happens to
-    run from the repo root. The nested copy is pickled by value, making
-    the UDFs self-contained under any launcher.
+    run from the repo root. The nested copy closes over ``build_codec``'s
+    self-contained functions and is pickled by value, making the UDFs
+    self-contained under any launcher.
     """
+    from .imagecodec import build_codec
 
-    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+    decode_header = build_codec().decode_header
+
+    def decode(payload: bytes) -> tuple[int, int, int]:
+        real = decode_header(payload)
+        if real is not None:
+            return real
         n = len(payload)
         return (n % 1024 + 1, n % 768 + 1, 3)
 
-    return fake_decode
+    return decode
 
 
 #: module-level alias for tests/interactive use — same object, no drift.
@@ -97,8 +107,9 @@ _fake_decode = _decode_by_value()
 
 def decode_images(media: DataFrame) -> DataFrame:
     """Arrow-batched decode stage: mapInPandas streams record batches
-    through the (stubbed) decoder; output schema is the typed feature
-    contract downstream stages rely on."""
+    through the format-dispatching decoder (real header parse for
+    PNG/JPEG/GIF/BMP, deterministic fallback otherwise); output schema is
+    the typed feature contract downstream stages rely on."""
     import pandas as pd
 
     fake_decode = _decode_by_value()
@@ -138,25 +149,47 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Arrow-batched resize stage. STUB decode/encode (production:
-    PIL ``thumbnail`` + re-encode); the real contract here is the
-    batch shape — payload in, bounded-dimension payload out."""
+    """Arrow-batched resize stage.
+
+    Decodable PNGs take the REAL path: pixel decode → nearest-neighbor
+    resample (numpy, vectorized) → PNG re-encode. Other payloads keep the
+    deterministic stub (dimension math from the dispatching decoder,
+    byte-truncation "re-encode") so the stage stays total and
+    reproducible over non-image stand-ins.
+    """
     import pandas as pd
 
+    from .imagecodec import build_codec
+
     fake_decode = _decode_by_value()
+    codec = build_codec()
+    png_decode, png_encode, resize_nearest = (
+        codec.png_decode,
+        codec.png_encode,
+        codec.resize_nearest,
+    )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
-                w, h, _ = fake_decode(bytes(payload))
+                b = bytes(payload)
+                decoded = png_decode(b)
+                if decoded is not None:
+                    w, h, ch, px = decoded
+                    scale = min(max_side / max(w, h), 1.0)
+                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                    out = png_encode(nw, nh, ch, resize_nearest(w, h, ch, px, nw, nh))
+                    rows.append((int(doc_id), nw, nh, out))
+                    continue
+                w, h, _ = fake_decode(b)
                 scale = min(max_side / max(w, h), 1.0)
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                # STUB re-encode: truncate payload proportionally to the
+                # stub re-encode: truncate payload proportionally to the
                 # pixel reduction so byte sizes behave like a real resize;
                 # an empty payload stays empty (slicing can't invent bytes)
-                n_bytes = max(int(len(payload) * scale * scale), 1)
-                rows.append((int(doc_id), nw, nh, bytes(payload)[:n_bytes]))
+                n_bytes = max(int(len(b) * scale * scale), 1)
+                rows.append((int(doc_id), nw, nh, b[:n_bytes]))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "content"]
             ).astype({"doc_id": "int64", "width": "int32", "height": "int32"})

@@ -1,0 +1,172 @@
+"""Real image decode: the pure-Python codec (spec-based PNG
+decode/encode, JPEG/GIF/BMP header parse) and its integration with the
+multimodal mapInPandas stages — fixture images are generated
+programmatically, decoded for real on executors, and resized for real.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.operators import multimodal
+from mtg_bulk_database_spark.operators.imagecodec import build_codec
+
+codec = build_codec()
+
+MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _gradient_pixels(w: int, h: int, ch: int) -> bytes:
+    return bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(ch))
+
+
+# ---------------------------------------------------------------------------
+# codec unit tests
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    w, h = 17, 9
+    px = _gradient_pixels(w, h, channels)
+    png = codec.png_encode(w, h, channels, px)
+    assert codec.sniff(png) == "png"
+    assert codec.decode_header(png) == (w, h, channels)
+    assert codec.png_decode(png) == (w, h, channels, px)
+
+
+def test_png_all_filter_types_decode():
+    """Decode a PNG whose scanlines use Sub/Up/Average/Paeth filters —
+    the filters a real encoder (libpng) emits."""
+    w, h, ch = 6, 4, 3
+    stride = w * ch
+    px = _gradient_pixels(w, h, ch)
+    rows = [bytearray(px[y * stride : (y + 1) * stride]) for y in range(h)]
+
+    def filt(ftype, line, prev):
+        out = bytearray(stride)
+        for x in range(stride):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:  # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            out[x] = (line[x] - pred) & 0xFF
+        return bytes([ftype]) + bytes(out)
+
+    scan = (
+        filt(1, rows[0], bytearray(stride))
+        + filt(2, rows[1], rows[0])
+        + filt(3, rows[2], rows[1])
+        + filt(4, rows[3], rows[2])
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b"")
+    assert codec.png_decode(png) == (w, h, ch, px)
+
+
+def test_png_palette_expansion():
+    plte = bytes(range(3 * 4))  # 4 palette entries
+    idx = bytes([0, 1, 2, 3, 0] * 2)
+    ihdr = struct.pack(">IIBBBBB", 5, 2, 8, 3, 0, 0, 0)
+    scan = b"".join(b"\x00" + idx[y * 5 : (y + 1) * 5] for y in range(2))
+    png = (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(scan))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, ch, px = codec.png_decode(png)
+    assert (w, h, ch) == (5, 2, 3)
+    assert px[:3] == plte[0:3] and px[3:6] == plte[3:6]
+
+
+def test_png_unsupported_variants_return_none():
+    # 16-bit depth and Adam7 interlace fall back to None (header-only)
+    for depth, interlace in [(16, 0), (8, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        png = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + _chunk(b"IEND", b"")
+        assert codec.png_decode(png) is None
+        assert codec.decode_header(png) is not None  # header still parses
+    # truncated / corrupt zlib stream
+    good = codec.png_encode(4, 4, 3, _gradient_pixels(4, 4, 3))
+    assert codec.png_decode(good[:40]) is None
+
+
+def test_non_png_headers():
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 40, 30) + bytes([3, 0, 0, 0])
+    )
+    assert codec.decode_header(jpeg) == (30, 40, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 64, 48) + bytes(20)
+    assert codec.decode_header(gif) == (64, 48, 3)
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 32, 24) + bytes(2) + struct.pack("<H", 24) + bytes(10)
+    assert codec.decode_header(bmp) == (32, 24, 3)
+    assert codec.decode_header(b"just some text payload") is None
+
+
+def test_resize_nearest_identity_and_downscale():
+    w, h, ch = 8, 4, 3
+    px = _gradient_pixels(w, h, ch)
+    assert codec.resize_nearest(w, h, ch, px, w, h) == px
+    small = codec.resize_nearest(w, h, ch, px, 4, 2)
+    assert len(small) == 4 * 2 * 3
+    # nearest-neighbor: top-left pixel survives a clean 2x downscale
+    assert small[:3] == px[:3]
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: real PNGs through the mapInPandas stages
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def png_media(spark):
+    rows = []
+    for i, (w, h, ch) in enumerate([(320, 200, 3), (64, 128, 4), (200, 50, 1)]):
+        png = codec.png_encode(w, h, ch, _gradient_pixels(w, h, ch))
+        rows.append((i, bytearray(png), "image/png", ("fixture", len(png))))
+    # one non-image payload to pin the fallback in the same batch
+    rows.append((99, bytearray(b"plain text payload"), "text/plain", ("fixture", 18)))
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_images_real_dimensions(png_media):
+    out = {r["doc_id"]: r for r in multimodal.decode_images(png_media).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["n_channels"]) == (320, 200, 3)
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (64, 128, 4)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_channels"]) == (200, 50, 1)
+    # fallback path: deterministic fake dims from byte length
+    n = 18
+    assert (out[99]["width"], out[99]["height"]) == (n % 1024 + 1, n % 768 + 1)
+
+
+def test_resize_images_real_png_roundtrip(png_media):
+    out = {r["doc_id"]: r for r in multimodal.resize_images(png_media, max_side=100).collect()}
+    # 320x200 -> bounded by 100 on the long side, aspect preserved
+    assert (out[0]["width"], out[0]["height"]) == (100, 62)
+    # the re-encoded payload is itself a valid PNG with the new dims
+    w, h, ch, px = codec.png_decode(bytes(out[0]["content"]))
+    assert (w, h, ch) == (100, 62, 3) and len(px) == 100 * 62 * 3
+    # portrait RGBA image: long side 128 -> 100, aspect preserved
+    assert (out[1]["width"], out[1]["height"]) == (50, 100)
+    w4, h4, ch4, _ = codec.png_decode(bytes(out[1]["content"]))
+    assert (w4, h4, ch4) == (50, 100, 4)
+    # non-image payload keeps the stub truncation path
+    assert out[99]["width"] >= 1 and len(bytes(out[99]["content"])) >= 1
