@@ -110,3 +110,56 @@ def asof_join_pandas(
     return left.groupBy(on).cogroup(right_renamed.groupBy(on)).applyInPandas(
         merge, schema=out_schema
     )
+
+
+#: average right-rows-per-key above which the range join's intermediate
+#: (≈ left_rows_per_key × right_rows_per_key) outweighs the cogroup's
+#: fixed Arrow overhead. Measured at this repo's scale the relational
+#: variant wins ~9× below it (queries_extra q56 notes); deep per-key
+#: history inverts that quadratically.
+AUTO_AVG_MATCHES_THRESHOLD = 64.0
+
+
+def choose_asof_strategy(
+    right: DataFrame, on: str, threshold: float = AUTO_AVG_MATCHES_THRESHOLD
+) -> str:
+    """Pick the as-of execution strategy from right-side stats.
+
+    One partial-aggregate scan (count + approx_count_distinct collapse to
+    a single row — no wide shuffle): if the average right-side depth per
+    key exceeds ``threshold``, the range join's per-left-row fan-out is
+    the dominant cost and the linear cogrouped merge wins; otherwise the
+    relational variant's codegen'd join is faster. On a real cluster this
+    read comes free from table-level stats (ANALYZE / catalog row counts).
+    """
+    stats = right.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(on).alias("n_keys"),
+    ).first()
+    avg_depth = stats["n"] / max(stats["n_keys"], 1)
+    return "pandas" if avg_depth > threshold else "relational"
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strategy: str = "auto",
+    threshold: float = AUTO_AVG_MATCHES_THRESHOLD,
+) -> DataFrame:
+    """As-of join with stats-driven physical strategy.
+
+    ``strategy="auto"`` (default) samples right-side key depth via
+    :func:`choose_asof_strategy`; ``"relational"`` / ``"pandas"`` force a
+    variant. Both produce identical columns (left columns + ``r_*``), so
+    the switch is invisible to callers — the impl-agreement tests pin it.
+    """
+    if strategy == "auto":
+        strategy = choose_asof_strategy(right, on, threshold)
+    if strategy == "relational":
+        return asof_join(left, right, on, left_ts, right_ts)
+    if strategy == "pandas":
+        return asof_join_pandas(left, right, on, left_ts, right_ts)
+    raise ValueError(f"unknown as-of strategy: {strategy!r}")

@@ -369,11 +369,24 @@ def embedding_top_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     top_n: int = 20,
+    max_block_rows: int | None = 10_000,
+    n_subplanes: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Most-similar embedding pairs, blocked so the pair join is
     per-block (by label here; by LSH bucket when no label exists —
     see similarity.lsh_buckets). Cosine rounded to 4 dp with id
-    tie-breaks keeps ordering engine-stable."""
+    tie-breaks keeps ordering engine-stable.
+
+    Within-block pairs are O(b²), so one fat block would explode at
+    scale. ``max_block_rows`` guards that: blocks larger than the cap are
+    sub-blocked by hyperplane-LSH bucket (documented recall trade-off —
+    near-identical vectors still co-bucket, distant same-label pairs may
+    be missed), bounding candidate volume at Σ sub-block². The per-block
+    count is one narrow shuffle of (block, 1) pairs and the size table is
+    broadcast back — never a driver collect. Blocks under the cap are
+    untouched, so small-block results (and the q35 oracle) are exact.
+    """
     from ..functions.vectors import dot, l2_norm
 
     cols = [F.col(id_col), F.col(vec_col)]
@@ -392,14 +405,33 @@ def embedding_top_pairs(
         ),
         1,
     )
-    e = (
-        df.select(*cols)
-        .withColumn(vec_col, normalized)
-        .localCheckpoint(eager=False)
-    )
+    e = df.select(*cols).withColumn(vec_col, normalized)
+    join_keys = [block_col] if block_col else []
+    if block_col and max_block_rows is not None:
+        head = df.select(vec_col).head(1)
+        if head:
+            from .similarity import with_lsh_buckets
+
+            dim = len(head[0][0])
+            e = with_lsh_buckets(
+                e, dim=dim, n_planes=n_subplanes, vec_col=vec_col, seed=seed
+            )
+            sizes = e.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+            e = (
+                e.join(F.broadcast(sizes), on=block_col)
+                .withColumn(
+                    "_sub",
+                    F.when(F.col("_bn") > max_block_rows, F.col("bucket")).otherwise(
+                        F.lit(0)
+                    ),
+                )
+                .drop("bucket", "_bn")
+            )
+            join_keys.append("_sub")
+    e = e.localCheckpoint(eager=False)
     on = [F.col(f"x.{id_col}") < F.col(f"y.{id_col}")]
-    if block_col:
-        on.insert(0, F.col(f"x.{block_col}") == F.col(f"y.{block_col}"))
+    for k in reversed(join_keys):
+        on.insert(0, F.col(f"x.{k}") == F.col(f"y.{k}"))
     pairs = (
         e.alias("x")
         .join(e.alias("y"), on=on)

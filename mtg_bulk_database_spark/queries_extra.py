@@ -157,10 +157,12 @@ def q55(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # As-of join — custom operator (operators/asof.py): for each error event,
 # the user's most recent strictly-preceding click. Oracle: DuckDB's
-# native ASOF LEFT JOIN. Runs the relational composition (9× faster at
-# this group cardinality — the cogrouped merge_asof variant pays per-
-# group Arrow overhead and wins only when per-key volumes make the range
-# join explode); tests pin both implementations equal.
+# native ASOF LEFT JOIN. Strategy is stats-driven (asof_join_auto): at
+# this corpus's shallow per-user click depth it picks the relational
+# composition (measured 9× faster here — the cogrouped merge_asof
+# variant pays per-group Arrow overhead), and flips to the linear
+# cogrouped merge when per-key history is deep enough to explode the
+# range join; tests pin both implementations equal and the switch itself.
 # ---------------------------------------------------------------------------
 @query(
     "q56_asof_join",
@@ -171,7 +173,7 @@ def q55(spark, sf_dir):
        ON e.user_id = c.user_id AND e.ts > c.ts""",
 )
 def q56(spark, sf_dir):
-    from .operators.asof import asof_join
+    from .operators.asof import asof_join_auto
 
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
@@ -180,7 +182,7 @@ def q56(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "value"
     )
-    return asof_join(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return asof_join_auto(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,40 @@ def test_udtf_shingles(spark, docs):
     assert out.count() == n_expected
 
 
+def test_embedding_top_pairs_block_guard(spark, emb):
+    """One dominant label must not produce a quadratic pair join: blocks
+    over max_block_rows get sub-blocked by LSH bucket, bounding candidate
+    volume, while small blocks stay exact."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], "big")
+        for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+    out = dedup.embedding_top_pairs(df, top_n=10, max_block_rows=100, n_subplanes=4)
+    got = out.collect()
+    assert len(got) == 10
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 and r["id_a"] < r["id_b"] for r in got)
+
+    # pruning really happened: Σ bucket² pairs strictly below the n² join
+    from mtg_bulk_database_spark.operators.similarity import with_lsh_buckets
+
+    counts = [
+        r["count"]
+        for r in with_lsh_buckets(df, dim=8, n_planes=4).groupBy("bucket").count().collect()
+    ]
+    cand = sum(c * (c - 1) // 2 for c in counts)
+    assert cand < 1200 * 1199 // 2 * 0.5
+
+    # guard transparent below the cap: same result as the unguarded exact form
+    exact = dedup.embedding_top_pairs(emb, top_n=20, max_block_rows=None).collect()
+    guarded = dedup.embedding_top_pairs(emb, top_n=20, max_block_rows=10_000).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in guarded]
+
+
 def test_embedding_near_dup_lsh_precision(emb):
     lsh = dedup.embedding_near_dup_lsh(emb, threshold=0.4)
     rows = lsh.collect()
@@ -171,6 +205,57 @@ def test_asof_join_impls_agree(spark):
     assert rel_rows == pan_rows
     # left-join semantics: every error event present exactly once
     assert rel.count() == errors.count()
+
+
+def test_asof_auto_strategy_switch(spark):
+    """Stats-driven switch: shallow per-key history → relational; one hot
+    key with deep history → cogrouped merge_asof. The deep corpus (10^5
+    clicks on one user) is exactly the shape where the range join's
+    per-left-row fan-out explodes; auto must complete it via the linear
+    merge and still match the relational semantics on a sampled key."""
+    from mtg_bulk_database_spark.operators.asof import (
+        asof_join,
+        asof_join_auto,
+        choose_asof_strategy,
+    )
+
+    # shallow: 100 keys x 4 rows
+    shallow = spark.range(400).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("ts")
+    )
+    assert choose_asof_strategy(shallow, "user_id") == "relational"
+
+    # deep: 1 hot user with 1e5 clicks (+ a handful of cold keys)
+    hot = spark.range(100_000).select(
+        F.lit(7).alias("user_id"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("value"),
+    )
+    cold = spark.range(5).select(
+        (F.col("id") + 100).alias("user_id"),
+        F.col("id").alias("ts"),
+        F.lit(0).cast("long").alias("value"),
+    )
+    clicks = hot.unionAll(cold)
+    assert choose_asof_strategy(clicks, "user_id") == "pandas"
+
+    errors = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 195, F.lit(7)).otherwise(F.col("id") - 95).alias("user_id"),
+        (F.col("id") * 500 + 1).alias("ts"),
+    )
+    out = asof_join_auto(errors, clicks, "user_id", "ts", "ts")
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 200  # every left row preserved
+    # nearest strict predecessor: ts = k*500+1 → click ts = k*500
+    assert rows[10]["r_ts"] == 5000 and rows[10]["r_value"] == 10000
+    # cold key 200 (event 195, user 100): predecessor is its own click ts<ts
+    assert rows[0]["r_ts"] == 0
+    # spot-check agreement with the relational variant on a cold slice
+    cold_err = errors.filter(F.col("user_id") >= 100)
+    rel = asof_join(cold_err, clicks, "user_id", "ts", "ts")
+    auto_cold = out.filter(F.col("user_id") >= 100).select(*rel.columns)
+    assert sorted(map(tuple, rel.collect())) == sorted(map(tuple, auto_cold.collect()))
 
 
 def test_ivf_ann_topk(emb):
