@@ -46,7 +46,11 @@ HEADLINE = [
     "q38_language_id",
     "q40_quality_score",
     "q41_multimodal_metadata",
+    "q43_json_extract",
     "q56_asof_join",
+    "q57_percentiles",
+    "q59_window_suite",
+    "q60_moving_sum",
 ]
 
 

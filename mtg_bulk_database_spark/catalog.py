@@ -12,9 +12,12 @@ storage layer can swap without touching operators.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
 
 TESTDATA_TABLES = (
     "region",
@@ -80,23 +83,48 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                         z.write(full, rel)
         spark.sparkContext.addPyFile(zpath)
         _SHIPPED_APPS.add(key)
-    except Exception:
-        pass  # best-effort: self-contained closures don't need it
+    except Exception as exc:
+        # best-effort: self-contained (by-value) closures don't need the
+        # shipped package — but log once so a later executor
+        # ModuleNotFoundError isn't an opaque mystery
+        _SHIPPED_APPS.add(key)
+        log.warning(
+            "could not ship %s to executors (addPyFile failed: %s); "
+            "module-level UDF references will only resolve if workers "
+            "can import the package themselves",
+            __package__,
+            exc,
+        )
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table's TIMESTAMP(NANOS) parquet portably.
 
     Spark's parquet reader rejects nano timestamps outright, so we read
-    nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong`` — a
-    dynamic conf, safe to set on any session) and truncate to
-    microseconds — exactly what DuckDB/Arrow consumers do on read, so
-    every engine sees identical event-time values.
+    nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and
+    truncate to microseconds — exactly what DuckDB/Arrow consumers do on
+    read, so every engine sees identical event-time values.
+
+    SESSION-WIDE SIDE EFFECT (deliberate, documented): the conf is only
+    flipped when the plain read actually rejects the file, but once set
+    it must STAY set — the returned DataFrame is lazy and re-resolves
+    the scan under the live conf, so restoring it would break this very
+    lineage. Consequence for mixed workloads: any later nano-timestamp
+    parquet read on the same session also yields ``bigint`` columns
+    (through this helper that's exactly the handled path; a raw
+    ``spark.read.parquet`` elsewhere should expect it). No reader-level
+    option exists to scope this in Spark 4.
     """
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        # force schema resolution so an illegal nano type surfaces here
+        df.schema
+    except AnalysisException:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

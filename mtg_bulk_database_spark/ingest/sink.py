@@ -25,6 +25,7 @@ insert; idempotent by construction):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -97,18 +98,30 @@ def _merge_into_partitions(
     stage their merged contents to a temp subtree, then swap the
     affected partition directories one by one.
 
-    Crash-consistency: staging first means a failure before any swap
-    leaves the table untouched; a failure mid-swap is bounded to single
-    partitions (the transactional version of this is exactly what
-    Delta's log provides — documented gap in ARCHITECTURE.md). Source
-    rows with a NULL partition value can't be pruned to a directory, so
-    their presence falls back to the whole-table merge path.
+    Crash-consistency (manifest protocol): after staging completes, a
+    commit manifest is written atomically NEXT TO the table root listing
+    every planned partition swap; only then do the swaps run, and
+    displaced partition directories move to a trash dir OUTSIDE the
+    table root (never a ``part=X__old`` name inside it, which Spark
+    would read back as a bogus partition value). A crash at any point is
+    recoverable by :func:`recover_partition_merge` — stage-without-
+    manifest rolls back (nothing was promised), manifest-present rolls
+    FORWARD (staged data is complete by construction). Each merge calls
+    recovery first, so a crashed predecessor self-heals. The remaining
+    non-atomicity is a reader racing the swap seeing one partition
+    briefly absent — closing that needs a real table format (Delta /
+    Iceberg), the documented production path in ARCHITECTURE.md.
+
+    Source rows with a NULL partition value can't be pruned to a
+    directory, so their presence falls back to the whole-table merge
+    path.
 
     Assumes the partition column is stable per key (true for cards: a
     printing never changes set). A key that *did* move partitions would
     leave its old row behind — Delta MERGE has the same property unless
     the match condition includes the partition column.
     """
+    recover_partition_merge(target_path)
     part_vals = [r[0] for r in source.select(partition_by).distinct().collect()]
     if any(v is None for v in part_vals):
         target = spark.read.parquet(target_path)
@@ -126,26 +139,102 @@ def _merge_into_partitions(
     # partition writes a sliver into every partition directory
     # (observed: 32 files per partition for a 100-row merge) — the
     # small-files problem that kills scan throughput at scale.
-    stage = f"{target_path.rstrip('/')}__stage_{uuid.uuid4().hex[:8]}"
+    base = target_path.rstrip("/")
+    token = uuid.uuid4().hex[:8]
+    stage = f"{base}__stage_{token}"
     (
         merged.repartition(F.col(partition_by))
         .write.mode("overwrite")
         .partitionBy(partition_by)
         .parquet(stage)
     )
-    try:
-        for entry in os.listdir(stage):
-            if not entry.startswith(f"{partition_by}="):
-                continue
-            dst = os.path.join(target_path, entry)
-            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            os.rename(os.path.join(stage, entry), dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    entries = sorted(
+        e for e in os.listdir(stage) if e.startswith(f"{partition_by}=")
+    )
+    trash = f"{base}__trash_{token}"
+    os.makedirs(trash, exist_ok=True)
+    manifest = f"{base}__commit_{token}.json"
+    _atomic_json_write(
+        manifest,
+        {"stage": stage, "trash": trash, "target": base, "partitions": entries},
+    )
+    _apply_partition_swaps(base, stage, trash, entries)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.remove(manifest)
+
+
+def _atomic_json_write(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _apply_partition_swaps(
+    target: str, stage: str, trash: str, entries: list[str]
+) -> None:
+    """Idempotent swap loop: each entry is either not-yet-swapped (both
+    renames pending), half-swapped (old dir already in trash), or done
+    (stage dir gone) — re-running from any crash point completes it."""
+    for entry in entries:
+        src = os.path.join(stage, entry)
+        dst = os.path.join(target, entry)
+        if not os.path.exists(src):
+            continue  # this entry already swapped (recovery re-run)
+        if os.path.exists(dst):
+            os.rename(dst, os.path.join(trash, entry))
+        os.rename(src, dst)
+
+
+def recover_partition_merge(target_path: str) -> bool:
+    """Self-heal a crashed partitioned merge; returns True if it acted.
+
+    - commit manifest present → roll FORWARD (staged partitions are
+      complete before the manifest is ever written), then clean up.
+    - stage/trash dirs with NO manifest → the merge died before
+      committing; nothing was promised, so roll back by deleting them.
+    """
+    base = target_path.rstrip("/")
+    parent, name = os.path.split(base)
+    parent = parent or "."
+    if not os.path.isdir(parent):
+        return False
+    acted = False
+    siblings = os.listdir(parent)
+    for f in siblings:
+        if f.startswith(f"{name}__commit_") and f.endswith(".json"):
+            full = os.path.join(parent, f)
+            with open(full, encoding="utf-8") as fh:
+                m = json.load(fh)
+            if os.path.isdir(m["stage"]):
+                os.makedirs(m["trash"], exist_ok=True)
+                _apply_partition_swaps(
+                    m["target"], m["stage"], m["trash"], m["partitions"]
+                )
+            shutil.rmtree(m["trash"], ignore_errors=True)
+            shutil.rmtree(m["stage"], ignore_errors=True)
+            os.remove(full)
+            acted = True
+    committed = {
+        f.split("__commit_")[1].removesuffix(".json")
+        for f in siblings
+        if f.startswith(f"{name}__commit_") and f.endswith(".json")
+    }
+    for f in siblings:
+        if f.startswith(f"{name}__commit_") and f.endswith(".json.tmp"):
+            # crash mid-manifest-write: never became a commit
+            os.remove(os.path.join(parent, f))
+            acted = True
+        for kind in ("__stage_", "__trash_"):
+            if f.startswith(name + kind):
+                token = f.split(kind)[1]
+                if token not in committed:
+                    shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
+                    acted = True
+    return acted
 
 
 def _table_exists(path: str) -> bool:

@@ -29,7 +29,10 @@ def salted_join(
     Cost model: right side grows ×n_salts, so use when
     |right| × n_salts ≪ |left's hot keys|. Row-deterministic salting
     (pmod of a hash, not rand()) keeps results reproducible under
-    retries.
+    retries; mixing in ``monotonically_increasing_id`` (partition id ≪ 33
+    + row offset — deterministic for a deterministic input partitioning)
+    spreads FULLY-IDENTICAL rows too, the common real-world skew shape
+    a value-only hash would send to a single reducer.
 
     Only left-preserving joins are allowed: under right/full outer,
     an unmatched right row would surface once per salt replica.
@@ -39,7 +42,10 @@ def salted_join(
             f"salted_join supports left-preserving joins only, got {how!r} "
             "(an unmatched right row would be duplicated per salt)"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     salted_left = left.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_right = right.select("*", salts)
@@ -58,7 +64,10 @@ def salted_count(
     salting matters for aggregates without partial pushdown, e.g.
     collect_list or exact distinct counts per key.)
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

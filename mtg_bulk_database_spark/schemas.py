@@ -86,7 +86,24 @@ PREVIEW_SCHEMA = T.StructType(
     ]
 )
 
-#: 68 columns, ordered exactly as init.sql:35-102.
+#: Related-card objects (Scryfall ``all_parts``): meld pieces, tokens,
+#: combo partners. EXTENSION — the reference README documents the column
+#: (README.md:84 ``all_parts JSONB``) but neither init.sql:34-103 nor the
+#: importer column list (import_cards.py:58-127) carries it; we include
+#: it typed (no JSONB escape hatch needed) per SURVEY §0.
+ALL_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("id", _str),
+        T.StructField("object", _str),
+        T.StructField("component", _str),
+        T.StructField("name", _str),
+        T.StructField("type_line", _str),
+        T.StructField("uri", _str),
+    ]
+)
+
+#: 68 reference columns ordered exactly as init.sql:35-102, plus the
+#: ``all_parts`` extension (documented intent, README.md:84) at the end.
 CARDS_SCHEMA = T.StructType(
     [
         T.StructField("id", _str, nullable=False),
@@ -157,6 +174,9 @@ CARDS_SCHEMA = T.StructType(
         T.StructField("related_uris", _str_map),
         T.StructField("purchase_uris", _str_map),
         T.StructField("card_faces", T.ArrayType(CARD_FACE_SCHEMA)),
+        # extension beyond the reference's 68 importer columns — see
+        # ALL_PART_SCHEMA note
+        T.StructField("all_parts", T.ArrayType(ALL_PART_SCHEMA)),
     ]
 )
 

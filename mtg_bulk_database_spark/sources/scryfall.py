@@ -163,17 +163,25 @@ def download_bulk_file(
     download_uri: str, dst_path: str, fetch_bytes: Callable[[str], bytes] | None = None
 ) -> str:
     """S3 — fetch the bulk JSON to local/object storage (driver or a
-    single task; the distributed scan happens after)."""
-    if fetch_bytes is None:
+    single task; the distributed scan happens after).
 
-        def fetch_bytes(url: str) -> bytes:
-            import requests
-
-            resp = requests.get(url, timeout=HTTP_TIMEOUT_S)
-            resp.raise_for_status()
-            return resp.content
-
+    The default path STREAMS to disk in 8 MiB chunks — a real
+    ``all_cards`` drop is multi-GB and buffering it in memory
+    (``resp.content``) would contradict the module's O(1)-memory ingest
+    claim and can OOM the driver. An injected ``fetch_bytes`` (tests)
+    still takes the buffered path.
+    """
     os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
-    with open(dst_path, "wb") as f:
-        f.write(fetch_bytes(download_uri))
+    if fetch_bytes is not None:
+        with open(dst_path, "wb") as f:
+            f.write(fetch_bytes(download_uri))
+        return dst_path
+
+    import requests
+
+    with requests.get(download_uri, timeout=HTTP_TIMEOUT_S, stream=True) as resp:
+        resp.raise_for_status()
+        with open(dst_path, "wb") as f:
+            for chunk in resp.iter_content(chunk_size=8 * 1024 * 1024):
+                f.write(chunk)
     return dst_path

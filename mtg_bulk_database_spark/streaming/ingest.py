@@ -44,5 +44,13 @@ def stream_ingest_cards(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination returns False on timeout with the query still
+    # running — stop it and fail loudly rather than returning a partial
+    # (or missing) table (mirrors events.run_available_now)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_ingest_cards did not drain within {timeout_s}s "
+            f"(landing_dir={landing_dir!r})"
+        )
     return spark.read.parquet(table_path)

@@ -11,10 +11,13 @@ at-least-once source (the standard Kafka-consumer shape).
 
 Scale notes: state is per-key and lives in the state store (RocksDB in
 production — set ``spark.sql.streaming.stateStore.providerClass``);
-per-key memory is bounded by the id-set size, so real deployments add a
-timeout (``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``)
-to expire idle keys — the TTL hook is exposed but defaults off so the
-dedup guarantee is absolute within a run.
+per-key memory is bounded by the id-set size, so an unbounded run grows
+without limit. The default therefore expires idle keys after
+``ttl_ms`` of processing time (``GroupStateTimeout.ProcessingTimeTimeout``):
+a key whose state expired loses dedup protection for ids older than the
+TTL — the standard at-least-once trade-off; replays within the TTL are
+still exact. Pass ``ttl_ms=None`` for the absolute guarantee when the
+key space is known-bounded.
 """
 
 from __future__ import annotations
@@ -24,21 +27,37 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+#: 24 h: long enough that realistic replays (consumer restarts,
+#: redeliveries) dedup exactly; short enough that dead keys leave the
+#: store daily at 100 TB/day key cardinalities.
+DEFAULT_DEDUP_TTL_MS = 24 * 3600 * 1000
+
 
 def stream_dedup_events(
     events: DataFrame,
     key_col: str = "user_id",
     id_col: str = "event_id",
+    ttl_ms: int | None = DEFAULT_DEDUP_TTL_MS,
 ) -> DataFrame:
-    """Emit each (key, id) at most once across the whole stream."""
+    """Emit each (key, id) at most once across the whole stream.
+
+    ``ttl_ms`` bounds state: idle keys expire after that much processing
+    time (timeout is re-armed on every batch that touches the key);
+    ``None`` keeps state forever (NoTimeout).
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = events.schema
     state_schema = "seen array<long>"
+    bounded = ttl_ms is not None
 
     def dedup_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if bounded and state.hasTimedOut:
+            # idle past TTL: drop the id-set; nothing to emit this call
+            state.remove()
+            return
         seen: set[int] = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             fresh = pdf[~pdf[id_col].isin(seen)]
@@ -48,11 +67,18 @@ def stream_dedup_events(
                 seen.update(int(x) for x in fresh[id_col])
                 yield fresh
         state.update((sorted(seen),))
+        if bounded:
+            # re-arm: the key stays alive while traffic keeps arriving
+            state.setTimeoutDuration(ttl_ms)
 
     return events.groupBy(key_col).applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if bounded
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -219,6 +219,20 @@ def make_cards(
                 "related_uris": {"edhrec": f"https://edhrec/{i}"},
                 "purchase_uris": {"tcgplayer": f"https://tcg/{i}"},
                 "card_faces": faces,
+                # all_parts extension: every 10th card is part of a
+                # meld/token relation (SURVEY §0 known discrepancy)
+                "all_parts": [
+                    {
+                        "id": _uuid(rng),
+                        "object": "related_card",
+                        "component": "meld_part" if i % 20 == 0 else "token",
+                        "name": f"Related {i}",
+                        "type_line": "Token Creature — Test",
+                        "uri": f"https://api.example/cards/related/{i}",
+                    }
+                ]
+                if i % 10 == 0
+                else None,
             }
         )
     return cards

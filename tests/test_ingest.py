@@ -68,6 +68,23 @@ def test_prepare_cards_policies(spark, raw_json_path):
     assert tok_rows and all("the" not in t for t in tok_rows)
 
 
+def test_all_parts_extension_ingested(spark, raw_json_path):
+    """The all_parts extension column (SURVEY §0: README documents it,
+    the reference importer drops it) survives ingest as a typed
+    array<struct>, populated for related cards and NULL otherwise."""
+    out = prepare_cards(read_cards_json(spark, raw_json_path))
+    assert dict(out.dtypes)["all_parts"].startswith("array<struct<")
+    rows = out.select("name", "all_parts").collect()
+    with_parts = {r["name"]: r["all_parts"] for r in rows if r["all_parts"]}
+    assert with_parts, "fixture plants all_parts on every 10th card"
+    part = next(iter(with_parts.values()))[0]
+    assert part["object"] == "related_card"
+    assert part["component"] in ("meld_part", "token")
+    assert part["uri"].startswith("https://")
+    # cards without the key stay NULL (not empty array)
+    assert any(r["all_parts"] is None for r in rows)
+
+
 def test_face_image_aggregation_p5(spark, raw_json_path):
     out = prepare_cards(read_cards_json(spark, raw_json_path))
     rows = out.select("image_uris", "card_faces", "face_image_uris").collect()
@@ -211,6 +228,81 @@ def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
         p not in files_before or os.path.getmtime(p) != files_before[p]
         for p in glob.glob(f"{table}/set=s2/*.parquet")
     )
+
+
+def test_partitioned_merge_crash_recovery(spark, tmp_path, monkeypatch):
+    """Kill the merge between partition swaps: the table root must never
+    contain a readable bogus partition, and recovery (run implicitly by
+    the next merge) rolls the commit forward to the fully-merged state."""
+    import glob
+    import os as _os
+
+    from mtg_bulk_database_spark.ingest import sink as sink_mod
+
+    table = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [("k1", "s1", 1), ("k2", "s2", 2), ("k3", "s3", 3)],
+        "id string, set string, v int",
+    )
+    merge_upsert(spark, table, df, key="id", partition_by="set")
+
+    # crash injection: die after the FIRST os.rename inside the swap loop
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        calls["n"] += 1
+        if calls["n"] >= 1 and "__trash_" in dst:
+            raise RuntimeError("injected crash mid-swap")
+
+    upd = spark.createDataFrame(
+        [("k1", "s1", 10), ("k2", "s2", 20), ("k3", "s3", 30)],
+        "id string, set string, v int",
+    )
+    monkeypatch.setattr(sink_mod.os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_upsert(spark, table, upd, key="id", partition_by="set")
+    monkeypatch.setattr(sink_mod.os, "rename", real_rename)
+
+    # ADVICE invariant: nothing inside the table root parses as a bogus
+    # partition — every set=* entry is a clean value, no *__old_* names
+    entries = [e for e in _os.listdir(table) if e.startswith("set=")]
+    assert all(e in ("set=s1", "set=s2", "set=s3") for e in entries), entries
+    # the crashed state left a manifest + stage/trash siblings
+    assert glob.glob(f"{table}__commit_*.json")
+
+    # next merge self-heals first: roll forward, then apply its own work
+    fix = spark.createDataFrame([("k4", "s1", 40)], "id string, set string, v int")
+    merge_upsert(spark, table, fix, key="id", partition_by="set")
+    out = {r["id"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert out == {"k1": 10, "k2": 20, "k3": 30, "k4": 40}
+    # all merge scaffolding cleaned up
+    assert not glob.glob(f"{table}__*")
+
+
+def test_recover_rolls_back_uncommitted_stage(spark, tmp_path):
+    """A stage dir without a manifest (crash before commit) is rolled
+    BACK: the table keeps its pre-merge contents and the orphan is
+    removed."""
+    import glob
+    import os as _os
+
+    from mtg_bulk_database_spark.ingest.sink import recover_partition_merge
+
+    table = str(tmp_path / "pt")
+    df = spark.createDataFrame([("k1", "s1", 1)], "id string, set string, v int")
+    merge_upsert(spark, table, df, key="id", partition_by="set")
+
+    orphan = f"{table}__stage_deadbeef"
+    _os.makedirs(_os.path.join(orphan, "set=s1"))
+    with open(_os.path.join(orphan, "set=s1", "junk"), "w") as f:
+        f.write("x")
+    assert recover_partition_merge(table) is True
+    assert not glob.glob(f"{table}__*")
+    assert spark.read.parquet(table).first()["v"] == 1
+    # idempotent no-op second time
+    assert recover_partition_merge(table) is False
 
 
 def test_observation_metrics(spark, raw_json_path):

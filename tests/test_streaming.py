@@ -180,3 +180,56 @@ def test_stateful_stream_dedup(spark, tmp_path):
     )
     out2 = drain()
     assert sorted(r["event_id"] for r in out2.collect()) == [1, 2, 3]
+
+
+def test_stateful_dedup_ttl_expiry(spark, tmp_path):
+    """Bounded state: with a tiny TTL, an idle key's id-set is dropped at
+    the next micro-batch after expiry, so a later replay re-emits — the
+    documented at-least-once trade-off that keeps the store finite."""
+    import datetime as dt
+    import time
+
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.stateful import stream_dedup_events
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream_dedup_events(stream, ttl_ms=1)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    t = dt.datetime(2024, 1, 1)
+    write_batch([(1, t, 7, "click", 1.0, "{}")], "b1")
+    out1 = drain()
+    assert sorted(r["event_id"] for r in out1.collect()) == [1]
+
+    # a batch touching only key 8, after the TTL elapsed → key 7 expires
+    time.sleep(0.5)
+    write_batch([(10, t, 8, "view", 1.0, "{}")], "b2")
+    drain()
+
+    # key 7's state is gone: the replay of event 1 is emitted AGAIN
+    time.sleep(0.5)
+    write_batch([(1, t, 7, "click", 1.0, "{}")], "b3")
+    out3 = drain()
+    assert sorted(r["event_id"] for r in out3.collect()) == [1, 1, 10]
