@@ -87,6 +87,106 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text form for training corpora: lowercase, non-[a-z0-9]
+    runs collapsed to single spaces, trimmed. Pure columnar (two regexp
+    passes inside codegen); emits ``norm_text`` + ``norm_chars``."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.withColumn("norm_text", norm).withColumn(
+        "norm_chars", F.length(F.col("norm_text"))
+    )
+
+
+def with_repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals over the token stream — the
+    standard "is this document boilerplate/spam" filters:
+
+    - ``unique_token_ratio``: distinct tokens / tokens
+    - ``top_token_ratio``:    occurrences of the most frequent token / tokens
+    - ``dup_bigram_ratio``:   1 − distinct bigrams / bigrams
+
+    All integer-derived ratios (exact division → oracle-stable). The
+    token array is materialized in its OWN projection and each metric
+    references the attribute — inlining ``tokens(text)`` into every
+    HOF would re-tokenize per reference (the measured 10-30× plan trap
+    documented in dedup.py). Per-row cost is O(u·n) for the top-token
+    count — bounded by document length, no shuffle.
+    """
+    t = F.col("_rep_toks")
+    with_toks = df.withColumn("_rep_toks", tokens(text_col))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = with_toks.withColumn("_rep_bigrams", bigrams)
+    b = F.col("_rep_bigrams")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    return (
+        staged.withColumn("n_tokens", n)
+        .withColumn(
+            "unique_token_ratio",
+            F.when(n > 0, F.size(F.array_distinct(t)).cast("double") / n).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "top_token_ratio",
+            F.when(n > 0, top_count.cast("double") / n).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_bigram_ratio",
+            F.when(
+                F.size(b) > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(b)).cast("double") / F.size(b),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_rep_toks", "_rep_bigrams")
+    )
+
+
+#: hex prefixes for the deterministic corpus split: md5 first byte
+#: < 0xe6 (230/256 ≈ 89.8%) → train, < 0xf3 (+5.1%) → val, rest → test.
+TRAIN_SPLIT_BOUNDS = ("e6", "f3")
+
+
+def with_train_split(
+    df: DataFrame,
+    text_col: str = "text",
+    bounds: tuple[str, str] = TRAIN_SPLIT_BOUNDS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash — the
+    split every sample lands in is a pure function of its text, stable
+    across runs, partitions, and engines (md5 is engine-portable, unlike
+    xxhash64/hash whose seeds differ between Spark and other systems).
+    Emits ``split_bucket`` (first md5 byte as hex) + ``split``."""
+    bucket = F.substring(F.md5(F.col(text_col)), 1, 2)
+    train_b, val_b = bounds
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_b, F.lit("train"))
+        .when(F.col("split_bucket") < val_b, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct non-stopword token set — a canonical-form hash that

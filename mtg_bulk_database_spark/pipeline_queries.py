@@ -298,6 +298,132 @@ def q45(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup post-processing: pairs → duplicate GROUPS (connected components)
+# ---------------------------------------------------------------------------
+_DUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, least(node, min(r)) AS component
+    FROM reach GROUP BY node
+"""
+
+
+@query("q61_dup_clusters", _DUP_CLUSTERS_ORACLE)
+def q61(spark, sf_dir):
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: normalization, repetition filters, deterministic split
+# ---------------------------------------------------------------------------
+@query(
+    "q62_normalize_text",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+              length(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_chars
+       FROM documents""",
+)
+def q62(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_normalized_text(docs).select(
+        "doc_id", "norm_text", "norm_chars"
+    )
+
+
+@query(
+    "q63_repetition_metrics",
+    f"""WITH t AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), b AS (
+          SELECT doc_id, tk,
+                 CASE WHEN len(tk) >= 2
+                      THEN list_transform(range(1, len(tk)),
+                           i -> tk[i] || ' ' || tk[i+1])
+                      ELSE []::VARCHAR[] END AS bg
+          FROM t
+        )
+        SELECT doc_id, len(tk) AS n_tokens,
+               CASE WHEN len(tk) > 0
+                    THEN len(list_distinct(tk))::DOUBLE / len(tk)
+                    ELSE 0.0 END AS unique_token_ratio,
+               CASE WHEN len(tk) > 0
+                    THEN list_max(list_transform(list_distinct(tk),
+                         x -> len(list_filter(tk, y -> y = x))))::DOUBLE / len(tk)
+                    ELSE 0.0 END AS top_token_ratio,
+               CASE WHEN len(bg) > 0
+                    THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                    ELSE 0.0 END AS dup_bigram_ratio
+        FROM b""",
+)
+def q63(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_repetition_metrics(docs).select(
+        "doc_id", "n_tokens", "unique_token_ratio", "top_token_ratio",
+        "dup_bigram_ratio",
+    )
+
+
+@query(
+    "q64_train_split",
+    """SELECT doc_id, substring(md5(text), 1, 2) AS split_bucket,
+              CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train'
+                   WHEN substring(md5(text), 1, 2) < 'f3' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def q64(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_train_split(docs).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval join (batch twin of the watermarked stream-stream join in
+# streaming/joins.py): click→purchase attribution within the hour
+# ---------------------------------------------------------------------------
+@query(
+    "q65_attribution_counts",
+    """WITH c AS (
+         SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+       ), p AS (
+         SELECT event_id AS purchase_id, user_id, value AS purchase_value, ts
+         FROM events WHERE event_type = 'purchase'
+       )
+       SELECT p.purchase_id, p.user_id, p.purchase_value,
+              count(c.event_id) AS n_clicks_1h
+       FROM p LEFT JOIN c
+         ON c.user_id = p.user_id
+        AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES
+       GROUP BY 1, 2, 3""",
+)
+def q65(spark, sf_dir):
+    from .streaming.joins import attribution_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return attribution_counts(clicks, purchases, window_minutes=60)
+
+
+# ---------------------------------------------------------------------------
 # JSON extraction over the events props column (P4 surface: semi-
 # structured leaves stay queryable without a schema migration)
 # ---------------------------------------------------------------------------

@@ -10,7 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from mtg_bulk_database_spark.catalog import load_table
-from mtg_bulk_database_spark.operators import dedup, multimodal, similarity
+from mtg_bulk_database_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 from mtg_bulk_database_spark.operators.text_analysis import (
     with_fingerprint,
     with_language_id,
@@ -185,6 +190,70 @@ def test_embedding_near_dup_lsh_precision(emb):
     # blocked join prunes: candidate pairs far below n^2
     n = emb.count()
     assert len(rows) < n * (n - 1) / 4
+
+
+def test_connected_components(spark):
+    from mtg_bulk_database_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4, pair {10,11}, triangle {20,21,22} + singleton edge 30-31
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_connected_components_deep_chain_converges(spark):
+    from mtg_bulk_database_spark.operators.graph import connected_components
+
+    # a 30-hop path exercises multi-round propagation (diameter > 1 round)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, max_iter=40).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 31
+
+
+def test_repetition_metrics_values(spark):
+    rows = [
+        (1, "aa bb aa bb aa bb"),        # heavy bigram repetition
+        (2, "one two three four five"),  # all unique
+        (3, ""),                          # empty → all ratios 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_analysis.with_repetition_metrics(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert abs(r1["unique_token_ratio"] - 2 / 6) < 1e-12
+    assert abs(r1["top_token_ratio"] - 3 / 6) < 1e-12
+    # bigrams: [aa bb, bb aa, aa bb, bb aa, aa bb] → 2 distinct of 5
+    assert abs(r1["dup_bigram_ratio"] - (1 - 2 / 5)) < 1e-12
+    r2 = out[2]
+    assert r2["unique_token_ratio"] == 1.0 and r2["dup_bigram_ratio"] == 0.0
+    r3 = out[3]
+    assert r3["n_tokens"] == 0 and r3["top_token_ratio"] == 0.0
+
+
+def test_train_split_deterministic_and_proportional(docs):
+    out = text_analysis.with_train_split(docs)
+    frac = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert 0.80 <= frac["train"] / total <= 0.97
+    # same text → same split, independent of run/partitioning
+    again = text_analysis.with_train_split(docs.repartition(7))
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
 
 
 def test_asof_join_impls_agree(spark):

@@ -182,6 +182,48 @@ def test_stateful_stream_dedup(spark, tmp_path):
     assert sorted(r["event_id"] for r in out2.collect()) == [1, 2, 3]
 
 
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join ≡ the batch range join on
+    the same input — one logical operator, two execution modes."""
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.joins import attribution_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "ev_join_in"
+    src.mkdir()
+    # two files → two micro-batches, so the join must carry state across
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    joined = attribution_join(s_clicks, s_purch, 60, watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attr_join_out")
+
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        60,
+    )
+    key = lambda r: (r["purchase_id"], r["click_id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert batch.count() > 0
+
+
 def test_stateful_dedup_ttl_expiry(spark, tmp_path):
     """Bounded state: with a tiny TTL, an idle key's id-set is dropped at
     the next micro-batch after expiry, so a later replay re-emits — the
