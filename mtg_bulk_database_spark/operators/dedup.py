@@ -408,11 +408,20 @@ def embedding_top_pairs(
     e = df.select(*cols).withColumn(vec_col, normalized)
     join_keys = [block_col] if block_col else []
     if block_col and max_block_rows is not None:
-        head = df.select(vec_col).head(1)
-        if head:
+        # cheap probe: one column-pruned scan of the block column alone —
+        # the guard machinery (bucket column, size broadcast) only engages
+        # when a block actually exceeds the cap, so the common case pays
+        # a ~free count, not an extra join
+        max_block = (
+            df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
+        )
+        if max_block is not None and max_block > max_block_rows:
             from .similarity import with_lsh_buckets
 
-            dim = len(head[0][0])
+            dim = len(df.select(vec_col).head(1)[0][0])
             e = with_lsh_buckets(
                 e, dim=dim, n_planes=n_subplanes, vec_col=vec_col, seed=seed
             )

@@ -344,3 +344,94 @@ def q60(spark, sf_dir):
         .cast("double")
         .alias("qty_5row_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode + aggregate: document frequency of FTS tokens — the
+# generate/UNNEST access path as a registered query (explode is used
+# inside operators everywhere; this pins its aggregate form).
+# ---------------------------------------------------------------------------
+def _token_doc_freq_oracle() -> str:
+    from .functions.text import sql_ts_tokens
+
+    return f"""SELECT tok, count(DISTINCT doc_id) AS doc_freq
+       FROM (SELECT doc_id, unnest(ts_toks) AS tok
+             FROM (SELECT doc_id, {sql_ts_tokens('text')} AS ts_toks
+                   FROM documents))
+       GROUP BY tok
+       ORDER BY doc_freq DESC, tok LIMIT 20"""
+
+
+@query("q66_token_doc_frequency", _token_doc_freq_oracle())
+def q66(spark, sf_dir):
+    from .functions.text import ts_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ts_tokens("text").alias("_t"))
+    exploded = toks.select(
+        "doc_id", F.explode_outer("_t").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    return (
+        exploded.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "tok")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation: deterministic collect (sorted) — the list-building
+# aggregate shape; sorting makes collect_list oracle-comparable.
+# ---------------------------------------------------------------------------
+@query(
+    "q67_array_agg",
+    """SELECT source,
+              list_sort(list(n_chars)) AS chars_sorted,
+              len(list(n_chars)) AS n_docs
+       FROM documents GROUP BY source""",
+)
+def q67(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_sort(F.collect_list("n_chars")).alias("chars_sorted"),
+        F.size(F.collect_list("n_chars")).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, decimal-exact: built-in stddev/corr use
+# streaming one-pass algorithms whose float accumulation is partition-
+# order-dependent — unusable under a value-hash gate. The moment
+# formulas over DECIMAL sums are order-independent and both engines
+# evaluate the identical final double expression.
+# ---------------------------------------------------------------------------
+@query(
+    "q68_stats_agg",
+    """SELECT source,
+              count(*) AS n,
+              round(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS mean_chars,
+              round((CAST(SUM(CAST(n_chars AS DECIMAL(28,6))
+                              * CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*))
+                    / (count(*) - 1), 6) AS var_chars
+       FROM documents GROUP BY source HAVING count(*) > 1""",
+)
+def q68(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dsum = F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+    dsum2 = F.sum(
+        F.col("n_chars").cast("decimal(28,6)") * F.col("n_chars").cast("decimal(28,6)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        docs.groupBy("source")
+        .agg(
+            n.alias("n"),
+            F.round(dsum / n, 6).alias("mean_chars"),
+            F.round((dsum2 - dsum * dsum / n) / (n - 1), 6).alias("var_chars"),
+        )
+        .filter(F.col("n") > 1)
+    )

@@ -54,3 +54,49 @@ def stream_ingest_cards(
             f"(landing_dir={landing_dir!r})"
         )
     return spark.read.parquet(table_path)
+
+
+def stream_upsert_cards(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str = "id",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming MERGE sink: each micro-batch upserts into the target
+    table via ``foreachBatch`` + ``merge_upsert`` — table-level upsert
+    semantics on a stream (re-landed/corrected card files UPDATE rows
+    instead of appending duplicates).
+
+    Exactly-once composition: the checkpoint makes batch delivery
+    at-least-once, and the upsert is idempotent on ``key``, so replayed
+    batches converge to the same table — the same argument Delta's
+    ``foreachBatch`` MERGE pattern makes in production (swap the body
+    for ``deltaTable.merge``; the stream wiring is unchanged).
+    """
+    from ..ingest.sink import merge_upsert
+
+    raw = (
+        spark.readStream.schema(CARDS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+    )
+    prepared = prepare_cards(raw)
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(spark, table_path, batch_df, key=key)
+
+    q = (
+        prepared.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_upsert_cards did not drain within {timeout_s}s "
+            f"(landing_dir={landing_dir!r})"
+        )
+    return spark.read.parquet(table_path)

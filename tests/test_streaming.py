@@ -182,6 +182,39 @@ def test_stateful_stream_dedup(spark, tmp_path):
     assert sorted(r["event_id"] for r in out2.collect()) == [1, 2, 3]
 
 
+def test_stream_upsert_cards_foreachbatch(spark, tmp_path):
+    """foreachBatch MERGE: a re-landed file with changed rows UPDATES the
+    table instead of appending duplicates; new ids insert."""
+    import json
+
+    from mtg_bulk_database_spark.streaming.ingest import stream_upsert_cards
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cards = [c for c in make_cards(n=40) if c["id"] is not None]
+
+    with open(landing / "b1.jsonl", "w") as f:
+        for c in cards[:20]:
+            f.write(json.dumps(c) + "\n")
+
+    table = str(tmp_path / "cards_upsert")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = stream_upsert_cards(spark, str(landing), table, ckpt)
+    assert out1.count() == 20
+
+    # re-land 10 of the same cards with a changed name + 10 new ones
+    updated = [dict(c, name=c["name"] + " (errata)") for c in cards[:10]]
+    with open(landing / "b2.jsonl", "w") as f:
+        for c in updated + cards[20:30]:
+            f.write(json.dumps(c) + "\n")
+    out2 = stream_upsert_cards(spark, str(landing), table, ckpt)
+
+    assert out2.count() == 30  # 20 + 10 new, no duplicates
+    by_id = {r["id"]: r["name"] for r in out2.collect()}
+    for c in updated:
+        assert by_id[c["id"]] == c["name"], "re-landed row must update"
+
+
 def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join ≡ the batch range join on
     the same input — one logical operator, two execution modes."""
