@@ -189,14 +189,30 @@ def _apply_partition_swaps(
         os.rename(src, dst)
 
 
-def recover_partition_merge(target_path: str) -> bool:
+#: age below which a manifest-less stage/trash dir is presumed to belong
+#: to a LIVE merge and left alone during rollback. The emulation is
+#: single-writer by design (like any non-transactional directory table);
+#: this gate keeps an accidental overlap from destroying an in-flight
+#: stage, but true multi-writer safety needs a real table format's log.
+ROLLBACK_MIN_AGE_S = 3600.0
+
+
+def recover_partition_merge(
+    target_path: str, rollback_min_age_s: float = ROLLBACK_MIN_AGE_S
+) -> bool:
     """Self-heal a crashed partitioned merge; returns True if it acted.
 
     - commit manifest present → roll FORWARD (staged partitions are
       complete before the manifest is ever written), then clean up.
     - stage/trash dirs with NO manifest → the merge died before
-      committing; nothing was promised, so roll back by deleting them.
+      committing; nothing was promised, so roll back by deleting them —
+      but only once older than ``rollback_min_age_s``, so a concurrent
+      merge's not-yet-committed stage isn't mistaken for a corpse
+      (single-writer is still the supported mode; the age gate bounds
+      the blast radius of an accidental overlap).
     """
+    import time
+
     base = target_path.rstrip("/")
     parent, name = os.path.split(base)
     parent = parent or "."
@@ -223,16 +239,25 @@ def recover_partition_merge(target_path: str) -> bool:
         for f in siblings
         if f.startswith(f"{name}__commit_") and f.endswith(".json")
     }
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return time.time() - os.path.getmtime(path) >= rollback_min_age_s
+        except OSError:
+            return False  # vanished underneath us → someone owns it
+
     for f in siblings:
+        full = os.path.join(parent, f)
         if f.startswith(f"{name}__commit_") and f.endswith(".json.tmp"):
             # crash mid-manifest-write: never became a commit
-            os.remove(os.path.join(parent, f))
-            acted = True
+            if _old_enough(full):
+                os.remove(full)
+                acted = True
         for kind in ("__stage_", "__trash_"):
             if f.startswith(name + kind):
                 token = f.split(kind)[1]
-                if token not in committed:
-                    shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
+                if token not in committed and _old_enough(full):
+                    shutil.rmtree(full, ignore_errors=True)
                     acted = True
     return acted
 

@@ -148,6 +148,7 @@ def asof_join_auto(
     right_ts: str,
     strategy: str = "auto",
     threshold: float = AUTO_AVG_MATCHES_THRESHOLD,
+    avg_depth: float | None = None,
 ) -> DataFrame:
     """As-of join with stats-driven physical strategy.
 
@@ -155,9 +156,17 @@ def asof_join_auto(
     :func:`choose_asof_strategy`; ``"relational"`` / ``"pandas"`` force a
     variant. Both produce identical columns (left columns + ``r_*``), so
     the switch is invisible to callers — the impl-agreement tests pin it.
+
+    The auto probe is one extra column-pruned pass over the right side
+    per call; callers that already know the depth (catalog/ANALYZE
+    stats, or a repeated join on the same table) should pass
+    ``avg_depth`` to skip it.
     """
     if strategy == "auto":
-        strategy = choose_asof_strategy(right, on, threshold)
+        if avg_depth is not None:
+            strategy = "pandas" if avg_depth > threshold else "relational"
+        else:
+            strategy = choose_asof_strategy(right, on, threshold)
     if strategy == "relational":
         return asof_join(left, right, on, left_ts, right_ts)
     if strategy == "pandas":

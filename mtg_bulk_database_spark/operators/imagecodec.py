@@ -68,22 +68,45 @@ def build_codec():
             seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                return w, h, b[i + 9]
+                ncomp = b[i + 9]
+                if w == 0 or h == 0 or ncomp not in (1, 3, 4):
+                    return None
+                return w, h, ncomp
             i += 2 + seglen
         return None
 
     def _gif_dims(b: bytes):
         w, h = struct.unpack("<HH", b[6:10])
+        if w == 0 or h == 0:
+            return None
         return w, h, 3
 
     def _bmp_dims(b: bytes):
-        w, h = struct.unpack("<ii", b[18:26])
+        # plausibility-check the header: a text payload that merely
+        # starts with 'BM' must not be mistaken for a bitmap (the
+        # decode fallback contract depends on rejecting it)
+        planes = struct.unpack("<H", b[26:28])[0]
         bpp = struct.unpack("<H", b[28:30])[0]
+        if planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
+            return None
+        w, h = struct.unpack("<ii", b[18:26])
+        if not (0 < w <= 1 << 16 and 0 < abs(h) <= 1 << 16):
+            return None
         channels = {8: 1, 24: 3, 32: 4}.get(bpp, 3)
         return w, abs(h), channels
 
     def decode_header(payload: bytes):
-        """(width, height, n_channels) for a recognized format, else None."""
+        """(width, height, n_channels) for a recognized format, else None.
+
+        Headers are plausibility-checked (nonzero bounded dims, BMP
+        planes/bpp, JPEG component count) so text that merely starts
+        with a magic-like prefix ('BM...', 'GIF89a...') almost always
+        falls through to None — callers rely on that to route non-image
+        payloads to the deterministic fallback. Residual risk: a text
+        payload crafted to carry a fully plausible binary header would
+        still be treated as an image; binary-magic formats (PNG/JPEG)
+        can't collide with text at all.
+        """
         fmt = sniff(payload)
         try:
             if fmt == "png":
@@ -114,12 +137,14 @@ def build_codec():
         images expanded to RGB, or ``None`` for unsupported variants
         (16-bit, Adam7 interlace, malformed streams).
         """
+        if len(payload) < 29:  # magic + full IHDR incl. interlace byte
+            return None
         info = _png_ihdr(payload)
         if info is None:
             return None
         w, h, depth, color, _ = info
         interlace = payload[28]
-        if depth != 8 or interlace != 0:
+        if depth != 8 or interlace != 0 or w == 0 or h == 0:
             return None
         samples = PNG_SAMPLES[color]
         # walk chunks
@@ -170,8 +195,8 @@ def build_codec():
             out[y * stride : (y + 1) * stride] = line
             prev = line
         if color == 3:  # palette -> RGB
-            if plte is None:
-                return None
+            if plte is None or max(out) * 3 + 3 > len(plte):
+                return None  # palette index out of range → malformed
             rgb = bytearray(w * h * 3)
             for j, idx in enumerate(out):
                 rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]

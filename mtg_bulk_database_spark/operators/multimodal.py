@@ -70,9 +70,11 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_by_value():
+def _decode_by_value(codec=None):
     """Decode dispatcher, built for by-value pickling — the single
-    source of the decode logic.
+    source of the decode logic. Pass an existing ``build_codec()``
+    bundle to share it (avoids pickling two codec copies into closures
+    that also need the pixel functions).
 
     Recognized image bytes (PNG/JPEG/GIF/BMP magic) are parsed by the
     real spec-based codec; anything else gets deterministic fake
@@ -89,7 +91,7 @@ def _decode_by_value():
     """
     from .imagecodec import build_codec
 
-    decode_header = build_codec().decode_header
+    decode_header = (codec or build_codec()).decode_header
 
     def decode(payload: bytes) -> tuple[int, int, int]:
         real = decode_header(payload)
@@ -161,8 +163,8 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
     from .imagecodec import build_codec
 
-    fake_decode = _decode_by_value()
     codec = build_codec()
+    fake_decode = _decode_by_value(codec)
     png_decode, png_encode, resize_nearest = (
         codec.png_decode,
         codec.png_encode,

@@ -14,25 +14,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_expr(columns: list[str], n_salts: int, spread_identical: bool):
+    """Salt column: pmod of a row-value hash. ``spread_identical`` mixes
+    in ``monotonically_increasing_id`` so FULLY-identical rows (repeated
+    events — a common real skew shape a value-only hash sends to one
+    reducer) also spread. Trade-off, stated loudly: MID depends on the
+    physical row layout, so under a shuffle-fetch failure a partially
+    recomputed upstream can re-salt rows differently — Spark handles
+    nondeterministic-stage rollback by recomputing, but the guarantee is
+    weaker than the value-only hash, which is a pure row function and
+    deterministic under ANY recompute. Default off; opt in when the
+    input is a deterministic source scan (parquet files) or the job can
+    tolerate retry-level nondeterminism."""
+    cols = [F.col(c) for c in columns]
+    if spread_identical:
+        cols.append(F.monotonically_increasing_id())
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    spread_identical: bool = False,
 ) -> DataFrame:
     """Equi-join where ``left`` is skewed on ``key``: left rows get a
-    random-but-deterministic salt (hash of a row id), right rows are
-    replicated ``n_salts`` times, and the join key becomes
+    random-but-deterministic salt (hash of the row values), right rows
+    are replicated ``n_salts`` times, and the join key becomes
     (key, salt) — one hot key fans out over ``n_salts`` reducers.
 
     Cost model: right side grows ×n_salts, so use when
     |right| × n_salts ≪ |left's hot keys|. Row-deterministic salting
     (pmod of a hash, not rand()) keeps results reproducible under
-    retries; mixing in ``monotonically_increasing_id`` (partition id ≪ 33
-    + row offset — deterministic for a deterministic input partitioning)
-    spreads FULLY-IDENTICAL rows too, the common real-world skew shape
-    a value-only hash would send to a single reducer.
+    retries; see ``_salt_expr`` for the ``spread_identical`` option and
+    its determinism trade-off when rows are fully duplicated.
 
     Only left-preserving joins are allowed: under right/full outer,
     an unmatched right row would surface once per salt replica.
@@ -42,11 +59,9 @@ def salted_join(
             f"salted_join supports left-preserving joins only, got {how!r} "
             "(an unmatched right row would be duplicated per salt)"
         )
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns], F.monotonically_increasing_id()),
-        F.lit(n_salts),
+    salted_left = left.withColumn(
+        "_salt", _salt_expr(left.columns, n_salts, spread_identical)
     )
-    salted_left = left.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_right = right.select("*", salts)
     out = salted_left.join(replicated_right, on=[key, "_salt"], how=how)
@@ -54,7 +69,7 @@ def salted_join(
 
 
 def salted_count(
-    df: DataFrame, key: str, n_salts: int = 8
+    df: DataFrame, key: str, n_salts: int = 8, spread_identical: bool = False
 ) -> DataFrame:
     """Two-phase aggregation for a skewed groupBy key: partial counts on
     (key, salt), then final combine on key — the hot key's rows spread
@@ -62,14 +77,11 @@ def salted_count(
 
     (Spark's hash aggregate already does map-side partials; explicit
     salting matters for aggregates without partial pushdown, e.g.
-    collect_list or exact distinct counts per key.)
+    collect_list or exact distinct counts per key. ``spread_identical``:
+    see ``_salt_expr``.)
     """
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    )
     partial = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _salt_expr(df.columns, n_salts, spread_identical))
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_partial"))
     )

@@ -39,11 +39,14 @@ def stream_dedup_events(
     id_col: str = "event_id",
     ttl_ms: int | None = DEFAULT_DEDUP_TTL_MS,
 ) -> DataFrame:
-    """Emit each (key, id) at most once across the whole stream.
+    """Emit each (key, id) at most once while the key's state lives.
 
-    ``ttl_ms`` bounds state: idle keys expire after that much processing
-    time (timeout is re-armed on every batch that touches the key);
-    ``None`` keeps state forever (NoTimeout).
+    With the default ``ttl_ms``, "lives" means until the key has been
+    idle for 24 h of processing time (timeout re-armed on every batch
+    that touches the key) — replays inside the TTL dedup exactly; a
+    replay arriving after the key expired is emitted again. Pass
+    ``ttl_ms=None`` (NoTimeout) for the absolute at-most-once guarantee
+    across the whole stream, at the cost of state that only grows.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

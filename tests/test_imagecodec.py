@@ -118,9 +118,19 @@ def test_non_png_headers():
     assert codec.decode_header(jpeg) == (30, 40, 3)
     gif = b"GIF89a" + struct.pack("<HH", 64, 48) + bytes(20)
     assert codec.decode_header(gif) == (64, 48, 3)
-    bmp = b"BM" + bytes(16) + struct.pack("<ii", 32, 24) + bytes(2) + struct.pack("<H", 24) + bytes(10)
+    bmp = (
+        b"BM" + bytes(16) + struct.pack("<ii", 32, 24)
+        + struct.pack("<HH", 1, 24) + bytes(10)
+    )
     assert codec.decode_header(bmp) == (32, 24, 3)
     assert codec.decode_header(b"just some text payload") is None
+    # magic-prefixed TEXT must not be mistaken for an image: BMP planes
+    # check and GIF zero-dims check reject implausible headers
+    assert codec.decode_header(b"BM this is a sentence about bitmap files!") is None
+    assert codec.decode_header(b"GIF89a" + bytes(24)) is None
+    # truncated PNG (magic + partial IHDR) neither crashes nor decodes
+    png = codec.png_encode(4, 4, 3, bytes(48))
+    assert codec.png_decode(png[:28]) is None
 
 
 def test_resize_nearest_identity_and_downscale():

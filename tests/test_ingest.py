@@ -298,11 +298,16 @@ def test_recover_rolls_back_uncommitted_stage(spark, tmp_path):
     _os.makedirs(_os.path.join(orphan, "set=s1"))
     with open(_os.path.join(orphan, "set=s1", "junk"), "w") as f:
         f.write("x")
-    assert recover_partition_merge(table) is True
+    # age gate: a FRESH manifest-less stage is presumed live (a
+    # concurrent merge's in-flight stage) and left alone by default
+    assert recover_partition_merge(table) is False
+    assert _os.path.isdir(orphan)
+    # past the age gate it's a corpse: rolled back, table untouched
+    assert recover_partition_merge(table, rollback_min_age_s=0.0) is True
     assert not glob.glob(f"{table}__*")
     assert spark.read.parquet(table).first()["v"] == 1
     # idempotent no-op second time
-    assert recover_partition_merge(table) is False
+    assert recover_partition_merge(table, rollback_min_age_s=0.0) is False
 
 
 def test_observation_metrics(spark, raw_json_path):

@@ -45,24 +45,25 @@ def test_salted_count_matches_plain(spark, skewed):
 
 def test_salt_spreads_fully_identical_rows(spark):
     """Repeated identical events (same values in EVERY column) are a
-    common skew shape; a value-only hash would give them all one salt.
-    The per-row mix must spread them across reducers."""
-    from mtg_bulk_database_spark.operators.skew import salted_count
+    common skew shape; a value-only hash gives them all one salt. With
+    spread_identical=True the per-row mix spreads them across reducers
+    (documented trade-off: weaker determinism under partial recompute,
+    so it's opt-in)."""
+    from mtg_bulk_database_spark.operators.skew import _salt_expr, salted_count
 
     dup = (
         spark.range(4000)
         .repartition(8)
         .select(F.lit(1).alias("k"), F.lit("same").alias("payload"))
     )
-    salt = F.pmod(
-        F.xxhash64(F.col("k"), F.col("payload"), F.monotonically_increasing_id()),
-        F.lit(8),
-    )
-    n_salts = dup.withColumn("_salt", salt).select("_salt").distinct().count()
-    assert n_salts >= 4, f"identical rows collapsed onto {n_salts} salts"
-    # and the salted aggregate still counts them exactly once each
-    out = salted_count(dup, "k").collect()
-    assert out[0]["n_rows"] == 4000
+    spread = dup.withColumn("_salt", _salt_expr(["k", "payload"], 8, True))
+    assert spread.select("_salt").distinct().count() >= 4
+    # default stays the deterministic value-hash: one salt for one value
+    value_only = dup.withColumn("_salt", _salt_expr(["k", "payload"], 8, False))
+    assert value_only.select("_salt").distinct().count() == 1
+    # and the salted aggregate still counts rows exactly once either way
+    assert salted_count(dup, "k", spread_identical=True).collect()[0]["n_rows"] == 4000
+    assert salted_count(dup, "k").collect()[0]["n_rows"] == 4000
 
 
 def test_bucketed_join_elides_exchange(spark):
