@@ -1,0 +1,76 @@
+"""End-to-end corpus curation — the composed pipeline a training-data
+run executes, built entirely from this engine's operators:
+
+    quality filter → repetition filter → fingerprint dedup →
+    near-dup clustering (keep representatives) → deterministic split
+
+Every stage is deterministic (min-id representatives, content-hash
+split), so the WHOLE pipeline carries a DuckDB oracle (q71) — the
+composition is differential-tested, not just the pieces.
+
+Scale shape: two columnar projections (scores/fingerprint), one
+hash-shuffle (fingerprint groupBy), the posting-list jaccard join (never
+all-pairs), the per-round component shuffles on the (tiny) near-dup pair
+set, and one broadcast-able join back. No collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text_analysis
+from .graph import connected_components
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_top_token_ratio: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Curated documents: one row per kept doc with its curation
+    metadata (``n_tokens``, ``quality_score``, ``split``).
+
+    Kept = passes quality/repetition gates AND is the min-doc_id
+    representative of both its fingerprint group (exact/shuffled dups)
+    and its near-dup cluster (transitive jaccard ≥ threshold).
+    """
+    scored = text_analysis.with_repetition_metrics(
+        text_analysis.with_quality_score(docs)
+    )
+    scored = text_analysis.with_fingerprint(scored)
+    gated = scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("top_token_ratio") <= max_top_token_ratio)
+        # checkpoint: the dedup self-join consumes gated on BOTH sides
+        # (group-mins + probe), and without a cut the scoring HOF
+        # projection re-executes per branch — measured 3.5s → 0.3s at
+        # sf0.1. Same for `exact` below, which feeds the jaccard join's
+        # posting build AND the final representative join.
+    ).localCheckpoint(eager=False)
+
+    # fingerprint dedup: keep the min doc_id per canonical-token-set hash
+    reps = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("_keep_id"))
+    exact = (
+        gated.join(reps, on="fingerprint")
+        .filter(F.col("doc_id") == F.col("_keep_id"))
+        .drop("_keep_id")
+        .localCheckpoint(eager=False)
+    )
+
+    # near-dup clusters over the survivors; drop non-representatives
+    pairs = dedup.ngram_jaccard_pairs(
+        exact, "text", "doc_id", k=k_shingle, threshold=jaccard_threshold
+    )
+    comp = connected_components(pairs)
+    curated = (
+        exact.join(comp, exact["doc_id"] == comp["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("component") == F.col("doc_id")))
+        .drop("node", "component")
+    )
+
+    return text_analysis.with_train_split(curated).select(
+        "doc_id", "source", "n_tokens", "quality_score", "split"
+    )

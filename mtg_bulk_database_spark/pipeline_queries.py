@@ -424,6 +424,86 @@ def q65(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Flagship composite: the FULL curation pipeline (quality gate →
+# repetition gate → fingerprint dedup → near-dup clustering → split)
+# differential-tested as ONE query — composition bugs (a filter applied
+# before vs after dedup, a representative chosen differently) can't hide
+# between individually-green stages.
+# ---------------------------------------------------------------------------
+_CURATE_ORACLE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, source, {_TOKS} AS tk,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text, source, tk, len(tk) AS n_tokens,
+             round((least(len(tk), 100)::DOUBLE / 100.0
+                    + CASE WHEN n_chars > 0
+                           THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END
+                    + least(CASE WHEN len(tk) > 0
+                            THEN {sql_stopword_hits('tk')}::DOUBLE / len(tk)
+                            ELSE 0.0 END, 0.5) * 2.0) / 3.0, 6) AS quality_score,
+             CASE WHEN len(tk) > 0
+                  THEN list_max(list_transform(list_distinct(tk),
+                       x -> len(list_filter(tk, y -> y = x))))::DOUBLE / len(tk)
+                  ELSE 0.0 END AS top_token_ratio
+      FROM t
+    ), g AS (
+      SELECT *, md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
+                  AS fingerprint
+      FROM q WHERE quality_score >= 0.5 AND top_token_ratio <= 0.3
+    ), e AS (
+      SELECT g.* FROM g
+      JOIN (SELECT fingerprint, min(doc_id) AS keep_id
+            FROM g GROUP BY fingerprint) r
+        ON g.fingerprint = r.fingerprint AND g.doc_id = r.keep_id
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk)-1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+               AS shingles
+      FROM e WHERE len(tk) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM p0
+      JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+      JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+      WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT e.doc_id, e.source, e.n_tokens, e.quality_score,
+           CASE WHEN substring(md5(e.text), 1, 2) < 'e6' THEN 'train'
+                WHEN substring(md5(e.text), 1, 2) < 'f3' THEN 'val'
+                ELSE 'test' END AS split
+    FROM e LEFT JOIN comp ON comp.node = e.doc_id
+    WHERE comp.node IS NULL OR comp.component = e.doc_id
+"""
+
+
+@query("q71_curate_corpus", _CURATE_ORACLE)
+def q71(spark, sf_dir):
+    from .operators.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs)
+
+
+# ---------------------------------------------------------------------------
 # JSON extraction over the events props column (P4 surface: semi-
 # structured leaves stay queryable without a schema migration)
 # ---------------------------------------------------------------------------

@@ -347,6 +347,52 @@ def q60(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Distribution-rank window family: ntile / percent_rank / cume_dist —
+# the rank functions q59 doesn't cover. Deterministic because the window
+# order carries a full tie-break.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_distribution_ranks",
+    """SELECT o_orderkey, o_custkey,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey)""",
+)
+def q69(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: LISTAGG/STRING_AGG equivalent — sorted
+# concat makes the collect deterministic (same trick as q67).
+# ---------------------------------------------------------------------------
+@query(
+    "q70_string_agg",
+    """SELECT n_regionkey,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations
+       FROM nation GROUP BY n_regionkey""",
+)
+def q70(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lateral explode + aggregate: document frequency of FTS tokens — the
 # generate/UNNEST access path as a registered query (explode is used
 # inside operators everywhere; this pins its aggregate form).

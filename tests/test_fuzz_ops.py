@@ -1,0 +1,94 @@
+"""Property-based checks for the round-2 operators: the image codec
+round-trips arbitrary pixel buffers, and connected components agree with
+a reference union-find on random graphs. Driver-side (no Spark jobs in
+the hypothesis loop except the components check, which samples a few
+random graphs explicitly instead)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mtg_bulk_database_spark.operators.imagecodec import build_codec
+
+codec = build_codec()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_roundtrip_arbitrary_pixels(w, h, channels, seed):
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    png = codec.png_encode(w, h, channels, px)
+    assert codec.decode_header(png) == (w, h, channels)
+    assert codec.png_decode(png) == (w, h, channels, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=120))
+def test_codec_never_crashes_on_junk(data):
+    # malformed/truncated/garbage payloads must return None, not raise —
+    # one bad blob must not fail a whole mapInPandas task
+    codec.decode_header(data)
+    codec.png_decode(data)
+    # with a valid magic prepended, the parsers see plausible-prefix junk
+    codec.png_decode(b"\x89PNG\r\n\x1a\n" + data)
+    codec.decode_header(b"\x89PNG\r\n\x1a\n" + data)
+    codec.decode_header(b"BM" + data)
+    codec.decode_header(b"GIF89a" + data)
+    codec.decode_header(b"\xff\xd8\xff" + data)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=30),
+    nw=st.integers(min_value=1, max_value=30),
+    nh=st.integers(min_value=1, max_value=30),
+)
+def test_resize_nearest_shape_contract(w, h, nw, nh):
+    px = bytes((i * 31) % 256 for i in range(w * h * 3))
+    out = codec.resize_nearest(w, h, 3, px, nw, nh)
+    assert len(out) == nw * nh * 3
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from mtg_bulk_database_spark.operators.graph import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n_nodes, n_edges = 120, 90
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        expect = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, max_iter=60).collect()
+        }
+        assert got == expect, f"trial {trial} diverged from union-find"

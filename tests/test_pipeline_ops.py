@@ -192,6 +192,31 @@ def test_embedding_near_dup_lsh_precision(emb):
     assert len(rows) < n * (n - 1) / 4
 
 
+def test_curate_corpus_invariants(spark, docs):
+    from mtg_bulk_database_spark.operators.curation import curate_corpus
+    from mtg_bulk_database_spark.operators.text_analysis import (
+        with_fingerprint,
+        with_quality_score,
+    )
+
+    out = curate_corpus(docs)
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()  # gates + dedup actually dropped docs
+    assert all(r["quality_score"] >= 0.5 for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # no two kept docs share a fingerprint (exact/shuffled dups collapsed)
+    kept_ids = [r["doc_id"] for r in rows]
+    fps = (
+        with_fingerprint(with_quality_score(docs))
+        .filter(F.col("doc_id").isin(kept_ids))
+        .select("fingerprint")
+    )
+    assert fps.count() == fps.distinct().count()
+    # deterministic: a second run returns the identical set
+    again = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    assert set(kept_ids) == again
+
+
 def test_connected_components(spark):
     from mtg_bulk_database_spark.operators.graph import connected_components
 

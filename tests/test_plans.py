@@ -80,3 +80,31 @@ def test_projection_prunes_wide_scan(spark):
     # q05 projects 2 columns + reads the filter column: nothing else
     df = QUERIES["q05_ilike_substring"](spark, SF_DIR)
     assert read_schema_columns(df) == {"doc_id", "source", "text"}
+
+
+def test_q63_tokenizes_once(spark):
+    # the repetition metrics reference the token array 6+ times; the
+    # materialized-projection pattern must keep exactly ONE split()
+    # in the physical plan (inline re-evaluation was the measured
+    # 10-30x trap documented in dedup.py)
+    df = QUERIES["q63_repetition_metrics"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("split(") == 1, "token array re-evaluated"
+    assert read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_q65_interval_join_keeps_equi_key(spark):
+    # the attribution join must execute as an equi-join on user_id with
+    # the time range as a post-condition — NOT a broadcast nested loop
+    # over the cross product (what Spark does when no equi key is found)
+    df = QUERIES["q65_attribution_counts"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q66_count_distinct_partial_agg(spark):
+    df = QUERIES["q66_token_doc_frequency"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan  # top-20 never fully sorts
