@@ -74,3 +74,20 @@ def curate_corpus(
     return text_analysis.with_train_split(curated).select(
         "doc_id", "source", "n_tokens", "quality_score", "split"
     )
+
+
+def write_curated(df: DataFrame, path: str, partition_by: str = "split") -> None:
+    """Materialize a curated corpus partitioned by split (train/val/test
+    land in separate directories, so a training job reads its split with
+    partition pruning — no full-corpus scan, no row filter).
+
+    Repartitions on the partition column first so each split directory
+    gets coherent files instead of one sliver per shuffle partition
+    (the small-files problem; same rationale as the merge sink).
+    """
+    (
+        df.repartition(F.col(partition_by))
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+        .parquet(path)
+    )

@@ -347,6 +347,99 @@ def q60(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Classic multiway fact joins (TPC-H Q3/Q10 shapes over the driver's
+# TPC-H-ish tables): selective dim filters reach the scans, the fact
+# join shuffles once, revenue sums are decimal-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q73_shipping_priority",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+def q73(spark, sf_dir):
+    import datetime as dt
+
+    cutoff = dt.datetime(1995, 3, 15)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q74_returned_item_ranking",
+    """SELECT c_custkey, c_name,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+              c_acctbal, n_name
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q74(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — the 100 TB path for q15's exact distincts:
+# HLL++ sketches merge associatively (one pass, no giant hash set per
+# group). Sketch values are engine-specific by construction → rows-only
+# driver check; tests/test_pipeline_ops.py pins relative error vs exact.
+# ---------------------------------------------------------------------------
+@query("q72_approx_distinct")
+def q72(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distribution-rank window family: ntile / percent_rank / cume_dist —
 # the rank functions q59 doesn't cover. Deterministic because the window
 # order carries a full tie-break.

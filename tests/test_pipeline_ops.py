@@ -192,6 +192,30 @@ def test_embedding_near_dup_lsh_precision(emb):
     assert len(rows) < n * (n - 1) / 4
 
 
+def test_approx_distinct_error_bound(spark):
+    from mtg_bulk_database_spark.registry import load_registry
+
+    Q, _ = load_registry()
+    approx = {
+        r["l_returnflag"]: r for r in Q["q72_approx_distinct"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("orders"),
+            F.count_distinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        # rsd=0.02 → generous 3-sigma-ish bound of 6%
+        assert abs(a["approx_orders"] - e["orders"]) <= 0.06 * e["orders"]
+        assert abs(a["approx_parts"] - e["parts"]) <= 0.06 * e["parts"]
+
+
 def test_curate_corpus_invariants(spark, docs):
     from mtg_bulk_database_spark.operators.curation import curate_corpus
     from mtg_bulk_database_spark.operators.text_analysis import (
@@ -215,6 +239,26 @@ def test_curate_corpus_invariants(spark, docs):
     # deterministic: a second run returns the identical set
     again = {r["doc_id"] for r in curate_corpus(docs).collect()}
     assert set(kept_ids) == again
+
+
+def test_write_curated_partitioned_by_split(spark, docs, tmp_path):
+    import os
+
+    from mtg_bulk_database_spark.operators.curation import (
+        curate_corpus,
+        write_curated,
+    )
+
+    out = curate_corpus(docs)
+    path = str(tmp_path / "curated")
+    write_curated(out, path)
+    dirs = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert dirs <= {"split=train", "split=val", "split=test"} and "split=train" in dirs
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    # a training job's read is partition-pruned: one directory only
+    train = spark.read.parquet(path).filter(F.col("split") == "train")
+    assert train.count() == out.filter(F.col("split") == "train").count()
 
 
 def test_connected_components(spark):
