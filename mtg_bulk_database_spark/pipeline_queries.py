@@ -156,6 +156,18 @@ def q37(spark, sf_dir):
     return similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
 
 
+@query("q75_ivf_ann_topk")  # data-adaptive ANN: spherical k-means coarse
+# quantizer + probe-pruned scan. Seeded k-means is run-deterministic but
+# its float iteration isn't SQL-expressible → rows-only; recall vs the
+# exact q36 is pinned in tests/test_pipeline_ops.py::test_ivf_ann_topk
+def q75(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    pool = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = similarity.ivf_index(pool, n_lists=16)
+    return similarity.ivf_topk(assigned, centroids, qv, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
