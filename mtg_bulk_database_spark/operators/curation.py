@@ -76,17 +76,29 @@ def curate_corpus(
     )
 
 
-def write_curated(df: DataFrame, path: str, partition_by: str = "split") -> None:
+def write_curated(
+    df: DataFrame,
+    path: str,
+    partition_by: str = "split",
+    files_per_partition: int = 8,
+) -> None:
     """Materialize a curated corpus partitioned by split (train/val/test
     land in separate directories, so a training job reads its split with
     partition pruning — no full-corpus scan, no row filter).
 
-    Repartitions on the partition column first so each split directory
-    gets coherent files instead of one sliver per shuffle partition
-    (the small-files problem; same rationale as the merge sink).
+    File-count control: shuffling on the partition column ALONE would
+    hash a 3-value column into 3 tasks — one executor core writing ~90%
+    of the corpus (the train split) serially. Adding a bounded row-hash
+    subkey keeps ≤ ``files_per_partition`` coherent files per split
+    while every one of them writes in parallel; size it so file count ×
+    target file size ≈ split size at your scale.
     """
+    subkey = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns if c != partition_by]),
+        F.lit(files_per_partition),
+    )
     (
-        df.repartition(F.col(partition_by))
+        df.repartition(F.col(partition_by), subkey)
         .write.mode("overwrite")
         .partitionBy(partition_by)
         .parquet(path)

@@ -81,17 +81,24 @@ def shingles(tok: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(F.transform(idx, parts)))
 
 
+def _token_projection(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shared scaffolding for both shingle builders: tokens materialize
+    once per row in their OWN projection, and the too-short filter runs
+    on the token count BEFORE any shingle expression exists — filtering
+    on shingles afterwards would push the whole shingle expression down
+    into the Filter and re-evaluate it per row (the measured 10-30×
+    plan trap; see shingles() docstring)."""
+    return df.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
+        F.size("_tok") >= k
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
-    # two projections: tokens materialize once per row, then the shingle
-    # builder references the bound attribute (see shingles() docstring).
-    # The too-short filter runs on the token count BEFORE the shingle
-    # projection — filtering on shingles afterwards would push the whole
-    # shingle expression down into the Filter and re-evaluate it per row.
-    tok = df.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
-        F.size("_tok") >= k
-    )
+    tok = _token_projection(df, text_col, id_col, k)
     return tok.select(
         F.col(id_col), shingles(F.col("_tok"), k).alias("shingles")
     )
@@ -109,9 +116,7 @@ def with_hashed_shingles(
     element — fine for the approximate operators; the exact oracle-
     checked path (:func:`ngram_jaccard_pairs`) stays on strings.
     """
-    tok = df.select(F.col(id_col), tokens(text_col).alias("_tok")).filter(
-        F.size("_tok") >= k
-    )
+    tok = _token_projection(df, text_col, id_col, k)
     t = F.col("_tok")
     hashed = F.array_distinct(
         F.transform(
@@ -232,12 +237,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 13,
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash candidates, then **exact**
-    Jaccard verification of candidates only.
+    """Near-dup pairs via banded MinHash candidates, then Jaccard
+    verification of candidates over hashed shingles.
 
     With 64 perms in 16 bands of 4 rows, a pair at s=0.8 is a candidate
     with p ≈ 0.9998; misses are possible by construction (documented
-    approximate recall), false positives are impossible (exact verify).
+    approximate recall). The verify step computes jaccard on int64
+    hashed shingles, so a false positive requires an xxhash64 collision
+    within one document pair's shingle sets (P ≈ n²/2⁶⁴ — negligible
+    but not zero; the string-exact zero-FP guarantee lives in
+    :func:`ngram_jaccard_pairs`).
     """
     rows = num_perm // bands
     # materialized once: the signature frame feeds the band explode and

@@ -347,15 +347,88 @@ def q60(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sliding (hopping) event-time windows — the overlap variant of q23's
+# tumbling windows; each event lands in window/slide = 4 windows. The
+# same Spark operator runs streaming with a watermark (streaming/events
+# uses the identical F.window); the oracle expands the 4 memberships
+# per event explicitly.
+# ---------------------------------------------------------------------------
+@query(
+    "q76_sliding_window",
+    """SELECT make_timestamp(CAST((floor(epoch(ts)/900)*900 - k*900)
+                                  * 1000000 AS BIGINT)) AS w_start,
+              event_type, count(*) AS n_events
+       FROM events, unnest([0, 1, 2, 3]) AS t(k)
+       GROUP BY 1, 2""",
+)
+def q76(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops: EXCEPT ALL / INTERSECT ALL (q19/q20 cover the SET
+# variants; Spark's exceptAll/intersectAll are the bag semantics, tagged
+# into one result).
+# ---------------------------------------------------------------------------
+@query(
+    "q77_multiset_ops",
+    """SELECT 'except_all' AS op, l_partkey FROM (
+         SELECT l_partkey FROM lineitem
+         EXCEPT ALL
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+       )
+       UNION ALL
+       SELECT 'intersect_all' AS op, l_partkey FROM (
+         SELECT l_partkey FROM lineitem
+         INTERSECT ALL
+         SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+       )""",
+)
+def q77(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return (
+        a.exceptAll(b)
+        .withColumn("op", F.lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("op", F.lit("intersect_all")))
+        .select("op", "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Classic multiway fact joins (TPC-H Q3/Q10 shapes over the driver's
 # TPC-H-ish tables): selective dim filters reach the scans, the fact
 # join shuffles once, revenue sums are decimal-exact.
 # ---------------------------------------------------------------------------
+_REVENUE_EXPR = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue_dsum():
+    from .queries import _dsum
+
+    return _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+
+
+def _sql_revenue_dsum() -> str:
+    from .queries import _sql_dsum
+
+    return _sql_dsum(_REVENUE_EXPR, "revenue")
+
+
 @query(
     "q73_shipping_priority",
-    """SELECT l_orderkey,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    f"""SELECT l_orderkey,
+              {_sql_revenue_dsum()},
               o_orderdate, o_orderpriority
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
@@ -369,6 +442,10 @@ def q73(spark, sf_dir):
     import datetime as dt
 
     cutoff = dt.datetime(1995, 3, 15)
+    # no explicit broadcast hint: the filtered customer side scales with
+    # sf (~30k x sf rows in-segment), so the choice belongs to AQE's
+    # runtime size estimate, not a baked-in plan shape — forcing it
+    # would hard-code a driver OOM at large sf
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -378,14 +455,11 @@ def q73(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(cutoff)
     )
-    rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    ).cast("double")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rev.alias("revenue"))
+        .agg(_revenue_dsum())
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -393,9 +467,8 @@ def q73(spark, sf_dir):
 
 @query(
     "q74_returned_item_ranking",
-    """SELECT c_custkey, c_name,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    f"""SELECT c_custkey, c_name,
+              {_sql_revenue_dsum()},
               c_acctbal, n_name
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
@@ -408,16 +481,14 @@ def q74(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # nation is a FIXED-SIZE dim (25 rows at any sf) — broadcast is safe
     nation = load_table(spark, sf_dir, "nation")
-    rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    ).cast("double")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(rev.alias("revenue"))
+        .agg(_revenue_dsum())
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

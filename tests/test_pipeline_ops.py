@@ -1,8 +1,9 @@
 """Operator-quality tests for the training-data pipeline: the
 approximate operators (MinHash-LSH, SimHash, hyperplane-LSH ANN) are
 checked against their exact counterparts on the driver's synthetic
-corpus — recall is pinned, false positives are impossible by
-construction (exact verification step)."""
+corpus — recall is pinned, and candidate verification bounds false
+positives (exact for the string-shingle path; collision-bounded
+P ≈ n²/2⁶⁴ for the int64-hashed MinHash path)."""
 
 from __future__ import annotations
 

@@ -103,6 +103,31 @@ def test_q65_interval_join_keeps_equi_key(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_hashed_shingles_tokenize_once(spark):
+    # both shingle builders share the two-projection scaffolding; pin
+    # the hashed variant's plan too so a refactor of one can't silently
+    # reacquire the inline re-tokenization trap in the other
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators.dedup import (
+        with_hashed_shingles,
+        with_shingles,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for builder in (with_shingles, with_hashed_shingles):
+        plan = executed_plan(builder(docs, "text", "doc_id", 3))
+        # tokenize appears exactly twice as an EVALUATION: the _tok
+        # projection + the cheap size-precursor filter (its echo in the
+        # FileScan description is display only). The failure mode being
+        # pinned: the shingle transform must reference the _tok
+        # ATTRIBUTE — a plan line that builds shingles from an inline
+        # split() re-tokenizes per element (the 10-30x trap).
+        for line in plan.splitlines():
+            if "sequence(" in line:  # the shingle-builder projection
+                assert "split(" not in line, f"{builder.__name__}: {line[:200]}"
+        assert plan.count("split(") <= 3, builder.__name__
+
+
 def test_q66_count_distinct_partial_agg(spark):
     df = QUERIES["q66_token_doc_frequency"](spark, SF_DIR)
     plan = executed_plan(df)
