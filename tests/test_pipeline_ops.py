@@ -193,6 +193,38 @@ def test_embedding_near_dup_lsh_precision(emb):
     assert len(rows) < n * (n - 1) / 4
 
 
+def test_sql_surface_matches_dataframe(spark):
+    """The engine's second query surface: the catalog registers every
+    table as a temp view, so plain ``spark.sql`` answers the same
+    questions as the DataFrame registry — one Catalyst plan space, two
+    front-ends (the reference's model: schema declares, any SQL client
+    queries)."""
+    from mtg_bulk_database_spark.catalog import load_all
+    from mtg_bulk_database_spark.registry import load_registry
+
+    Q, _ = load_registry()
+    load_all(spark, SF_DIR, register=True)
+    cases = {
+        "q16_sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "q15_distinct_counts": """
+            SELECT count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(*) AS n_rows FROM lineitem""",
+        "q64_train_split": """
+            SELECT doc_id, substring(md5(text), 1, 2) AS split_bucket,
+                   CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train'
+                        WHEN substring(md5(text), 1, 2) < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+    }
+    for name, sql in cases.items():
+        via_df = sorted(map(tuple, Q[name](spark, SF_DIR).collect()))
+        via_sql = sorted(map(tuple, spark.sql(sql).collect()))
+        assert via_df == via_sql, name
+
+
 def test_approx_distinct_error_bound(spark):
     from mtg_bulk_database_spark.registry import load_registry
 
