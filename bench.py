@@ -51,6 +51,12 @@ HEADLINE = [
     "q57_percentiles",
     "q59_window_suite",
     "q60_moving_sum",
+    "q61_dup_clusters",
+    "q65_attribution_counts",
+    "q71_curate_corpus",
+    "q73_shipping_priority",
+    "q74_returned_item_ranking",
+    "q75_ivf_ann_topk",
 ]
 
 

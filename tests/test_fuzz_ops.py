@@ -87,8 +87,16 @@ def test_connected_components_matches_union_find(spark):
         ]
         expect = _union_find_components(edges)
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        got = {
-            r["node"]: r["component"]
-            for r in connected_components(pairs, max_iter=60).collect()
-        }
-        assert got == expect, f"trial {trial} diverged from union-find"
+        # both execution modes must agree with the independent oracle:
+        # local_threshold=0 forces the distributed label propagation,
+        # the default takes the driver-local union-find tail solve
+        for thresh in (0, 2_000_000):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    pairs, max_iter=60, local_threshold=thresh
+                ).collect()
+            }
+            assert got == expect, (
+                f"trial {trial} (local_threshold={thresh}) diverged from union-find"
+            )

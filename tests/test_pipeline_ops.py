@@ -314,11 +314,13 @@ def test_connected_components(spark):
 def test_connected_components_deep_chain_converges(spark):
     from mtg_bulk_database_spark.operators.graph import connected_components
 
-    # a 30-hop path exercises multi-round propagation (diameter > 1 round)
+    # a 30-hop path exercises multi-round propagation (diameter > 1
+    # round); local_threshold=0 forces the DISTRIBUTED path so the
+    # convergence loop itself is what's under test
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    out = connected_components(pairs, max_iter=40).collect()
+    out = connected_components(pairs, max_iter=40, local_threshold=0).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == 31
 
