@@ -57,6 +57,9 @@ HEADLINE = [
     "q73_shipping_priority",
     "q74_returned_item_ranking",
     "q75_ivf_ann_topk",
+    "q80_doc_chunks",
+    "q84_winnow_fingerprints",
+    "q88_global_interval_join",
 ]
 
 

@@ -181,6 +181,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_ngram_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Decontamination: flag training documents sharing ≥ ``min_hits``
+    distinct word n-grams with a benchmark/eval corpus (the standard
+    n-gram-overlap contamination check run before any training job).
+    Returns (id, n_overlapping_ngrams) for flagged docs — anti-join the
+    result against the corpus to drop them.
+
+    Scale shape: the benchmark side is tiny next to the corpus (eval
+    sets are thousands of docs, the corpus is billions), so its DISTINCT
+    n-gram set is broadcast — the corpus side is one exploded projection
+    probed by a broadcast hash join, no shuffle of corpus data at all.
+    The count is per (train doc, distinct benchmark n-gram), matching
+    the "how many eval n-grams leak into this doc" definition.
+    """
+    tr = with_shingles(train, text_col, id_col, k=n)
+    ex = tr.select(F.col(id_col), F.explode_outer("shingles").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    bench_grams = (
+        with_shingles(benchmark, text_col, id_col, k=n)
+        .select(F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    hits = ex.join(F.broadcast(bench_grams), on="s").groupBy(id_col).agg(
+        F.count("*").alias("n_overlapping_ngrams")
+    )
+    return hits.filter(F.col("n_overlapping_ngrams") >= min_hits)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

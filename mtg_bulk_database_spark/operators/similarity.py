@@ -118,6 +118,53 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# Scalar quantization: 4× smaller vectors for the ANN scan path.
+# ---------------------------------------------------------------------------
+
+
+def with_quantized_embedding(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: qᵢ = ⌊vᵢ·(127/max|v|) + ½⌋,
+    stored with the per-vector ``q_scale`` needed to dequantize. The
+    compressed column is what a 100 TB ANN deployment scans — 4× less
+    I/O and memory than float32 at a recall cost the tests pin.
+
+    Determinism: ⌊x + ½⌋ (not round()) — half-even vs half-away tie
+    rules differ across engines, floor doesn't, so the oracle matches
+    bit-for-bit. All-zero vectors quantize to zeros with scale 1.
+    Pure columnar (two HOF passes, codegen'd), no shuffle.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    # let-bind the scale so it computes once per row, not once per element
+    qvec = F.element_at(
+        F.transform(
+            F.array(scale),
+            lambda s: F.transform(
+                vd, lambda x: F.floor(x * s + F.lit(0.5)).cast("int")
+            ),
+        ),
+        1,
+    )
+    # scale is a single IEEE division (127/max) — bit-identical in any
+    # engine, so it's stored unrounded
+    return df.withColumn("q_embedding", qvec).withColumn("q_scale", scale)
+
+
+def dequantize(q_col: Column, scale_col: Column) -> Column:
+    """array<double> reconstruction: vᵢ ≈ qᵢ / scale."""
+    return F.element_at(
+        F.transform(
+            F.array(scale_col),
+            lambda s: F.transform(q_col, lambda q: q.cast("double") / s),
+        ),
+        1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means centroids as the coarse quantizer.
 # ---------------------------------------------------------------------------
 

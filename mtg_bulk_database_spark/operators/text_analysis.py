@@ -187,12 +187,151 @@ def with_train_split(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split every document into overlapping token windows — the
+    context-window preparation step of a training pipeline (one training
+    sample per chunk). Emits one row per chunk:
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Stride = chunk_tokens − overlap; windows start at 0, stride, 2·stride
+    … while the start is inside the document, so every token lands in at
+    least one chunk and the tail chunk may be short (standard sliding-
+    window semantics). Zero-token documents produce no chunks.
+
+    Scale shape: tokenize → per-row window expansion (sequence +
+    transform + slice, all codegen'd) → posexplode. No shuffle at all —
+    chunking is embarrassingly parallel and the output inherits the
+    input's partitioning; the fan-out factor is ~n_tokens/stride per
+    doc, visible to AQE for downstream re-coalescing.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    t = F.col("_chunk_toks")
+    n = F.size(t)
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_chunk_toks")).filter(
+        n > 0
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: F.slice(t, s + 1, chunk_tokens),
+    )
+    # posexplode_OUTER + output-side null filter: plain posexplode lets
+    # InferFiltersFromGenerate push a `size(windows)>0` filter that
+    # re-inlines (and re-evaluates) the whole window expression per row
+    # — the measured 10-30× plan trap documented in dedup.py
+    exploded = staged.select(
+        F.col(id_col), F.posexplode_outer(windows).alias("chunk_idx", "_chunk")
+    ).filter(F.col("_chunk").isNotNull())
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        F.size("_chunk").alias("n_chunk_tokens"),
+    )
+
+
+#: redaction passes, applied in order; counts are computed on the text
+#: as it stood BEFORE that pass (so an email's digits never double-count
+#: as a phone). Patterns stay inside the Java-regex ∩ RE2 common subset
+#: so the DuckDB oracle runs them verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+)
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII scrubbing (emails, IPv4s, phone-shaped numbers) — the
+    compliance pass a training corpus runs before anything else. Emits
+    ``redacted_text`` + one ``n_<kind>`` count per pattern.
+
+    Pure columnar: k regexp passes inside one codegen stage, no UDF, no
+    shuffle. Pattern list is deliberately conservative/auditable — at
+    production scale swap in a vetted pattern pack (same plan shape,
+    more passes) or an NER model via mapInPandas for the fuzzy classes.
+    """
+    out = df
+    cur: Column = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumn("redacted_text", cur)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct non-stopword token set — a canonical-form hash that
     catches shuffled/reordered copies exact dedup misses."""
     canon = F.concat_ws(" ", F.array_sort(ts_tokens(text_col)))
     return df.withColumn("fingerprint", F.md5(canon))
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every char ``k``-gram of the normalized text,
+    then keep the minimum hash of each sliding ``window`` — guarantees
+    any shared substring of length ≥ k+window−1 contributes at least one
+    common fingerprint, at ~1/window the storage of full k-gram sets.
+    Emits ``winnow_fps``: the sorted distinct fingerprint set.
+
+    The "rolling hash" here is an md5 prefix per k-gram rather than a
+    Rabin-Karp recurrence: Spark evaluates the k-grams as one columnar
+    HOF pass where sharing state between positions isn't expressible —
+    and an 8-hex-char prefix keeps the min-in-window comparison a plain
+    lexicographic string min that any SQL engine reproduces exactly.
+
+    Three chained projections (base string → hash array → window mins),
+    each column materialized as an attribute before the next references
+    it — the inline-expression re-evaluation guard documented in
+    dedup.py. No shuffle; fingerprints are ready to explode into the
+    posting-list join that powers substring-level dup mining.
+    """
+    base = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    staged = df.withColumn("_wf_base", base)
+    b = F.col("_wf_base")
+    n_grams = F.length(b) - (k - 1)
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(F.substring(b, i, k)), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("_wf_hashes", hashes)
+    h = F.col("_wf_hashes")
+    n_windows = F.size(h) - (window - 1)
+    fps = (
+        F.when(F.size(h) == 0, F.array().cast("array<string>"))
+        .when(F.size(h) < window, F.array(F.array_min(h)))
+        .otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_windows),
+                        lambda j: F.array_min(F.slice(h, j, window)),
+                    )
+                )
+            )
+        )
+    )
+    return staged.withColumn("winnow_fps", fps).drop("_wf_base", "_wf_hashes")
 
 
 # --- DuckDB-SQL twins (shared with pipeline_queries) ----------------------

@@ -28,6 +28,6 @@ def query(name: str, sql: str | None = None):
 
 def load_registry():
     """Import all query modules for their registration side effects."""
-    from . import queries, pipeline_queries, queries_extra  # noqa: F401
+    from . import queries, pipeline_queries, pipeline_queries2, queries_extra  # noqa: F401
 
     return QUERIES, ORACLE_SQL
