@@ -37,12 +37,40 @@ TESTDATA_TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+#: tables whose operators are per-row CPU-heavy (regex tokenize, HOF
+#: shingling, 64-perm minhash, vector math) rather than scan/shuffle
+#: bound — worth fanning out when the scan under-parallelizes.
+_CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
+#: (applicationId, path) → scan partition count, so the one-off RDD
+#: materialization that answers "how parallel is this scan?" runs once
+#: per table per app, not once per query.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_worker_imports(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in _CPU_HEAVY_TABLES:
+        # Small single-file tables scan as ONE partition (a parquet file
+        # is only splittable at row-group boundaries), which serializes
+        # every downstream tokenize/shingle/minhash projection on one
+        # core — measured 20-25% off the heavy dedup operators at sf0.1
+        # from this fan-out alone. Guarded: at production scale these
+        # tables arrive as many files/row-groups, the scan is already
+        # ≥ defaultParallelism, and no shuffle is added.
+        want = spark.sparkContext.defaultParallelism
+        key = (spark.sparkContext.applicationId, path)
+        have = _SCAN_PARTS.get(key)
+        if have is None:
+            have = df.rdd.getNumPartitions()
+            _SCAN_PARTS[key] = have
+        if have < want:
+            df = df.repartition(want)
+    return df
 
 
 _SHIPPED_APPS: set[str] = set()

@@ -175,6 +175,7 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    train_per_list: int = 256,
 ):
     """Train the coarse quantizer and assign every vector to its nearest
     centroid. Returns (assigned_df, centroids). At scale the assigned
@@ -209,6 +210,26 @@ def ivf_index(
     # refinement — a coarse quantizer converges in a handful of rounds
     # and ANN recall beyond that is probe-count-dominated.
     with_vec = df.withColumn("_features", array_to_vector(unit)).cache()
+    # The quantizer trains on a SAMPLE, not the full table (the FAISS
+    # convention: ~256 train vectors per list) — at 100 TB, max_iter
+    # full-table Lloyd passes would dominate the whole index build,
+    # and centroids from a representative sample are statistically
+    # equivalent for a COARSE quantizer. The sample is a deterministic
+    # hash filter on the vector bytes (engine- and partitioning-
+    # independent, unlike Bernoulli sample()), coalesced to a few
+    # partitions so each Lloyd pass is a handful of tasks instead of a
+    # full task wave per iteration (measured ~25% off the build at
+    # sf0.1 after the scan fan-out raised input parallelism).
+    total = with_vec.count()  # also primes the cache for fit/transform
+    target = train_per_list * n_lists
+    if total > target:
+        frac_mille = max(1, int(1000 * target / total))
+        train = with_vec.filter(
+            F.pmod(F.xxhash64(vec_col), F.lit(1000)) < F.lit(frac_mille)
+        )
+    else:
+        train = with_vec
+    train = train.coalesce(max(1, min(32, target // 1024)))
     km = KMeans(
         k=n_lists,
         seed=seed,
@@ -216,7 +237,7 @@ def ivf_index(
         predictionCol="list_id",
         maxIter=max_iter,
     )
-    model = km.fit(with_vec)
+    model = km.fit(train)
     assigned = model.transform(with_vec).drop("_features")
     # materialize the assignment before releasing the feature cache so
     # downstream probes don't silently recompute the k-means input

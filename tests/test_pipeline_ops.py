@@ -50,6 +50,26 @@ def test_minhash_lsh_matches_exact_jaccard(docs):
     assert recall == 1.0, f"LSH recall {recall} on the engineered near-dups"
 
 
+def test_prefix_jaccard_equals_lean_jaccard(docs):
+    """The AllPairs prefix-filtered formulation is EXACT: it must agree
+    with the lean posting-join formulation pair-for-pair AND value-for-
+    value (same integer counts → identical double division)."""
+    for thr in (0.8, 0.5):
+        lean = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", 3, thr
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, "text", "doc_id", 3, thr
+            ).collect()
+        }
+        assert lean and pref == lean
+
+
 def test_simhash_finds_near_dups(docs):
     exact = _pairs(dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.9))
     sim = _pairs(dedup.simhash_near_pairs(docs, "text", "doc_id"))
@@ -137,12 +157,16 @@ def test_udtf_shingles(spark, docs):
 
     ShingleExpander = shingle_udtf_class()
     spark.udtf.register("shingle_expand", ShingleExpander)
-    docs.limit(20).createOrReplaceTempView("_udtf_docs")
+    # deterministic subset: limit() after the catalog fan-out picks
+    # arbitrary rows; a key filter pins the same 20 docs on both sides
+    docs.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
     out = spark.sql(
         """SELECT s.* FROM _udtf_docs,
            LATERAL shingle_expand(doc_id, text, 3) s"""
     )
-    relational = with_shingles(docs.limit(20), "text", "doc_id", 3)
+    relational = with_shingles(
+        docs.filter(F.col("doc_id") < 20), "text", "doc_id", 3
+    )
     n_expected = relational.select(
         F.explode("shingles")
     ).count()
@@ -450,7 +474,7 @@ def test_ivf_ann_topk(emb):
 
 
 def test_multimodal_resize_and_frames(docs):
-    media = multimodal.as_media_table(docs.limit(50))
+    media = multimodal.as_media_table(docs.filter(F.col("doc_id") < 50))
     resized = multimodal.resize_images(media, max_side=100)
     rows = resized.collect()
     assert len(rows) == 50
