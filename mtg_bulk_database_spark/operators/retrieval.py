@@ -1,0 +1,183 @@
+"""Ranked retrieval over the corpus: BM25 scoring and hybrid
+(lexical + semantic) fusion.
+
+The reference's query surface stops at boolean full-text match
+(PostgreSQL ``@@ to_tsquery``, reference ``init.sql:144-146`` — see
+``functions/text.py`` for the tokenizer parity story); a training-data
+pipeline additionally needs RANKED retrieval — "give me the best k
+documents for this probe" — for eval-set mining, hard-negative mining,
+and corpus inspection. This module adds the two standard shapes:
+
+- :func:`bm25_scores` — Okapi BM25 (Robertson et al., TREC-3), the
+  classic sparse ranker.
+- :func:`rrf_fuse` — reciprocal-rank fusion (Cormack et al., SIGIR'09)
+  of any two ranked lists, used here to fuse BM25 with embedding
+  cosine into a hybrid retriever.
+
+Scale design: every step is a columnar expression over one corpus scan.
+Per-term term-frequencies are ``size(filter(tokens, t = term))`` inside
+one projection (no explode, no per-term shuffle); the corpus-level
+statistics (N, avgdl, per-term document frequency) reduce to ONE tiny
+aggregate row that is broadcast back over the scan — so the whole
+scorer is scan → 1-row agg → broadcast-join → projection → top-k
+(TakeOrderedAndProject), with no wide shuffle anywhere. At 100 TB the
+only full-data pass is the scan itself, and the driver never holds more
+than the stats row + the k results.
+
+Determinism contract (drives the DuckDB oracle): within-row arithmetic
+on IEEE doubles is exactly rounded, so identical expression trees give
+bit-identical scores on any engine; the only transcendental (ln in the
+idf) is rounded to 6 decimals on both sides before use, and there is NO
+cross-row float accumulation anywhere (the per-document score sums a
+fixed, ordered list of per-term contributions inside one row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tf(toks, term: str):
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score every document against ``terms``; returns
+    ``(id_col, bm25)`` for documents with a positive score.
+
+    idf uses the "+1" (Lucene-style, never-negative) variant:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, rounded to 6 decimals.
+    """
+    toks_col = tokens(text_col)
+    base = df.select(F.col(id_col), toks_col.alias("_toks"))
+    dl = F.size("_toks")
+
+    # ONE corpus-stats row: N, Σdl, df per term — broadcast back over
+    # the scan (the q86 winsorize pattern); no collect, no extra pass.
+    stat_aggs = [
+        F.count("*").alias("_n"),
+        F.sum(dl.cast("long")).alias("_sumdl"),
+    ]
+    for i, t in enumerate(terms):
+        stat_aggs.append(
+            F.sum((_tf(F.col("_toks"), t) > 0).cast("long")).alias(f"_df{i}")
+        )
+    stats = base.agg(*stat_aggs)
+
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    contribs = []
+    for i, t in enumerate(terms):
+        tf = _tf(F.col("_toks"), t).cast("double")
+        dfreq = F.col(f"_df{i}").cast("double")
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n").cast("double") - dfreq + F.lit(0.5))
+                / (dfreq + F.lit(0.5))
+            ),
+            6,
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * (dl.cast("double") / avgdl)
+        )
+        contribs.append(idf * ((tf * F.lit(k1 + 1.0)) / denom))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .filter(F.col("bm25") > 0)
+        .select(id_col, "bm25")
+    )
+
+
+def sql_bm25_scores(
+    terms: Sequence[str],
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` — same expression tree so the
+    doubles are bit-identical (see module docstring)."""
+    toks = sql_tokens(text_expr)
+    tf = lambda t: f"len(list_filter(_toks, x -> x = '{t}'))"  # noqa: E731
+    df_cols = ",\n               ".join(
+        f"SUM(CASE WHEN {tf(t)} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = []
+    for i, t in enumerate(terms):
+        idf = (
+            f"round(ln(1.0 + (CAST(_n AS DOUBLE) - CAST(_df{i} AS DOUBLE)"
+            f" + 0.5) / (CAST(_df{i} AS DOUBLE) + 0.5)), 6)"
+        )
+        tfd = f"CAST({tf(t)} AS DOUBLE)"
+        denom = (
+            f"({tfd} + {k1!r} * (1.0 - {b!r} + {b!r} *"
+            f" (CAST(len(_toks) AS DOUBLE) / _avgdl)))"
+        )
+        contribs.append(f"{idf} * (({tfd} * {k1 + 1.0!r}) / {denom})")
+    score = " + ".join(contribs)
+    return f"""
+        WITH _b AS (SELECT {id_col}, {toks} AS _toks FROM {table}),
+        _s AS (SELECT COUNT(*) AS _n, SUM(len(_toks)) AS _sumdl,
+               {df_cols}
+               FROM _b),
+        _j AS (SELECT _b.*, _s.*,
+                      CAST(_sumdl AS DOUBLE) / CAST(_n AS DOUBLE) AS _avgdl
+               FROM _b, _s)
+        SELECT {id_col}, round({score}, 6) AS bm25
+        FROM _j WHERE round({score}, 6) > 0"""
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (full outer — an item
+    present in one list only still gets that list's contribution):
+
+        rrf = Σ_lists 1/(k + rank_list)
+
+    Ranks are dense over (score DESC, id ASC) so they are deterministic
+    under ties; the fused score is a two-term within-row sum of exact
+    reciprocals — engine-portable without decimal tricks. Each input is
+    ranked with a single global sort of the (already small) candidate
+    list; fusion is one equi-join on the id.
+    """
+    wa = Window.orderBy(F.col(score_a).desc(), F.col(id_col).asc())
+    wb = Window.orderBy(F.col(score_b).desc(), F.col(id_col).asc())
+    ra = ranked_a.select(id_col, F.row_number().over(wa).alias("_ra"))
+    rb = ranked_b.select(id_col, F.row_number().over(wb).alias("_rb"))
+    fused = ra.join(rb, on=id_col, how="full")
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    return fused.select(
+        id_col,
+        F.round(contrib("_ra") + contrib("_rb"), 6).alias("rrf"),
+    )

@@ -28,6 +28,12 @@ def query(name: str, sql: str | None = None):
 
 def load_registry():
     """Import all query modules for their registration side effects."""
-    from . import queries, pipeline_queries, pipeline_queries2, queries_extra  # noqa: F401
+    from . import (  # noqa: F401
+        pipeline_queries,
+        pipeline_queries2,
+        pipeline_queries3,
+        queries,
+        queries_extra,
+    )
 
     return QUERIES, ORACLE_SQL
