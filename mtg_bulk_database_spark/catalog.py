@@ -153,8 +153,15 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     except AnalysisException:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # newer Spark reads TIMESTAMP(NANOS, adjusted=false) parquet as
+        # TIMESTAMP_NTZ instead of rejecting it; normalize to TIMESTAMP so
+        # downstream arithmetic (e.g. cast-to-double gap math) is legal.
+        # Session tz is pinned UTC, so the instant values are unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
