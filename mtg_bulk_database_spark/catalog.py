@@ -37,31 +37,35 @@ TESTDATA_TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-#: tables whose operators are per-row CPU-heavy (regex tokenize, HOF
-#: shingling, 64-perm minhash, vector math) rather than scan/shuffle
-#: bound — worth fanning out when the scan under-parallelizes.
-_CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
-
 #: (applicationId, path) → scan partition count, so the one-off RDD
 #: materialization that answers "how parallel is this scan?" runs once
 #: per table per app, not once per query.
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Load one testdata table; ``fan_out=True`` widens a narrow scan.
+
+    ``fan_out`` is for callers whose downstream work is per-row
+    CPU-heavy (HOF shingling, 64-perm minhash, vector math): a small
+    single-file table scans as ONE partition (a parquet file is only
+    splittable at row-group boundaries), which serializes the whole
+    projection on one core — the explicit repartition bought 20-25% on
+    the heavy dedup operators at sf0.1. It is opt-in, not automatic:
+    round-2 measurement showed the same repartition taxing every
+    *cheap* scan-bound query on those tables with a full shuffle
+    (q30 2.27×, q05 1.61×). Guarded: at production scale these tables
+    arrive as many files/row-groups, the scan is already
+    ≥ defaultParallelism, and no shuffle is added.
+    """
     _ensure_worker_imports(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _read_events(spark, path)
     df = spark.read.parquet(path)
-    if name in _CPU_HEAVY_TABLES:
-        # Small single-file tables scan as ONE partition (a parquet file
-        # is only splittable at row-group boundaries), which serializes
-        # every downstream tokenize/shingle/minhash projection on one
-        # core — measured 20-25% off the heavy dedup operators at sf0.1
-        # from this fan-out alone. Guarded: at production scale these
-        # tables arrive as many files/row-groups, the scan is already
-        # ≥ defaultParallelism, and no shuffle is added.
+    if fan_out:
         want = spark.sparkContext.defaultParallelism
         key = (spark.sparkContext.applicationId, path)
         have = _SCAN_PARTS.get(key)
@@ -128,10 +132,13 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table's TIMESTAMP(NANOS) parquet portably.
 
-    Spark's parquet reader rejects nano timestamps outright, so we read
-    nanos as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and
-    truncate to microseconds — exactly what DuckDB/Arrow consumers do on
-    read, so every engine sees identical event-time values.
+    Older Spark rejects nano timestamps outright, so we read nanos as
+    raw int64 (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds — exactly what DuckDB/Arrow consumers do on read, so
+    every engine sees identical event-time values. Newer Spark instead
+    resolves ``TIMESTAMP(NANOS, adjusted=false)`` as ``TIMESTAMP_NTZ``
+    (no error), so there is also a normalization branch below that folds
+    that reading back to ``TIMESTAMP``.
 
     SESSION-WIDE SIDE EFFECT (deliberate, documented): the conf is only
     flipped when the plain read actually rejects the file, but once set
@@ -160,8 +167,18 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         # newer Spark reads TIMESTAMP(NANOS, adjusted=false) parquet as
         # TIMESTAMP_NTZ instead of rejecting it; normalize to TIMESTAMP so
         # downstream arithmetic (e.g. cast-to-double gap math) is legal.
-        # Session tz is pinned UTC, so the instant values are unchanged.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # The wall-clock must be pinned as a UTC instant INDEPENDENT of
+        # the session zone (load_table also runs on externally created
+        # sessions, e.g. the verification driver's): cast(ntz AS
+        # timestamp) shifts by the session zone's offset, and
+        # from_utc_timestamp applies the inverse shift, so the
+        # composition yields wall-clock == UTC instant under any zone
+        # and is the identity when the zone is already UTC.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        ts = F.col("ts").cast("timestamp")
+        if tz and tz != "UTC":
+            ts = F.from_utc_timestamp(ts, tz)
+        df = df.withColumn("ts", ts)
     return df
 
 
