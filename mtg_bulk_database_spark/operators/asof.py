@@ -120,24 +120,31 @@ def asof_join_pandas(
 AUTO_AVG_MATCHES_THRESHOLD = 64.0
 
 
-def choose_asof_strategy(
-    right: DataFrame, on: str, threshold: float = AUTO_AVG_MATCHES_THRESHOLD
-) -> str:
-    """Pick the as-of execution strategy from right-side stats.
-
-    One partial-aggregate scan (count + approx_count_distinct collapse to
-    a single row — no wide shuffle): if the average right-side depth per
-    key exceeds ``threshold``, the range join's per-left-row fan-out is
-    the dominant cost and the linear cogrouped merge wins; otherwise the
-    relational variant's codegen'd join is faster. On a real cluster this
-    read comes free from table-level stats (ANALYZE / catalog row counts).
-    """
+def right_key_depth(right: DataFrame, on: str) -> float:
+    """Average rows-per-key on the build side — the one stat the as-of
+    strategy choice needs. One partial-aggregate scan (count +
+    approx_count_distinct collapse to a single row — no wide shuffle).
+    On a real cluster this read comes free from table-level stats
+    (ANALYZE / catalog row counts); callers that join the same table
+    repeatedly should compute it once and pass ``avg_depth`` through."""
     stats = right.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(on).alias("n_keys"),
     ).first()
-    avg_depth = stats["n"] / max(stats["n_keys"], 1)
-    return "pandas" if avg_depth > threshold else "relational"
+    return stats["n"] / max(stats["n_keys"], 1)
+
+
+def choose_asof_strategy(
+    right: DataFrame, on: str, threshold: float = AUTO_AVG_MATCHES_THRESHOLD
+) -> str:
+    """Pick the as-of execution strategy from right-side stats: if the
+    average right-side depth per key exceeds ``threshold``, the range
+    join's per-left-row fan-out is the dominant cost and the linear
+    cogrouped merge wins; otherwise the relational variant's codegen'd
+    join is faster."""
+    return (
+        "pandas" if right_key_depth(right, on) > threshold else "relational"
+    )
 
 
 def asof_join_auto(

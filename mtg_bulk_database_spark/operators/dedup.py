@@ -273,6 +273,98 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+#: estimated lean-formulation posting-join intermediate (candidate pair
+#: rows, Σ_s df_s·(df_s−1)/2) above which the prefix-filtered
+#: formulation wins. The lean variant's cost is that intermediate — it
+#: must flow through one shuffle+aggregate — while the prefix variant
+#: pays two extra narrow stages to bound candidates near the result
+#: size. At sf0.1 the intermediate is ~10⁵ rows and lean's fewer stages
+#: win; dense shingle reuse at cluster scale pushes it past any
+#: executor's shuffle capacity and the ordering inverts. The default is
+#: sized to single-executor shuffle comfort (~10M 3-column rows).
+LEAN_PAIR_BUDGET = 10_000_000
+
+
+def estimate_lean_pair_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    sample_target: int = 2048,
+) -> float:
+    """Estimate the lean formulation's posting-join intermediate size,
+    Σ_s df_s·(df_s−1)/2, from one narrow aggregate over the shingles of
+    a deterministic hash-sample of documents (the same engine- and
+    partitioning-independent sampling the IVF trainer uses). Sampling
+    docs at rate p scales each df linearly, so the pair sum scales by
+    ≈p² — the estimate divides it back out. On a real cluster this is
+    an ingest-time table stat (ANALYZE), not a per-query probe."""
+    n_docs = df.count()
+    p = 1.0
+    sample = df
+    if n_docs > sample_target:
+        mille = max(1, int(1000 * sample_target / n_docs))
+        sample = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)) < F.lit(mille)
+        )
+        p = mille / 1000.0
+    posts = with_shingles(sample, text_col, id_col, k).select(
+        F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    row = (
+        posts.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .agg(
+            F.sum(F.col("_df") * (F.col("_df") - 1) / 2).alias("pairs")
+        )
+        .first()
+    )
+    est = float(row["pairs"] or 0.0)
+    return est / (p * p)
+
+
+def choose_jaccard_strategy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    budget: float = LEAN_PAIR_BUDGET,
+    est_pair_rows: float | None = None,
+) -> str:
+    """Pick the exact-Jaccard formulation from a shingle-frequency stat
+    (the ``choose_asof_strategy`` pattern): lean posting-join while its
+    quadratic intermediate fits the budget, AllPairs prefix filtering
+    once it doesn't. Callers with catalog stats pass ``est_pair_rows``
+    to skip the probe."""
+    if est_pair_rows is None:
+        est_pair_rows = estimate_lean_pair_rows(df, text_col, id_col, k)
+    return "prefix" if est_pair_rows > budget else "lean"
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    strategy: str = "auto",
+    budget: float = LEAN_PAIR_BUDGET,
+    est_pair_rows: float | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs with stats-driven formulation choice. Both
+    variants are exact and pinned equal in tests, so the switch is
+    invisible to callers."""
+    if strategy == "auto":
+        strategy = choose_jaccard_strategy(
+            df, text_col, id_col, k, budget, est_pair_rows
+        )
+    if strategy == "lean":
+        return ngram_jaccard_pairs(df, text_col, id_col, k, threshold)
+    if strategy == "prefix":
+        return ngram_jaccard_pairs_prefix(df, text_col, id_col, k, threshold)
+    raise ValueError(f"unknown jaccard strategy: {strategy!r}")
+
+
 def benchmark_ngram_overlap(
     train: DataFrame,
     benchmark: DataFrame,

@@ -65,19 +65,108 @@ def _local_components(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]
     return [(n, find(n)) for n in parent]
 
 
+def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log²) rounds
+    regardless of diameter, the web-scale path when min-label
+    propagation's diameter-many rounds would dominate.
+
+    ``edges`` arrives symmetrized (both directions present). Each round:
+
+    - large-star: per node u with m = min({u} ∪ Γ(u)), rewire every
+      LARGER neighbor v > u to m — long chains fold toward minima.
+    - small-star: rewire every neighbor v ≤ u (and u itself) to m —
+      flattens the remainder into min-rooted stars.
+
+    Both phases only ever connect a node to a smaller node of its own
+    component, so components never merge or split and the fixpoint is
+    exactly the min-id star forest the other two modes produce. One
+    groupBy + one join per phase; fixpoint = the canonical edge set is
+    unchanged over a full round (order-independent count + hash-sum
+    probe, two scalars to the driver — same trick as the label-sum
+    probe below).
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def _mins(both: DataFrame) -> DataFrame:
+        return (
+            both.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("_mn", F.col("src")).alias("m"))
+        )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    both = edges.localCheckpoint(eager=False)
+    prev = _checksum(both)
+    for _ in range(max_iter):
+        m = _mins(both)
+        large = (
+            both.filter(F.col("dst") > F.col("src"))
+            .join(m, on="src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        both = _sym(large.filter(F.col("src") != F.col("dst")))
+        m = _mins(both)
+        small = (
+            both.filter(F.col("dst") <= F.col("src"))
+            .join(m, on="src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m.select("src", F.col("m").alias("dst")))
+        )
+        both = _sym(small.filter(F.col("src") != F.col("dst"))).localCheckpoint(
+            eager=False
+        )
+        cur = _checksum(both)
+        if cur == prev:
+            # min-rooted stars: every edge (v, c) labels v with center c;
+            # centers label themselves
+            leaves = both.filter(F.col("dst") < F.col("src")).select(
+                F.col("src").alias("node"), F.col("dst").alias("component")
+            )
+            centers = leaves.select(F.col("component").alias("node")).distinct()
+            return leaves.unionByName(
+                centers.withColumn("component", F.col("node"))
+            )
+        prev = cur
+    raise RuntimeError(
+        f"star-mode connected_components did not converge in {max_iter} "
+        "rounds — raise max_iter before trusting the labels"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     local_threshold: int = 2_000_000,
+    mode: str = "auto",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     ``component`` is the minimum node id of its connected component —
     deterministic, so results are oracle-checkable, and identical from
-    both execution modes (pinned in tests).
+    every execution mode (pinned in tests).
 
-    Raises if the distributed propagation hasn't converged after
+    ``mode="auto"`` (default) picks the local tail solve under
+    ``local_threshold`` edges and min-label propagation above it —
+    right for near-dup clusters, whose diameter is a handful of hops.
+    ``mode="star"`` forces the alternating large-star/small-star
+    algorithm (:func:`_star_components`): O(log²) rounds independent of
+    diameter, for deep chain-shaped graphs where propagation would need
+    diameter-many shuffles. ``mode="propagation"`` forces the label
+    loop (testing/diagnostics).
+
+    Raises if the distributed iteration hasn't converged after
     ``max_iter`` rounds (a correctness guard: an unconverged labeling
     silently splits components).
     """
@@ -89,13 +178,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if mode == "star":
+        return _star_components(edges, max_iter)
+    if mode not in ("auto", "propagation"):
+        raise ValueError(f"unknown connected-components mode: {mode!r}")
     # one count off the materialized checkpoint decides the mode; it is
     # not wasted on the distributed path (it also primes the checkpoint
     # every round reuses)
     n_edges = edges.count()
     spark = edges.sparkSession
 
-    if n_edges <= local_threshold:
+    if mode == "auto" and n_edges <= local_threshold:
         # both (a,b) and (b,a) are present; union-find needs each edge once
         rows = edges.filter(F.col("src") < F.col("dst")).collect()
         comp = _local_components([(r["src"], r["dst"]) for r in rows])
