@@ -133,7 +133,7 @@ def q81(spark, sf_dir):
     trigrams here — real decontamination uses 8-13-grams, but the
     synthetic corpus shares no n-gram that long except exact dups).
     The benchmark n-gram set is broadcast — corpus rows never shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     train = docs.filter(F.col("doc_id") % 41 != 0)
     return dedup.benchmark_ngram_overlap(
@@ -211,18 +211,28 @@ def q83(spark, sf_dir):
                      ELSE []::VARCHAR[] END AS hs
          FROM b)
        SELECT doc_id,
-              CASE WHEN len(hs) = 0 THEN []::VARCHAR[]
-                   WHEN len(hs) < 4 THEN [list_min(hs)]
-                   ELSE list_sort(list_distinct(
-                          list_transform(range(1, len(hs) - 2),
-                            j -> list_min(list_slice(hs, j, j + 3)))))
-              END AS winnow_fps
+              coalesce(array_to_string(
+                CASE WHEN len(hs) = 0 THEN []::VARCHAR[]
+                     WHEN len(hs) < 4 THEN [list_min(hs)]
+                     ELSE list_sort(list_distinct(
+                            list_transform(range(1, len(hs) - 2),
+                              j -> list_min(list_slice(hs, j, j + 3)))))
+                END, ' '), '') AS winnow_fps
        FROM h""",
 )
 def q84(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    # Registered output is the space-joined fingerprint string, not the
+    # array: the driver's canonicalizer sorts result cells with pandas,
+    # which cannot hash list cells (r2 `err` row). The operator itself
+    # still returns the typed array (tests/test_curation2.py). Both
+    # sides coalesce to '' — DuckDB's array_to_string maps an EMPTY
+    # list to NULL where Spark's array_join yields ''.
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return text_analysis.with_winnow_fingerprints(docs, k=5, window=4).select(
-        "doc_id", "winnow_fps"
+        "doc_id",
+        F.coalesce(F.array_join("winnow_fps", " "), F.lit("")).alias(
+            "winnow_fps"
+        ),
     )
 
 
@@ -241,15 +251,25 @@ def q84(spark, sf_dir):
                      ELSE 1.0 END AS q_scale
          FROM v)
        SELECT vec_id,
-              list_transform(vd, x -> floor(x * q_scale + 0.5)::INT)
-                AS q_embedding,
+              coalesce(array_to_string(
+                list_transform(vd, x -> floor(x * q_scale + 0.5)::INT),
+                ' '), '') AS q_embedding,
               q_scale
        FROM s""",
 )
 def q85(spark, sf_dir):
+    # Same scalar-shape rule as q84: ints join identically in Spark and
+    # DuckDB ("-5", "127"), so the value hash is unchanged by the cast.
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.with_quantized_embedding(emb).select(
-        "vec_id", "q_embedding", "q_scale"
+        "vec_id",
+        F.coalesce(
+            F.array_join(
+                F.transform("q_embedding", lambda x: x.cast("string")), " "
+            ),
+            F.lit(""),
+        ).alias("q_embedding"),
+        "q_scale",
     )
 
 
@@ -285,11 +305,15 @@ def q86(spark, sf_dir):
 @query("q87_approx_quantiles")  # t-digest-style sketch → rows-only;
 # tests pin the rank error against the exact percentiles
 def q87(spark, sf_dir):
+    # Unpacked to scalar columns (not one array cell) so that if driver
+    # rotation ever oracles this entry it never hits the pandas
+    # list-canonicalization failure that bit q84/q85 in round 2.
     docs = load_table(spark, sf_dir, "documents")
-    return docs.agg(
-        F.percentile_approx("n_chars", [0.05, 0.5, 0.95], 10_000).alias(
-            "approx_p05_p50_p95"
-        )
+    q = F.percentile_approx("n_chars", [0.05, 0.5, 0.95], 10_000)
+    return docs.agg(q.alias("q")).select(
+        F.col("q")[0].alias("approx_p05"),
+        F.col("q")[1].alias("approx_p50"),
+        F.col("q")[2].alias("approx_p95"),
     )
 
 

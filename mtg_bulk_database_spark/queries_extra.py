@@ -164,6 +164,28 @@ def q55(spark, sf_dir):
 # cogrouped merge when per-key history is deep enough to explode the
 # range join; tests pin both implementations equal and the switch itself.
 # ---------------------------------------------------------------------------
+
+#: (applicationId, sf_dir) → probed right-side key depth, so the auto
+#: strategy's stats scan runs once per table per app — the catalog-stats
+#: (ANALYZE) model: depth is a property of the TABLE, not of the query.
+_ASOF_DEPTH: dict[tuple[str, str], float] = {}
+
+
+def asof_click_depth(spark, sf_dir) -> float:
+    """Right-side (clicks) key-depth stat for q56, computed once per
+    (app, sf_dir) — an ingest-time artifact on a real cluster."""
+    from .operators.asof import right_key_depth
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    depth = _ASOF_DEPTH.get(key)
+    if depth is None:
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click")
+        depth = right_key_depth(clicks, "user_id")
+        _ASOF_DEPTH[key] = depth
+    return depth
+
+
 @query(
     "q56_asof_join",
     """SELECT e.event_id, e.user_id, e.ts, c.ts AS r_ts, c.value AS r_value
@@ -182,7 +204,14 @@ def q56(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "value"
     )
-    return asof_join_auto(errors, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return asof_join_auto(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        avg_depth=asof_click_depth(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
