@@ -180,3 +180,34 @@ def test_resize_images_real_png_roundtrip(png_media):
     assert (w4, h4, ch4) == (50, 100, 4)
     # non-image payload keeps the stub truncation path
     assert out[99]["width"] >= 1 and len(bytes(out[99]["content"])) >= 1
+
+
+def test_codec_distributed_corpus(spark):
+    """A 48-image corpus across 8 partitions: every payload is a REAL
+    png_encode'd image, decoded and resized on executors through the
+    Arrow mapInPandas stages — multi-partition, multi-batch, all four
+    channel layouts — and every resized payload re-decodes as a valid
+    PNG with the advertised dimensions."""
+    dims = [(8 + i % 24, 8 + (i * 3) % 16, 1 + i % 4) for i in range(48)]
+    rows = []
+    for i, (w, h, ch) in enumerate(dims):
+        png = codec.png_encode(w, h, ch, _gradient_pixels(w, h, ch))
+        rows.append((i, bytearray(png), "image/png", ("fixture", len(png))))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(8)
+
+    dec = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert len(dec) == 48
+    for i, (w, h, ch) in enumerate(dims):
+        assert (dec[i]["width"], dec[i]["height"], dec[i]["n_channels"]) == (
+            w,
+            h,
+            ch,
+        ), f"doc {i}"
+
+    for r in multimodal.resize_images(media, max_side=10).collect():
+        assert max(r["width"], r["height"]) <= 10
+        out = codec.png_decode(bytes(r["content"]))
+        assert out is not None, f"doc {r['doc_id']} not a decodable PNG"
+        w, h, ch, px = out
+        assert (w, h) == (r["width"], r["height"])
+        assert len(px) == w * h * ch

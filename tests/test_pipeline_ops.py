@@ -487,3 +487,79 @@ def test_multimodal_resize_and_frames(docs):
     assert len(per_doc) == 50 and all(r["count"] == 4 for r in per_doc)
     f = frames.filter((F.col("doc_id") == 0) & (F.col("frame_idx") == 0)).first()
     assert isinstance(bytes(f["frame"]), bytes) and len(f["frame"]) > 0
+
+
+def test_jaccard_auto_selector(docs):
+    """The formulation choice mirrors choose_asof_strategy: the probed
+    shingle-frequency stat keeps the lean posting-join while its
+    quadratic intermediate fits the budget and flips to prefix
+    filtering when it doesn't; both variants stay equality-pinned via
+    test_prefix_jaccard_equals_lean_jaccard."""
+    est = dedup.estimate_lean_pair_rows(docs, "text", "doc_id", 3)
+    assert est > 0
+    # dense synthetic corpus at sf0.01: intermediate ~1e4-1e5 rows,
+    # comfortably under the default single-executor budget
+    assert (
+        dedup.choose_jaccard_strategy(docs, "text", "doc_id", est_pair_rows=est)
+        == "lean"
+    )
+    # the same stat against a tight budget selects the prefix path
+    assert (
+        dedup.choose_jaccard_strategy(
+            docs, "text", "doc_id", budget=10.0, est_pair_rows=est
+        )
+        == "prefix"
+    )
+    lean = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.8).collect()
+    }
+    for forced in ("auto", "lean", "prefix"):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_auto(
+                docs, "text", "doc_id", 3, 0.8, strategy=forced
+            ).collect()
+        }
+        assert got == lean, forced
+
+
+def test_jaccard_sampled_estimate_tracks_full(docs):
+    """The hash-sampled estimate must stay within a small factor of the
+    exact intermediate size — it gates a plan choice, not a result."""
+    full = dedup.estimate_lean_pair_rows(docs, "text", "doc_id", 3, sample_target=10**9)
+    sampled = dedup.estimate_lean_pair_rows(docs, "text", "doc_id", 3, sample_target=200)
+    assert full > 0 and sampled > 0
+    assert 0.2 <= sampled / full <= 5.0
+
+
+def test_connected_components_star_mode(spark):
+    """The large-star/small-star mode labels identically to union-find
+    on the mixed-shape graph, and converges on a DEEP chain in far
+    fewer rounds than its diameter — the property that makes it the
+    web-scale path (min propagation needs diameter-many rounds)."""
+    from mtg_bulk_database_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, mode="star").collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+    # 60-hop path, but star mode must converge in <= 10 alternating
+    # rounds (O(log^2 n)) where propagation would need ~60
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = connected_components(chain, mode="star", max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 61
