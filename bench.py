@@ -60,6 +60,8 @@ HEADLINE = [
     "q80_doc_chunks",
     "q84_winnow_fingerprints",
     "q88_global_interval_join",
+    "q98_token_commonness",
+    "q99_repeated_passages",
 ]
 
 

@@ -402,6 +402,60 @@ def benchmark_ngram_overlap(
     return hits.filter(F.col("n_overlapping_ngrams") >= min_hits)
 
 
+def cross_corpus_jaccard_pairs(
+    train: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY decontamination: (train doc, reference doc) pairs with
+    word-k-gram Jaccard ≥ threshold — catches paraphrased/partially
+    edited benchmark leakage that :func:`benchmark_ngram_overlap`'s
+    exact n-gram hit count underweights. Returns
+    (train_id, ref_id, jaccard); anti-join ``train_id`` to drop.
+
+    Same posting-list shape as :func:`ngram_jaccard_pairs` but the join
+    is ACROSS corpora, so there is no id_a < id_b triangle cut — every
+    (train, ref) co-occurrence counts once. Scale: the reference side is
+    the eval set (thousands of docs vs billions), so its postings and
+    sizes broadcast; corpus rows shuffle only on the pair aggregation,
+    proportional to candidate pairs, never all-pairs.
+    """
+    tr = with_shingles(train, text_col, id_col, k).localCheckpoint(eager=False)
+    rf = with_shingles(reference, text_col, id_col, k).localCheckpoint(eager=False)
+    tr_ex = tr.select(
+        F.col(id_col).alias("train_id"), F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    rf_ex = rf.select(
+        F.col(id_col).alias("ref_id"), F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    common = (
+        tr_ex.join(F.broadcast(rf_ex), on="s")
+        .groupBy("train_id", "ref_id")
+        .agg(F.count("*").alias("common"))
+    )
+    tr_sizes = tr.select(
+        F.col(id_col).alias("train_id"), F.size("shingles").alias("n_tr")
+    )
+    rf_sizes = rf.select(
+        F.col(id_col).alias("ref_id"), F.size("shingles").alias("n_rf")
+    )
+    jac = (
+        common.join(tr_sizes, on="train_id")
+        .join(F.broadcast(rf_sizes), on="ref_id")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_tr") + F.col("n_rf") - F.col("common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "train_id", "ref_id", "jaccard"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,243 @@
+"""Registry entries, round 3: corpus-composition operators a web-scale
+training-data run layers over the dedup family — per-source quota
+capping, corpus-unigram token-commonness scoring, and repeated-passage
+(cross-document chunk) detection.
+
+All three are deterministic and carry exact DuckDB twins. Scale notes
+inline per operator; the shared design rule is that every per-document
+score is an exact integer ratio (single final division), so values are
+bit-identical across engines with no decimal/rounding dance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.text import sql_tokens, tokens
+from .operators import dedup
+from .registry import query
+
+_TOKS = sql_tokens("text")
+
+#: per-source document cap for the quota operator (small on the test
+#: corpus — 25 docs/source — so the cap visibly bites).
+_QUOTA_CAP = 10
+
+
+@query(
+    "q97_source_quota_cap",
+    f"""WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(coalesce(text, '')), doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, source, rn AS quota_rank
+        FROM r WHERE rn <= {_QUOTA_CAP}""",
+)
+def q97(spark, sf_dir):
+    """Per-source quota capping (corpus mixing's other half): keep at
+    most N documents per source, chosen by CONTENT HASH order — a
+    deterministic, engine- and partitioning-independent lottery, the
+    same no-RNG rule as the stratified sampler (q83). One window
+    shuffle on ``source``; at 100 TB the rank never materializes more
+    than the winning rows past the filter (rank predicate applies
+    streamingly within each sorted partition).
+    """
+    # coalesce before hashing: NULL text must rank identically in both
+    # engines (Spark sorts NULLs first, DuckDB last)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= _QUOTA_CAP)
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+@query(
+    "q98_token_commonness",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+        vocab AS (
+          SELECT t, count(*) AS n_t FROM tok GROUP BY t),
+        scored AS (
+          SELECT tok.doc_id,
+                 count(*) AS n_tokens,
+                 sum(n_t) AS sum_token_freq,
+                 sum(CASE WHEN n_t = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM tok JOIN vocab USING (t)
+          GROUP BY tok.doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               coalesce(s.sum_token_freq, 0) AS sum_token_freq,
+               CASE WHEN s.n_tokens > 0
+                    THEN s.sum_token_freq::DOUBLE / s.n_tokens
+                    ELSE 0.0 END AS avg_token_freq,
+               coalesce(s.n_hapax, 0) AS n_hapax
+        FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
+)
+def q98(spark, sf_dir):
+    """Corpus-unigram commonness score — the cheap statistical-LM
+    quality signal (docs of globally rare tokens ≈ noise/gibberish;
+    ``n_hapax`` counts corpus-unique tokens, the classic garbage
+    indicator). Engine-exact by construction: per-doc sums are INTEGER
+    (total corpus occurrences of each token instance), with one final
+    double division — no float accumulation order to diverge on.
+
+    Plan: one explode + count groupBy builds the vocab; token postings
+    join the vocab on the token (both sides shuffle-partition on the
+    token — Zipf skew on head tokens is the AQE skew-join case), then
+    one groupBy back on doc_id. Nothing driver-side; the vocab is a
+    real table, never collected.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("t")
+    ).filter(F.col("t").isNotNull())
+    vocab = tok.groupBy("t").agg(F.count("*").alias("n_t"))
+    scored = (
+        tok.join(vocab, on="t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_t").alias("sum_token_freq"),
+            F.sum(F.when(F.col("n_t") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("sum_token_freq", F.lit(0)).alias("sum_token_freq"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("sum_token_freq").cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_token_freq"),
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+        )
+    )
+
+
+@query(
+    "q99_repeated_passages",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        st AS (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS s FROM nz),
+        ch AS (SELECT doc_id,
+                      array_to_string(list_slice(t, s + 1, s + 16), ' ')
+                        AS chunk_text
+               FROM st)
+        SELECT chunk_text,
+               min(doc_id) AS representative_id,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM ch
+        GROUP BY chunk_text
+        HAVING count(DISTINCT doc_id) >= 2""",
+)
+def q99(spark, sf_dir):
+    """Repeated-passage detection: 16-token chunks (q80's chunker —
+    boilerplate shows up as the SAME chunk in many documents) that occur
+    in ≥2 distinct documents, with the min-id representative — the
+    passage-level analogue of exact dedup, and the removal list a
+    CCNet-style line-dedup pass consumes. One groupBy on the chunk text
+    after the zero-shuffle chunker; at 100 TB hash the chunk to an int64
+    key first (the with_hashed_shingles trick) so the shuffle carries
+    8-byte keys instead of passage strings.
+    """
+    from .operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text_analysis.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter tokens: the corpus's most frequent non-stopword terms
+# ---------------------------------------------------------------------------
+@query(
+    "q100_heavy_hitter_tokens",
+    f"""WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents)
+        SELECT t AS token, count(*) AS n
+        FROM tok GROUP BY t
+        ORDER BY n DESC, t LIMIT 20""",
+)
+def q100(spark, sf_dir):
+    """Exact heavy hitters over the token stream — vocabulary heads for
+    filter lists and tokenizer audits. Partial (map-side) aggregation
+    collapses each partition to its local counts before the single
+    narrow shuffle, and TakeOrderedAndProject keeps only 20 rows per
+    partition — this exact plan IS the scale path; a count-min sketch
+    would only trade exactness for a smaller shuffle that is already
+    vocabulary-sized, not corpus-sized. Deterministic tie-break on the
+    token keeps top-k stable under the oracle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode_outer(tokens("text")).alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination: Jaccard near-match against the held-out set
+# ---------------------------------------------------------------------------
+@query(
+    "q101_cross_corpus_near_dup",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+               FROM toks WHERE len(t) >= 3),
+        tr AS (SELECT doc_id AS train_id, unnest(shingles) AS s FROM sh
+               WHERE doc_id % 7 <> 0),
+        rf AS (SELECT doc_id AS ref_id, unnest(shingles) AS s FROM sh
+               WHERE doc_id % 7 = 0),
+        pairs AS (
+          SELECT train_id, ref_id, count(*) AS common
+          FROM tr JOIN rf USING (s)
+          GROUP BY 1, 2)
+        SELECT train_id, ref_id,
+               common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+        FROM pairs
+        JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa
+          ON sa.doc_id = train_id
+        JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb
+          ON sb.doc_id = ref_id
+        WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""",
+)
+def q101(spark, sf_dir):
+    """Fuzzy decontamination (q81's exact-overlap complement): training
+    docs whose shingle set near-matches a held-out doc at Jaccard ≥ 0.5
+    — paraphrased leakage that an exact n-gram hit count underweights.
+    Held-out set = docs with id ≡ 0 mod 7 (~1/7 of the corpus; unlike
+    q81's mod-41 split, this one bisects several of the corpus's
+    engineered near-dup pairs, so the gate checks real matches rather
+    than an empty result)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return dedup.cross_corpus_jaccard_pairs(
+        train, ref, "text", "doc_id", k=3, threshold=0.5
+    )

@@ -32,6 +32,7 @@ def load_registry():
         pipeline_queries,
         pipeline_queries2,
         pipeline_queries3,
+        pipeline_queries4,
         queries,
         queries_extra,
     )
