@@ -133,3 +133,34 @@ def test_q66_count_distinct_partial_agg(spark):
     plan = executed_plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "TakeOrderedAndProject" in plan  # top-20 never fully sorts
+
+
+def test_q100_topk_partial_agg(spark):
+    # heavy hitters: map-side combine on the token counts, then the
+    # top-20 runs as TakeOrderedAndProject (per-partition heap), never a
+    # full global sort of the vocabulary
+    df = QUERIES["q100_heavy_hitter_tokens"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_q101_reference_side_broadcasts(spark):
+    # fuzzy decontamination: the reference/eval side is small by
+    # construction — its postings and sizes must broadcast, and nothing
+    # may degenerate to a nested-loop cross product
+    df = QUERIES["q101_cross_corpus_near_dup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q97_single_window_shuffle(spark):
+    # quota capping is one hash shuffle on source + one window pass;
+    # the rank filter must not introduce an extra exchange
+    df = QUERIES["q97_source_quota_cap"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Window") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1
