@@ -241,3 +241,68 @@ def q101(spark, sf_dir):
     return dedup.cross_corpus_jaccard_pairs(
         train, ref, "text", "doc_id", k=3, threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: chunks → fixed-token-budget training sequences
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 64  # tokens per packed sequence (chunks are ≤16 tokens)
+_PACK_SHARDS = 16
+
+
+@query(
+    "q102_pack_sequences",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        st AS (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS s FROM nz),
+        ch AS (SELECT doc_id, s // 12 AS chunk_idx,
+                      len(list_slice(t, s + 1, s + 16)) AS n_chunk_tokens
+               FROM st),
+        sh AS (SELECT doc_id, chunk_idx, n_chunk_tokens,
+                      doc_id % {_PACK_SHARDS} AS shard
+               FROM ch)
+        SELECT doc_id, chunk_idx, shard, n_chunk_tokens,
+               coalesce(sum(n_chunk_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {_PACK_BUDGET} AS seq_id
+        FROM sh""",
+)
+def q102(spark, sf_dir):
+    """Sequence packing: assign every context chunk to a fixed-token-
+    budget training sequence by token OFFSET within its shard — the
+    step that turns a curated corpus into pretraining batches. The
+    assignment is floor(prefix_token_count / budget) over a
+    deterministic (doc_id, chunk_idx) order, so a sequence can overflow
+    the budget by at most one chunk (standard approximate packing);
+    integer window sums make it engine-exact.
+
+    Scale: the cumulative sum is windowed WITHIN a hash shard — one
+    shuffle on the shard key, each shard's scan is an independent
+    streaming prefix sum. A single global ordering would serialize the
+    whole corpus through one partition; per-shard packing is what
+    training-data builders do anyway (shards are the unit of shuffling
+    and resume)."""
+    from .operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text_analysis.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    sh = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_chunk_tokens",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0))
+    return sh.select(
+        "doc_id",
+        "chunk_idx",
+        "shard",
+        "n_chunk_tokens",
+        F.floor(cum_before / _PACK_BUDGET).alias("seq_id"),
+    )

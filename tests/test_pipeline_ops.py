@@ -563,3 +563,38 @@ def test_connected_components_star_mode(spark):
     out = connected_components(chain, mode="star", max_iter=10).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == 61
+
+
+def test_sequence_packing_properties(spark):
+    """Packing invariants: token totals are conserved, every sequence's
+    token load stays under budget + one chunk (the documented overflow
+    bound of offset-based packing), and sequence ids are contiguous
+    from 0 within each shard."""
+    from mtg_bulk_database_spark.pipeline_queries4 import (
+        _PACK_BUDGET,
+        q102,
+    )
+
+    out = q102(spark, SF_DIR).collect()
+    assert out
+    total = sum(r["n_chunk_tokens"] for r in out)
+    per_seq: dict[tuple, int] = {}
+    per_shard: dict[int, set] = {}
+    for r in out:
+        per_seq[(r["shard"], r["seq_id"])] = (
+            per_seq.get((r["shard"], r["seq_id"]), 0) + r["n_chunk_tokens"]
+        )
+        per_shard.setdefault(r["shard"], set()).add(r["seq_id"])
+    max_chunk = max(r["n_chunk_tokens"] for r in out)
+    for (shard, seq), tok in per_seq.items():
+        assert tok <= _PACK_BUDGET + max_chunk - 1, (shard, seq, tok)
+    for shard, seqs in per_shard.items():
+        assert seqs == set(range(len(seqs))), f"shard {shard} seq gap"
+    # conservation: packing reassigns, never drops or duplicates tokens
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators import text_analysis
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = text_analysis.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    expected = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
+    assert total == expected
