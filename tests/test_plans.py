@@ -164,3 +164,23 @@ def test_q97_single_window_shuffle(spark):
     plan = executed_plan(df)
     assert plan.count("Window") >= 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q99_distinct_agg_shuffles(spark):
+    # repeated passages: the chunker is shuffle-free, so the only
+    # exchanges are the two inherent to exact COUNT(DISTINCT doc) —
+    # partial dedup on (chunk, doc), then the final chunk groupBy —
+    # each preceded by a map-side partial aggregate
+    df = QUERIES["q99_repeated_passages"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 3
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q102_packs_within_shard_partitions(spark):
+    # sequence packing: one shuffle on the shard key, then the prefix
+    # sum streams within each shard partition — no global sort/exchange
+    df = QUERIES["q102_pack_sequences"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
