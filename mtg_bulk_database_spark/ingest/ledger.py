@@ -1,0 +1,302 @@
+"""Ledger tables: a minimal transaction-log table format over parquet,
+closing the one gap the directory-swap merge cannot (``sink.py``): a
+reader racing a merge seeing a partition briefly absent.
+
+This is the same design a real table format (Delta/Iceberg) uses,
+reduced to the essentials this engine needs:
+
+- **Immutable data files** under ``<root>/data/`` — a commit never
+  deletes or renames a live file, it only adds files and publishes a
+  new manifest. Readers that resolved an older version keep a complete,
+  consistent file list for as long as retention holds.
+- **Version manifests** under ``<root>/_ledger/v<NNNN>.json`` listing
+  the table's live files with per-file row counts and min/max key
+  stats (parquet footer metadata — the data-skipping index).
+- **Atomic commit via hard link**: the manifest is fsync'd to a temp
+  name and ``os.link``-ed to its final version path. Link fails with
+  EEXIST if another writer took that version — optimistic concurrency
+  exactly like Delta's log-entry rename; the merge retries against the
+  new snapshot. A manifest is therefore either fully present or absent;
+  a crash before commit leaves only orphan data files that no reader
+  can see (vacuum collects them by age).
+- **Snapshot reads**: ``ledger_read(root, version=...)`` pins the file
+  list of that version; the default resolves the latest committed
+  version at call time and is unaffected by later commits.
+- **Merge with file skipping**: only data files whose [key_min,
+  key_max] range overlaps the source's key range are rewritten; all
+  other files carry into the new manifest untouched — bounded write
+  amplification, the log-driven pruning Delta MERGE does.
+- **Vacuum with retention**: delete data files referenced only by
+  manifests older than the retained window (plus aged orphans). Until
+  then, every retained version remains exactly reproducible — time
+  travel for free.
+
+Single-table, local/posix-filesystem emulation (hard links and mtime
+are the only primitives used); on object storage the same protocol
+rides put-if-absent. Keys must be orderable scalars (int/str) for the
+min/max skipping; NULL keys never match any source key (SQL semantics)
+so files holding them are simply never pruned into a rewrite by a
+non-overlapping merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sink import _dedup_last_wins
+
+_LEDGER_DIR = "_ledger"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first; retry on the new
+    snapshot."""
+
+
+def _ledger_path(root: str) -> str:
+    return os.path.join(root, _LEDGER_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_ledger_path(root), f"v{version:012d}.json")
+
+
+def current_version(root: str) -> int:
+    """Highest committed version, 0 if the table does not exist yet."""
+    ld = _ledger_path(root)
+    if not os.path.isdir(ld):
+        return 0
+    versions = [
+        int(name[1:-5])
+        for name in os.listdir(ld)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _file_stats(path: str, key: str) -> tuple[int, object, object]:
+    """(rows, key_min, key_max) from parquet footer metadata only —
+    no data read. min/max are None when the file has no non-null keys."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    kmin = kmax = None
+    if key in names:
+        ci = names[key]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            kmin = lo if kmin is None or lo < kmin else kmin
+            kmax = hi if kmax is None or hi > kmax else kmax
+    return md.num_rows, kmin, kmax
+
+
+def _stage_data_files(
+    spark: SparkSession, root: str, df: DataFrame, key: str
+) -> list[dict]:
+    """Write ``df`` as immutable data files under <root>/data/ with
+    fresh unique names; returns their manifest entries. Files written
+    here are INVISIBLE until a manifest referencing them commits."""
+    data_dir = os.path.join(root, _DATA_DIR)
+    os.makedirs(data_dir, exist_ok=True)
+    stage = os.path.join(root, f"_stage_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(stage)
+    entries: list[dict] = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        final_name = f"part-{uuid.uuid4().hex}.parquet"
+        final = os.path.join(data_dir, final_name)
+        os.rename(os.path.join(stage, name), final)
+        rows, kmin, kmax = _file_stats(final, key)
+        entries.append(
+            {
+                "path": f"{_DATA_DIR}/{final_name}",
+                "rows": rows,
+                "key_min": kmin,
+                "key_max": kmax,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return entries
+
+
+def _commit(root: str, version: int, files: list[dict], key: str) -> None:
+    """Publish ``version`` atomically; raises ConcurrentCommitError if
+    that version already exists (another writer won the race)."""
+    ld = _ledger_path(root)
+    os.makedirs(ld, exist_ok=True)
+    payload = {
+        "version": version,
+        "key": key,
+        "committed_at": time.time(),
+        "files": files,
+    }
+    tmp = os.path.join(ld, f".tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    except FileExistsError as exc:
+        raise ConcurrentCommitError(
+            f"version {version} already committed at {root}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+
+
+def ledger_write(
+    spark: SparkSession, root: str, df: DataFrame, key: str = "id"
+) -> int:
+    """Full-table write as the next version (the initial load path).
+    Returns the committed version number."""
+    files = _stage_data_files(spark, root, df, key)
+    version = current_version(root) + 1
+    _commit(root, version, files, key)
+    return version
+
+
+def ledger_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the file list is pinned at resolution time, so a
+    concurrent commit (and anything short of vacuum) cannot change or
+    break this DataFrame."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    manifest = _read_manifest(root, v)
+    paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
+    if not paths:
+        raise FileNotFoundError(f"version {v} at {root} has no files")
+    return spark.read.parquet(*paths)
+
+
+def _overlaps(entry: dict, lo, hi) -> bool:
+    kmin, kmax = entry.get("key_min"), entry.get("key_max")
+    if kmin is None or kmax is None or lo is None or hi is None:
+        # no stats (or all-null keys) → cannot prove disjoint; a file
+        # with only NULL keys can never match, but rewriting it is
+        # merely conservative, never wrong
+        return kmin is not None or kmax is not None
+    return kmin <= hi and kmax >= lo
+
+
+def ledger_merge_upsert(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str = "id",
+    order_col: str | None = None,
+    max_retries: int = 3,
+) -> int:
+    """ON CONFLICT(key) DO UPDATE into a ledger table — same semantics
+    as ``sink.merge_upsert`` but committed through the log, so readers
+    are snapshot-isolated and a crash at ANY point leaves the previous
+    version fully intact and visible.
+
+    File skipping: only data files whose key range overlaps the
+    source's [min, max] are read and rewritten; every other file's
+    manifest entry carries over byte-identical. Optimistic concurrency:
+    a lost commit race re-reads the new snapshot and retries.
+    """
+    source = _dedup_last_wins(source, key, order_col)
+    for _ in range(max_retries):
+        base = current_version(root)
+        if base == 0:
+            try:
+                return ledger_write(spark, root, source, key)
+            except ConcurrentCommitError:
+                continue
+        manifest = _read_manifest(root, base)
+        bounds = source.selectExpr(
+            f"min({key}) AS lo", f"max({key}) AS hi"
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        touched = [e for e in manifest["files"] if _overlaps(e, lo, hi)]
+        untouched = [e for e in manifest["files"] if not _overlaps(e, lo, hi)]
+        if touched:
+            old = spark.read.parquet(
+                *[os.path.join(root, e["path"]) for e in touched]
+            )
+            keep = old.join(source, on=key, how="left_anti")
+            merged = keep.unionByName(source, allowMissingColumns=True)
+        else:
+            merged = source
+        new_files = _stage_data_files(spark, root, merged, key)
+        try:
+            _commit(root, base + 1, untouched + new_files, key)
+            return base + 1
+        except ConcurrentCommitError:
+            # staged files are orphans (invisible); vacuum collects them
+            continue
+    raise ConcurrentCommitError(
+        f"merge lost the commit race {max_retries} times at {root}"
+    )
+
+
+def ledger_vacuum(
+    root: str, retain_versions: int = 2, orphan_min_age_s: float = 3600.0
+) -> list[str]:
+    """Delete data files no retained version references, plus aged
+    manifest history. Orphan files (staged by a crashed or beaten
+    writer, referenced by NO manifest) are deleted only once older than
+    ``orphan_min_age_s`` so an in-flight commit's stage is never
+    destroyed. Returns the deleted paths.
+
+    Snapshot contract: every version in the retained window stays fully
+    readable; older pinned readers must finish within the retention
+    window — the exact semantics of Delta's VACUUM.
+    """
+    latest = current_version(root)
+    if latest == 0:
+        return []
+    keep_from = max(1, latest - retain_versions + 1)
+    referenced: set[str] = set()
+    kept_versions = []
+    for v in range(keep_from, latest + 1):
+        if os.path.exists(_manifest_path(root, v)):
+            kept_versions.append(v)
+            referenced.update(
+                e["path"] for e in _read_manifest(root, v)["files"]
+            )
+    deleted: list[str] = []
+    data_dir = os.path.join(root, _DATA_DIR)
+    now = time.time()
+    for name in sorted(os.listdir(data_dir)):
+        rel = f"{_DATA_DIR}/{name}"
+        if rel in referenced:
+            continue
+        full = os.path.join(data_dir, name)
+        in_any_manifest = any(
+            rel in {e["path"] for e in _read_manifest(root, v)["files"]}
+            for v in range(1, keep_from)
+            if os.path.exists(_manifest_path(root, v))
+        )
+        if not in_any_manifest and now - os.path.getmtime(full) < orphan_min_age_s:
+            continue  # possibly a live writer's fresh stage
+        os.remove(full)
+        deleted.append(full)
+    for v in range(1, keep_from):
+        mp = _manifest_path(root, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+            deleted.append(mp)
+    return deleted

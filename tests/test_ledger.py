@@ -1,0 +1,142 @@
+"""Ledger-table tests: the transaction-log format must give snapshot-
+isolated readers (the property the directory-swap merge cannot), exact
+merge_upsert semantics, log-driven file skipping, crash invisibility,
+optimistic-concurrency commits, and retention-bounded vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.ingest import ledger
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, val string")
+
+
+def test_write_read_roundtrip_and_versioning(spark, root):
+    v1 = ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    assert v1 == 1 and ledger.current_version(root) == 1
+    assert _rows(ledger.ledger_read(spark, root)) == [(1, "a"), (2, "b")]
+    v2 = ledger.ledger_merge_upsert(spark, root, _df(spark, [(2, "B"), (3, "c")]))
+    assert v2 == 2
+    assert _rows(ledger.ledger_read(spark, root)) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_snapshot_isolation_across_commits(spark, root):
+    """The core property: a reader pinned to version 1 sees version 1's
+    rows unchanged after later merges commit — no transient absence, no
+    torn state, because commits never touch version 1's files."""
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    pinned = ledger.ledger_read(spark, root)  # resolves v1's file list
+    before = _rows(pinned)
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(1, "A"), (9, "z")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(2, "B")]))
+    # the pinned DataFrame AND an explicit v1 read both still see v1
+    assert _rows(pinned) == before
+    assert _rows(ledger.ledger_read(spark, root, version=1)) == before
+    assert _rows(ledger.ledger_read(spark, root)) == [
+        (1, "A"),
+        (2, "B"),
+        (9, "z"),
+    ]
+
+
+def test_merge_semantics_match_sink_and_idempotent(spark, root, tmp_path):
+    from mtg_bulk_database_spark.ingest.sink import merge_upsert
+
+    base = [(i, f"v{i}") for i in range(50)]
+    upd = [(i, "NEW") for i in range(20, 30)] + [(100, "ins")]
+    sink_path = str(tmp_path / "sink_tbl")
+    merge_upsert(spark, sink_path, _df(spark, base), key="id")
+    merge_upsert(spark, sink_path, _df(spark, upd), key="id")
+    ledger.ledger_write(spark, root, _df(spark, base))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, upd))
+    assert _rows(ledger.ledger_read(spark, root)) == _rows(
+        spark.read.parquet(sink_path)
+    )
+    # idempotency: re-merging the same source changes nothing but the version
+    v = ledger.ledger_merge_upsert(spark, root, _df(spark, upd))
+    assert _rows(ledger.ledger_read(spark, root)) == _rows(
+        ledger.ledger_read(spark, root, version=v - 1)
+    )
+
+
+def test_merge_skips_disjoint_files(spark, root):
+    """Log-driven pruning: files whose key range cannot contain a source
+    key carry into the new manifest untouched (same path entries)."""
+    ledger.ledger_write(
+        spark, root, _df(spark, [(i, "lo") for i in range(100)]).repartition(1)
+    )
+    ledger.ledger_merge_upsert(
+        spark,
+        root,
+        _df(spark, [(i, "hi") for i in range(1000, 1100)]).repartition(1),
+    )
+    m2 = ledger._read_manifest(root, 2)
+    # disjoint ranges: a later merge touching only the high range must
+    # keep every low-range file entry byte-identical
+    ledger.ledger_merge_upsert(
+        spark, root, _df(spark, [(1050, "HI")]).repartition(1)
+    )
+    m3 = ledger._read_manifest(root, 3)
+    lo_files_v2 = {e["path"] for e in m2["files"] if e["key_max"] is not None and e["key_max"] < 1000}
+    lo_files_v3 = {e["path"] for e in m3["files"] if e["key_max"] is not None and e["key_max"] < 1000}
+    assert lo_files_v2 and lo_files_v2 == lo_files_v3
+    assert _rows(ledger.ledger_read(spark, root).filter(F.col("id") == 1050)) == [
+        (1050, "HI")
+    ]
+
+
+def test_crashed_stage_is_invisible_and_vacuumable(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    # simulate a writer that staged files, then died before commit
+    orphans = ledger._stage_data_files(
+        spark, root, _df(spark, [(7, "ghost")]), key="id"
+    )
+    assert orphans
+    assert _rows(ledger.ledger_read(spark, root)) == [(1, "a")]  # invisible
+    # young orphans survive vacuum (could be a live writer's stage)...
+    deleted = ledger.ledger_vacuum(root, retain_versions=5, orphan_min_age_s=3600)
+    assert deleted == []
+    # ...aged orphans are collected
+    deleted = ledger.ledger_vacuum(root, retain_versions=5, orphan_min_age_s=0.0)
+    assert len(deleted) == len(orphans)
+    assert _rows(ledger.ledger_read(spark, root)) == [(1, "a")]
+
+
+def test_commit_race_detected_and_retried(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    # another writer takes version 2 out from under this merge
+    files = ledger._stage_data_files(spark, root, _df(spark, [(5, "x")]), "id")
+    ledger._commit(root, 2, ledger._read_manifest(root, 1)["files"] + files, "id")
+    with pytest.raises(ledger.ConcurrentCommitError):
+        ledger._commit(root, 2, files, "id")
+    # the high-level merge retries onto version 3 and lands on the NEW snapshot
+    v = ledger.ledger_merge_upsert(spark, root, _df(spark, [(5, "X")]))
+    assert v == 3
+    assert _rows(ledger.ledger_read(spark, root)) == [(1, "a"), (5, "X")]
+
+
+def test_vacuum_retention_window(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(2, "b")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(3, "c")]))
+    deleted = ledger.ledger_vacuum(root, retain_versions=2, orphan_min_age_s=0.0)
+    assert deleted  # v1's manifest (and any unshared files) collected
+    assert not os.path.exists(ledger._manifest_path(root, 1))
+    # retained window fully readable
+    assert len(_rows(ledger.ledger_read(spark, root, version=2))) == 2
+    assert len(_rows(ledger.ledger_read(spark, root, version=3))) == 3
