@@ -23,13 +23,28 @@ def ingest_cards_file(
     table_path: str,
     strict_layout: bool = False,
     partition_by: str | None = "set",
+    table_format: str = "parquet",
 ) -> DataFrame:
     """EP1 — cards ingest: read → transform → upsert. Partitioning by
     ``set`` (~900 values) bounds merge write-amplification and aligns
     with the per-set analytics join (Q10). Returns the prepared frame
-    (lazily re-readable from the table path)."""
+    (lazily re-readable from the table path).
+
+    ``table_format="ledger"`` commits through the versioned-manifest
+    format instead (``ingest/ledger.py``): snapshot-isolated readers and
+    min/max file skipping replace the directory swap — the Delta-shaped
+    path; ``partition_by`` is ignored there (file skipping subsumes the
+    partition-pruned rewrite).
+    """
     raw = read_cards_json(spark, src_path)
     prepared = prepare_cards(raw, strict_layout=strict_layout)
+    if table_format == "ledger":
+        from .ledger import ledger_merge_upsert, ledger_read
+
+        ledger_merge_upsert(spark, table_path, prepared, key="id")
+        return ledger_read(spark, table_path)
+    if table_format != "parquet":
+        raise ValueError(f"unknown table format: {table_format!r}")
     merge_upsert(spark, table_path, prepared, key="id", partition_by=partition_by)
     return spark.read.parquet(table_path)
 

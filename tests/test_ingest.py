@@ -334,3 +334,38 @@ def test_compaction(spark, tmp_path):
     b, a = compact(spark, table)
     assert (b, a) == (n_before, 1)  # 10k longs ≪ 128MB target
     assert spark.read.parquet(table).count() == 10_000
+
+
+def test_ingest_cards_file_ledger_format(spark, raw_json_path, tmp_path):
+    """The ledger backend behind the same pipeline seam: identical rows
+    to the parquet backend, plus the snapshot property — the version
+    before an update-merge stays readable and unchanged."""
+    from mtg_bulk_database_spark.ingest import ledger
+
+    pq_table = str(tmp_path / "cards_pq")
+    lg_table = str(tmp_path / "cards_ledger")
+    df_pq = ingest_cards_file(spark, raw_json_path, pq_table)
+    df_lg = ingest_cards_file(
+        spark, raw_json_path, lg_table, table_format="ledger"
+    )
+    assert df_lg.count() == df_pq.count()
+    v1 = ledger.current_version(lg_table)
+    ids_before = {r["id"] for r in df_lg.select("id").collect()}
+
+    cards = make_cards(n=200)
+    victim = next(c for c in cards if c["id"] is not None)
+    upd_path = str(tmp_path / "ledger_update.json")
+    write_raw_json(
+        [dict(victim, rarity="ledger-updated")], upd_path, extra_unknown_keys=False
+    )
+    df_lg2 = ingest_cards_file(
+        spark, upd_path, lg_table, table_format="ledger"
+    )
+    assert df_lg2.count() == df_pq.count()
+    got = df_lg2.filter(F.col("id") == victim["id"]).select("rarity").collect()
+    assert got[0]["rarity"] == "ledger-updated"
+    # snapshot: the pre-update version still reads the old rarity
+    old = ledger.ledger_read(spark, lg_table, version=v1)
+    assert {r["id"] for r in old.select("id").collect()} == ids_before
+    old_got = old.filter(F.col("id") == victim["id"]).select("rarity").collect()
+    assert old_got[0]["rarity"] != "ledger-updated"
