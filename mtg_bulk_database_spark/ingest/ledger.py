@@ -92,10 +92,14 @@ def _file_stats(path: str, key: str) -> tuple[int, object, object]:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    # match on the FULL dotted path: parquet metadata enumerates leaf
+    # columns, and a nested leaf can share the key's bare name (cards:
+    # all_parts[].id, card_faces[].name) — matching leaf names would
+    # silently read another column's statistics and break pruning
+    paths = {md.schema.column(i).path: i for i in range(md.num_columns)}
     kmin = kmax = None
-    if key in names:
-        ci = names[key]
+    if key in paths:
+        ci = paths[key]
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:

@@ -63,6 +63,7 @@ def stream_upsert_cards(
     checkpoint_dir: str,
     key: str = "id",
     timeout_s: int = 120,
+    table_format: str = "parquet",
 ) -> DataFrame:
     """Streaming MERGE sink: each micro-batch upserts into the target
     table via ``foreachBatch`` + ``merge_upsert`` — table-level upsert
@@ -84,8 +85,23 @@ def stream_upsert_cards(
     )
     prepared = prepare_cards(raw)
 
-    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_upsert(spark, table_path, batch_df, key=key)
+    if table_format == "ledger":
+        # snapshot-isolated streaming sink: every micro-batch commits a
+        # new ledger version, so downstream readers never observe a
+        # half-applied batch — the foreachBatch Delta MERGE shape with
+        # the local ledger standing in for the Delta log
+        from ..ingest.ledger import ledger_merge_upsert
+
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            ledger_merge_upsert(spark, table_path, batch_df, key=key)
+
+    elif table_format == "parquet":
+
+        def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+            merge_upsert(spark, table_path, batch_df, key=key)
+
+    else:
+        raise ValueError(f"unknown table format: {table_format!r}")
 
     q = (
         prepared.writeStream.foreachBatch(upsert_batch)
@@ -99,4 +115,8 @@ def stream_upsert_cards(
             f"stream_upsert_cards did not drain within {timeout_s}s "
             f"(landing_dir={landing_dir!r})"
         )
+    if table_format == "ledger":
+        from ..ingest.ledger import ledger_read
+
+        return ledger_read(spark, table_path)
     return spark.read.parquet(table_path)

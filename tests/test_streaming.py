@@ -308,3 +308,52 @@ def test_stateful_dedup_ttl_expiry(spark, tmp_path):
     write_batch([(1, t, 7, "click", 1.0, "{}")], "b3")
     out3 = drain()
     assert sorted(r["event_id"] for r in out3.collect()) == [1, 1, 10]
+
+
+def test_stream_upsert_cards_ledger_versions(spark, tmp_path):
+    """Ledger-backed streaming upsert: each micro-batch commits a full
+    snapshot version, replays stay idempotent, and every intermediate
+    version remains readable afterwards (no half-applied batch is ever
+    observable)."""
+    import json as _json
+
+    from mtg_bulk_database_spark.ingest import ledger
+    from mtg_bulk_database_spark.streaming.ingest import stream_upsert_cards
+    from .fixtures import make_cards, write_raw_json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cards = [c for c in make_cards(n=30) if c["id"] is not None]
+    write_raw_json(cards[:10], str(landing / "b0.json"), extra_unknown_keys=False)
+    write_raw_json(cards[10:20], str(landing / "b1.json"), extra_unknown_keys=False)
+    # b2 re-lands a corrected copy of an earlier card → UPDATE not dup
+    write_raw_json(
+        [dict(cards[0], rarity="stream-ledger-updated")],
+        str(landing / "b2.json"),
+        extra_unknown_keys=False,
+    )
+
+    table = str(tmp_path / "tbl")
+    out = stream_upsert_cards(
+        spark,
+        str(landing),
+        table,
+        str(tmp_path / "ckpt"),
+        table_format="ledger",
+    )
+    assert out.count() == 20
+    got = out.filter(F.col("id") == cards[0]["id"]).select("rarity").collect()
+    assert got[0]["rarity"] == "stream-ledger-updated"
+    # one committed version per micro-batch (maxFilesPerTrigger=1)
+    latest = ledger.current_version(table)
+    assert latest == 3
+    # every intermediate version still reads cleanly — whole batches only
+    assert ledger.ledger_read(spark, table, version=1).count() == 10
+    assert ledger.ledger_read(spark, table, version=2).count() == 20
+    pre = (
+        ledger.ledger_read(spark, table, version=2)
+        .filter(F.col("id") == cards[0]["id"])
+        .select("rarity")
+        .collect()
+    )
+    assert pre[0]["rarity"] != "stream-ledger-updated"
