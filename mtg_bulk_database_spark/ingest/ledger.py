@@ -304,3 +304,65 @@ def ledger_vacuum(
             os.remove(mp)
             deleted.append(mp)
     return deleted
+
+
+def ledger_compact(
+    spark: SparkSession, root: str, target_files: int = 1, key: str | None = None
+) -> int:
+    """Small-file compaction as a ledger commit: rewrite the current
+    snapshot into ``target_files`` files and publish it as the next
+    version — rows identical, old versions untouched (readers pinned to
+    them keep working; vacuum reclaims the small files after retention).
+    The streaming sink's one-version-per-micro-batch pattern makes this
+    the table's periodic maintenance job, exactly like Delta OPTIMIZE.
+    """
+    base = current_version(root)
+    if base == 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    manifest = _read_manifest(root, base)
+    k = key or manifest.get("key", "id")
+    df = ledger_read(spark, root, base).coalesce(max(target_files, 1))
+    files = _stage_data_files(spark, root, df, k)
+    _commit(root, base + 1, files, k)
+    return base + 1
+
+
+def ledger_diff(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key: str | None = None,
+) -> DataFrame:
+    """Storage-side CDC from snapshots: (change_type, row) for every
+    difference between two committed versions — ``insert`` (key only in
+    ``to``), ``delete`` (key only in ``from``), ``update`` (key in both
+    with any column changed). This is what time travel buys beyond
+    rollback: the change feed between any two retained versions without
+    having recorded one. Key-wise single shuffle per side; unchanged
+    rows are eliminated by an exceptAll on full rows before the key
+    classification, so the join operates on changed keys only.
+    """
+    k = key or _read_manifest(root, to_version).get("key", "id")
+    old = ledger_read(spark, root, from_version)
+    new = ledger_read(spark, root, to_version)
+    cols = new.columns
+    old = old.select(*cols)
+    changed_new = new.exceptAll(old)   # rows added or updated
+    changed_old = old.exceptAll(new)   # rows removed or pre-update
+    from pyspark.sql import functions as F
+
+    old_keys = changed_old.select(F.col(k).alias("_k")).distinct()
+    new_keys = changed_new.select(F.col(k).alias("_k")).distinct()
+    inserts = changed_new.join(
+        old_keys, changed_new[k] == old_keys["_k"], "left_anti"
+    ).withColumn("change_type", F.lit("insert"))
+    deletes = changed_old.join(
+        new_keys, changed_old[k] == new_keys["_k"], "left_anti"
+    ).withColumn("change_type", F.lit("delete"))
+    updates = changed_new.join(
+        old_keys, changed_new[k] == old_keys["_k"], "left_semi"
+    ).withColumn("change_type", F.lit("update"))
+    return inserts.unionByName(deletes).unionByName(updates).select(
+        "change_type", *cols
+    )

@@ -140,3 +140,40 @@ def test_vacuum_retention_window(spark, root):
     # retained window fully readable
     assert len(_rows(ledger.ledger_read(spark, root, version=2))) == 2
     assert len(_rows(ledger.ledger_read(spark, root, version=3))) == 3
+
+
+def test_compact_preserves_rows_and_snapshots(spark, root):
+    for i in range(4):
+        ledger.ledger_merge_upsert(spark, root, _df(spark, [(i, f"v{i}")]))
+    before = _rows(ledger.ledger_read(spark, root))
+    n_files_before = len(ledger._read_manifest(root, 4)["files"])
+    v = ledger.ledger_compact(spark, root, target_files=1)
+    assert v == 5
+    m = ledger._read_manifest(root, 5)
+    assert len(m["files"]) == 1 and n_files_before > 1
+    assert _rows(ledger.ledger_read(spark, root)) == before
+    # pre-compaction snapshot still readable
+    assert _rows(ledger.ledger_read(spark, root, version=4)) == before
+
+
+def test_ledger_diff_classifies_changes(spark, root):
+    ledger.ledger_write(
+        spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    # v2: update 2, insert 4; v3: delete-like via... merges never delete,
+    # so craft v3 manually: commit a manifest without key 1's file? Use
+    # a full write instead (overwrite semantics = delete of missing keys)
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(2, "B"), (4, "d")]))
+    ledger.ledger_write(spark, root, _df(spark, [(2, "B"), (3, "c"), (4, "D")]))
+    d12 = {
+        (r["change_type"], r["id"]): r["val"]
+        for r in ledger.ledger_diff(spark, root, 1, 2).collect()
+    }
+    assert d12 == {("update", 2): "B", ("insert", 4): "d"}
+    d23 = {
+        (r["change_type"], r["id"]): r["val"]
+        for r in ledger.ledger_diff(spark, root, 2, 3).collect()
+    }
+    assert d23 == {("delete", 1): "a", ("update", 4): "D"}
+    # no self-diff noise
+    assert ledger.ledger_diff(spark, root, 3, 3).count() == 0
