@@ -348,6 +348,18 @@ def ledger_diff(
     new = ledger_read(spark, root, to_version)
     cols = new.columns
     old = old.select(*cols)
+    # set-difference requires row-comparable types; Spark cannot compare
+    # MapType. Serialize map columns for the comparison explicitly at
+    # the call site (to_json) — failing early beats an opaque analyzer
+    # error three operators deep.
+    from pyspark.sql import types as T
+
+    bad = [f.name for f in new.schema.fields if isinstance(f.dataType, T.MapType)]
+    if bad:
+        raise TypeError(
+            f"ledger_diff cannot compare map columns {bad}; project them "
+            "through to_json() first"
+        )
     changed_new = new.exceptAll(old)   # rows added or updated
     changed_old = old.exceptAll(new)   # rows removed or pre-update
     from pyspark.sql import functions as F
