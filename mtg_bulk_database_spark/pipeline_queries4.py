@@ -306,3 +306,21 @@ def q102(spark, sf_dir):
         "n_chunk_tokens",
         F.floor(cum_before / _PACK_BUDGET).alias("seq_id"),
     )
+
+
+@query("q103_sq_refine_topk")  # two-stage quantized ANN → rows-only
+# (the int8 rounding inside the coarse pass isn't worth a SQL twin;
+# recall vs the exact q36 ranking is pinned in tests)
+def q103(spark, sf_dir):
+    """SQ+refine ANN probe: coarse top-50 over dequantized int8
+    vectors, exact rescore of those candidates to a top-10 — the scan
+    reads the 4×-smaller quantized column; full-precision vectors move
+    for ~50 ids only (broadcast)."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    qv = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    pool = emb.filter(F.col("vec_id") != 0)
+    return similarity.quantized_refine_topk(pool, qv, k=10, refine=5)

@@ -598,3 +598,19 @@ def test_sequence_packing_properties(spark):
     chunks = text_analysis.chunk_documents(docs, chunk_tokens=16, overlap=4)
     expected = chunks.agg(F.sum("n_chunk_tokens")).first()[0]
     assert total == expected
+
+
+def test_sq_refine_topk_recall(spark, emb):
+    """The two-stage quantized probe must recover (nearly) the exact
+    top-10: int8 quantization error is small relative to the corpus's
+    cosine gaps, and the refine pass re-ranks with full precision, so
+    recall@10 ≥ 0.9 and the top-1 must agree with the exact ranking."""
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    pool = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(pool, qv, k=10).collect()]
+    two_stage = [
+        r["vec_id"]
+        for r in similarity.quantized_refine_topk(pool, qv, k=10, refine=5).collect()
+    ]
+    assert two_stage[0] == exact[0]
+    assert len(set(two_stage) & set(exact)) / 10 >= 0.9
