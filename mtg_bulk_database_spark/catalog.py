@@ -169,15 +169,24 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         # downstream arithmetic (e.g. cast-to-double gap math) is legal.
         # The wall-clock must be pinned as a UTC instant INDEPENDENT of
         # the session zone (load_table also runs on externally created
-        # sessions, e.g. the verification driver's): cast(ntz AS
-        # timestamp) shifts by the session zone's offset, and
-        # from_utc_timestamp applies the inverse shift, so the
-        # composition yields wall-clock == UTC instant under any zone
-        # and is the identity when the zone is already UTC.
+        # sessions, e.g. the verification driver's). convert_timezone
+        # renders the UTC instant's wall clock in the session zone, and
+        # the session-zone cast maps that wall clock back to the SAME
+        # instant — both offset lookups key on one instant, so the
+        # composition is exact for every unambiguous wall time. (A
+        # cast+from_utc_timestamp pairing instead looks offsets up at
+        # two different epochs and shifts events near BOTH DST
+        # transitions.) Residual edge: the one-hour/year fall-back
+        # overlap, where the cast's disambiguation may pick the other
+        # offset — only reachable on non-UTC sessions; UTC sessions
+        # take the identity branch.
         tz = spark.conf.get("spark.sql.session.timeZone")
-        ts = F.col("ts").cast("timestamp")
         if tz and tz != "UTC":
-            ts = F.from_utc_timestamp(ts, tz)
+            ts = F.convert_timezone(
+                F.lit("UTC"), F.lit(tz), F.col("ts")
+            ).cast("timestamp")
+        else:
+            ts = F.col("ts").cast("timestamp")
         df = df.withColumn("ts", ts)
     return df
 

@@ -170,9 +170,15 @@ def ledger_write(
     spark: SparkSession, root: str, df: DataFrame, key: str = "id"
 ) -> int:
     """Full-table write as the next version (the initial load path).
-    Returns the committed version number."""
-    files = _stage_data_files(spark, root, df, key)
+    Returns the committed version number.
+
+    The target version is pinned BEFORE the (multi-second) staging
+    write: re-resolving afterwards would let this commit silently
+    supersede a version another writer committed mid-stage — a lost
+    update. Pinned, the race surfaces as ConcurrentCommitError.
+    """
     version = current_version(root) + 1
+    files = _stage_data_files(spark, root, df, key)
     _commit(root, version, files, key)
     return version
 
@@ -190,16 +196,26 @@ def ledger_read(
     paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
     if not paths:
         raise FileNotFoundError(f"version {v} at {root} has no files")
-    return spark.read.parquet(*paths)
+    # mergeSchema: a merge that added a column rewrites only overlapping
+    # files, so one snapshot can legally hold files of widening schemas;
+    # without the union the read schema would depend on file order
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def _overlaps(entry: dict, lo, hi) -> bool:
     kmin, kmax = entry.get("key_min"), entry.get("key_max")
-    if kmin is None or kmax is None or lo is None or hi is None:
-        # no stats (or all-null keys) → cannot prove disjoint; a file
-        # with only NULL keys can never match, but rewriting it is
-        # merely conservative, never wrong
-        return kmin is not None or kmax is not None
+    if lo is None and hi is None:
+        # the SOURCE has no non-null keys: a NULL key matches nothing,
+        # so no target file needs rewriting
+        return False
+    if kmin is None or kmax is None:
+        # the FILE's stats are missing — absent footer min/max, a key
+        # column the writer didn't index, or all-null keys. We cannot
+        # prove it disjoint, so rewrite: merely conservative for an
+        # all-null file, and the only correct choice when real keys
+        # hide behind missing stats (skipping would leave the old row
+        # beside the new one — a silent duplicate).
+        return True
     return kmin <= hi and kmax >= lo
 
 
@@ -225,10 +241,12 @@ def ledger_merge_upsert(
     for _ in range(max_retries):
         base = current_version(root)
         if base == 0:
+            files = _stage_data_files(spark, root, source, key)
             try:
-                return ledger_write(spark, root, source, key)
+                _commit(root, 1, files, key)
+                return 1
             except ConcurrentCommitError:
-                continue
+                continue  # someone created the table mid-stage: re-merge
         manifest = _read_manifest(root, base)
         bounds = source.selectExpr(
             f"min({key}) AS lo", f"max({key}) AS hi"
@@ -274,11 +292,18 @@ def ledger_vacuum(
         return []
     keep_from = max(1, latest - retain_versions + 1)
     referenced: set[str] = set()
-    kept_versions = []
     for v in range(keep_from, latest + 1):
         if os.path.exists(_manifest_path(root, v)):
-            kept_versions.append(v)
             referenced.update(
+                e["path"] for e in _read_manifest(root, v)["files"]
+            )
+    # paths referenced only by pre-retention manifests: loop-invariant,
+    # built ONCE (per-file re-parsing of every old manifest would make
+    # vacuum O(files x versions) on a streaming table's long history)
+    old_referenced: set[str] = set()
+    for v in range(1, keep_from):
+        if os.path.exists(_manifest_path(root, v)):
+            old_referenced.update(
                 e["path"] for e in _read_manifest(root, v)["files"]
             )
     deleted: list[str] = []
@@ -289,12 +314,9 @@ def ledger_vacuum(
         if rel in referenced:
             continue
         full = os.path.join(data_dir, name)
-        in_any_manifest = any(
-            rel in {e["path"] for e in _read_manifest(root, v)["files"]}
-            for v in range(1, keep_from)
-            if os.path.exists(_manifest_path(root, v))
-        )
-        if not in_any_manifest and now - os.path.getmtime(full) < orphan_min_age_s:
+        if rel not in old_referenced and (
+            now - os.path.getmtime(full) < orphan_min_age_s
+        ):
             continue  # possibly a live writer's fresh stage
         os.remove(full)
         deleted.append(full)
@@ -303,6 +325,17 @@ def ledger_vacuum(
         if os.path.exists(mp):
             os.remove(mp)
             deleted.append(mp)
+    # a writer that crashed INSIDE _stage_data_files (between the Spark
+    # write and the renames) leaves a _stage_* directory the data/ scan
+    # above can't see; collect those by the same age gate
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("_stage_"):
+            continue
+        full = os.path.join(root, name)
+        if now - os.path.getmtime(full) < orphan_min_age_s:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        deleted.append(full)
     return deleted
 
 

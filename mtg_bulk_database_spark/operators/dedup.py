@@ -303,11 +303,15 @@ def estimate_lean_pair_rows(
     p = 1.0
     sample = df
     if n_docs > sample_target:
-        mille = max(1, int(1000 * sample_target / n_docs))
+        # parts-per-million resolution: a per-mille floor would pin the
+        # rate at 1/1000, sampling n_docs/1000 documents on a billion-doc
+        # corpus — 500x the requested probe size exactly where the cheap
+        # stat matters most
+        ppm = max(1, int(1_000_000 * sample_target / n_docs))
         sample = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)) < F.lit(mille)
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(ppm)
         )
-        p = mille / 1000.0
+        p = ppm / 1_000_000.0
     posts = with_shingles(sample, text_col, id_col, k).select(
         F.explode_outer("shingles").alias("s")
     ).filter(F.col("s").isNotNull())

@@ -317,10 +317,13 @@ def q103(spark, sf_dir):
     reads the 4×-smaller quantized column; full-precision vectors move
     for ~50 ids only (broadcast)."""
     from .operators import similarity
+    from .pipeline_queries import _query_vector
 
-    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    qv = (
-        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # the one-row vector fetch uses the plain (non-fanned) scan — paying
+    # the fan-out repartition to read a single row is the exact tax the
+    # load_table docstring warns about; only the pool scan fans out
+    qv = _query_vector(spark, sf_dir)
+    pool = load_table(spark, sf_dir, "embeddings", fan_out=True).filter(
+        F.col("vec_id") != 0
     )
-    pool = emb.filter(F.col("vec_id") != 0)
     return similarity.quantized_refine_topk(pool, qv, k=10, refine=5)

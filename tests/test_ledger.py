@@ -177,3 +177,58 @@ def test_ledger_diff_classifies_changes(spark, root):
     assert d23 == {("delete", 1): "a", ("update", 4): "D"}
     # no self-diff noise
     assert ledger.ledger_diff(spark, root, 3, 3).count() == 0
+
+
+def test_write_race_detected_not_lost(spark, root, monkeypatch):
+    """A commit landing while another writer stages must surface as
+    ConcurrentCommitError — never be silently superseded (the lost-
+    update bug class): the target version is pinned before staging."""
+    real_stage = ledger._stage_data_files
+
+    def stage_and_interleave(spark_, root_, df_, key):
+        files = real_stage(spark_, root_, df_, key)
+        # a second writer commits while we were staging
+        other = real_stage(spark_, root_, _df(spark_, [(99, "other")]), key)
+        ledger._commit(root_, ledger.current_version(root_) + 1, other, key)
+        return files
+
+    monkeypatch.setattr(ledger, "_stage_data_files", stage_and_interleave)
+    with pytest.raises(ledger.ConcurrentCommitError):
+        ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    monkeypatch.setattr(ledger, "_stage_data_files", real_stage)
+    # the interleaved commit's data is intact, not superseded
+    assert _rows(ledger.ledger_read(spark, root)) == [(99, "other")]
+
+
+def test_missing_stats_file_is_rewritten_not_skipped(spark, root):
+    """A file with no usable key stats must be treated as overlapping
+    (rewritten): skipping it would leave the old row beside the new one
+    — a silent duplicate key."""
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    # blank out the stats as a stats-less legacy writer would
+    m = ledger._read_manifest(root, 1)
+    for e in m["files"]:
+        e["key_min"] = None
+        e["key_max"] = None
+    import json as _json
+
+    with open(ledger._manifest_path(root, 1), "w") as f:
+        _json.dump(m, f)
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(2, "B")]))
+    out = ledger.ledger_read(spark, root)
+    assert _rows(out) == [(1, "a"), (2, "B")]  # no duplicate key 2
+    assert out.filter(F.col("id") == 2).count() == 1
+
+
+def test_vacuum_collects_crashed_stage_dirs(spark, root):
+    import os as _os
+
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    # simulate a crash INSIDE staging: the _stage_* dir never got renamed
+    stage = _os.path.join(root, "_stage_deadbeef")
+    _os.makedirs(stage)
+    with open(_os.path.join(stage, "part-0.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert ledger.ledger_vacuum(root, orphan_min_age_s=3600.0) == []
+    deleted = ledger.ledger_vacuum(root, orphan_min_age_s=0.0)
+    assert stage in deleted and not _os.path.exists(stage)
