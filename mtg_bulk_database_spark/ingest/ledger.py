@@ -86,9 +86,14 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def _file_stats(path: str, key: str) -> tuple[int, object, object]:
-    """(rows, key_min, key_max) from parquet footer metadata only —
-    no data read. min/max are None when the file has no non-null keys."""
+def _file_stats(
+    path: str, key: str, extra_cols: list[str] | None = None
+) -> tuple[int, object, object, dict]:
+    """(rows, key_min, key_max, col_stats) from parquet footer metadata
+    only — no data read. min/max are None when the file has no non-null
+    values for that column. ``col_stats`` maps each requested extra
+    column to ``[min, max]`` — the multi-column data-skipping index
+    z-order clustering makes effective."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -97,25 +102,37 @@ def _file_stats(path: str, key: str) -> tuple[int, object, object]:
     # all_parts[].id, card_faces[].name) — matching leaf names would
     # silently read another column's statistics and break pruning
     paths = {md.schema.column(i).path: i for i in range(md.num_columns)}
-    kmin = kmax = None
-    if key in paths:
-        ci = paths[key]
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
-                continue
-            lo, hi = st.min, st.max
-            kmin = lo if kmin is None or lo < kmin else kmin
-            kmax = hi if kmax is None or hi > kmax else kmax
-    return md.num_rows, kmin, kmax
+
+    def _minmax(col: str) -> tuple[object, object]:
+        cmin = cmax = None
+        if col in paths:
+            ci = paths[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                cmin = lo if cmin is None or lo < cmin else cmin
+                cmax = hi if cmax is None or hi > cmax else cmax
+        return cmin, cmax
+
+    kmin, kmax = _minmax(key)
+    col_stats = {c: list(_minmax(c)) for c in (extra_cols or []) if c != key}
+    return md.num_rows, kmin, kmax, col_stats
 
 
 def _stage_data_files(
-    spark: SparkSession, root: str, df: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable data files under <root>/data/ with
     fresh unique names; returns their manifest entries. Files written
-    here are INVISIBLE until a manifest referencing them commits."""
+    here are INVISIBLE until a manifest referencing them commits.
+    ``stats_cols`` adds per-file [min, max] for extra columns to the
+    manifest (the z-order / multi-column skipping index)."""
     data_dir = os.path.join(root, _DATA_DIR)
     os.makedirs(data_dir, exist_ok=True)
     stage = os.path.join(root, f"_stage_{uuid.uuid4().hex[:8]}")
@@ -127,22 +144,31 @@ def _stage_data_files(
         final_name = f"part-{uuid.uuid4().hex}.parquet"
         final = os.path.join(data_dir, final_name)
         os.rename(os.path.join(stage, name), final)
-        rows, kmin, kmax = _file_stats(final, key)
-        entries.append(
-            {
-                "path": f"{_DATA_DIR}/{final_name}",
-                "rows": rows,
-                "key_min": kmin,
-                "key_max": kmax,
-            }
-        )
+        rows, kmin, kmax, col_stats = _file_stats(final, key, stats_cols)
+        entry = {
+            "path": f"{_DATA_DIR}/{final_name}",
+            "rows": rows,
+            "key_min": kmin,
+            "key_max": kmax,
+        }
+        if col_stats:
+            entry["stats"] = col_stats
+        entries.append(entry)
     shutil.rmtree(stage, ignore_errors=True)
     return entries
 
 
-def _commit(root: str, version: int, files: list[dict], key: str) -> None:
+def _commit(
+    root: str,
+    version: int,
+    files: list[dict],
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> None:
     """Publish ``version`` atomically; raises ConcurrentCommitError if
-    that version already exists (another writer won the race)."""
+    that version already exists (another writer won the race).
+    ``stats_cols`` persists the table's extra skipping columns so later
+    merges keep collecting the same per-file stats."""
     ld = _ledger_path(root)
     os.makedirs(ld, exist_ok=True)
     payload = {
@@ -151,6 +177,8 @@ def _commit(root: str, version: int, files: list[dict], key: str) -> None:
         "committed_at": time.time(),
         "files": files,
     }
+    if stats_cols:
+        payload["stats_cols"] = list(stats_cols)
     tmp = os.path.join(ld, f".tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(payload, f)
@@ -167,10 +195,15 @@ def _commit(root: str, version: int, files: list[dict], key: str) -> None:
 
 
 def ledger_write(
-    spark: SparkSession, root: str, df: DataFrame, key: str = "id"
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str = "id",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Full-table write as the next version (the initial load path).
-    Returns the committed version number.
+    Returns the committed version number. ``stats_cols`` declares extra
+    per-file skipping columns collected now and on every later merge.
 
     The target version is pinned BEFORE the (multi-second) staging
     write: re-resolving afterwards would let this commit silently
@@ -178,28 +211,96 @@ def ledger_write(
     update. Pinned, the race surfaces as ConcurrentCommitError.
     """
     version = current_version(root) + 1
-    files = _stage_data_files(spark, root, df, key)
-    _commit(root, version, files, key)
+    files = _stage_data_files(spark, root, df, key, stats_cols=stats_cols)
+    _commit(root, version, files, key, stats_cols)
     return version
 
 
+def _entry_bounds(entry: dict, col: str) -> tuple[object, object]:
+    """[min, max] the manifest records for ``col`` in this file, or
+    (None, None) when it records none."""
+    st = entry.get("stats", {}).get(col)
+    if st is not None:
+        return st[0], st[1]
+    return None, None
+
+
+def _entry_matches(entry: dict, col: str, key: str, lo, hi) -> bool:
+    """Manifest-level may-contain test for ``col BETWEEN lo AND hi``
+    (either bound None = unbounded). Missing stats ⇒ True — pruning is
+    only ever an optimization, never allowed to drop a matching row."""
+    if col == key:
+        cmin, cmax = entry.get("key_min"), entry.get("key_max")
+    else:
+        cmin, cmax = _entry_bounds(entry, col)
+    if cmin is None or cmax is None:
+        return True
+    if lo is not None and cmax < lo:
+        return False
+    if hi is not None and cmin > hi:
+        return False
+    return True
+
+
 def ledger_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read: the file list is pinned at resolution time, so a
     concurrent commit (and anything short of vacuum) cannot change or
-    break this DataFrame."""
+    break this DataFrame.
+
+    ``prune`` maps column → ``(lo, hi)`` range predicates (either bound
+    None = unbounded). Files whose manifest min/max prove no row can
+    match are dropped BEFORE Spark ever opens them — manifest-level
+    data skipping, the 100 TB move: a point lookup on a compacted
+    (z-ordered) table plans a 1-file scan, not a 10k-file listing.
+    The same predicate is then re-applied as a DataFrame filter, so the
+    result is exact regardless of how coarse the file stats are, and
+    parquet row-group pushdown still prunes within surviving files.
+    """
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version at {root}")
     manifest = _read_manifest(root, v)
-    paths = [os.path.join(root, e["path"]) for e in manifest["files"]]
-    if not paths:
+    entries = manifest["files"]
+    if not entries:
         raise FileNotFoundError(f"version {v} at {root} has no files")
+    key = manifest.get("key", "id")
+    kept = entries
+    if prune:
+        kept = [
+            e
+            for e in entries
+            if all(
+                _entry_matches(e, col, key, lo_hi[0], lo_hi[1])
+                for col, lo_hi in prune.items()
+            )
+        ]
+    from pyspark.sql import functions as F
+
+    if not kept:
+        # every file provably disjoint: preserve the snapshot schema
+        # from one footer (no data pages read) and return 0 rows
+        kept = entries[:1]
+        df = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(root, kept[0]["path"])
+        )
+        return df.filter(F.lit(False))
     # mergeSchema: a merge that added a column rewrites only overlapping
     # files, so one snapshot can legally hold files of widening schemas;
     # without the union the read schema would depend on file order
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["path"]) for e in kept]
+    )
+    for col, (lo, hi) in (prune or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def _overlaps(entry: dict, lo, hi) -> bool:
@@ -248,6 +349,7 @@ def ledger_merge_upsert(
             except ConcurrentCommitError:
                 continue  # someone created the table mid-stage: re-merge
         manifest = _read_manifest(root, base)
+        stats_cols = manifest.get("stats_cols")
         bounds = source.selectExpr(
             f"min({key}) AS lo", f"max({key}) AS hi"
         ).first()
@@ -262,9 +364,13 @@ def ledger_merge_upsert(
             merged = keep.unionByName(source, allowMissingColumns=True)
         else:
             merged = source
-        new_files = _stage_data_files(spark, root, merged, key)
+        new_files = _stage_data_files(
+            spark, root, merged, key, stats_cols=stats_cols
+        )
         try:
-            _commit(root, base + 1, untouched + new_files, key)
+            _commit(
+                root, base + 1, untouched + new_files, key, stats_cols
+            )
             return base + 1
         except ConcurrentCommitError:
             # staged files are orphans (invisible); vacuum collects them
@@ -339,8 +445,64 @@ def ledger_vacuum(
     return deleted
 
 
+def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) curve position as a Column: each clustering
+    column is linearly scaled to ``bits`` bits against its global
+    min/max (ONE 1-row aggregate, folded into the plan as literals),
+    then the bit-planes are interleaved. Entirely built-in expressions
+    — whole-stage codegen, no UDF. Numeric/date columns only; for
+    heavily skewed columns substitute a rank-based scale upstream.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            continue
+        if not isinstance(dt, T.NumericType):
+            raise TypeError(
+                f"z-order column {c!r} has non-numeric type "
+                f"{dt.simpleString()}; cast or hash it first"
+            )
+    aggs = []
+    for c in cols:
+        num = F.col(c).cast("double")
+        aggs += [F.min(num).alias(f"lo_{c}"), F.max(num).alias(f"hi_{c}")]
+    row = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    planes = []
+    for c in cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None or hi == lo:
+            planes.append(F.lit(0).cast("long"))
+            continue
+        num = F.col(c).cast("double")
+        scaled = ((num - F.lit(lo)) / F.lit(hi - lo) * F.lit(top)).cast(
+            "long"
+        )
+        planes.append(
+            F.coalesce(
+                F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), scaled)),
+                F.lit(0).cast("long"),
+            )
+        )
+    n = len(planes)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, p in enumerate(planes):
+            bit = F.shiftright(p, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z + bit * F.lit(1 << (i * n + j)).cast("long")
+    return z
+
+
 def ledger_compact(
-    spark: SparkSession, root: str, target_files: int = 1, key: str | None = None
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    key: str | None = None,
+    zorder: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Small-file compaction as a ledger commit: rewrite the current
     snapshot into ``target_files`` files and publish it as the next
@@ -348,15 +510,36 @@ def ledger_compact(
     them keep working; vacuum reclaims the small files after retention).
     The streaming sink's one-version-per-micro-batch pattern makes this
     the table's periodic maintenance job, exactly like Delta OPTIMIZE.
+
+    ``zorder=["a", "b"]`` clusters the rewrite along a Morton curve
+    over those columns (Delta ``OPTIMIZE ... ZORDER BY``): rows are
+    range-partitioned and sorted by interleaved-bit position, so every
+    output file covers a small hyper-rectangle of the (a, b) space and
+    its manifest min/max stay tight on BOTH columns — ``ledger_read``
+    pruning then works for predicates on either column, not just the
+    primary key. The extra column stats are recorded in the manifest
+    (``stats_cols``) and maintained by later merges.
     """
     base = current_version(root)
     if base == 0:
         raise FileNotFoundError(f"no committed version at {root}")
     manifest = _read_manifest(root, base)
     k = key or manifest.get("key", "id")
-    df = ledger_read(spark, root, base).coalesce(max(target_files, 1))
-    files = _stage_data_files(spark, root, df, k)
-    _commit(root, base + 1, files, k)
+    df = ledger_read(spark, root, base)
+    stats_cols = manifest.get("stats_cols")
+    if zorder:
+        stats_cols = sorted(set(zorder) | set(stats_cols or []))
+        z = _zvalue_column(df, list(zorder), bits=zorder_bits)
+        df = (
+            df.withColumn("_zval", z)
+            .repartitionByRange(max(target_files, 1), "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+    else:
+        df = df.coalesce(max(target_files, 1))
+    files = _stage_data_files(spark, root, df, k, stats_cols=stats_cols)
+    _commit(root, base + 1, files, k, stats_cols)
     return base + 1
 
 

@@ -1,0 +1,144 @@
+"""Incremental materialized-view maintenance over ledger snapshots.
+
+At 100 TB a downstream aggregate (rows/bytes per source, token totals
+per language, revenue per nation...) cannot be recomputed from scratch
+after every ingest micro-batch — the recompute reads the whole table to
+fold in a batch that touched 0.01% of it. Classic incremental view
+maintenance (Gupta & Mumick, "Maintenance of Materialized Views") fixes
+this for the SUM/COUNT algebra: the new view state is the old state
+plus the aggregate of the *inserted* rows minus the aggregate of the
+*removed* rows. Both changed-row sets come straight from two ledger
+snapshots (``exceptAll`` each way), so the maintenance cost scales with
+the CHANGE volume, not the table volume — and because ledger merges
+rewrite only key-overlapping files, the snapshot diff itself reads only
+rewritten files plus their originals once vacuum hasn't run.
+
+Exactness: measures should be integral (long) or decimal so the +/-
+folding is associative and order-independent; float sums drift by
+partition order (the same reason ``queries_extra.q68`` accumulates
+decimal moments). COUNT is maintained as ``SUM(weight)``.
+
+Self-maintainability caveat (from the same literature): SUM/COUNT/AVG
+(as sum/count) are self-maintainable under inserts AND deletes; MIN/MAX
+are not (a deleted minimum forces a rescan of its group) — callers
+needing MIN/MAX should recompute affected groups instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ledger import ledger_read
+
+_WEIGHT = "_ivm_w"
+COUNT_COL = "n_rows"
+
+
+def _agg_weighted(
+    df: DataFrame, group_cols: list[str], sums: dict[str, str]
+) -> DataFrame:
+    """groupBy + weighted SUM/COUNT: each input row carries a +1/-1
+    weight column; COUNT is SUM(w), SUM(x) is SUM(x*w). One shuffle."""
+    aggs = [F.sum(F.col(_WEIGHT)).alias(COUNT_COL)]
+    for out_name, src_col in sums.items():
+        aggs.append(F.sum(F.col(src_col) * F.col(_WEIGHT)).alias(out_name))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def snapshot_agg(
+    df: DataFrame, group_cols: list[str], sums: dict[str, str]
+) -> DataFrame:
+    """The view definition: COUNT(*) AS n_rows plus SUM(src) AS out for
+    each ``sums`` entry, grouped by ``group_cols``. Used both for the
+    initial full materialization and as the recompute oracle in tests."""
+    return _agg_weighted(
+        df.withColumn(_WEIGHT, F.lit(1).cast("long")), group_cols, sums
+    )
+
+
+def agg_delta(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    group_cols: list[str],
+    sums: dict[str, str],
+) -> DataFrame:
+    """The view delta between two committed ledger versions: per group,
+    signed counts/sums of (rows added) minus (rows removed). Unchanged
+    rows cancel out of the ``exceptAll`` multiset differences before any
+    aggregation, so the shuffle carries changed rows only."""
+    old = ledger_read(spark, root, from_version)
+    new = ledger_read(spark, root, to_version)
+    cols = new.columns
+    old = old.select(*cols)
+    added = new.exceptAll(old).withColumn(_WEIGHT, F.lit(1).cast("long"))
+    removed = old.exceptAll(new).withColumn(
+        _WEIGHT, F.lit(-1).cast("long")
+    )
+    return _agg_weighted(added.unionByName(removed), group_cols, sums)
+
+
+def _fold(
+    left: DataFrame, right: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    measures = [c for c in left.columns if c not in group_cols]
+    aggs = [F.sum(F.col(c)).alias(c) for c in measures]
+    return (
+        left.select(*left.columns)
+        .unionByName(right.select(*left.columns))
+        .groupBy(*group_cols)
+        .agg(*aggs)
+    )
+
+
+def merge_deltas(
+    d1: DataFrame, d2: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Combine two view deltas into one (group-wise signed addition).
+    NO zero-count filtering here: an update-only delta legally has
+    ``n_rows == 0`` with non-zero sum deltas, and dropping it would lose
+    the change — zero-groups are eliminated only when a delta lands in
+    an actual state (``apply_agg_delta``)."""
+    return _fold(d1, d2, group_cols)
+
+
+def apply_agg_delta(
+    prev: DataFrame, delta: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fold a delta into the previous view STATE: group-wise element
+    addition of every measure, dropping groups whose row count reaches
+    zero (the group disappeared from the base table; in exact integer /
+    decimal arithmetic its sums are then exactly zero too, so nothing
+    is lost). Implemented as union + re-aggregate — one shuffle, no
+    join; with ``merge_deltas`` a chain of deltas folds in any
+    grouping."""
+    return _fold(prev, delta, group_cols).filter(F.col(COUNT_COL) != 0)
+
+
+def maintain_view(
+    spark: SparkSession,
+    root: str,
+    prev_state: DataFrame | None,
+    prev_version: int,
+    to_version: int,
+    group_cols: list[str],
+    sums: dict[str, str],
+) -> DataFrame:
+    """Bring a materialized aggregate from ``prev_version`` to
+    ``to_version``: full materialization when ``prev_state`` is None
+    (or prev_version == 0), otherwise prev + delta. Callers persist the
+    returned state (e.g. into its own ledger table) alongside the
+    version number it reflects — restart-safe incremental maintenance.
+    """
+    if prev_state is None or prev_version == 0:
+        return snapshot_agg(
+            ledger_read(spark, root, to_version), group_cols, sums
+        )
+    if to_version == prev_version:
+        return prev_state
+    delta = agg_delta(
+        spark, root, prev_version, to_version, group_cols, sums
+    )
+    return apply_agg_delta(prev_state, delta, group_cols)

@@ -232,3 +232,89 @@ def test_vacuum_collects_crashed_stage_dirs(spark, root):
     assert ledger.ledger_vacuum(root, orphan_min_age_s=3600.0) == []
     deleted = ledger.ledger_vacuum(root, orphan_min_age_s=0.0)
     assert stage in deleted and not _os.path.exists(stage)
+
+
+def test_read_prune_skips_files_and_stays_exact(spark, root):
+    """Manifest-level data skipping on read: a key-range predicate must
+    plan a scan over ONLY the overlapping files (inputFiles shrinks) and
+    still return exactly the matching rows."""
+    # 4 disjoint single-file chunks: [0,99], [100,199], [200,299], [300,399]
+    for lo in (0, 100, 200, 300):
+        df = _df(spark, [(i, f"v{i}") for i in range(lo, lo + 100)]).repartition(1)
+        if lo == 0:
+            ledger.ledger_write(spark, root, df)
+        else:
+            ledger.ledger_merge_upsert(spark, root, df)
+    full = ledger.ledger_read(spark, root)
+    assert len(full.inputFiles()) == 4
+    pruned = ledger.ledger_read(spark, root, prune={"id": (150, 160)})
+    assert len(pruned.inputFiles()) == 1
+    assert _rows(pruned) == [(i, f"v{i}") for i in range(150, 161)]
+    # half-open bounds
+    ge = ledger.ledger_read(spark, root, prune={"id": (300, None)})
+    assert len(ge.inputFiles()) == 1 and ge.count() == 100
+    # fully disjoint predicate: zero rows, schema preserved, no error
+    empty = ledger.ledger_read(spark, root, prune={"id": (5000, 6000)})
+    assert empty.count() == 0 and empty.columns == full.columns
+
+
+def test_zorder_compact_enables_multicolumn_pruning(spark, root):
+    """Z-order clustering: after OPTIMIZE-style compaction along (x, y),
+    per-file manifest stats are tight on BOTH columns, so a point-range
+    predicate on either column prunes most files — and results stay
+    row-identical to the uncompacted snapshot."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(0, 1000), rng.randrange(0, 1000))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    ledger.ledger_write(spark, root, df.repartition(8))
+    before = _rows(ledger.ledger_read(spark, root))
+    v = ledger.ledger_compact(
+        spark, root, target_files=16, zorder=["x", "y"]
+    )
+    after = _rows(ledger.ledger_read(spark, root, version=v))
+    assert after == before  # clustering reorders, never changes rows
+    m = ledger._read_manifest(root, v)
+    assert m.get("stats_cols") == ["x", "y"]
+    assert all("stats" in e for e in m["files"])
+    # pruning now works on x AND y independently
+    for col in ("x", "y"):
+        pruned = ledger.ledger_read(spark, root, version=v, prune={col: (0, 99)})
+        assert len(pruned.inputFiles()) < 16 // 2, (
+            f"z-order should prune most files on {col}"
+        )
+        expect = sorted(r for r in before if 0 <= r[{"x": 1, "y": 2}[col]] <= 99)
+        assert _rows(pruned) == expect
+
+
+def test_zorder_stats_survive_later_merges(spark, root):
+    """stats_cols persists in the manifest: a merge AFTER z-order
+    compaction records x/y stats on its rewritten files too, so skipping
+    keeps working as the table evolves."""
+    rows = [(i, i % 100, (i * 7) % 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    ledger.ledger_write(spark, root, df.repartition(4))
+    ledger.ledger_compact(spark, root, target_files=4, zorder=["x", "y"])
+    v = ledger.ledger_merge_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(5, 50, 50)], "id long, x long, y long"),
+    )
+    m = ledger._read_manifest(root, v)
+    assert m.get("stats_cols") == ["x", "y"]
+    rewritten = [e for e in m["files"] if "stats" in e]
+    assert rewritten, "merge-rewritten files must carry the extra stats"
+    got = _rows(
+        ledger.ledger_read(spark, root, version=v, prune={"id": (5, 5)})
+    )
+    assert got == [(5, 50, 50)]
+
+
+def test_zorder_rejects_non_numeric_column(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    with pytest.raises(TypeError, match="non-numeric"):
+        ledger.ledger_compact(spark, root, zorder=["val"])

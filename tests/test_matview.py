@@ -1,0 +1,95 @@
+"""Incremental view maintenance: prev + delta must equal a full
+recompute after ANY sequence of inserts/updates/deletes-by-merge, with
+maintenance cost driven by change volume (changed rows only reach the
+aggregate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mtg_bulk_database_spark.ingest import ledger
+from mtg_bulk_database_spark.ingest.matview import (
+    agg_delta,
+    apply_agg_delta,
+    maintain_view,
+    merge_deltas,
+    snapshot_agg,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, amount long")
+
+
+GROUP = ["grp"]
+SUMS = {"total_amount": "amount"}
+
+
+def test_incremental_equals_recompute_across_merges(spark, root):
+    ledger.ledger_write(
+        spark, root, _df(spark, [(i, f"g{i % 3}", i * 10) for i in range(30)])
+    )
+    state = maintain_view(spark, root, None, 0, 1, GROUP, SUMS)
+    v = 1
+    batches = [
+        [(5, "g2", 999), (31, "g0", 7)],          # update + insert
+        [(0, "g0", 0), (1, "g1", 1), (32, "g3", 5)],  # updates + new group
+        [(32, "g3", 6)],                            # update the new group
+    ]
+    for batch in batches:
+        new_v = ledger.ledger_merge_upsert(spark, root, _df(spark, batch))
+        state = maintain_view(spark, root, state, v, new_v, GROUP, SUMS)
+        v = new_v
+        expect = snapshot_agg(
+            ledger.ledger_read(spark, root, v), GROUP, SUMS
+        )
+        assert _rows(state) == _rows(expect)
+
+
+def test_group_vanishes_when_count_hits_zero(spark, root):
+    ledger.ledger_write(
+        spark, root, _df(spark, [(1, "only", 5), (2, "keep", 1)])
+    )
+    state = maintain_view(spark, root, None, 0, 1, GROUP, SUMS)
+    # move row 1 out of group "only": the group must drop from the view
+    v = ledger.ledger_merge_upsert(spark, root, _df(spark, [(1, "keep", 5)]))
+    state = maintain_view(spark, root, state, 1, v, GROUP, SUMS)
+    assert _rows(state) == [("keep", 2, 6)]
+
+
+def test_delta_is_change_bounded(spark, root):
+    """The delta aggregate must see only changed rows: a merge touching
+    one key yields a delta whose absolute row-weight is ≤ 2 (one removed
+    + one added), regardless of table size."""
+    ledger.ledger_write(
+        spark, root, _df(spark, [(i, "g", 1) for i in range(500)])
+    )
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(7, "g", 100)]))
+    d = agg_delta(spark, root, 1, 2, GROUP, SUMS).collect()
+    assert len(d) == 1
+    row = d[0]
+    assert row["n_rows"] == 0 and row["total_amount"] == 99
+
+
+def test_delta_chain_folds_associatively(spark, root):
+    """Deltas fold in any grouping: (s + d12) + d23  ==  s + (d12 + d23)."""
+    ledger.ledger_write(spark, root, _df(spark, [(i, f"g{i%2}", i) for i in range(20)]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(3, "g1", 300)]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(21, "g1", 21), (4, "g0", 0)]))
+    s1 = maintain_view(spark, root, None, 0, 1, GROUP, SUMS)
+    d12 = agg_delta(spark, root, 1, 2, GROUP, SUMS)
+    d23 = agg_delta(spark, root, 2, 3, GROUP, SUMS)
+    left = apply_agg_delta(apply_agg_delta(s1, d12, GROUP), d23, GROUP)
+    folded = merge_deltas(d12, d23, GROUP)  # delta+delta keeps zero-count groups
+    right = apply_agg_delta(s1, folded, GROUP)
+    expect = snapshot_agg(ledger.ledger_read(spark, root, 3), GROUP, SUMS)
+    assert _rows(left) == _rows(right) == _rows(expect)

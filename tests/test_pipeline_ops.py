@@ -614,3 +614,26 @@ def test_sq_refine_topk_recall(spark, emb):
     ]
     assert two_stage[0] == exact[0]
     assert len(set(two_stage) & set(exact)) / 10 >= 0.9
+
+
+def test_pq_ann_topk_recall(spark, emb):
+    """PQ ADC probe: 4-bit codes (32× smaller than float32) + exact
+    refine must keep recall@10 ≥ 0.8 and agree on top-1 after rescore;
+    the coarse scan must carry NO full-precision vector column."""
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    pool = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(pool, qv, k=10).collect()]
+    books = similarity.pq_train(pool, m=16, k=16)
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    encoded = similarity.pq_encode(pool, books)
+    codes = encoded.select("pq_code").first()[0]
+    assert len(codes) == 16 and all(0 <= c < 16 for c in codes)
+    approx = [
+        r["vec_id"]
+        for r in similarity.pq_topk(encoded, books, qv, k=10, refine=10).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"PQ recall@10 {recall}"
+    assert approx[0] == exact[0]
+    # determinism: retraining with the same seed reproduces the codebooks
+    assert similarity.pq_train(pool, m=16, k=16) == books
