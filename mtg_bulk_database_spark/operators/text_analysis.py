@@ -334,6 +334,55 @@ def with_winnow_fingerprints(
     return staged.withColumn("winnow_fps", fps).drop("_wf_base", "_wf_hashes")
 
 
+#: Gopher rule thresholds (Rae et al. 2021 appendix A1.1, adapted to
+#: this engine's tokenizer) — shared with the q106 SQL twin.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 10, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 2.0, 10.0
+GOPHER_MIN_ALPHA, GOPHER_MIN_STOP = 0.6, 0.05
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style heuristic quality rules: word-count bounds,
+    mean-word-length band, alpha-word fraction, stopword fraction, and
+    the conjunctive ``passes`` gate. Each metric is an exact integer
+    count with one final double division, so a SQL oracle reproduces
+    every value bit-for-bit. Pure columnar — one tokenize, a handful of
+    higher-order-function passes, zero shuffle; at 100 TB this is a
+    map-only stage that fuses into whatever scan precedes it.
+    """
+    tok = tokens(text_col)
+    n_words = F.size(tok)
+    tot_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(tok, lambda t: t.rlike("[a-z]")))
+    stop_words = _stopword_hits(tok)
+
+    def _frac(num: Column) -> Column:
+        return F.when(
+            n_words > 0, num.cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+
+    mean_word_len = _frac(tot_len)
+    alpha_frac = _frac(alpha_words)
+    stop_frac = _frac(stop_words)
+    passes = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (alpha_frac >= GOPHER_MIN_ALPHA)
+        & (stop_frac >= GOPHER_MIN_STOP)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("stop_frac", stop_frac)
+        .withColumn("passes", passes)
+    )
+
+
 # --- DuckDB-SQL twins (shared with pipeline_queries) ----------------------
 
 

@@ -637,3 +637,22 @@ def test_pq_ann_topk_recall(spark, emb):
     assert approx[0] == exact[0]
     # determinism: retraining with the same seed reproduces the codebooks
     assert similarity.pq_train(pool, m=16, k=16) == books
+
+
+def test_gopher_quality_rules(docs):
+    out = text_analysis.with_gopher_quality(docs).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "stop_frac", "passes"
+    )
+    rows = out.collect()
+    assert all(0 <= r["alpha_frac"] <= 1 and 0 <= r["stop_frac"] <= 1 for r in rows)
+    assert all(r["mean_word_len"] >= 0 for r in rows)
+    # the gate must actually discriminate on the synthetic corpus
+    verdicts = {r["passes"] for r in rows}
+    assert verdicts == {True, False}
+    # recompute one doc by hand
+    r0 = next(r for r in rows if r["doc_id"] == 0)
+    text = docs.filter(F.col("doc_id") == 0).first()["text"]
+    import re
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    assert r0["n_words"] == len(toks)
+    assert abs(r0["mean_word_len"] - sum(map(len, toks)) / len(toks)) < 1e-12
