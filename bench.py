@@ -62,6 +62,8 @@ HEADLINE = [
     "q88_global_interval_join",
     "q98_token_commonness",
     "q99_repeated_passages",
+    "q104_pq_ann_topk",
+    "q106_gopher_quality_rules",
 ]
 
 
@@ -84,9 +86,11 @@ def main() -> None:
         ivf_prebuilt_index,
         jaccard_lean_pair_estimate,
     )
+    from mtg_bulk_database_spark.pipeline_queries4 import pq_prebuilt_index
     from mtg_bulk_database_spark.queries_extra import asof_click_depth
 
     ivf_prebuilt_index(spark, sf_dir)
+    pq_prebuilt_index(spark, sf_dir)
     asof_click_depth(spark, sf_dir)
     jaccard_lean_pair_estimate(spark, sf_dir)
 

@@ -164,11 +164,14 @@ def _commit(
     files: list[dict],
     key: str,
     stats_cols: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> None:
     """Publish ``version`` atomically; raises ConcurrentCommitError if
     that version already exists (another writer won the race).
     ``stats_cols`` persists the table's extra skipping columns so later
-    merges keep collecting the same per-file stats."""
+    merges keep collecting the same per-file stats. ``extra_meta``
+    rides inside the manifest — atomic with the file list, which is what
+    makes e.g. a continuous view's base-version watermark crash-safe."""
     ld = _ledger_path(root)
     os.makedirs(ld, exist_ok=True)
     payload = {
@@ -179,6 +182,8 @@ def _commit(
     }
     if stats_cols:
         payload["stats_cols"] = list(stats_cols)
+    if extra_meta:
+        payload.update(extra_meta)
     tmp = os.path.join(ld, f".tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(payload, f)
@@ -594,3 +599,22 @@ def ledger_diff(
     return inserts.unionByName(deletes).unionByName(updates).select(
         "change_type", *cols
     )
+
+
+def ledger_restore(root: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION: republish an older snapshot's file
+    list as the next version. Metadata-only — no data file is read,
+    copied, or rewritten (the old files are immutable and still live
+    while retention holds), so rolling back a 100 TB table is one
+    manifest write. Fails like any commit if another writer races.
+    """
+    base = current_version(root)
+    if base == 0:
+        raise FileNotFoundError(f"no committed version at {root}")
+    if not 1 <= version <= base:
+        raise ValueError(f"version {version} not in [1, {base}]")
+    m = _read_manifest(root, version)
+    _commit(
+        root, base + 1, m["files"], m.get("key", "id"), m.get("stats_cols")
+    )
+    return base + 1

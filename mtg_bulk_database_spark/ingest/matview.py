@@ -142,3 +142,67 @@ def maintain_view(
         spark, root, prev_version, to_version, group_cols, sums
     )
     return apply_agg_delta(prev_state, delta, group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregate: the view state persisted as its own ledger table.
+# ---------------------------------------------------------------------------
+
+
+def refresh_continuous_view(
+    spark: SparkSession,
+    table_root: str,
+    view_root: str,
+    group_cols: list[str],
+    sums: dict[str, str],
+) -> int:
+    """Advance a persisted materialized aggregate to the base table's
+    current version (TimescaleDB continuous-aggregate shape): the view
+    state lives in its OWN ledger table whose manifest records
+    ``base_version`` — the base snapshot it reflects — ATOMICALLY with
+    the state's file list. Crash-safe by construction: either the new
+    state+watermark commit lands together or neither does, so a retry
+    never double-applies a delta. Returns the base version now
+    reflected.
+
+    First call materializes fully; later calls read only the snapshot
+    diff (change-bounded). Safe to run after every streaming micro-batch
+    (each ledger commit) or on any slower cadence — versions in between
+    fold into one delta.
+    """
+    from .ledger import (
+        _commit,
+        _read_manifest,
+        _stage_data_files,
+        current_version,
+    )
+
+    base_v = current_version(table_root)
+    if base_v == 0:
+        raise FileNotFoundError(f"no committed version at {table_root}")
+    view_v = current_version(view_root)
+    if view_v == 0:
+        state = snapshot_agg(
+            ledger_read(spark, table_root, base_v), group_cols, sums
+        )
+        reflected = 0
+    else:
+        m = _read_manifest(view_root, view_v)
+        reflected = m["base_version"]
+        if reflected == base_v:
+            return base_v
+        delta = agg_delta(
+            spark, table_root, reflected, base_v, group_cols, sums
+        )
+        prev = ledger_read(spark, view_root, view_v)
+        state = apply_agg_delta(prev, delta, group_cols)
+    key = group_cols[0]
+    files = _stage_data_files(spark, view_root, state, key)
+    _commit(
+        view_root,
+        view_v + 1,
+        files,
+        key,
+        extra_meta={"base_version": base_v, "reflected_from": reflected},
+    )
+    return base_v

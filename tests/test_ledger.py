@@ -318,3 +318,37 @@ def test_zorder_rejects_non_numeric_column(spark, root):
     ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
     with pytest.raises(TypeError, match="non-numeric"):
         ledger.ledger_compact(spark, root, zorder=["val"])
+
+
+def test_restore_is_metadata_only_rollback(spark, root):
+    """ledger_restore republishes an old file list as a new version:
+    rows revert exactly, no data file is rewritten (same manifest
+    paths), and history is preserved (the bad version stays readable)."""
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(2, "OOPS"), (3, "x")]))
+    v1_rows = _rows(ledger.ledger_read(spark, root, version=1))
+    v3 = ledger.ledger_restore(root, 1)
+    assert v3 == 3
+    assert _rows(ledger.ledger_read(spark, root)) == v1_rows
+    m1 = ledger._read_manifest(root, 1)
+    m3 = ledger._read_manifest(root, 3)
+    assert [e["path"] for e in m3["files"]] == [e["path"] for e in m1["files"]]
+    # the rolled-back version remains time-travelable
+    assert (2, "OOPS") in _rows(ledger.ledger_read(spark, root, version=2))
+
+
+def test_merge_with_added_column_widens_schema(spark, root):
+    """Schema evolution: a merge whose source carries a NEW column
+    widens the table; untouched old files stay as-is and read back NULL
+    for the new column (mergeSchema union)."""
+    ledger.ledger_write(
+        spark, root, _df(spark, [(i, f"v{i}") for i in range(100)]).repartition(1)
+    )
+    wide = spark.createDataFrame(
+        [(1000, "w", 42)], "id long, val string, extra long"
+    )
+    ledger.ledger_merge_upsert(spark, root, wide)
+    out = ledger.ledger_read(spark, root)
+    assert set(out.columns) == {"id", "val", "extra"}
+    got = {r["id"]: r["extra"] for r in out.collect()}
+    assert got[1000] == 42 and got[1] is None

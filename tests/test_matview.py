@@ -93,3 +93,32 @@ def test_delta_chain_folds_associatively(spark, root):
     right = apply_agg_delta(s1, folded, GROUP)
     expect = snapshot_agg(ledger.ledger_read(spark, root, 3), GROUP, SUMS)
     assert _rows(left) == _rows(right) == _rows(expect)
+
+
+def test_continuous_view_refresh_is_incremental_and_idempotent(spark, root, tmp_path):
+    """The persisted continuous aggregate must track the base table
+    across merges (one delta per refresh, several versions fold into
+    one), skip cleanly when current, and always equal a recompute."""
+    view_root = str(tmp_path / "view")
+    from mtg_bulk_database_spark.ingest.matview import refresh_continuous_view
+
+    ledger.ledger_write(
+        spark, root, _df(spark, [(i, f"g{i % 4}", i) for i in range(40)])
+    )
+    assert refresh_continuous_view(spark, root, view_root, GROUP, SUMS) == 1
+    # no-op refresh: same base version, no new view commit
+    v_before = ledger.current_version(view_root)
+    refresh_continuous_view(spark, root, view_root, GROUP, SUMS)
+    assert ledger.current_version(view_root) == v_before
+    # two merges THEN one refresh: both versions fold into one delta
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(3, "g1", 333)]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(41, "g9", 9)]))
+    assert refresh_continuous_view(spark, root, view_root, GROUP, SUMS) == 3
+    got = _rows(ledger.ledger_read(spark, view_root))
+    expect = _rows(
+        snapshot_agg(ledger.ledger_read(spark, root), GROUP, SUMS)
+    )
+    assert got == expect
+    # the view's manifest records the base watermark atomically
+    m = ledger._read_manifest(view_root, ledger.current_version(view_root))
+    assert m["base_version"] == 3
