@@ -206,3 +206,76 @@ def refresh_continuous_view(
         extra_meta={"base_version": base_v, "reflected_from": reflected},
     )
     return base_v
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX maintenance: affected-group recompute (not self-maintainable).
+# ---------------------------------------------------------------------------
+
+
+def changed_groups(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """Distinct group keys touched by any insert/delete/update between
+    two snapshots — the recompute frontier for non-self-maintainable
+    aggregates. Change-bounded: built from the exceptAll diffs."""
+    old = ledger_read(spark, root, from_version)
+    new = ledger_read(spark, root, to_version)
+    cols = new.columns
+    old = old.select(*cols)
+    return (
+        new.exceptAll(old)
+        .select(*group_cols)
+        .unionByName(old.exceptAll(new).select(*group_cols))
+        .distinct()
+    )
+
+
+def snapshot_minmax(
+    df: DataFrame, group_cols: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """The MIN/MAX view definition: ``measures`` maps output name →
+    (``"min"``|``"max"``, source column)."""
+    aggs = []
+    for out, (kind, src) in measures.items():
+        fn = F.min if kind == "min" else F.max
+        aggs.append(fn(F.col(src)).alias(out))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def maintain_minmax(
+    spark: SparkSession,
+    root: str,
+    prev_state: DataFrame,
+    prev_version: int,
+    to_version: int,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Maintain a MIN/MAX aggregate across versions. MIN/MAX are not
+    self-maintainable under deletes (removing a group's minimum says
+    nothing about the new minimum), so the classic fallback applies:
+    recompute ONLY the groups the diff touched, keep every other
+    group's row from the previous state untouched. Cost scales with
+    changed-group data volume, not table volume; the changed-group set
+    is broadcast into both the semi- and anti-join, so neither side of
+    the base table shuffles on the group key twice.
+    """
+    frontier = changed_groups(
+        spark, root, prev_version, to_version, group_cols
+    ).localCheckpoint(eager=True)
+    recomputed = snapshot_minmax(
+        ledger_read(spark, root, to_version).join(
+            F.broadcast(frontier), on=group_cols, how="left_semi"
+        ),
+        group_cols,
+        measures,
+    )
+    kept = prev_state.join(
+        F.broadcast(frontier), on=group_cols, how="left_anti"
+    )
+    return kept.unionByName(recomputed)

@@ -821,3 +821,68 @@ def embedding_near_dup_lsh(
         )
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings with k-means and removing within-cluster
+    near-duplicates. Returns (id, keep, cluster_id, dup_group): one
+    ``keep=true`` representative (min id — the paper keeps a per-group
+    exemplar; min is the deterministic choice) per duplicate group.
+
+    Spark shape: the coarse k-means comes from ``similarity.ivf_index``
+    (sampled training, spherical — an ingest artifact at scale); pair
+    candidates form ONLY within a list (Σ list² not n², same blocking
+    argument as LSH, but data-adaptive); exact-cosine verification
+    keeps precision 1.0; transitive closure via
+    ``graph.connected_components``. Every stage is an existing tested
+    operator — this is the composition, not new machinery.
+    """
+    from .graph import connected_components
+    from .similarity import ivf_index
+
+    if assigned is None:
+        # standalone call trains its own coarse quantizer; pass the
+        # prebuilt ``ivf_index`` assignment to reuse the ingest artifact
+        assigned, _ = ivf_index(df, n_lists=n_lists, vec_col=vec_col, seed=seed)
+    e = assigned.select(id_col, vec_col, "list_id")
+    pairs = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            on=[
+                F.col("x.list_id") == F.col("y.list_id"),
+                F.col(f"x.{id_col}") < F.col(f"y.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs)
+    out = (
+        assigned.select(id_col, "list_id")
+        .join(comp, assigned[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.col("list_id").alias("cluster_id"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("dup_group"),
+        )
+        .withColumn(
+            "keep", F.col("dup_group") == F.col(id_col)
+        )
+    )
+    return out

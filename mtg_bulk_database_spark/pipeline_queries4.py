@@ -540,3 +540,20 @@ def q107(spark, sf_dir):
     return bpe_encode(docs, merges).select(
         "doc_id", "n_bpe_tokens", "bpe_tokens"
     )
+
+
+@query("q108_semantic_dedup")  # rows-only: k-means clustering isn't
+# SQL-expressible; keeper-uniqueness/min-id/verification invariants are
+# pinned in tests/test_pipeline_ops.py::test_semantic_dedup_semdedup
+def q108(spark, sf_dir):
+    """SemDeDup over the PREBUILT IVF assignment: within-cluster exact-
+    cosine pairs ≥ threshold → connected components → min-id keeper per
+    duplicate group. Candidates form within clusters only (Σ list², not
+    n²); composition of tested operators, zero new machinery."""
+    from .operators import dedup
+    from .pipeline_queries import ivf_prebuilt_index
+
+    assigned, _ = ivf_prebuilt_index(spark, sf_dir)
+    return dedup.semantic_dedup(
+        assigned, threshold=0.4, assigned=assigned
+    ).select("vec_id", "cluster_id", "dup_group", "keep")

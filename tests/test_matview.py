@@ -122,3 +122,30 @@ def test_continuous_view_refresh_is_incremental_and_idempotent(spark, root, tmp_
     # the view's manifest records the base watermark atomically
     m = ledger._read_manifest(view_root, ledger.current_version(view_root))
     assert m["base_version"] == 3
+
+
+def test_minmax_affected_group_recompute(spark, root):
+    """MIN/MAX views maintain by recomputing ONLY touched groups: after
+    updates that move a group's minimum away, the maintained state must
+    equal a full recompute (the failure a naive 'min(old,new)' fold
+    would get wrong)."""
+    from mtg_bulk_database_spark.ingest.matview import (
+        maintain_minmax,
+        snapshot_minmax,
+    )
+
+    measures = {"min_amount": ("min", "amount"), "max_amount": ("max", "amount")}
+    ledger.ledger_write(
+        spark, root, _df(spark, [(i, f"g{i % 3}", i * 10) for i in range(30)])
+    )
+    state = snapshot_minmax(ledger.ledger_read(spark, root), GROUP, measures)
+    # raise g0's minimum (update doc 0: amount 0 -> 500) and lower g1's max
+    v = ledger.ledger_merge_upsert(
+        spark, root, _df(spark, [(0, "g0", 500), (28, "g1", -5)])
+    )
+    state = maintain_minmax(spark, root, state, 1, v, GROUP, measures)
+    expect = snapshot_minmax(ledger.ledger_read(spark, root, v), GROUP, measures)
+    assert _rows(state) == _rows(expect)
+    # untouched group g2's row must have survived from prev_state verbatim
+    g2 = [r for r in state.collect() if r["grp"] == "g2"]
+    assert len(g2) == 1

