@@ -187,6 +187,31 @@ def with_train_split(
     )
 
 
+def with_leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    bounds: tuple[str, str] = TRAIN_SPLIT_BOUNDS,
+) -> DataFrame:
+    """Train/val/test assignment keyed on the CONTENT FINGERPRINT
+    (md5 of the sorted token set) instead of the raw text: exact and
+    reordered/shuffled copies share a fingerprint, so they land in the
+    SAME split — closing the eval-leakage hole a per-document split
+    leaves open (a test document's near-copy in train inflates eval).
+    For transitive near-dup groups, run the same assignment on
+    ``graph.connected_components``' ``dup_group`` label instead — the
+    seam is the split key, the bucketing is identical. Pure columnar.
+    """
+    fp = with_fingerprint(df, text_col)
+    bucket = F.substring(F.md5(F.col("fingerprint")), 1, 2)
+    train_b, val_b = bounds
+    return fp.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_b, F.lit("train"))
+        .when(F.col("split_bucket") < val_b, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

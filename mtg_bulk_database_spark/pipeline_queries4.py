@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .functions.text import sql_tokens, tokens
+from .functions.text import sql_tokens, sql_ts_tokens, tokens
 from .operators.text_analysis import sql_stopword_hits
 from .operators import dedup
 from .registry import query
@@ -557,3 +557,29 @@ def q108(spark, sf_dir):
     return dedup.semantic_dedup(
         assigned, threshold=0.4, assigned=assigned
     ).select("vec_id", "cluster_id", "dup_group", "keep")
+
+
+@query(
+    "q109_leakage_safe_split",
+    f"""WITH f AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
+                   AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               substring(md5(fingerprint), 1, 2) AS split_bucket,
+               CASE WHEN substring(md5(fingerprint), 1, 2) < 'e6' THEN 'train'
+                    WHEN substring(md5(fingerprint), 1, 2) < 'f3' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f""",
+)
+def q109(spark, sf_dir):
+    """Leakage-safe split: bucket on the content FINGERPRINT, so exact
+    and token-reordered copies always share a split (q64 buckets raw
+    text and can leak a near-copy across splits)."""
+    from .operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.with_leakage_safe_split(docs).select(
+        "doc_id", "fingerprint", "split_bucket", "split"
+    )

@@ -676,3 +676,21 @@ def test_semantic_dedup_semdedup(emb):
     multi = [ms for ms in by_group.values() if len(ms) > 1]
     # the synthetic corpus has engineered near-dups, so some group must form
     assert multi, "expected at least one semantic duplicate group"
+
+
+def test_leakage_safe_split_groups_copies(spark):
+    """Docs with identical token SETS (reordered copies) must land in
+    the same split; the plain text-hash split would separate them."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "epsilon delta gamma beta alpha"),   # reordered copy of 1
+        (3, "completely different content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_analysis.with_leakage_safe_split(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["fingerprint"] == by_id[2]["fingerprint"]
+    assert by_id[1]["split"] == by_id[2]["split"]
+    # and the assignment covers every doc deterministically
+    again = {r["doc_id"]: r["split"] for r in text_analysis.with_leakage_safe_split(df).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
