@@ -192,7 +192,20 @@ def connected_components(
         # both (a,b) and (b,a) are present; union-find needs each edge once
         rows = edges.filter(F.col("src") < F.col("dst")).collect()
         comp = _local_components([(r["src"], r["dst"]) for r in rows])
-        return spark.createDataFrame(comp, "node long, component long")
+        # explicit slice count: the default createDataFrame path cuts a
+        # small result into defaultParallelism (32+) python-pickled
+        # slices — ~0.5 s of empty-task overhead per call on a result
+        # that is usually a few hundred rows. One slice per 100k rows
+        # keeps the ship cheap while never bottlenecking a big tail.
+        slices = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                len(comp) // 100_000 + 1,
+            ),
+        )
+        rdd = spark.sparkContext.parallelize(comp, slices)
+        return spark.createDataFrame(rdd, "node long, component long")
 
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
     # convergence probe: labels only DECREASE under min-propagation and
