@@ -149,3 +149,35 @@ def test_minmax_affected_group_recompute(spark, root):
     # untouched group g2's row must have survived from prev_state verbatim
     g2 = [r for r in state.collect() if r["grp"] == "g2"]
     assert len(g2) == 1
+
+
+def test_random_merge_sequences_maintain_exactly(spark, tmp_path):
+    """Property check: for random sequences of insert/update/delete-ish
+    merge batches, the incrementally maintained state equals a full
+    recompute after EVERY step (sampled explicitly — Spark in a
+    hypothesis loop is too slow, same convention as test_fuzz_ops)."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"t{seed}")
+        n0 = rng.randrange(10, 40)
+        rows = [(i, f"g{rng.randrange(4)}", rng.randrange(-50, 50)) for i in range(n0)]
+        ledger.ledger_write(spark, root, _df(spark, rows))
+        state = maintain_view(spark, root, None, 0, 1, GROUP, SUMS)
+        v = 1
+        next_id = n0
+        for _ in range(3):
+            batch = []
+            for _ in range(rng.randrange(1, 6)):
+                if rng.random() < 0.5 and next_id > 0:
+                    key = rng.randrange(next_id)  # update (maybe group move)
+                else:
+                    key = next_id
+                    next_id += 1
+                batch.append((key, f"g{rng.randrange(4)}", rng.randrange(-50, 50)))
+            nv = ledger.ledger_merge_upsert(spark, root, _df(spark, batch))
+            state = maintain_view(spark, root, state, v, nv, GROUP, SUMS).localCheckpoint(eager=True)
+            v = nv
+            expect = snapshot_agg(ledger.ledger_read(spark, root, v), GROUP, SUMS)
+            assert _rows(state) == _rows(expect), f"seed={seed} v={v}"

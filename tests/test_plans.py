@@ -184,3 +184,31 @@ def test_q102_packs_within_shard_partitions(spark):
     plan = executed_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q106_gopher_rules_are_map_only(spark):
+    """The quality gate must stay a single map-only projection: no
+    Exchange (shuffle) anywhere, no Python UDF — pure codegen over the
+    scan, the shape that fuses for free at 100 TB."""
+    df = QUERIES["q106_gopher_quality_rules"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Batch/ArrowEvalPython stage
+
+
+def test_q104_pq_probe_plan_is_udf_free_topk(spark):
+    """The registered PQ probe runs over the PREBUILT encoded table:
+    the coarse ADC scan must be literal-LUT codegen (no Python eval —
+    encoding happened at ingest) and rank via TakeOrderedAndProject,
+    with the refine side broadcast."""
+    df = QUERIES["q104_pq_ann_topk"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+
+
+def test_q109_split_is_map_only(spark):
+    df = QUERIES["q109_leakage_safe_split"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan and "Python" not in plan
