@@ -191,11 +191,21 @@ def refresh_continuous_view(
         reflected = m["base_version"]
         if reflected == base_v:
             return base_v
-        delta = agg_delta(
-            spark, table_root, reflected, base_v, group_cols, sums
-        )
-        prev = ledger_read(spark, view_root, view_v)
-        state = apply_agg_delta(prev, delta, group_cols)
+        try:
+            delta = agg_delta(
+                spark, table_root, reflected, base_v, group_cols, sums
+            )
+            prev = ledger_read(spark, view_root, view_v)
+            state = apply_agg_delta(prev, delta, group_cols)
+        except FileNotFoundError:
+            # the reflected base snapshot fell out of the retention
+            # window (vacuumed) — the delta is unreconstructable, so
+            # fall back to a full materialization of the current
+            # snapshot. Correctness never depends on retention; only
+            # the maintenance COST does.
+            state = snapshot_agg(
+                ledger_read(spark, table_root, base_v), group_cols, sums
+            )
     key = group_cols[0]
     files = _stage_data_files(spark, view_root, state, key)
     _commit(

@@ -185,8 +185,8 @@ def test_write_race_detected_not_lost(spark, root, monkeypatch):
     update bug class): the target version is pinned before staging."""
     real_stage = ledger._stage_data_files
 
-    def stage_and_interleave(spark_, root_, df_, key):
-        files = real_stage(spark_, root_, df_, key)
+    def stage_and_interleave(spark_, root_, df_, key, **kw):
+        files = real_stage(spark_, root_, df_, key, **kw)
         # a second writer commits while we were staging
         other = real_stage(spark_, root_, _df(spark_, [(99, "other")]), key)
         ledger._commit(root_, ledger.current_version(root_) + 1, other, key)

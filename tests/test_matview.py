@@ -181,3 +181,21 @@ def test_random_merge_sequences_maintain_exactly(spark, tmp_path):
             v = nv
             expect = snapshot_agg(ledger.ledger_read(spark, root, v), GROUP, SUMS)
             assert _rows(state) == _rows(expect), f"seed={seed} v={v}"
+
+
+def test_continuous_view_survives_vacuumed_history(spark, root, tmp_path):
+    """If the snapshot the view reflects fell out of retention, refresh
+    falls back to a full rematerialization — correctness never depends
+    on how much history vacuum kept."""
+    from mtg_bulk_database_spark.ingest.matview import refresh_continuous_view
+
+    view_root = str(tmp_path / "view")
+    ledger.ledger_write(spark, root, _df(spark, [(i, f"g{i % 2}", i) for i in range(20)]))
+    refresh_continuous_view(spark, root, view_root, GROUP, SUMS)
+    for k in range(3):  # push the reflected version out of retention
+        ledger.ledger_merge_upsert(spark, root, _df(spark, [(100 + k, "g1", k)]))
+    ledger.ledger_vacuum(root, retain_versions=1, orphan_min_age_s=0.0)
+    assert refresh_continuous_view(spark, root, view_root, GROUP, SUMS) == 4
+    got = _rows(ledger.ledger_read(spark, view_root))
+    expect = _rows(snapshot_agg(ledger.ledger_read(spark, root), GROUP, SUMS))
+    assert got == expect
