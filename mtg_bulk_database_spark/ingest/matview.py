@@ -68,11 +68,17 @@ def agg_delta(
     """The view delta between two committed ledger versions: per group,
     signed counts/sums of (rows added) minus (rows removed). Unchanged
     rows cancel out of the ``exceptAll`` multiset differences before any
-    aggregation, so the shuffle carries changed rows only."""
-    old = ledger_read(spark, root, from_version)
-    new = ledger_read(spark, root, to_version)
-    cols = new.columns
-    old = old.select(*cols)
+    aggregation, so the shuffle carries changed rows only.
+
+    Both snapshots are PROJECTED to the view's columns before the
+    multiset difference: the view state is a pure function of those
+    columns, so a change in any other column correctly produces no
+    delta; the diff gets narrower (less shuffle); and non-comparable
+    columns outside the view (MAP-typed ``image_uris`` on the cards
+    table) stop mattering — ``exceptAll`` never sees them."""
+    needed = list(dict.fromkeys([*group_cols, *sums.values()]))
+    old = ledger_read(spark, root, from_version).select(*needed)
+    new = ledger_read(spark, root, to_version).select(*needed)
     added = new.exceptAll(old).withColumn(_WEIGHT, F.lit(1).cast("long"))
     removed = old.exceptAll(new).withColumn(
         _WEIGHT, F.lit(-1).cast("long")
@@ -229,14 +235,25 @@ def changed_groups(
     from_version: int,
     to_version: int,
     group_cols: list[str],
+    value_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distinct group keys touched by any insert/delete/update between
     two snapshots — the recompute frontier for non-self-maintainable
-    aggregates. Change-bounded: built from the exceptAll diffs."""
+    aggregates. Change-bounded: built from the exceptAll diffs.
+    ``value_cols`` restricts change detection to the columns the
+    aggregate reads (same projection argument as ``agg_delta``);
+    None diffs full rows (conservative; requires comparable types)."""
+    needed = (
+        list(dict.fromkeys([*group_cols, *value_cols]))
+        if value_cols is not None
+        else None
+    )
     old = ledger_read(spark, root, from_version)
     new = ledger_read(spark, root, to_version)
-    cols = new.columns
-    old = old.select(*cols)
+    if needed is not None:
+        old, new = old.select(*needed), new.select(*needed)
+    else:
+        old = old.select(*new.columns)
     return (
         new.exceptAll(old)
         .select(*group_cols)
@@ -276,7 +293,12 @@ def maintain_minmax(
     the base table shuffles on the group key twice.
     """
     frontier = changed_groups(
-        spark, root, prev_version, to_version, group_cols
+        spark,
+        root,
+        prev_version,
+        to_version,
+        group_cols,
+        value_cols=[src for _, src in measures.values()],
     ).localCheckpoint(eager=True)
     recomputed = snapshot_minmax(
         ledger_read(spark, root, to_version).join(

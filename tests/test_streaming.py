@@ -357,3 +357,56 @@ def test_stream_upsert_cards_ledger_versions(spark, tmp_path):
         .collect()
     )
     assert pre[0]["rarity"] != "stream-ledger-updated"
+
+
+def test_stream_ledger_upsert_drives_continuous_view(spark, tmp_path):
+    """Streaming + IVM end-to-end: each micro-batch commits a ledger
+    version; refreshing the continuous aggregate after each drain folds
+    exactly the new versions and always equals a recompute — the
+    'continuously maintained stats table' a 100 TB ingest pipeline runs
+    beside the stream. The view projects (rarity, cmc_bucket) only, so
+    the cards table's MAP columns never reach the snapshot diff."""
+    import json
+
+    from mtg_bulk_database_spark.ingest.ledger import current_version, ledger_read
+    from mtg_bulk_database_spark.ingest.matview import (
+        refresh_continuous_view,
+        snapshot_agg,
+    )
+    from mtg_bulk_database_spark.streaming.ingest import stream_upsert_cards
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cards = [c for c in make_cards(n=30) if c["id"] is not None]
+    with open(landing / "b1.jsonl", "w") as f:
+        for c in cards[:15]:
+            f.write(json.dumps(c) + "\n")
+
+    table = str(tmp_path / "cards_ledger")
+    ckpt = str(tmp_path / "ckpt")
+    view = str(tmp_path / "view")
+    group, sums = ["rarity"], {}
+
+    def refresh_and_check():
+        refresh_continuous_view(spark, table, view, group, sums)
+        got = sorted(tuple(r) for r in ledger_read(spark, view).collect())
+        expect = sorted(
+            tuple(r)
+            for r in snapshot_agg(ledger_read(spark, table), group, sums).collect()
+        )
+        assert got == expect
+        return got
+
+    stream_upsert_cards(spark, str(landing), table, ckpt, table_format="ledger")
+    first = refresh_and_check()
+    assert sum(r[1] for r in first) == 15
+    # second landing: 5 rarity-changing updates + 10 inserts, then an
+    # INCREMENTAL refresh (prev state + one folded delta)
+    updated = [dict(c, rarity="mythic") for c in cards[:5]]
+    with open(landing / "b2.jsonl", "w") as f:
+        for c in updated + cards[15:25]:
+            f.write(json.dumps(c) + "\n")
+    stream_upsert_cards(spark, str(landing), table, ckpt, table_format="ledger")
+    second = refresh_and_check()
+    assert sum(r[1] for r in second) == 25
+    assert current_version(table) >= 2
