@@ -620,19 +620,29 @@ def q66(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Array aggregation: deterministic collect (sorted) — the list-building
-# aggregate shape; sorting makes collect_list oracle-comparable.
+# aggregate shape; sorting makes collect_list oracle-comparable. The
+# registered output joins the array to one string cell: the verification
+# driver canonicalizes cells via pandas sort, which cannot hash python
+# lists (the q84/q85 r2 failure mode), so no oracled query may emit an
+# array column.
 # ---------------------------------------------------------------------------
 @query(
     "q67_array_agg",
     """SELECT source,
-              list_sort(list(n_chars)) AS chars_sorted,
+              coalesce(array_to_string(list_sort(list(n_chars)), ' '), '') AS chars_sorted,
               len(list(n_chars)) AS n_docs
        FROM documents GROUP BY source""",
 )
 def q67(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.array_sort(F.collect_list("n_chars")).alias("chars_sorted"),
+        F.coalesce(
+            F.array_join(
+                F.array_sort(F.collect_list("n_chars")).cast("array<string>"),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("chars_sorted"),
         F.size(F.collect_list("n_chars")).alias("n_docs"),
     )
 

@@ -83,3 +83,31 @@ def test_rows_only_queries_run(spark):
         df = fn(spark, SF_DIR)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_oracled_queries_emit_scalar_columns_only(spark):
+    """The verification driver canonicalizes result cells with a pandas
+    sort, which raises ``TypeError: unhashable type: 'list'`` on array
+    cells (the r2 q84/q85 failure). Pin the invariant: every ORACLED
+    query's registered output schema is scalar-only — arrays must be
+    ``array_join``ed (Spark) / ``array_to_string``ed (DuckDB) before
+    registration. Rows-only queries are exempt (weaker driver check),
+    but flag them too so a later oracle add doesn't trip.
+    """
+    offenders = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if any(
+                t in f.dataType.simpleString()
+                for t in ("array", "map", "struct")
+            )
+        ]
+        if complex_cols and name in ORACLE_SQL:
+            offenders.append((name, complex_cols))
+    assert not offenders, (
+        "oracled queries returning complex-typed columns (driver canon "
+        f"would crash): {offenders}"
+    )
