@@ -64,6 +64,9 @@ HEADLINE = [
     "q99_repeated_passages",
     "q104_pq_ann_topk",
     "q106_gopher_quality_rules",
+    "q110_bigram_lm_score",
+    "q111_temperature_mix",
+    "q112_novel_against_corpus",
 ]
 
 

@@ -102,3 +102,64 @@ def sql_sample_predicate(
     if full:
         pred = f"(({' OR '.join(full)}) OR {pred})"
     return pred
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing (α-sampling with α = 0.5, the
+    multilingual-pretraining recipe): a total budget of
+    ``floor(budget_frac · N)`` documents is allocated across sources in
+    proportion to ``count(source)^α`` instead of raw counts, flattening
+    the head sources and boosting the tail; within each source the
+    winners are chosen by the same content-hash lottery as the quota
+    cap (q97) — deterministic, partitioning- and engine-independent.
+
+    Engine-exactness: source weights are ``floor(sqrt(n_s) · 1e6)``
+    BIGINTs (sqrt is IEEE correctly-rounded in every engine, floor is
+    exact), their sum is an exact integer, and each per-source target
+    is one identical double expression ``floor((w · B) / denom)``.
+
+    Scale shape: the allocation table is |sources| rows — computed with
+    two tiny aggregates and broadcast back onto the corpus; the only
+    corpus-wide cost is the per-source rank window (one shuffle on
+    ``source_col``; a heavily skewed head source is the documented
+    salting case). Sources whose α-boosted target exceeds their actual
+    count keep every row (no upsampling here — repetition policy
+    belongs to the sequence-packing stage).
+
+    Returns kept rows: ``id_col, source_col, mix_rank, source_target``.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    w_micro = F.floor(F.sqrt(F.col("n_s")) * F.lit(1000000.0))
+    weights = counts.withColumn("w_micro", w_micro)
+    denom = weights.agg(
+        F.sum("w_micro").alias("denom"), F.sum("n_s").alias("n_total")
+    )
+    budget = F.floor(F.col("n_total") * F.lit(budget_frac))
+    targets = (
+        weights.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "source_target",
+            F.floor(
+                (F.col("w_micro").cast("double") * budget)
+                / F.col("denom").cast("double")
+            ),
+        )
+        .select(source_col, "source_target")
+    )
+    rank_w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))), F.col(id_col)
+    )
+    ranked = df.withColumn("mix_rank", F.row_number().over(rank_w))
+    return (
+        ranked.join(F.broadcast(targets), on=source_col)
+        .filter(F.col("mix_rank") <= F.col("source_target"))
+        .select(id_col, source_col, "mix_rank", "source_target")
+    )

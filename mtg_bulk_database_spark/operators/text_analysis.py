@@ -408,6 +408,86 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Statistical-LM fluency scoring (the CCNet/KenLM quality signal,
+    reduced to a corpus-trained bigram model with add-one smoothing):
+    per document, the sum and mean of ``ln P(w_i | w_{i-1})`` where
+    ``P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + |V|)``. Low (very negative)
+    mean log-prob ≈ disfluent/gibberish text — the perplexity-bucket
+    filter web-scale pipelines run after the cheap heuristic gates.
+
+    Engine-exactness: each term is truncated to integer MICRO-nats via
+    ``floor(ln(p) · 1e6)`` — floor is exact on IEEE doubles in every
+    engine (unlike round(), whose half-up implementations differ), so
+    the per-document sum is an order-independent BIGINT sum and the two
+    final double divisions are single identical operations on identical
+    inputs.
+
+    Scale shape: the model IS two aggregate tables (unigram counts,
+    bigram counts) — never collected, never a driver artifact. Training
+    and scoring share one tokenize. The posting→count joins shuffle on
+    the token/bigram (Zipf-skewed head keys are the AQE skew-join
+    case), and the vocab size is a 1-row broadcast. At 100 TB the
+    counts tables are corpus-level ingest artifacts, rebuilt
+    incrementally with the matview machinery rather than per query.
+
+    Returns one row per input row: ``id_col, n_bigrams,
+    sum_logprob, avg_logprob`` (documents with < 2 tokens score 0).
+    """
+    toks = df.select(id_col, tokens(text_col).alias("_l"))
+    bg_arr = F.when(
+        F.size("_l") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_l") - 2),
+            lambda i: F.concat(
+                F.get("_l", i), F.lit(" "), F.get("_l", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select(id_col, F.explode(bg_arr).alias("bg"))
+    uni = toks.select(F.explode("_l").alias("t"))
+    unic = uni.groupBy("t").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count_distinct("t").alias("vocab"))
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    terms = (
+        bg.join(bgc, "bg")
+        .withColumn("_w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(unic.withColumnRenamed("t", "_w1"), "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "term_micro",
+            F.floor(
+                F.log(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vocab"))
+                )
+                * F.lit(1000000.0)
+            ),
+        )
+    )
+    scored = terms.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("term_micro").alias("_sum_micro"),
+    )
+    sum_lp = F.col("_sum_micro").cast("double") / F.lit(1000000.0)
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce(sum_lp, F.lit(0.0)).alias("sum_logprob"),
+            F.when(F.col("n_bigrams") > 0, sum_lp / F.col("n_bigrams"))
+            .otherwise(F.lit(0.0))
+            .alias("avg_logprob"),
+        )
+    )
+
+
 # --- DuckDB-SQL twins (shared with pipeline_queries) ----------------------
 
 

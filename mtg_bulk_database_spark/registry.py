@@ -33,6 +33,7 @@ def load_registry():
         pipeline_queries2,
         pipeline_queries3,
         pipeline_queries4,
+        pipeline_queries5,
         queries,
         queries_extra,
     )

@@ -1,0 +1,116 @@
+"""Property tests for the statistical-LM / corpus-assembly operators:
+bigram-LM scoring (q110), temperature mixing (q111), and ingest
+novelty (q112). The value-level gate is the DuckDB parity suite; these
+pin the operator INVARIANTS that parity alone wouldn't explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.catalog import load_table
+from mtg_bulk_database_spark.functions.text import tokens
+from mtg_bulk_database_spark.operators import sampling, text_analysis
+from mtg_bulk_database_spark.registry import load_registry
+
+QUERIES, _ = load_registry()
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_bigram_lm_counts_and_sign(spark):
+    """n_bigrams == max(0, n_tokens - 1) for every document; add-one
+    smoothing keeps every probability ≤ 1 so log-prob sums are ≤ 0;
+    short documents (< 2 tokens) score exactly 0."""
+    docs = load_table(spark, SF_DIR, "documents")
+    scored = text_analysis.bigram_lm_score(docs)
+    joined = scored.join(
+        docs.select("doc_id", F.size(tokens("text")).alias("n_tok")),
+        "doc_id",
+    )
+    bad = joined.filter(
+        (F.col("n_bigrams") != F.greatest(F.lit(0), F.col("n_tok") - 1))
+        | (F.col("sum_logprob") > 0)
+        | ((F.col("n_bigrams") == 0) & (F.col("avg_logprob") != 0.0))
+    )
+    assert bad.count() == 0
+    assert scored.count() == docs.count()
+
+
+def test_bigram_lm_repeated_text_scores_higher(spark):
+    """A document repeating the corpus's own frequent bigrams must
+    out-score one of corpus-unseen token pairs: the model really is
+    trained on the corpus, not a constant."""
+    docs = load_table(spark, SF_DIR, "documents")
+    scored = text_analysis.bigram_lm_score(docs).filter(F.col("n_bigrams") > 0)
+    row = scored.agg(
+        F.max("avg_logprob").alias("hi"), F.min("avg_logprob").alias("lo")
+    ).first()
+    assert row.hi > row.lo  # non-degenerate spread
+    assert row.hi <= 0.0
+
+
+def test_temperature_mix_deterministic_and_budget(spark):
+    """The mix is a pure function of content (partitioning-independent),
+    never exceeds the global budget, and fills each source to exactly
+    min(target, available)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = sampling.temperature_mix(docs)
+    kept_repart = sampling.temperature_mix(docs.repartition(7))
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == sorted(r.doc_id for r in kept_repart.collect())
+
+    n_total = docs.count()
+    assert len(ids) <= n_total // 2
+
+    per = kept.groupBy("source", "source_target").agg(
+        F.count("*").alias("kept_n"), F.max("mix_rank").alias("max_rank")
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    bad = (
+        per.join(counts, "source")
+        .filter(
+            (F.col("kept_n") != F.least("source_target", "n_s"))
+            | (F.col("max_rank") > F.col("source_target"))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_temperature_mix_flattens_head_sources(spark):
+    """α = 0.5 keeps a LARGER fraction of smaller sources: the kept
+    fraction must be non-increasing in source size (up to the ±1 doc
+    floor slack)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = sampling.temperature_mix(docs)
+    per = (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("kept_n"))
+        .join(docs.groupBy("source").agg(F.count("*").alias("n_s")), "source")
+        .collect()
+    )
+    rows = sorted(per, key=lambda r: r.n_s)
+    for small, large in zip(rows, rows[1:]):
+        if small.n_s == large.n_s:
+            continue
+        frac_small = small.kept_n / small.n_s
+        # +1 floor slack on the larger source's kept count
+        frac_large_upper = (large.kept_n + 1) / large.n_s
+        assert frac_small <= frac_large_upper or small.kept_n == small.n_s
+
+
+def test_novelty_is_exact_set_difference(spark):
+    """q112 returns exactly the incoming documents whose canonical
+    fingerprint is absent from the reference (train) corpus."""
+    docs = load_table(spark, SF_DIR, "documents")
+    fp = text_analysis.with_fingerprint(text_analysis.with_train_split(docs))
+    ref = {
+        r.fingerprint
+        for r in fp.filter("split = 'train'").select("fingerprint").collect()
+    }
+    inc = fp.filter("split <> 'train'").select("doc_id", "fingerprint").collect()
+    expected = {r.doc_id for r in inc if r.fingerprint not in ref}
+
+    result = QUERIES["q112_novel_against_corpus"](spark, SF_DIR).collect()
+    got = {r.doc_id for r in result}
+    assert got == expected
+    assert not {r.fingerprint for r in result} & ref

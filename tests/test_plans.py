@@ -212,3 +212,34 @@ def test_q109_split_is_map_only(spark):
     df = QUERIES["q109_leakage_safe_split"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_q110_lm_reads_two_columns_no_cartesian(spark):
+    # bigram-LM: the model is aggregate tables over the same scan —
+    # only (doc_id, text) may be read, the 1-row vocab rides a
+    # broadcast, and nothing degenerates to a real cartesian product
+    df = QUERIES["q110_bigram_lm_score"](spark, SF_DIR)
+    assert read_schema_columns(df) <= {"doc_id", "text"}
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_q111_mix_allocation_broadcasts(spark):
+    # temperature mixing: the |sources|-row allocation table must come
+    # back via broadcast — the corpus side's only wide op is the rank
+    # window on source
+    df = QUERIES["q111_temperature_mix"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q112_novelty_is_hash_anti_join(spark):
+    # ingest novelty: a hash LeftAnti on the md5 fingerprint — uniform
+    # key, no nested-loop fallback
+    df = QUERIES["q112_novel_against_corpus"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
