@@ -246,3 +246,72 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds — "
         "raise max_iter (diameter exceeds it) before trusting the labels"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+) -> DataFrame:
+    """Power-iteration PageRank over an UNDIRECTED edge list ``(id_a,
+    id_b)`` — the centrality signal corpus curation uses to pick
+    authoritative cluster representatives (and, with a host-link
+    graph, the Common-Crawl-style domain-quality prior).
+
+    Spark shape: ranks and degrees are DataFrames; one iteration is
+    one join (rank/degree onto edges) + one groupBy (sum contributions
+    onto targets) — the Pregel step expressed relationally. Dangling
+    nodes can't occur in a symmetrized graph (every node has degree
+    ≥ 1), so mass is conserved at Σrank = N exactly (up to float sum
+    order) without a dangling-redistribution term. Convergence is
+    probed every iteration with a 1-row L1-delta aggregate — the same
+    bounded-driver-traffic pattern as connected_components' label-sum
+    probe — and each iteration localCheckpoints to cut the lineage
+    that otherwise re-evaluates the whole chain every probe.
+
+    Returns ``node, rank`` with Σrank ≈ |nodes|.
+    """
+    fwd = edges.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    degrees = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = degrees.select("src", F.lit(1.0).alias("rank")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_iter):
+        contribs = (
+            sym.join(ranks, on="src")
+            .join(degrees, on="src")
+            .select(
+                F.col("dst").alias("src"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+        )
+        new_ranks = (
+            contribs.groupBy("src")
+            .agg(
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.sum("contrib")
+                ).alias("rank")
+            )
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            new_ranks.join(
+                ranks.withColumnRenamed("rank", "_prev"), on="src"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks.select(F.col("src").alias("node"), "rank")

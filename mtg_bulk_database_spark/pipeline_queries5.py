@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.text import sql_tokens, sql_ts_tokens
-from .operators import sampling, text_analysis
+from .operators import dedup, sampling, text_analysis
 from .registry import query
 
 _TOKS = sql_tokens("text")
@@ -141,4 +141,174 @@ def q112(spark, sf_dir):
     inc = fp.filter(F.col("split") != "train").select("doc_id", "fingerprint")
     return inc.join(ref, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 widening: the two classic decorrelation shapes the suite didn't
+# yet pin — a correlated SCALAR aggregate subquery (TPC-H Q17) and a
+# grouped-HAVING semi-join (TPC-H Q18).
+# ---------------------------------------------------------------------------
+@query(
+    "q113_small_qty_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                / 7.0 AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#2'
+         AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+)
+def q113(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders. The SQL
+    correlated scalar subquery is expressed Spark-first as its
+    decorrelated plan — per-part averages as a groupBy, joined back —
+    which is exactly what Catalyst's RewriteCorrelatedScalarSubquery
+    would emit, but stated explicitly so the brand filter prunes BOTH
+    sides before the per-part aggregate (the subquery's unfiltered
+    per-part scan is the 100 TB trap). l_quantity is integral, so the
+    double avg is order-independent and engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bparts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    lb = li.join(F.broadcast(bparts), F.col("p_partkey") == F.col("l_partkey"))
+    thr = lb.groupBy(F.col("l_partkey").alias("_tk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_thr")
+    )
+    small = lb.join(F.broadcast(thr), F.col("_tk") == F.col("l_partkey")).filter(
+        F.col("l_quantity") < F.col("_qty_thr")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q114_large_qty_orders",
+    """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                AS total_qty
+       FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey
+                            HAVING sum(l_quantity) > 250)
+       GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       LIMIT 100""",
+)
+def q114(spark, sf_dir):
+    """TPC-H Q18 shape: customers with very large orders. The IN
+    subquery is a grouped-HAVING aggregate semi-joined back to the
+    fact: the qualifying-orderkey set is tiny after the HAVING filter,
+    so it broadcasts and every downstream join prunes to the ~1% of
+    orders that survive before the final per-order aggregate. Ordered
+    top-100 with a full deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_s"))
+        .filter(F.col("_s") > 250)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    return (
+        li.join(F.broadcast(big), F.col("_bigkey") == F.col("l_orderkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch paths (rows-only, like q87's quantile sketch): bounded-state
+# approximate distinct counting and frequency estimation. DuckDB's
+# approximate aggregates use different sketch algorithms, so there is
+# no value-hash oracle; the error guarantees are pinned by tests
+# (test_sketches.py) instead.
+# ---------------------------------------------------------------------------
+@query("q115_hll_distinct_tokens")
+def q115(spark, sf_dir):
+    """Per-source approximate distinct-token counts via Datasketches
+    HLL — constant ~2^12 bytes of state per group where the exact
+    distinct set would be a table of its own. The sketch column is the
+    incremental ingest artifact (matview.maintain_approx_distinct);
+    the registered output is the scalar estimate."""
+    from .functions.text import tokens
+    from .ingest.matview import HLL_ESTIMATE_COL, snapshot_approx_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("t")
+    )
+    return (
+        snapshot_approx_distinct(tok, ["source"], "t")
+        .select("source", HLL_ESTIMATE_COL)
+        .orderBy("source")
+    )
+
+
+@query("q116_cms_heavy_hitters")
+def q116(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the exact top-20
+    tokens: the bounded-memory twin of q100. The sketch is d×w SUM
+    cells (a 5120-row DataFrame at the default ε≈e/1024), built in one
+    explode+groupBy pass and broadcast into the probe join; estimates
+    are ≥ truth by construction with ≤ εN overshoot w.h.p. —
+    test_sketches.py pins both bounds against the exact counts."""
+    from .functions.text import tokens
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    sketch = sketches.cms_build(tok, "t")
+    top = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "t")
+        .limit(20)
+    )
+    return (
+        sketches.cms_estimate(sketch, top, "t")
+        .select("t", "true_count", "est_count")
+        .orderBy(F.col("true_count").desc(), "t")
+    )
+
+
+@query("q117_dup_pagerank")
+def q117(spark, sf_dir):
+    """Centrality over the near-duplicate graph (rows-only: iterative
+    float fixpoint, not SQL-expressible): rank documents by how
+    connected they are inside dup neighborhoods — the signal for
+    picking the canonical representative of a template family (and,
+    on a host-link graph, the crawl-quality prior). Top-20 with a
+    deterministic tie-break."""
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.6
+    )
+    return (
+        graph.pagerank(pairs)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("doc_id"), "rank")
     )

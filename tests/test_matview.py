@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from mtg_bulk_database_spark.ingest import ledger
 from mtg_bulk_database_spark.ingest.matview import (
     agg_delta,
@@ -199,3 +201,54 @@ def test_continuous_view_survives_vacuumed_history(spark, root, tmp_path):
     got = _rows(ledger.ledger_read(spark, view_root))
     expect = _rows(snapshot_agg(ledger.ledger_read(spark, root), GROUP, SUMS))
     assert got == expect
+
+
+def test_hll_maintenance_matches_recompute(spark, root):
+    """Approximate-distinct view: incremental maintenance must produce
+    the SAME estimates as a full recompute (HLL union is register-max —
+    associative, order-independent), for insert-only batches (the
+    union-fold path) and for delete/update batches (the dirty-group
+    recompute path); and the estimate must be exact at these tiny
+    cardinalities."""
+    from mtg_bulk_database_spark.ingest.matview import (
+        HLL_ESTIMATE_COL,
+        maintain_approx_distinct,
+        snapshot_approx_distinct,
+    )
+
+    def _est(df):
+        return sorted(
+            (r["grp"], r[HLL_ESTIMATE_COL]) for r in df.collect()
+        )
+
+    ledger.ledger_write(
+        spark,
+        root,
+        _df(spark, [(i, f"g{i % 3}", i % 7) for i in range(30)]),
+    )
+    state = maintain_approx_distinct(
+        spark, root, None, 0, 1, GROUP, "amount"
+    )
+    v = 1
+    batches = [
+        [(40, "g0", 100), (41, "g1", 101)],      # pure inserts → fold
+        [(5, "g2", 999), (42, "g3", 1)],         # update (dirty) + new grp
+        [(0, "g0", 55), (1, "g1", 1), (43, "g3", 2)],  # updates + insert
+    ]
+    for batch in batches:
+        new_v = ledger.ledger_merge_upsert(spark, root, _df(spark, batch))
+        state = maintain_approx_distinct(
+            spark, root, state, v, new_v, GROUP, "amount"
+        )
+        v = new_v
+        expect = snapshot_approx_distinct(
+            ledger.ledger_read(spark, root, v), GROUP, "amount"
+        )
+        assert _est(state) == _est(expect)
+        # cardinalities this small estimate exactly (HLL sparse mode)
+        exact = (
+            ledger.ledger_read(spark, root, v)
+            .groupBy("grp")
+            .agg(F.count_distinct("amount").alias("d"))
+        )
+        assert _est(state) == sorted((r["grp"], r["d"]) for r in exact.collect())

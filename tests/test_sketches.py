@@ -1,0 +1,103 @@
+"""Sketch guarantees: count-min never undercounts and overshoots by at
+most εN; per-batch sketches merge losslessly; HLL estimates track exact
+distinct counts within the published error envelope."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.catalog import load_table
+from mtg_bulk_database_spark.functions.text import tokens
+from mtg_bulk_database_spark.ingest.matview import (
+    HLL_ESTIMATE_COL,
+    snapshot_approx_distinct,
+)
+from mtg_bulk_database_spark.operators import sketches
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _token_df(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+
+
+def test_cms_never_undercounts_and_bounded_overshoot(spark):
+    tok = _token_df(spark)
+    sketch = sketches.cms_build(tok, "t")
+    truth = tok.groupBy("t").agg(F.count("*").alias("true_count"))
+    est = sketches.cms_estimate(sketch, truth, "t")
+    n_total = tok.count()
+    eps = math.e / sketches.CMS_WIDTH
+    stats = est.agg(
+        F.sum(F.when(F.col("est_count") < F.col("true_count"), 1).otherwise(0)).alias(
+            "under"
+        ),
+        F.max(F.col("est_count") - F.col("true_count")).alias("max_over"),
+    ).first()
+    assert stats.under == 0  # the one-sided guarantee is unconditional
+    assert stats.max_over <= eps * n_total
+
+
+def test_cms_merges_losslessly(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) cell-for-cell —
+    counters are plain sums, so batch sketches fold into the corpus
+    sketch with no drift."""
+    tok = _token_df(spark)
+    a = tok.filter(F.col("doc_id") % 2 == 0)
+    b = tok.filter(F.col("doc_id") % 2 == 1)
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, "t"), sketches.cms_build(b, "t")
+    )
+    full = sketches.cms_build(tok, "t")
+    diff = merged.join(full, ["row_idx", "bucket"], "full").filter(
+        (F.coalesce(merged.cnt, F.lit(0)) != F.coalesce(full.cnt, F.lit(0)))
+    )
+    assert diff.count() == 0
+
+
+def test_hll_tracks_exact_distinct(spark):
+    tok = _token_df(spark)
+    approx = snapshot_approx_distinct(tok, ["doc_id"], "t").select(
+        "doc_id", HLL_ESTIMATE_COL
+    )
+    exact = tok.groupBy("doc_id").agg(F.count_distinct("t").alias("d"))
+    j = approx.join(exact, "doc_id")
+    bad = j.filter(
+        F.abs(F.col(HLL_ESTIMATE_COL) - F.col("d")) > 0.05 * F.col("d")
+    )
+    assert bad.count() == 0
+
+
+# --- PageRank invariants (operators/graph.py) ------------------------------
+
+
+def test_pagerank_conserves_mass_and_orders_path_graph(spark):
+    from mtg_bulk_database_spark.operators.graph import pagerank
+
+    # P3 path: 1—2—3. Analytic fixpoint: center ≈ 1.4595, ends ≈ 0.7703.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {r.node: r.rank for r in pagerank(edges, max_iter=60, tol=1e-9).collect()}
+    assert abs(sum(rows.values()) - 3.0) < 1e-6  # Σrank = |V|
+    assert rows[2] > rows[1] == rows[3]
+    assert abs(rows[2] - 1.4595) < 1e-3
+    assert all(r >= 0.15 - 1e-9 for r in rows.values())
+
+
+def test_pagerank_on_dup_graph_invariants(spark):
+    from mtg_bulk_database_spark.operators import dedup
+    from mtg_bulk_database_spark.operators.graph import pagerank
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.6)
+    ranks = pagerank(pairs)
+    n_nodes = ranks.count()
+    got = ranks.agg(
+        F.sum("rank").alias("s"), F.min("rank").alias("mn")
+    ).first()
+    assert abs(got.s - n_nodes) < 1e-4 * max(n_nodes, 1)
+    assert got.mn >= 0.15 - 1e-9
