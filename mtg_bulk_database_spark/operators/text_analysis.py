@@ -488,6 +488,71 @@ def bigram_lm_score(
     )
 
 
+def remove_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of repeated-passage detection (q99 finds the
+    passages; this rewrites the corpus without them — the CCNet
+    paragraph-dedup pass): split each document into NON-overlapping
+    ``chunk_tokens`` windows, drop every chunk whose text occurs in
+    ≥ ``min_docs`` distinct documents, and reassemble the survivors in
+    original order. Non-overlapping windows make removal well-defined
+    (no token belongs to two chunks).
+
+    Scale shape: the chunker is zero-shuffle; the boilerplate list is
+    one groupBy on the chunk (hash chunks to int64 at 100 TB), and the
+    reassembly is one groupBy back on the document id. The removal
+    list is usually tiny → broadcast into the marking join.
+
+    Returns one row per input row: ``id_col, clean_text,
+    n_kept_chunks, n_removed_chunks`` (empty documents yield '' / 0/0).
+    """
+    chunks = chunk_documents(
+        df, text_col, id_col, chunk_tokens=chunk_tokens, overlap=0
+    )
+    bad = (
+        chunks.groupBy("chunk_text")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk_text", F.lit(1).alias("_bad"))
+    )
+    marked = chunks.join(F.broadcast(bad), "chunk_text", "left")
+    kept_struct = F.when(
+        F.col("_bad").isNull(), F.struct("chunk_idx", "chunk_text")
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias(
+            "n_kept_chunks"
+        ),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias(
+            "n_removed_chunks"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_chunks", F.lit(0)).alias("n_kept_chunks"),
+            F.coalesce("n_removed_chunks", F.lit(0)).alias(
+                "n_removed_chunks"
+            ),
+        )
+    )
+
+
 # --- DuckDB-SQL twins (shared with pipeline_queries) ----------------------
 
 

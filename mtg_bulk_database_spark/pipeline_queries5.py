@@ -312,3 +312,77 @@ def q117(spark, sf_dir):
         .limit(20)
         .select(F.col("node").alias("doc_id"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage REMOVAL (q99's other half) and soft-dedup weighting.
+# ---------------------------------------------------------------------------
+@query(
+    "q118_remove_boilerplate",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        st AS (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS s FROM nz),
+        ch AS (SELECT doc_id, CAST(s / 16 AS INT) AS chunk_idx,
+                      array_to_string(list_slice(t, s + 1, s + 16), ' ')
+                        AS chunk_text
+               FROM st),
+        bad AS (SELECT chunk_text FROM ch
+                GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT * FROM ch
+                 WHERE NOT EXISTS (SELECT 1 FROM bad b
+                                   WHERE b.chunk_text = ch.chunk_text)),
+        rebuilt AS (SELECT doc_id,
+                           string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                             AS clean_text,
+                           count(*) AS n_kept_chunks
+                    FROM kept GROUP BY doc_id),
+        removed AS (SELECT doc_id, count(*) AS n_removed_chunks
+                    FROM ch JOIN bad USING (chunk_text) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_kept_chunks, 0) AS n_kept_chunks,
+               coalesce(x.n_removed_chunks, 0) AS n_removed_chunks
+        FROM documents d
+        LEFT JOIN rebuilt r USING (doc_id)
+        LEFT JOIN removed x USING (doc_id)""",
+)
+def q118(spark, sf_dir):
+    """CCNet-style passage removal: rewrite every document without the
+    chunks that appear in ≥2 distinct documents. See
+    text_analysis.remove_repeated_passages for the shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.remove_repeated_passages(docs)
+
+
+@query(
+    "q119_soft_dedup_weights",
+    f"""WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
+                   AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               count(*) OVER (PARTITION BY fingerprint) AS n_copies,
+               1.0 / count(*) OVER (PARTITION BY fingerprint)
+                 AS sample_weight
+        FROM fp""",
+)
+def q119(spark, sf_dir):
+    """Soft deduplication: instead of dropping duplicate documents,
+    keep them all and down-weight each copy by 1/n so a duplicated
+    page contributes one document's worth of training loss in total —
+    the gradient-equivalence alternative to hard dedup. One window
+    shuffle on the fingerprint (uniform md5 key, skew-free); the
+    division is a single exact op on an integer count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text_analysis.with_fingerprint(docs)
+    w = Window.partitionBy("fingerprint")
+    n = F.count("*").over(w)
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        n.alias("n_copies"),
+        (F.lit(1.0) / n).alias("sample_weight"),
+    )

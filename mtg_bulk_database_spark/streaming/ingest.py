@@ -120,3 +120,55 @@ def stream_upsert_cards(
 
         return ledger_read(spark, table_path)
     return spark.read.parquet(table_path)
+
+
+def stream_fold_cms(
+    spark: SparkSession,
+    src_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    schema=None,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming frequency sketch: every micro-batch builds its own
+    count-min sketch (``sketches.cms_build`` — at most d·w cells no
+    matter the batch size) and APPENDS it; the corpus sketch is the
+    cell-wise sum of all batch sketches, read back with one tiny
+    groupBy. Appending per-batch cells instead of read-modify-writing
+    the merged sketch keeps the sink idempotent-friendly and
+    contention-free — the same mergeability that makes the sketch an
+    ingest artifact at 100 TB (compact by re-summing when the cell
+    count grows past a few multiples of d·w).
+
+    Returns the merged corpus sketch (``row_idx, bucket, cnt``).
+    """
+    from ..operators.sketches import cms_build
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_build(batch_df, col).write.mode("append").parquet(sketch_dir)
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_cms did not drain within {timeout_s}s "
+            f"(src_dir={src_dir!r})"
+        )
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -114,3 +114,51 @@ def test_novelty_is_exact_set_difference(spark):
     got = {r.doc_id for r in result}
     assert got == expected
     assert not {r.fingerprint for r in result} & ref
+
+
+def test_remove_boilerplate_conserves_and_orders_tokens(spark):
+    """Removal accounting: kept + removed chunk counts equal the total
+    chunk count per document, and every cleaned text is the original
+    token sequence with whole removed chunks excised (order preserved,
+    nothing invented)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = text_analysis.chunk_documents(
+        docs, chunk_tokens=16, overlap=0
+    )
+    total = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    out = text_analysis.remove_repeated_passages(docs)
+    bad = (
+        out.join(total, "doc_id", "left")
+        .filter(
+            F.col("n_kept_chunks") + F.col("n_removed_chunks")
+            != F.coalesce("n_chunks", F.lit(0))
+        )
+    )
+    assert bad.count() == 0
+    # cleaned tokens are a subsequence of the original tokens
+    sample = (
+        out.filter(F.col("n_removed_chunks") > 0)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert sample, "expected some documents to lose chunks at sf0.01"
+    for r in sample:
+        orig = r.text.lower().split()
+        clean = r.clean_text.split()
+        it = iter(orig)
+        assert all(tok in it for tok in clean), r.doc_id
+
+
+def test_soft_dedup_weights_sum_to_cluster_count(spark):
+    """Σ sample_weight == number of distinct fingerprints (each dup
+    cluster contributes exactly one document's worth of weight)."""
+    out = QUERIES["q119_soft_dedup_weights"](spark, SF_DIR)
+    agg = out.agg(
+        F.sum("sample_weight").alias("s"),
+        F.count_distinct("fingerprint").alias("d"),
+        F.min("sample_weight").alias("mn"),
+        F.max("sample_weight").alias("mx"),
+    ).first()
+    assert abs(agg.s - agg.d) < 1e-9
+    assert 0 < agg.mn <= agg.mx <= 1.0

@@ -410,3 +410,34 @@ def test_stream_ledger_upsert_drives_continuous_view(spark, tmp_path):
     second = refresh_and_check()
     assert sum(r[1] for r in second) == 25
     assert current_version(table) >= 2
+
+
+def test_stream_cms_fold_matches_batch_sketch(spark, tmp_path):
+    """Per-micro-batch count-min sketches appended by foreachBatch must
+    merge to exactly the sketch built over the whole corpus in one
+    batch pass — the mergeable-ingest-artifact property, exercised
+    through the real streaming sink."""
+    from mtg_bulk_database_spark.functions.text import tokens
+    from mtg_bulk_database_spark.operators.sketches import cms_build
+    from mtg_bulk_database_spark.streaming.ingest import stream_fold_cms
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    src = str(tmp_path / "tok_src")
+    tok.repartition(4).write.parquet(src)
+
+    merged = stream_fold_cms(
+        spark,
+        src,
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        "t",
+        schema="t string",
+    )
+    full = cms_build(tok, "t")
+    diff = (
+        merged.withColumnRenamed("cnt", "m")
+        .join(full, ["row_idx", "bucket"], "full")
+        .filter(F.coalesce("m", F.lit(0)) != F.coalesce("cnt", F.lit(0)))
+    )
+    assert diff.count() == 0
