@@ -412,6 +412,7 @@ def bigram_lm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Statistical-LM fluency scoring (the CCNet/KenLM quality signal,
     reduced to a corpus-trained bigram model with add-one smoothing):
@@ -435,35 +436,49 @@ def bigram_lm_score(
     counts tables are corpus-level ingest artifacts, rebuilt
     incrementally with the matview machinery rather than per query.
 
+    ``train_df`` selects the training corpus (the CCNet setup scores a
+    crawl against a reference-corpus LM); default is self-training on
+    ``df``. Bigrams/unigrams unseen in training back off to the add-one
+    floor — ``(0+1)/(0+|V|)`` — via left joins, so cross-corpus scoring
+    is total.
+
     Returns one row per input row: ``id_col, n_bigrams,
     sum_logprob, avg_logprob`` (documents with < 2 tokens score 0).
     """
-    toks = df.select(id_col, tokens(text_col).alias("_l"))
-    bg_arr = F.when(
-        F.size("_l") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_l") - 2),
-            lambda i: F.concat(
-                F.get("_l", i), F.lit(" "), F.get("_l", i + 1)
+
+    def _bigrams(frame: DataFrame, cols: list[str]) -> DataFrame:
+        toks = frame.select(*cols, tokens(text_col).alias("_l"))
+        bg_arr = F.when(
+            F.size("_l") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_l") - 2),
+                lambda i: F.concat(
+                    F.get("_l", i), F.lit(" "), F.get("_l", i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = toks.select(id_col, F.explode(bg_arr).alias("bg"))
-    uni = toks.select(F.explode("_l").alias("t"))
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(*cols, F.explode(bg_arr).alias("bg"))
+
+    train = train_df if train_df is not None else df
+    uni = train.select(F.explode(tokens(text_col)).alias("t"))
     unic = uni.groupBy("t").agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.count_distinct("t").alias("vocab"))
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    bgc = _bigrams(train, []).groupBy("bg").agg(F.count("*").alias("c2"))
+
+    bg = _bigrams(df, [id_col])
     terms = (
-        bg.join(bgc, "bg")
+        bg.join(bgc, "bg", "left")
         .withColumn("_w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
-        .join(unic.withColumnRenamed("t", "_w1"), "_w1")
+        .join(
+            unic.withColumnRenamed("t", "_w1"), "_w1", "left"
+        )
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "term_micro",
             F.floor(
                 F.log(
-                    (F.col("c2") + F.lit(1.0))
-                    / (F.col("c1") + F.col("vocab"))
+                    (F.coalesce("c2", F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce("c1", F.lit(0)) + F.col("vocab"))
                 )
                 * F.lit(1000000.0)
             ),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.text import sql_tokens, sql_ts_tokens
 from .operators import dedup, sampling, text_analysis
+from .operators.text_analysis import sql_stopword_hits
 from .registry import query
 
 _TOKS = sql_tokens("text")
@@ -386,3 +387,114 @@ def q119(spark, sf_dir):
         n.alias("n_copies"),
         (F.lit(1.0) / n).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus LM scoring: train the bigram model on the reference
+# (train-split) corpus only, score EVERY document against it — the real
+# CCNet/KenLM deployment shape (wiki-trained LM scores the crawl).
+# Unseen bigrams/unigrams back off to the add-one floor via left joins.
+# ---------------------------------------------------------------------------
+@query(
+    "q120_crosscorpus_lm_score",
+    f"""WITH tok AS (
+          SELECT doc_id, substring(md5(text), 1, 2) AS b, {_TOKS} AS l
+          FROM documents),
+        bgs AS (
+          SELECT doc_id, b,
+                 CASE WHEN len(l) >= 2
+                      THEN list_transform(generate_series(1, len(l) - 1),
+                                          i -> l[i] || ' ' || l[i + 1])
+                      ELSE CAST([] AS VARCHAR[]) END AS bgl
+          FROM tok),
+        uni AS (SELECT unnest(l) AS t FROM tok WHERE b < 'e6'),
+        unic AS (SELECT t, count(*) AS c1 FROM uni GROUP BY t),
+        v AS (SELECT count(DISTINCT t) AS vocab FROM uni),
+        tbg AS (SELECT unnest(bgl) AS bg FROM bgs WHERE b < 'e6'),
+        bgc AS (SELECT bg, count(*) AS c2 FROM tbg GROUP BY bg),
+        bg AS (SELECT doc_id, unnest(bgl) AS bg FROM bgs),
+        terms AS (
+          SELECT b.doc_id,
+                 CAST(floor(ln((coalesce(c.c2, 0) + 1.0)
+                               / (coalesce(u.c1, 0) + v.vocab))
+                            * 1000000.0) AS BIGINT) AS term_micro
+          FROM bg b
+          LEFT JOIN bgc c USING (bg)
+          LEFT JOIN unic u ON u.t = string_split(b.bg, ' ')[1]
+          CROSS JOIN v),
+        scored AS (
+          SELECT doc_id, count(*) AS n_bigrams, sum(term_micro) AS s
+          FROM terms GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               coalesce(CAST(s.s AS DOUBLE) / 1000000.0, 0.0) AS sum_logprob,
+               CASE WHEN s.n_bigrams > 0
+                    THEN (CAST(s.s AS DOUBLE) / 1000000.0) / s.n_bigrams
+                    ELSE 0.0 END AS avg_logprob
+        FROM documents d LEFT JOIN scored s USING (doc_id)""",
+)
+def q120(spark, sf_dir):
+    """Reference-corpus perplexity scoring: the LM is an ingest
+    artifact of the trusted corpus (two count tables); incoming data
+    only pays the score-side explode and two left joins against it."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = text_analysis.with_train_split(docs).filter(
+        F.col("split") == "train"
+    )
+    return text_analysis.bigram_lm_score(docs, train_df=train)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: a fixed-weight logistic classifier over
+# the Gopher-style features — the fasttext-classifier stand-in. The
+# sigmoid is floored to micro-units so both engines emit the identical
+# scalar despite exp() being the only non-algebraic op involved.
+# ---------------------------------------------------------------------------
+_QCLF = "(-2.0 + 0.01 * n_words + 0.5 * alpha_frac + 2.0 * stop_frac - 0.1 * mean_word_len)"
+
+
+@query(
+    "q121_quality_classifier",
+    f"""WITH feats AS (
+          SELECT doc_id,
+                 len({_TOKS}) AS n_words,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(array_to_string({_TOKS}, ''))
+                                AS DOUBLE) / len({_TOKS})
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(list_filter({_TOKS},
+                                x -> regexp_matches(x, '[a-z]')))
+                                AS DOUBLE) / len({_TOKS})
+                      ELSE 0.0 END AS alpha_frac,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST({sql_stopword_hits(_TOKS)} AS DOUBLE)
+                           / len({_TOKS})
+                      ELSE 0.0 END AS stop_frac
+          FROM documents)
+        SELECT doc_id, n_words,
+               CAST(floor(1000000.0 / (1.0 + exp(-{_QCLF}))) AS BIGINT)
+                 / 1000000.0 AS quality_prob
+        FROM feats""",
+)
+def q121(spark, sf_dir):
+    """Classifier-based quality filtering: one codegen'd map pass —
+    features, dot product, sigmoid — fused into the scan; the weights
+    are the deployed model artifact. Micro-floor keeps the probability
+    engine-exact (q110's trick)."""
+    from .operators.text_analysis import with_gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = with_gopher_quality(docs)
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.01) * F.col("n_words")
+        + F.lit(0.5) * F.col("alpha_frac")
+        + F.lit(2.0) * F.col("stop_frac")
+        - F.lit(0.1) * F.col("mean_word_len")
+    )
+    prob = (
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
+        / F.lit(1000000.0)
+    )
+    return feats.select("doc_id", "n_words", prob.alias("quality_prob"))

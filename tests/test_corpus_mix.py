@@ -162,3 +162,24 @@ def test_soft_dedup_weights_sum_to_cluster_count(spark):
     ).first()
     assert abs(agg.s - agg.d) < 1e-9
     assert 0 < agg.mn <= agg.mx <= 1.0
+
+
+def test_crosscorpus_lm_differs_from_selftrained_and_is_total(spark):
+    """q120 trains on the train split only: every document (including
+    ones with bigrams unseen in training — the left-join backoff) still
+    gets a finite non-positive score, and the reference-trained model
+    scores differently from the self-trained one."""
+    docs = load_table(spark, SF_DIR, "documents")
+    cross = QUERIES["q120_crosscorpus_lm_score"](spark, SF_DIR)
+    assert cross.count() == docs.count()
+    bad = cross.filter(
+        (F.col("sum_logprob") > 0) | F.isnan("avg_logprob")
+    )
+    assert bad.count() == 0
+    self_t = QUERIES["q110_bigram_lm_score"](spark, SF_DIR)
+    diff = (
+        cross.select("doc_id", F.col("avg_logprob").alias("a"))
+        .join(self_t.select("doc_id", F.col("avg_logprob").alias("b")), "doc_id")
+        .filter(F.col("a") != F.col("b"))
+    )
+    assert diff.count() > 0

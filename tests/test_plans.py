@@ -243,3 +243,35 @@ def test_q112_novelty_is_hash_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q113_decorrelated_subquery_broadcasts_both_dims(spark):
+    # TPC-H Q17 shape: the brand-filtered part list AND the per-part
+    # threshold table are both small → broadcast; lineitem must be the
+    # only shuffling side, and the brand filter must reach the part scan
+    df = QUERIES["q113_small_qty_revenue"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf
+
+
+def test_q114_having_semijoin_broadcasts(spark):
+    # TPC-H Q18 shape: the post-HAVING qualifying-order set is ~1% of
+    # orders → broadcast into the fact; top-100 must be
+    # TakeOrderedAndProject, never a global sort
+    df = QUERIES["q114_large_qty_orders"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q118_removal_list_broadcasts(spark):
+    # passage removal: the boilerplate list is tiny → broadcast mark
+    # join; chunker stays shuffle-free so the only exchanges are the
+    # removal-list aggregate and the per-doc reassembly
+    df = QUERIES["q118_remove_boilerplate"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
