@@ -498,3 +498,151 @@ def q121(spark, sf_dir):
         / F.lit(1000000.0)
     )
     return feats.select("doc_id", "n_words", prob.alias("quality_prob"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series surface (the hypertable-style operators): hourly gap-fill
+# with last-observation-carried-forward, and a weighted moving average
+# over the filled series. Both are pure window/sequence compositions —
+# no arithmetic beyond value passthrough (q122) and an explicitly
+# parenthesized 4-term weighted sum with power-of-two weights (q123:
+# every product is exact, and the fixed association order makes the
+# double sum identical across engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q122_gapfill_locf",
+    """WITH b AS (SELECT user_id, event_id, ts, value,
+                        date_trunc('hour', ts) AS bucket FROM events),
+        lastv AS (SELECT user_id, bucket, value FROM (
+            SELECT user_id, bucket, value,
+                   row_number() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM b) WHERE rn = 1),
+        rng AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                FROM b GROUP BY user_id),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                          AS bucket
+                 FROM rng),
+        j AS (SELECT g.user_id, g.bucket, l.value
+              FROM grid g LEFT JOIN lastv l USING (user_id, bucket))
+        SELECT user_id, bucket,
+               last_value(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_locf,
+               value IS NOT NULL AS observed
+        FROM j""",
+)
+def q122(spark, sf_dir):
+    """time_bucket_gapfill + locf (the TimescaleDB continuous-series
+    operator): densify each user's hourly series between their first
+    and last event, carrying the last observation forward into gap
+    rows. The grid is generated per user with sequence+explode (no
+    driver loop, no cross join against a global calendar — each user
+    only materializes their own span); the fill is one ordered window
+    per user. At 100 TB the grid explode is the fan-out stage AQE
+    re-coalesces, and a monthly range-partition on bucket keeps the
+    window shuffle aligned with storage."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        b.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    rng = b.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    j = grid.join(lastv, ["user_id", "bucket"], "left")
+    w_fill = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_locf"),
+        F.col("value").isNotNull().alias("observed"),
+    )
+
+
+@query(
+    "q123_weighted_moving_avg",
+    """WITH b AS (SELECT user_id, event_id, ts, value,
+                        date_trunc('hour', ts) AS bucket FROM events),
+        lastv AS (SELECT user_id, bucket, value FROM (
+            SELECT user_id, bucket, value,
+                   row_number() OVER (PARTITION BY user_id, bucket
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM b) WHERE rn = 1),
+        lagged AS (SELECT user_id, bucket, value,
+                          lag(value, 1) OVER w AS v1,
+                          lag(value, 2) OVER w AS v2,
+                          lag(value, 3) OVER w AS v3
+                   FROM lastv
+                   WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+        SELECT user_id, bucket,
+               ((((8.0 * value) + (4.0 * coalesce(v1, 0.0)))
+                 + (2.0 * coalesce(v2, 0.0)))
+                + (1.0 * coalesce(v3, 0.0)))
+               / (((8.0 + CASE WHEN v1 IS NULL THEN 0.0 ELSE 4.0 END)
+                   + CASE WHEN v2 IS NULL THEN 0.0 ELSE 2.0 END)
+                  + CASE WHEN v3 IS NULL THEN 0.0 ELSE 1.0 END)
+                 AS wma
+        FROM lagged""",
+)
+def q123(spark, sf_dir):
+    """Exponentially-weighted (8/4/2/1) moving average over each
+    user's hourly last-value series — the smoothing pass a metrics
+    rollup runs after bucketing. Written with explicit lag columns and
+    a fully parenthesized sum instead of a frame SUM: power-of-two
+    weights make every product exact and the pinned association order
+    makes the result bit-identical on any engine — a frame aggregate's
+    accumulation order would not be contractual."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        b.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    lagged = lastv.select(
+        "user_id",
+        "bucket",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 3).over(w).alias("v3"),
+    )
+    num = (
+        (
+            (F.lit(8.0) * F.col("value"))
+            + (F.lit(4.0) * F.coalesce("v1", F.lit(0.0)))
+        )
+        + (F.lit(2.0) * F.coalesce("v2", F.lit(0.0)))
+    ) + (F.lit(1.0) * F.coalesce("v3", F.lit(0.0)))
+    den = (
+        (
+            F.lit(8.0)
+            + F.when(F.col("v1").isNull(), F.lit(0.0)).otherwise(F.lit(4.0))
+        )
+        + F.when(F.col("v2").isNull(), F.lit(0.0)).otherwise(F.lit(2.0))
+    ) + F.when(F.col("v3").isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+    return lagged.select("user_id", "bucket", (num / den).alias("wma"))

@@ -275,3 +275,15 @@ def test_q118_removal_list_broadcasts(spark):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q122_gapfill_grid_stays_per_user(spark):
+    # gap-fill: the hourly grid is generated from each user's own span
+    # (sequence+explode) — never a cross join against a calendar table —
+    # and the LOCF fill is ordered-window work on the user partition
+    df = QUERIES["q122_gapfill_locf"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("Window") >= 1
