@@ -233,3 +233,93 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.col("meta.declared_bytes").alias("declared_bytes"),
         "media_type",
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("is_wav", T.BooleanType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: real spec-based RIFF/WAVE
+    PCM16 parse (``audiocodec.build_audio_codec``) for recognized
+    payloads; any other payload is treated as headerless mono PCM16 at
+    8 kHz (a deterministic pure function of the bytes, the same
+    fallback philosophy as the image decode stage). Features are
+    all-integer (isqrt RMS, sign-change count) so executor results are
+    bit-reproducible against a driver-side Python reference.
+
+    Scale shape: map-only fan-through — one Python stage streaming
+    Arrow batches, no shuffle; at 100 TB this rides the same
+    partitioning as the payload scan and the per-batch cost is linear
+    in payload bytes."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from .audiocodec import build_audio_codec
+
+    codec = build_audio_codec()
+    wav_parse, pcm16_features = codec.wav_parse, codec.pcm16_features
+
+    def features(payload: bytes):
+        parsed = wav_parse(payload)
+        if parsed is not None:
+            n_channels, rate, samples = parsed
+            return (True, n_channels, rate, pcm16_features(samples, rate))
+        n = len(payload) // 2
+        samples = list(_struct.unpack(f"<{n}h", payload[: 2 * n]))
+        return (False, 1, 8000, pcm16_features(samples, 8000))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                is_wav, nch, rate, f = features(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        is_wav,
+                        nch,
+                        rate,
+                        f["n_samples"],
+                        f["duration_ms"],
+                        f["rms"],
+                        f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "is_wav",
+                    "n_channels",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossings",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "is_wav": "bool",
+                    "n_channels": "int32",
+                    "sample_rate": "int32",
+                    "n_samples": "int64",
+                    "duration_ms": "int64",
+                    "rms": "int64",
+                    "zero_crossings": "int64",
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

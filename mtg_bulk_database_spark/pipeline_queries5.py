@@ -646,3 +646,19 @@ def q123(spark, sf_dir):
         + F.when(F.col("v2").isNull(), F.lit(0.0)).otherwise(F.lit(2.0))
     ) + F.when(F.col("v3").isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
     return lagged.select("user_id", "bucket", (num / den).alias("wma"))
+
+
+@query("q124_audio_features")  # rows-only: byte-level WAV/PCM parsing
+# has no SQL expression; correctness is pinned against a pure-Python
+# reference in test_audiocodec.py
+def q124(spark, sf_dir):
+    """Audio-modality features over the media table: spec-based
+    RIFF/WAVE PCM16 parse where the payload is a real WAV, headerless
+    8 kHz PCM16 interpretation otherwise — integer RMS / zero-crossing
+    / duration features, Arrow-batched, map-only."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_audio_features(
+        multimodal.as_media_table(docs)
+    ).orderBy("doc_id")
