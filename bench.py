@@ -67,6 +67,9 @@ HEADLINE = [
     "q110_bigram_lm_score",
     "q111_temperature_mix",
     "q112_novel_against_corpus",
+    "q118_remove_boilerplate",
+    "q120_crosscorpus_lm_score",
+    "q122_gapfill_locf",
 ]
 
 

@@ -85,3 +85,119 @@ def stream_dedup_events(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+# ---------------------------------------------------------------------------
+# Running per-key totals: state API v2 when available, v1 fallback.
+# ---------------------------------------------------------------------------
+
+
+def state_v2_available() -> bool:
+    """``transformWithStateInPandas``'s Python side speaks protobuf to
+    the JVM state server; in environments without the ``protobuf``
+    wheel (this container) the query crashes at pre-init. Gate on the
+    import — the same stdlib-fallback convention as the ijson-less
+    JSON scanner (sources/scryfall.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    api: str = "auto",
+) -> DataFrame:
+    """Running per-key totals ``(n_events, sum_micro)``: each
+    micro-batch folds its rows into the key's state and emits the new
+    running totals, so the LAST emitted row per key equals the batch
+    aggregate over everything ingested — the equivalence the test pins.
+
+    Float discipline: values are floored to integer micro-units PER
+    EVENT before summing, making the running sum associative integer
+    arithmetic — replay/batch-boundary order cannot change it (the LM
+    scorer's micro-nat rule).
+
+    ``api="v2"`` uses Spark 4's arbitrary-state API
+    (``transformWithStateInPandas``: typed ValueState on a
+    ``StatefulProcessor``, RocksDB-backed, requires protobuf);
+    ``api="v1"`` expresses the identical state machine with
+    ``applyInPandasWithState``; ``"auto"`` picks v2 when its runtime
+    dependency exists. Both shuffle each micro-batch once on the key —
+    the same state partitioning as a built-in streaming aggregate —
+    and hold two longs per key (constant state, no TTL needed).
+    """
+    import math
+
+    if api == "auto":
+        api = "v2" if state_v2_available() else "v1"
+
+    out_ddl = f"{key_col} long, n_events long, sum_micro long"
+
+    def fold(pdfs: Iterator[pd.DataFrame], n: int, sm: int) -> tuple[int, int]:
+        for pdf in pdfs:
+            n += len(pdf)
+            sm += sum(
+                int(math.floor(v * 1_000_000.0)) for v in pdf[value_col]
+            )
+        return n, sm
+
+    if api == "v2":
+        from pyspark.sql.streaming import StatefulProcessor
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        state_schema = StructType(
+            [
+                StructField("n_events", LongType()),
+                StructField("sum_micro", LongType()),
+            ]
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle):
+                self._totals = handle.getValueState("totals", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, sm = (
+                    tuple(self._totals.get())
+                    if self._totals.exists()
+                    else (0, 0)
+                )
+                n, sm = fold(rows, n, sm)
+                self._totals.update((n, sm))
+                yield pd.DataFrame(
+                    {key_col: [key[0]], "n_events": [n], "sum_micro": [sm]}
+                )
+
+            def close(self):
+                pass
+
+        return events.groupBy(key_col).transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_ddl,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def totals_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sm = state.get if state.exists else (0, 0)
+        n, sm = fold(pdfs, int(n), int(sm))
+        state.update((n, sm))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_micro": [sm]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        totals_fn,
+        outputStructType=out_ddl,
+        stateStructType="n_events long, sum_micro long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

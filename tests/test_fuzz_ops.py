@@ -100,3 +100,61 @@ def test_connected_components_matches_union_find(spark):
             assert got == expect, (
                 f"trial {trial} (local_threshold={thresh}) diverged from union-find"
             )
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=200
+    ),
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_arbitrary_samples(samples, rate, channels):
+    from mtg_bulk_database_spark.operators.audiocodec import (
+        wav_encode,
+        wav_parse,
+    )
+
+    samples = samples[: len(samples) - (len(samples) % channels)]
+    assert wav_parse(wav_encode(samples, rate, channels)) == (
+        channels,
+        rate,
+        samples,
+    )
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_wav_parse_never_crashes_on_junk(data):
+    from mtg_bulk_database_spark.operators.audiocodec import wav_parse
+
+    out = wav_parse(data)
+    assert out is None or (
+        isinstance(out, tuple) and len(out) == 3 and out[0] >= 1
+    )
+    # adversarial: junk wearing the RIFF/WAVE magic
+    out2 = wav_parse(b"RIFF" + data[:4] + b"WAVE" + data)
+    assert out2 is None or isinstance(out2, tuple)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=10_000), min_size=1, max_size=12
+    ),
+    budget_frac=st.sampled_from([0.25, 0.5, 0.75]),
+)
+@settings(max_examples=25, deadline=None)
+def test_temperature_targets_never_exceed_budget(counts, budget_frac):
+    """The per-source floor allocation can never oversubscribe the
+    global budget: Σ floor(w_s·B/Σw) ≤ B for any count distribution —
+    the driver-side arithmetic replicated exactly (floor-micro
+    weights), so the property holds for the distributed op too."""
+    import math
+
+    w = [math.floor(math.sqrt(n) * 1_000_000.0) for n in counts]
+    denom = sum(w)
+    budget = math.floor(sum(counts) * budget_frac)
+    targets = [math.floor((wi * budget) / denom) for wi in w]
+    assert sum(targets) <= budget
+    assert all(t >= 0 for t in targets)

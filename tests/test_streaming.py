@@ -441,3 +441,70 @@ def test_stream_cms_fold_matches_batch_sketch(spark, tmp_path):
         .filter(F.coalesce("m", F.lit(0)) != F.coalesce("cnt", F.lit(0)))
     )
     assert diff.count() == 0
+
+
+def test_transform_with_state_running_totals_match_batch(spark, event_files):
+    """Running per-key totals (state API v2 when protobuf exists,
+    identical v1 state machine otherwise — see
+    stateful.stream_running_totals): after draining the file stream,
+    each user's LAST emitted running total must equal the batch
+    aggregate — integer micro-unit sums make the comparison exact
+    across batch boundaries. Runs against the RocksDB state store,
+    the provider the v2 API requires in production."""
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.stateful import (
+        stream_running_totals,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_files)
+        )
+        out = stream_running_totals(src)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        emitted = spark.sql("SELECT * FROM running_totals")
+        # the last emission per user carries the max running n_events
+        final = (
+            emitted.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("sum_micro").alias("sum_micro"),
+            )
+        )
+        batch = (
+            spark.read.parquet(event_files)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+                ).alias("sum_micro"),
+            )
+        )
+        got = sorted(tuple(r) for r in final.collect())
+        want = sorted(tuple(r) for r in batch.collect())
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
