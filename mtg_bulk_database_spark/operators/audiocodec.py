@@ -91,19 +91,26 @@ def build_audio_codec():
         samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
         return (n_channels, sample_rate, samples)
 
-    def pcm16_features(samples: list[int], sample_rate: int) -> dict:
-        """Deterministic integer features over an int16 vector —
-        all-integer math (mean-square floor-div, isqrt) so any two
-        executors, or a Python reference in a test, produce identical
-        values with no float accumulation order to diverge on.
+    def pcm16_features(
+        samples: list[int], sample_rate: int, n_channels: int = 1
+    ) -> dict:
+        """Deterministic integer features over an INTERLEAVED int16
+        vector — all-integer math (mean-square floor-div, isqrt) so any
+        two executors, or a Python reference in a test, produce
+        identical values with no float accumulation order to diverge on.
 
-        - ``rms``: ⌊sqrt(⌊Σs²/n⌋)⌋ — loudness;
-        - ``zero_crossings``: strict sign-change count — the crude
-          pitch/noisiness signal;
-        - ``duration_ms``: ⌊1000·n/rate⌋.
+        - ``rms``: ⌊sqrt(⌊Σs²/n⌋)⌋ over ALL channels' samples —
+          loudness across the mix;
+        - ``zero_crossings``: strict sign-change count along CHANNEL 0
+          only (comparing interleaved samples across channels would
+          count spurious crossings);
+        - ``duration_ms``: ⌊1000·frames/rate⌋ where
+          frames = n_samples / n_channels — wall-clock length, not
+          inflated by channel count;
+        - ``n_samples``: total interleaved samples (all channels).
         """
         n = len(samples)
-        if n == 0:
+        if n == 0 or n_channels < 1:
             return {
                 "n_samples": 0,
                 "rms": 0,
@@ -112,17 +119,19 @@ def build_audio_codec():
             }
         sumsq = sum(s * s for s in samples)
         rms = math.isqrt(sumsq // n)
+        ch0 = samples[::n_channels]
         zc = 0
-        prev = samples[0]
-        for s in samples[1:]:
+        prev = ch0[0]
+        for s in ch0[1:]:
             if (prev < 0 <= s) or (s < 0 <= prev):
                 zc += 1
             prev = s
+        frames = n // n_channels
         return {
             "n_samples": n,
             "rms": rms,
             "zero_crossings": zc,
-            "duration_ms": (1000 * n) // max(sample_rate, 1),
+            "duration_ms": (1000 * frames) // max(sample_rate, 1),
         }
 
     return SimpleNamespace(wav_parse=wav_parse, pcm16_features=pcm16_features)

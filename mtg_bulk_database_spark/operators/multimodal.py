@@ -275,10 +275,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         parsed = wav_parse(payload)
         if parsed is not None:
             n_channels, rate, samples = parsed
-            return (True, n_channels, rate, pcm16_features(samples, rate))
+            return (
+                True,
+                n_channels,
+                rate,
+                pcm16_features(samples, rate, n_channels),
+            )
         n = len(payload) // 2
         samples = list(_struct.unpack(f"<{n}h", payload[: 2 * n]))
-        return (False, 1, 8000, pcm16_features(samples, 8000))
+        return (False, 1, 8000, pcm16_features(samples, 8000, 1))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

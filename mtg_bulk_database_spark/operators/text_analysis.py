@@ -447,7 +447,12 @@ def bigram_lm_score(
     """
 
     def _bigrams(frame: DataFrame, cols: list[str]) -> DataFrame:
-        toks = frame.select(*cols, tokens(text_col).alias("_l"))
+        # staged projections + explode_OUTER with an output-side null
+        # filter: plain explode of the inline when/transform lets
+        # InferFiltersFromGenerate push a size()>0 filter that
+        # re-inlines and re-evaluates the whole O(n) bigram build —
+        # the plan trap documented in dedup.py / chunk_documents
+        staged = frame.select(*cols, tokens(text_col).alias("_l"))
         bg_arr = F.when(
             F.size("_l") >= 2,
             F.transform(
@@ -457,7 +462,10 @@ def bigram_lm_score(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return toks.select(*cols, F.explode(bg_arr).alias("bg"))
+        staged = staged.select(*cols, bg_arr.alias("_bg_arr"))
+        return staged.select(
+            *cols, F.explode_outer("_bg_arr").alias("bg")
+        ).filter(F.col("bg").isNotNull())
 
     train = train_df if train_df is not None else df
     uni = train.select(F.explode(tokens(text_col)).alias("t"))

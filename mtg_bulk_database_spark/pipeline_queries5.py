@@ -118,11 +118,17 @@ def q111(spark, sf_dir):
     f"""WITH fp AS (
           SELECT doc_id,
                  substring(md5(text), 1, 2) AS b,
-                 md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
-                   AS fingerprint
+                 md5(coalesce(
+                   array_to_string(list_sort({sql_ts_tokens('text')}), ' '),
+                   '')) AS fingerprint
           FROM documents),
+        -- NULL text mirrors the Spark side exactly: with_train_split's
+        -- CASE falls through to 'test' (incoming) on a NULL bucket, and
+        -- with_fingerprint's concat_ws yields md5('') — hence the
+        -- coalesce above and the "b IS NULL" arm below
         ref AS (SELECT DISTINCT fingerprint FROM fp WHERE b < 'e6'),
-        inc AS (SELECT doc_id, fingerprint FROM fp WHERE b >= 'e6')
+        inc AS (SELECT doc_id, fingerprint FROM fp
+                WHERE b >= 'e6' OR b IS NULL)
         SELECT i.doc_id, i.fingerprint
         FROM inc i
         WHERE NOT EXISTS (SELECT 1 FROM ref r
@@ -359,8 +365,11 @@ def q118(spark, sf_dir):
     "q119_soft_dedup_weights",
     f"""WITH fp AS (
           SELECT doc_id,
-                 md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
-                   AS fingerprint
+                 -- coalesce: NULL text fingerprints as md5('') on the
+                 -- Spark side (concat_ws skips a NULL token array)
+                 md5(coalesce(
+                   array_to_string(list_sort({sql_ts_tokens('text')}), ' '),
+                   '')) AS fingerprint
           FROM documents)
         SELECT doc_id, fingerprint,
                count(*) OVER (PARTITION BY fingerprint) AS n_copies,
@@ -509,15 +518,40 @@ def q121(spark, sf_dir):
 # every product is exact, and the fixed association order makes the
 # double sum identical across engines).
 # ---------------------------------------------------------------------------
-@query(
-    "q122_gapfill_locf",
-    """WITH b AS (SELECT user_id, event_id, ts, value,
+
+#: shared hourly last-value sub-pipeline (SQL CTE text + Spark builder):
+#: q122 and q123 both consume it, and the tie-break/bucketing contract
+#: must never drift between the two queries or their oracles.
+_SQL_HOURLY_LASTV = """b AS (SELECT user_id, event_id, ts, value,
                         date_trunc('hour', ts) AS bucket FROM events),
         lastv AS (SELECT user_id, bucket, value FROM (
             SELECT user_id, bucket, value,
                    row_number() OVER (PARTITION BY user_id, bucket
                                       ORDER BY ts DESC, event_id DESC) AS rn
-            FROM b) WHERE rn = 1),
+            FROM b) WHERE rn = 1)"""
+
+
+def _hourly_last_value(spark, sf_dir):
+    """(b, lastv): events bucketed to the hour, and the deterministic
+    last value per (user, bucket) — ts then event_id as tie-break."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastv = (
+        b.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    return b, lastv
+
+
+@query(
+    "q122_gapfill_locf",
+    f"""WITH {_SQL_HOURLY_LASTV},
         rng AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
                 FROM b GROUP BY user_id),
         grid AS (SELECT user_id,
@@ -546,16 +580,7 @@ def q122(spark, sf_dir):
     window shuffle aligned with storage."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
-    w_last = Window.partitionBy("user_id", "bucket").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    lastv = (
-        b.withColumn("_rn", F.row_number().over(w_last))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "bucket", "value")
-    )
+    b, lastv = _hourly_last_value(spark, sf_dir)
     rng = b.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
@@ -579,13 +604,7 @@ def q122(spark, sf_dir):
 
 @query(
     "q123_weighted_moving_avg",
-    """WITH b AS (SELECT user_id, event_id, ts, value,
-                        date_trunc('hour', ts) AS bucket FROM events),
-        lastv AS (SELECT user_id, bucket, value FROM (
-            SELECT user_id, bucket, value,
-                   row_number() OVER (PARTITION BY user_id, bucket
-                                      ORDER BY ts DESC, event_id DESC) AS rn
-            FROM b) WHERE rn = 1),
+    f"""WITH {_SQL_HOURLY_LASTV},
         lagged AS (SELECT user_id, bucket, value,
                           lag(value, 1) OVER w AS v1,
                           lag(value, 2) OVER w AS v2,
@@ -612,16 +631,7 @@ def q123(spark, sf_dir):
     accumulation order would not be contractual."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    b = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
-    w_last = Window.partitionBy("user_id", "bucket").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    lastv = (
-        b.withColumn("_rn", F.row_number().over(w_last))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "bucket", "value")
-    )
+    _, lastv = _hourly_last_value(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("bucket")
     lagged = lastv.select(
         "user_id",

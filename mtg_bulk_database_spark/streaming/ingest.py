@@ -135,13 +135,17 @@ def stream_fold_cms(
     count-min sketch (``sketches.cms_build`` — at most d·w cells no
     matter the batch size) and APPENDS it; the corpus sketch is the
     cell-wise sum of all batch sketches, read back with one tiny
-    groupBy. Appending per-batch cells instead of read-modify-writing
-    the merged sketch keeps the sink idempotent-friendly and
-    contention-free — the same mergeability that makes the sketch an
+    groupBy. Each batch writes to its own ``batch=<id>`` subdirectory
+    with OVERWRITE: foreachBatch is at-least-once, so a replayed batch
+    id must land on the same path and replace itself rather than
+    append a double-counting second copy — without this the sketch's
+    ``estimate ≤ true + εN`` guarantee silently breaks on the first
+    post-crash restart. Mergeability is what makes the sketch an
     ingest artifact at 100 TB (compact by re-summing when the cell
     count grows past a few multiples of d·w).
 
-    Returns the merged corpus sketch (``row_idx, bucket, cnt``).
+    Returns the merged corpus sketch (``row_idx, bucket, cnt``) — an
+    empty sketch when the source produced no batches yet.
     """
     from ..operators.sketches import cms_build
 
@@ -151,7 +155,9 @@ def stream_fold_cms(
     src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cms_build(batch_df, col).write.mode("append").parquet(sketch_dir)
+        cms_build(batch_df, col).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch={batch_id}"
+        )
 
     q = (
         src.writeStream.foreachBatch(fold_batch)
@@ -165,10 +171,19 @@ def stream_fold_cms(
             f"stream_fold_cms did not drain within {timeout_s}s "
             f"(src_dir={src_dir!r})"
         )
+    import os
+
     from pyspark.sql import functions as F
 
+    if not os.path.isdir(sketch_dir):
+        # zero micro-batches (cold-start ingest dir): empty sketch, not
+        # a PATH_NOT_FOUND crash
+        return spark.createDataFrame(
+            [], "row_idx int, bucket int, cnt long"
+        )
     return (
         spark.read.parquet(sketch_dir)
+        .drop("batch")
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )

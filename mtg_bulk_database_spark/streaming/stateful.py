@@ -140,8 +140,13 @@ def stream_running_totals(
     def fold(pdfs: Iterator[pd.DataFrame], n: int, sm: int) -> tuple[int, int]:
         for pdf in pdfs:
             n += len(pdf)
+            # dropna: a NULL value arrives as NaN and math.floor(nan)
+            # would kill the query; the batch twin (SUM over
+            # floor(value*1e6)) likewise skips NULLs while COUNT(*)
+            # still counts the row
             sm += sum(
-                int(math.floor(v * 1_000_000.0)) for v in pdf[value_col]
+                int(math.floor(v * 1_000_000.0))
+                for v in pdf[value_col].dropna()
             )
         return n, sm
 

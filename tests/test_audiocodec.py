@@ -96,3 +96,21 @@ def test_distributed_stage_matches_python_reference(spark):
         assert g.rms == ref["rms"]
         assert g.zero_crossings == ref["zero_crossings"]
         assert g.duration_ms == ref["duration_ms"]
+
+
+def test_stereo_features_use_frames_and_channel0():
+    """Multichannel regression (review finding): duration must count
+    FRAMES not interleaved samples, and zero-crossings must follow one
+    channel — interleaved comparison would count spurious flips."""
+    # 1 s of stereo at 8 kHz: L alternates ±1000 (one crossing per
+    # frame), R constant +5 (zero crossings)
+    frames = 8000
+    samples = []
+    for i in range(frames):
+        samples += [1000 if i % 2 == 0 else -1000, 5]
+    f = pcm16_features(samples, 8000, n_channels=2)
+    assert f["duration_ms"] == 1000  # NOT 2000
+    assert f["zero_crossings"] == frames - 1  # channel 0 only
+    assert f["n_samples"] == 2 * frames
+    parsed = wav_parse(wav_encode(samples, 8000, 2))
+    assert parsed == (2, 8000, samples)
