@@ -86,6 +86,20 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _json_stat(v):
+    """Manifest stats must survive json.dump AND stay order-comparable
+    for pruning: date/datetime become ISO strings (lexicographic ==
+    chronological order); binary stats are dropped (None ⇒ the file is
+    never pruned on that column — pruning is only an optimization)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return None
+    return v
+
+
 def _file_stats(
     path: str, key: str, extra_cols: list[str] | None = None
 ) -> tuple[int, object, object, dict]:
@@ -114,7 +128,7 @@ def _file_stats(
                 lo, hi = st.min, st.max
                 cmin = lo if cmin is None or lo < cmin else cmin
                 cmax = hi if cmax is None or hi > cmax else cmax
-        return cmin, cmax
+        return _json_stat(cmin), _json_stat(cmax)
 
     kmin, kmax = _minmax(key)
     col_stats = {c: list(_minmax(c)) for c in (extra_cols or []) if c != key}
@@ -240,6 +254,9 @@ def _entry_matches(entry: dict, col: str, key: str, lo, hi) -> bool:
         cmin, cmax = _entry_bounds(entry, col)
     if cmin is None or cmax is None:
         return True
+    # canonicalize caller bounds the same way stats were stored
+    # (date/datetime → ISO strings) so the comparison never mixes types
+    lo, hi = _json_stat(lo), _json_stat(hi)
     if lo is not None and cmax < lo:
         return False
     if hi is not None and cmin > hi:
@@ -287,11 +304,13 @@ def ledger_read(
     from pyspark.sql import functions as F
 
     if not kept:
-        # every file provably disjoint: preserve the snapshot schema
-        # from one footer (no data pages read) and return 0 rows
-        kept = entries[:1]
+        # every file provably disjoint: preserve the FULL snapshot
+        # schema (all footers — one file's schema could predate a
+        # widening merge, making the empty result's schema depend on
+        # which predicate matched nothing) and return 0 rows; only
+        # footers are read under the always-false filter
         df = spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(root, kept[0]["path"])
+            *[os.path.join(root, e["path"]) for e in entries]
         )
         return df.filter(F.lit(False))
     # mergeSchema: a merge that added a column rewrites only overlapping
@@ -362,7 +381,10 @@ def ledger_merge_upsert(
         touched = [e for e in manifest["files"] if _overlaps(e, lo, hi)]
         untouched = [e for e in manifest["files"] if not _overlaps(e, lo, hi)]
         if touched:
-            old = spark.read.parquet(
+            # mergeSchema: touched files can span a schema-widening
+            # merge; resolving from one file would silently REWRITE the
+            # kept rows without their widened columns — permanent loss
+            old = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(root, e["path"]) for e in touched]
             )
             keep = old.join(source, on=key, how="left_anti")
@@ -461,9 +483,28 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    def _as_num(c: str):
+        # dates can't cast('double') directly — scale on epoch days
+        # (unix_date), the natural z-order axis for time clustering
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            base = (
+                F.unix_date(F.col(c))
+                if isinstance(dt, T.DateType)
+                else F.unix_micros(
+                    F.col(c).cast("timestamp")
+                    if isinstance(dt, T.TimestampNTZType)
+                    else F.col(c)
+                )
+            )
+            return base.cast("double")
+        return F.col(c).cast("double")
+
     for c in cols:
         dt = df.schema[c].dataType
-        if isinstance(dt, T.DateType):
+        if isinstance(
+            dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ):
             continue
         if not isinstance(dt, T.NumericType):
             raise TypeError(
@@ -472,7 +513,7 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
             )
     aggs = []
     for c in cols:
-        num = F.col(c).cast("double")
+        num = _as_num(c)
         aggs += [F.min(num).alias(f"lo_{c}"), F.max(num).alias(f"hi_{c}")]
     row = df.agg(*aggs).first()
     top = (1 << bits) - 1
@@ -482,7 +523,7 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 16):
         if lo is None or hi == lo:
             planes.append(F.lit(0).cast("long"))
             continue
-        num = F.col(c).cast("double")
+        num = _as_num(c)
         scaled = ((num - F.lit(lo)) / F.lit(hi - lo) * F.lit(top)).cast(
             "long"
         )
@@ -568,6 +609,16 @@ def ledger_diff(
     old = ledger_read(spark, root, from_version)
     new = ledger_read(spark, root, to_version)
     cols = new.columns
+    # a column added by a widening merge between the two versions does
+    # not exist in the old snapshot; semantically it was NULL there, so
+    # NULL-fill instead of crashing — CDC across the evolving commit is
+    # a primary diff use case
+    from pyspark.sql import functions as F
+
+    have = set(old.columns)
+    for f in new.schema.fields:
+        if f.name not in have:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
     old = old.select(*cols)
     # set-difference requires row-comparable types; Spark cannot compare
     # MapType. Serialize map columns for the comparison explicitly at

@@ -35,6 +35,31 @@ _WEIGHT = "_ivm_w"
 COUNT_COL = "n_rows"
 
 
+def _aligned_pair(
+    old: DataFrame, new: DataFrame, needed: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Project both snapshots to ``needed``, NULL-filling any column
+    only ONE side has: a widening merge adds a column the older
+    snapshot lacks, and a metadata restore to a pre-widening version
+    removes it from the newer one. Semantically the column is NULL in
+    the snapshot that lacks it; crashing would make maintained views
+    unable to cross the evolving (or restored) commit. A column
+    missing from BOTH sides stays missing — that select error is a
+    genuine bad view definition and should surface."""
+
+    def _fill(target: DataFrame, source: DataFrame) -> DataFrame:
+        have = set(target.columns)
+        for f in source.schema.fields:
+            if f.name in needed and f.name not in have:
+                target = target.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        return target
+
+    old, new = _fill(old, new), _fill(new, old)
+    return old.select(*needed), new.select(*needed)
+
+
 def _agg_weighted(
     df: DataFrame, group_cols: list[str], sums: dict[str, str]
 ) -> DataFrame:
@@ -77,8 +102,11 @@ def agg_delta(
     columns outside the view (MAP-typed ``image_uris`` on the cards
     table) stop mattering — ``exceptAll`` never sees them."""
     needed = list(dict.fromkeys([*group_cols, *sums.values()]))
-    old = ledger_read(spark, root, from_version).select(*needed)
-    new = ledger_read(spark, root, to_version).select(*needed)
+    old, new = _aligned_pair(
+        ledger_read(spark, root, from_version),
+        ledger_read(spark, root, to_version),
+        needed,
+    )
     added = new.exceptAll(old).withColumn(_WEIGHT, F.lit(1).cast("long"))
     removed = old.exceptAll(new).withColumn(
         _WEIGHT, F.lit(-1).cast("long")
@@ -250,10 +278,9 @@ def changed_groups(
     )
     old = ledger_read(spark, root, from_version)
     new = ledger_read(spark, root, to_version)
-    if needed is not None:
-        old, new = old.select(*needed), new.select(*needed)
-    else:
-        old = old.select(*new.columns)
+    if needed is None:
+        needed = list(new.columns)
+    old, new = _aligned_pair(old, new, needed)
     return (
         new.exceptAll(old)
         .select(*group_cols)
@@ -367,8 +394,11 @@ def maintain_approx_distinct(
     if to_version == prev_version:
         return prev_state
     needed = list(dict.fromkeys([*group_cols, col]))
-    old = ledger_read(spark, root, prev_version).select(*needed)
-    new = ledger_read(spark, root, to_version).select(*needed)
+    old, new = _aligned_pair(
+        ledger_read(spark, root, prev_version),
+        ledger_read(spark, root, to_version),
+        needed,
+    )
     added = new.exceptAll(old)
     removed = old.exceptAll(new)
 

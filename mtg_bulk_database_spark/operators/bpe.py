@@ -64,9 +64,12 @@ def bpe_train(
     total = df.count()
     pool = df.select(F.col(text_col).alias("t"))
     if total > sample_target:
-        frac_mille = max(1, int(1000 * sample_target / total))
+        # parts-per-million, not per-mille: a 1/1000 floor would collect
+        # total/1000 docs regardless of sample_target (the unbounded-
+        # driver trap estimate_lean_pair_rows documents in dedup.py)
+        ppm = max(1, int(1_000_000 * sample_target / total))
         pool = pool.filter(
-            F.pmod(F.xxhash64(F.col("t")), F.lit(1000)) < F.lit(frac_mille)
+            F.pmod(F.xxhash64(F.col("t")), F.lit(1_000_000)) < F.lit(ppm)
         )
     word_freq: Counter[tuple[str, ...]] = Counter()
     for r in pool.collect():

@@ -224,9 +224,11 @@ def ivf_index(
     total = with_vec.count()  # also primes the cache for fit/transform
     target = train_per_list * n_lists
     if total > target:
-        frac_mille = max(1, int(1000 * target / total))
+        # ppm granularity: a per-mille floor would pin the rate at
+        # 1/1000 and sample total/1000 rows however small the target
+        ppm = max(1, int(1_000_000 * target / total))
         train = with_vec.filter(
-            F.pmod(F.xxhash64(vec_col), F.lit(1000)) < F.lit(frac_mille)
+            F.pmod(F.xxhash64(vec_col), F.lit(1_000_000)) < F.lit(ppm)
         )
     else:
         train = with_vec
@@ -341,10 +343,14 @@ def pq_train(
     total = df.count()
     pool = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     if total > target:
-        frac_mille = max(1, int(1000 * target / total))
+        # ppm granularity (driver-collect bound): see ivf sampler above
+        ppm = max(1, int(1_000_000 * target / total))
         pool = pool.filter(
-            F.pmod(F.xxhash64(F.col("v").cast("array<float>")), F.lit(1000))
-            < F.lit(frac_mille)
+            F.pmod(
+                F.xxhash64(F.col("v").cast("array<float>")),
+                F.lit(1_000_000),
+            )
+            < F.lit(ppm)
         )
     sample = np.asarray([r["v"] for r in pool.collect()], dtype=np.float64)
     if sample.ndim != 2 or sample.shape[0] < k:

@@ -563,8 +563,12 @@ def q108(spark, sf_dir):
     "q109_leakage_safe_split",
     f"""WITH f AS (
           SELECT doc_id,
-                 md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
-                   AS fingerprint
+                 -- coalesce: an empty/stopword-only token set must
+                 -- fingerprint as md5('') like Spark's concat_ws, not
+                 -- md5(NULL) (DuckDB maps an empty list to NULL here)
+                 md5(coalesce(
+                   array_to_string(list_sort({sql_ts_tokens('text')}), ' '),
+                   '')) AS fingerprint
           FROM documents)
         SELECT doc_id, fingerprint,
                substring(md5(fingerprint), 1, 2) AS split_bucket,

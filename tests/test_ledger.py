@@ -352,3 +352,73 @@ def test_merge_with_added_column_widens_schema(spark, root):
     assert set(out.columns) == {"id", "val", "extra"}
     got = {r["id"]: r["extra"] for r in out.collect()}
     assert got[1000] == 42 and got[1] is None
+
+
+def test_merge_across_widening_preserves_widened_values(spark, root):
+    """Review-finding regression: a merge whose key range overlaps BOTH
+    a pre-widening file and a post-widening file must rewrite the kept
+    rows WITH their widened column values (the touched-files read needs
+    mergeSchema or the widened column is silently dropped)."""
+    ledger.ledger_write(
+        spark,
+        root,
+        _df(spark, [(i, f"v{i}") for i in range(10)]).repartition(1),
+    )
+    wide = spark.createDataFrame(
+        [(100, "w", 42), (101, "x", 43)], "id long, val string, extra long"
+    )
+    ledger.ledger_merge_upsert(spark, root, wide)
+    # overlaps ids 0..101 → touches the old narrow file AND the wide one
+    update = spark.createDataFrame([(0, "a0-new")], "id long, val string")
+    ledger.ledger_merge_upsert(spark, root, update)
+    got = {r["id"]: (r["val"], r["extra"]) for r in
+           ledger.ledger_read(spark, root).collect()}
+    assert got[100] == ("w", 42) and got[101] == ("x", 43)  # survived rewrite
+    assert got[0] == ("a0-new", None)
+
+
+def test_ledger_diff_across_widening_commit(spark, root):
+    """CDC across the commit that evolved the schema: the old snapshot
+    lacks 'extra'; the diff NULL-fills it instead of crashing."""
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    wide = spark.createDataFrame(
+        [(2, "b2", 7), (3, "c", 9)], "id long, val string, extra long"
+    )
+    v2 = ledger.ledger_merge_upsert(spark, root, wide)
+    diff = ledger.ledger_diff(spark, root, 1, v2)
+    by = {(r["change_type"], r["id"]) for r in diff.collect()}
+    assert ("insert", 3) in by
+    assert ("update", 2) in by
+    assert ("insert", 1) not in by and ("delete", 1) not in by
+
+
+def test_all_pruned_read_keeps_widened_schema(spark, root):
+    """Zero-match prune returns an empty frame with the FULL widened
+    snapshot schema, whichever file the pruner would have kept."""
+    ledger.ledger_write(
+        spark, root, _df(spark, [(1, "a"), (2, "b")]).repartition(1)
+    )
+    wide = spark.createDataFrame(
+        [(100, "w", 42)], "id long, val string, extra long"
+    )
+    ledger.ledger_merge_upsert(spark, root, wide)
+    out = ledger.ledger_read(spark, root, prune={"id": (10_000, 20_000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "val", "extra"}
+
+
+def test_zorder_compact_accepts_date_columns(spark, root):
+    """Z-ordering by a date column (the most common time-clustering
+    axis) must scale on epoch days instead of crashing on a
+    date→double cast."""
+    import datetime as dt
+
+    rows = [
+        (i, f"v{i}", dt.date(2024, 1, 1) + dt.timedelta(days=i % 30))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, val string, d date")
+    ledger.ledger_write(spark, root, df)
+    ledger.ledger_compact(spark, root, zorder=["d", "id"], target_files=2)
+    out = ledger.ledger_read(spark, root)
+    assert out.count() == 40

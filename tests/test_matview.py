@@ -252,3 +252,4 @@ def test_hll_maintenance_matches_recompute(spark, root):
             .agg(F.count_distinct("amount").alias("d"))
         )
         assert _est(state) == sorted((r["grp"], r["d"]) for r in exact.collect())
+
