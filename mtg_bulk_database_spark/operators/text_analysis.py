@@ -7,6 +7,8 @@ every value bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves type hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -574,6 +576,38 @@ def remove_repeated_passages(
             ),
         )
     )
+
+
+def with_nfc_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "nfc_text"
+) -> DataFrame:
+    """Unicode NFC normalization (canonical composition).
+
+    Real multilingual corpora mix composed ('é' U+00E9) and decomposed
+    ('e' + U+0301) encodings of the same visible text; every downstream
+    exact-match operator (fingerprint dedup q31, decontamination q81,
+    repeated-passage removal q118) silently misses duplicates across
+    the two forms unless text is normalized first — so this belongs at
+    the head of the curation pipeline, right next to
+    ``with_normalized_text`` (which handles case/whitespace but not
+    codepoint composition).
+
+    Spark has no built-in Unicode-normalization expression, so this is
+    one of the few justified Python stages: an Arrow-batched pandas UDF
+    over ``unicodedata.normalize`` (a pure table lookup, no model
+    state). Map-only — zero shuffle, scales linearly with input; the
+    UDF is self-contained (stdlib import inside) so it needs no shipped
+    package on executors.
+    """
+    @F.pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    return df.withColumn(out_col, nfc(F.col(text_col)))
 
 
 # --- DuckDB-SQL twins (shared with pipeline_queries) ----------------------

@@ -1,0 +1,299 @@
+"""Registry entries, round 3 (cont. 2): operational-verification and
+classic decorrelation surfaces — order-independent table checksums
+(anti-entropy / replication verify), Unicode NFC normalization at the
+head of the curation pipeline, the three remaining TPC-H correlated
+shapes the engine had not yet demonstrated (Q2 min-per-group, Q21
+multi-EXISTS, Q15 view + global max), and an exact integer equi-width
+histogram.
+
+House rules as everywhere: integer/decimal accumulation with a single
+final double step, no RNG, broadcast 1-row/stat frames instead of
+driver collects, DuckDB twins sharing the exact same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import text_analysis
+from .registry import query
+
+
+def _dsum(col, alias):
+    """Order-independent SUM of a double expression (via exact decimal)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def _sql_dsum(expr, alias):
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (anti-entropy verify).
+# ---------------------------------------------------------------------------
+_ROW_SEP = "chr(31)"  # unit separator; cannot appear in the synthetic text
+
+@query(
+    "q125_table_checksum",
+    f"""WITH r AS (
+          SELECT ('0x' || substr(md5(concat_ws({_ROW_SEP},
+                     doc_id,
+                     coalesce(text, ''),
+                     coalesce(lang, ''),
+                     coalesce(source, ''),
+                     n_chars)), 1, 15))::BIGINT AS d
+          FROM documents)
+        SELECT count(*) AS n_rows, bit_xor(d) AS xor_digest FROM r""",
+)
+def q125(spark, sf_dir):
+    """Whole-table content digest for replica comparison: each row maps
+    to a 60-bit integer (md5 prefix) and the table digest is
+    COUNT + BIT_XOR — both fully associative/commutative, so the digest
+    is identical under any partitioning, row order, file layout, or
+    engine. One map pass + one scalar aggregate: the cheapest possible
+    full-scan shape, with map-side partial XOR so the shuffle carries
+    one row per task. This is how you verify a 100 TB replica without
+    moving 100 TB (the reference's single-Postgres world gets this for
+    free from WAL; a lakehouse needs an explicit digest).
+
+    XOR's blind spot — a row appearing an even number of times cancels
+    out — is covered by the row COUNT carried alongside; duplicate
+    pairs still shift n_rows vs the replica.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    row_str = F.concat_ws(
+        "",
+        F.col("doc_id").cast("string"),
+        F.coalesce("text", F.lit("")),
+        F.coalesce("lang", F.lit("")),
+        F.coalesce("source", F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    return docs.select(digest.alias("d")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(d)").alias("xor_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization — see text_analysis.with_nfc_text.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_nfc_normalize",
+    # the synthetic corpus is ASCII (already NFC), so the query plants a
+    # decomposed 'e'+COMBINING ACUTE suffix on every document to force
+    # real composition work; both engines then normalize the same bytes
+    """SELECT doc_id,
+              length(text || 'e' || chr(769)) AS raw_len,
+              length(nfc_normalize(text || 'e' || chr(769))) AS nfc_len,
+              right(nfc_normalize(text || 'e' || chr(769)), 1) AS nfc_tail
+       FROM documents""",
+)
+def q126(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("e\u0301"))
+    normed = text_analysis.with_nfc_text(
+        docs.withColumn("raw", raw), "raw", "nfc"
+    )
+    return normed.select(
+        "doc_id",
+        F.length("raw").alias("raw_len"),
+        F.length("nfc").alias("nfc_len"),
+        F.substring(F.col("nfc"), -1, 1).alias("nfc_tail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-per-group correlated subquery, decorrelated.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_cheapest_supplier",
+    """SELECT DISTINCT l.l_partkey, p.p_name, s.s_name,
+              l.l_extendedprice AS min_price
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       WHERE p.p_size <= 15
+         AND l.l_extendedprice = (
+               SELECT min(l2.l_extendedprice) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)""",
+)
+def q127(spark, sf_dir):
+    """TPC-H Q2's correlated scalar subquery (cheapest source per part),
+    decorrelated the way Catalyst rewrites it: the per-group MIN becomes
+    one aggregate over the probe side itself, joined back on the group
+    key. lineitem is the only big table and is scanned twice but never
+    joined to itself row-by-row; part/supplier are broadcast dims. No
+    float arithmetic — the MIN equality compares stored doubles
+    bit-for-bit, so the oracle agrees exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    min_price = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(min_price, "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(part.where(F.col("p_size") <= 15)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "p_name", "s_name", "min_price")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact, decorrelated.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_waiting_suppliers",
+    """SELECT s.s_name, count(*) AS numwait
+       FROM supplier s
+       JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+         AND EXISTS (
+               SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (
+               SELECT 1 FROM lineitem l3
+               JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey
+                 AND l3.l_shipdate > o3.o_orderdate + INTERVAL 45 DAY)
+       GROUP BY s.s_name""",
+)
+def q128(spark, sf_dir):
+    """TPC-H Q21's famous double-correlation (suppliers who alone held
+    up a multi-supplier order), decorrelated to ONE extra aggregate
+    instead of two correlated probes: per order, count distinct
+    suppliers and distinct LATE suppliers; the EXISTS pair is then the
+    codegen'd filter `n_supp > 1 AND n_late_supp = 1` on the late rows.
+    lineitem shuffles once on l_orderkey for the stats and once for the
+    stats join (same key — AQE reuses the exchange); the supplier dim
+    broadcasts. At 100 TB this is the difference between a plan that
+    finishes and one that rescans the fact per correlation.
+
+    numwait keeps TPC-H's row semantics: every qualifying l1 LINE ITEM
+    counts (a supplier with three late lines in one order scores 3), so
+    the late rows join the per-order stats with multiplicity; only the
+    stats themselves dedup to distinct suppliers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    stats = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(late.withColumn("is_late", F.lit(1)).distinct(),
+              ["l_orderkey", "l_suppkey"], "left")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+        )
+    )
+    return (
+        late.join(stats, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate view + "equal to the global max" filter.
+# ---------------------------------------------------------------------------
+@query(
+    "q129_top_supplier",
+    f"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 {_sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def q129(spark, sf_dir):
+    """TPC-H Q15 (top supplier via view + scalar-max subquery). The
+    decorrelated plan computes the revenue view ONCE and compares
+    against a broadcast 1-row max — no re-evaluation of the view inside
+    the predicate. Revenue uses the house decimal-exact sum so the max
+    comparison (an equality on aggregated floats — the classic Q15
+    trap) is deterministic across engines and partitionings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        ))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-width histogram (integer bin arithmetic).
+# ---------------------------------------------------------------------------
+_NBINS = 20
+
+@query(
+    "q131_length_histogram",
+    f"""WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+                   FROM documents)
+        SELECT ((n_chars - mn) * {_NBINS}) // (mx - mn + 1) AS bin,
+               count(*) AS n_docs,
+               min(n_chars) AS bin_min, max(n_chars) AS bin_max
+        FROM documents, b
+        GROUP BY ((n_chars - mn) * {_NBINS}) // (mx - mn + 1)""",
+)
+def q131(spark, sf_dir):
+    """Equi-width histogram with PURE INTEGER bin assignment:
+    bin = (x - mn) * k `div` (mx - mn + 1) — exact on BIGINT in every
+    engine, no float edges, and the +1 denominator guarantees
+    bin ∈ [0, k-1] with no max-value clamp. The min/max bounds are one
+    tiny scalar aggregate broadcast over the scan (same shape as q86's
+    percentile gate); the histogram itself is a k-group aggregate with
+    map-side partials — the canonical profiling pass you run before
+    choosing chunking/packing parameters on a new 100 TB corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    bin_col = ((F.col("n_chars") - F.col("mn")) * _NBINS) / (
+        F.col("mx") - F.col("mn") + 1
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.expr(f"((n_chars - mn) * {_NBINS}) div (mx - mn + 1)"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("bin_min"),
+            F.max("n_chars").alias("bin_max"),
+        )
+    )

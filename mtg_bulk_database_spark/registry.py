@@ -34,6 +34,7 @@ def load_registry():
         pipeline_queries3,
         pipeline_queries4,
         pipeline_queries5,
+        pipeline_queries6,
         queries,
         queries_extra,
     )

@@ -1,0 +1,159 @@
+"""Round-3 batch 2: table checksum, NFC normalization, TPC-H Q2/Q21/Q15
+decorrelation shapes, exact integer histogram — behavior + scale-contract
+tests (the oracle twins are covered by test_oracle_parity's sweep)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.operators import text_analysis
+from mtg_bulk_database_spark.plans import executed_plan
+from mtg_bulk_database_spark.registry import load_registry
+
+QUERIES, _ = load_registry()
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# --- NFC normalization ----------------------------------------------------
+
+
+def test_nfc_composes_decomposed_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "café"),  # cafe + combining acute -> café
+            (2, "café"),  # already composed
+            (3, None),
+            (4, "plain ascii"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["nfc_text"]
+        for r in text_analysis.with_nfc_text(df).collect()
+    }
+    assert out[1] == "café"  # composed, one codepoint shorter
+    assert out[2] == "café"  # idempotent on composed input
+    assert out[3] is None  # NULL passes through
+    assert out[4] == "plain ascii"
+
+
+def test_nfc_unifies_fingerprints_across_forms(spark):
+    """The motivating property: fingerprint dedup must see the two
+    Unicode forms of the same text as the SAME document after NFC."""
+    df = spark.createDataFrame(
+        [(1, "résumé"), (2, "résumé")],
+        "doc_id long, text string",
+    )
+    normed = text_analysis.with_nfc_text(df).drop("text").withColumnRenamed(
+        "nfc_text", "text"
+    )
+    fps = text_analysis.with_fingerprint(normed).select("fingerprint").collect()
+    assert fps[0][0] == fps[1][0]
+
+
+# --- table checksum -------------------------------------------------------
+
+
+def test_table_checksum_is_order_and_partitioning_independent(spark):
+    q = QUERIES["q125_table_checksum"]
+    base = q(spark, SF_DIR).collect()[0]
+    # same rows, different physical layout -> identical digest
+    from mtg_bulk_database_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    shuffled = docs.repartition(13).sortWithinPartitions(F.desc("text"))
+    row_str = F.concat_ws(
+        "",
+        F.col("doc_id").cast("string"),
+        F.coalesce("text", F.lit("")),
+        F.coalesce("lang", F.lit("")),
+        F.coalesce("source", F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    digest = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    alt = (
+        shuffled.select(digest.alias("d"))
+        .agg(F.count("*").alias("n_rows"), F.expr("bit_xor(d)").alias("x"))
+        .collect()[0]
+    )
+    assert alt["n_rows"] == base["n_rows"]
+    assert alt["x"] == base["xor_digest"]
+
+
+def test_table_checksum_detects_single_cell_change(spark):
+    from mtg_bulk_database_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+
+    def digest_of(df):
+        row_str = F.concat_ws(
+            "",
+            F.col("doc_id").cast("string"),
+            F.coalesce("text", F.lit("")),
+            F.coalesce("lang", F.lit("")),
+            F.coalesce("source", F.lit("")),
+            F.col("n_chars").cast("string"),
+        )
+        d = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+        return df.select(d.alias("d")).agg(F.expr("bit_xor(d)")).collect()[0][0]
+
+    assert digest_of(docs) != digest_of(tampered)
+
+
+# --- histogram ------------------------------------------------------------
+
+
+def test_histogram_partitions_the_corpus_exactly(spark):
+    from mtg_bulk_database_spark.catalog import load_table
+
+    rows = QUERIES["q131_length_histogram"](spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert all(0 <= r["bin"] <= 19 for r in rows)
+    # bins tile the value range without overlap: each bin's max sits
+    # strictly below the next non-empty bin's min
+    ordered = sorted(rows, key=lambda r: r["bin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["bin_max"] < b["bin_min"]
+
+
+# --- TPC-H decorrelation shapes: scale contracts --------------------------
+
+
+def test_q127_broadcasts_dims_no_nested_loop(spark):
+    spark.catalog.clearCache()
+    plan = executed_plan(QUERIES["q127_cheapest_supplier"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier dims
+
+
+def test_q128_single_correlation_pass_no_nested_loop(spark):
+    spark.catalog.clearCache()
+    plan = executed_plan(QUERIES["q128_waiting_suppliers"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q129_max_is_broadcast_not_recompute(spark):
+    spark.catalog.clearCache()
+    df = QUERIES["q129_top_supplier"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # the scalar max arrives as a broadcast 1-row join, never a nested loop
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    # every returned supplier carries the same (maximal) revenue
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_q128_result_sanity(spark):
+    rows = QUERIES["q128_waiting_suppliers"](spark, SF_DIR).collect()
+    assert rows, "expected at least one waiting supplier at sf0.01"
+    assert all(r["numwait"] >= 1 for r in rows)
