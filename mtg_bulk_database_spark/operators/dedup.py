@@ -623,6 +623,59 @@ def with_simhash(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     return df.select(id_col, simhash64(F.col(text_col)).alias("simhash"))
 
 
+def hamming64_near_pairs(
+    fp: DataFrame, hash_col: str, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Generic pigeonhole band join over a precomputed 64-bit hash
+    column: split into 8 8-bit chunks — any pair within Hamming 7
+    shares at least one exact chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_value), never all-pairs. Shared by
+    the text SimHash and image average-hash near-dup paths. Callers
+    should localCheckpoint ``fp`` if the hash came from a Python stage
+    (it feeds both sides of the self-join)."""
+    chunks = fp.select(
+        id_col,
+        hash_col,
+        F.explode_outer(  # _outer: see ngram_jaccard_pairs note
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(hash_col, i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, hash_col, "c.chunk", "c.val")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            on=[
+                F.col("x.chunk") == F.col("y.chunk"),
+                F.col("x.val") == F.col("y.val"),
+                F.col(f"x.{id_col}") < F.col(f"y.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col(f"x.{hash_col}").alias("fp_a"),
+            F.col(f"y.{hash_col}").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 5
 ) -> DataFrame:

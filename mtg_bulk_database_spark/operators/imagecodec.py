@@ -6,7 +6,11 @@ is implemented from the published file-format specs with stdlib only
 
 - **PNG**: full pixel decode/encode — 8-bit depth, color types
   0/2/3/4/6, non-interlaced (Adam7 and 16-bit fall back to header-only).
-- **JPEG / GIF / BMP**: header parse (width, height, channels).
+- **GIF**: full animation support — real variable-width LZW
+  encode/decode (CLEAR/EOI, 4096-entry dictionary reset), frame walk
+  with graphic-control delays, grayscale-palette animation encoder
+  (the video-modality container).
+- **JPEG / BMP**: header parse (width, height, channels).
 - anything else: the caller falls back to the deterministic stub.
 
 Everything is built inside :func:`build_codec` so the returned functions
@@ -223,6 +227,192 @@ def build_codec():
             + _chunk(b"IEND", b"")
         )
 
+    # -- GIF: real LZW codec + animation frame walk --------------------------
+    # (GIF89a per the published spec: logical screen descriptor, graphic
+    # control extensions, image descriptors, variable-width LZW with
+    # CLEAR/EOI codes and 4096-entry dictionary reset.)
+
+    def _lzw_encode(min_code_size: int, data: bytes) -> bytes:
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(1 << min_code_size)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+        out = bytearray()
+        acc = n_bits = 0
+
+        def emit(code: int):
+            nonlocal acc, n_bits
+            acc |= code << n_bits
+            n_bits += width
+            while n_bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n_bits -= 8
+
+        emit(clear)
+        buf = b""
+        for byte in data:
+            nxt = buf + bytes([byte])
+            if nxt in table:
+                buf = nxt
+                continue
+            emit(table[buf])
+            table[nxt] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            elif next_code >= 4096:
+                emit(clear)
+                table = {bytes([i]): i for i in range(1 << min_code_size)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+            buf = bytes([byte])
+        if buf:
+            emit(table[buf])
+        emit(eoi)
+        if n_bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int):
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        width = min_code_size + 1
+        table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        out = bytearray()
+        acc = n_bits = pos = 0
+        prev = None
+        while len(out) < n_pixels:
+            while n_bits < width:
+                if pos >= len(data):
+                    return None
+                acc |= data[pos] << n_bits
+                pos += 1
+                n_bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table = table[: eoi + 1]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+    def _gray_palette() -> bytes:
+        return bytes(v for i in range(256) for v in (i, i, i))
+
+    def gif_encode_animation(
+        w: int, h: int, frames: list[bytes], delays_cs: list[int] | None = None
+    ) -> bytes:
+        """Encode 8-bit (grayscale-palette) frames as an animated GIF89a.
+        Each frame is ``w*h`` palette indices; delays are centiseconds."""
+        delays = delays_cs or [10] * len(frames)
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+        out += _gray_palette()
+        # Netscape looping extension (standard for animations)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        for frame, delay in zip(frames, delays):
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            out += b"\x08"  # LZW min code size
+            comp = _lzw_encode(8, frame)
+            for i in range(0, len(comp), 255):
+                block = comp[i : i + 255]
+                out += bytes([len(block)]) + block
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    def gif_frames(payload: bytes):
+        """Walk a GIF's block structure; return per-frame records
+        ``(left, top, width, height, delay_cs, pixels_or_None)`` with
+        pixels as grayscale bytes (palette luminance via integer
+        (r+g+b)//3), or ``None`` if the payload is not a plausible GIF.
+        Interlaced frames keep their metadata but yield ``pixels=None``.
+        """
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+            return None
+        try:
+            w, h, flags = struct.unpack("<HHB", payload[6:11])
+            i = 13
+            gct = None
+            if flags & 0x80:
+                size = 3 * (2 << (flags & 7))
+                gct = payload[i : i + size]
+                i += size
+            frames = []
+            delay_cs = 0
+            while i < len(payload):
+                b0 = payload[i]
+                if b0 == 0x3B:  # trailer
+                    break
+                if b0 == 0x21:  # extension
+                    label = payload[i + 1]
+                    i += 2
+                    if label == 0xF9 and payload[i] >= 4:
+                        delay_cs = struct.unpack(
+                            "<H", payload[i + 2 : i + 4]
+                        )[0]
+                    while payload[i]:  # data sub-blocks
+                        i += 1 + payload[i]
+                    i += 1
+                elif b0 == 0x2C:  # image descriptor
+                    left, top, fw, fh, iflags = struct.unpack(
+                        "<HHHHB", payload[i + 1 : i + 10]
+                    )
+                    i += 10
+                    pal = gct
+                    if iflags & 0x80:  # local color table
+                        size = 3 * (2 << (iflags & 7))
+                        pal = payload[i : i + size]
+                        i += size
+                    min_code = payload[i]
+                    i += 1
+                    chunks = []
+                    while payload[i]:
+                        n = payload[i]
+                        chunks.append(payload[i + 1 : i + 1 + n])
+                        i += 1 + n
+                    i += 1
+                    pixels = None
+                    if not (iflags & 0x40) and pal is not None:  # non-interlaced
+                        idx = _lzw_decode(min_code, b"".join(chunks), fw * fh)
+                        if idx is not None:
+                            pixels = bytes(
+                                (pal[j * 3] + pal[j * 3 + 1] + pal[j * 3 + 2]) // 3
+                                if j * 3 + 2 < len(pal)
+                                else 0
+                                for j in idx
+                            )
+                    frames.append((left, top, fw, fh, delay_cs, pixels))
+                    delay_cs = 0
+                else:
+                    return None  # not a GIF block stream after all
+            if not frames:
+                return None
+            return w, h, frames
+        except (struct.error, IndexError):
+            return None
+
     # -- resize --------------------------------------------------------------
     def resize_nearest(
         w: int, h: int, channels: int, pixels: bytes, nw: int, nh: int
@@ -241,4 +431,8 @@ def build_codec():
         png_decode=png_decode,
         png_encode=png_encode,
         resize_nearest=resize_nearest,
+        gif_encode_animation=gif_encode_animation,
+        gif_frames=gif_frames,
+        lzw_encode=_lzw_encode,
+        lzw_decode=_lzw_decode,
     )

@@ -224,6 +224,280 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("mean_intensity", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def sample_gif_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video-modality frame sampling with a REAL container decode:
+    animated GIFs (the one video-ish format expressible stdlib-only)
+    are walked frame-by-frame — block structure, graphic-control
+    delays, full LZW pixel decode (``imagecodec.gif_frames``) — and
+    every ``every_n``-th frame is emitted with its decoded mean
+    intensity, the smallest feature that PROVES pixels were actually
+    reconstructed. Production swaps pyav keyframe extraction into this
+    exact contract (same fan-out, same schema, same batch shape).
+
+    Non-GIF payloads emit one fallback row (``decoded=false``) with the
+    dispatching decoder's deterministic dimensions and a byte-mean
+    intensity, so the stage is total and never drops a document.
+
+    Scale: map-only Arrow fan-out; output rows ≈ input rows ×
+    frames/every_n. No shuffle — downstream aggregation decides its own
+    partitioning.
+    """
+    import pandas as pd
+
+    from .imagecodec import build_codec
+
+    codec = build_codec()
+    gif_frames = codec.gif_frames
+    fake_decode = _decode_by_value(codec)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                parsed = gif_frames(b)
+                if parsed is not None:
+                    _, _, frames = parsed
+                    n = len(frames)
+                    for idx in range(0, n, every_n):
+                        left, top, fw, fh, delay, px = frames[idx]
+                        mean = sum(px) // len(px) if px else 0
+                        rows.append(
+                            (int(doc_id), idx, n, fw, fh, delay,
+                             mean, px is not None)
+                        )
+                    continue
+                w, h, _ = fake_decode(b)
+                mean = sum(b) // len(b) if b else 0
+                rows.append((int(doc_id), 0, 1, w, h, 0, mean, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "delay_cs", "mean_intensity", "decoded",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "frame_idx": "int32",
+                    "n_frames": "int32", "width": "int32",
+                    "height": "int32", "delay_cs": "int32",
+                    "mean_intensity": "int32", "decoded": "bool",
+                }
+            )
+
+    return media.mapInPandas(sample, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def synthetic_gif_corpus(
+    docs: DataFrame, n_frames: int = 4, size: int = 8
+) -> DataFrame:
+    """Deterministic animated-GIF corpus from the documents table: per
+    doc, ``n_frames`` frames of ``size``×``size`` md5-stream pixels,
+    encoded by the REAL GIF89a encoder (LZW and all). This is how the
+    registered video query exercises the container walk + LZW decode on
+    executors without any media library — the payloads are genuine GIF
+    bytes any external viewer could open. Pure function of doc_id, so
+    every engine/run builds the identical corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    from .imagecodec import build_codec
+
+    gif_encode = build_codec().gif_encode_animation
+    npx = size * size
+
+    def pixels(seed: str) -> bytes:
+        out = b""
+        ctr = 0
+        while len(out) < npx:
+            out += hashlib.md5(f"{seed}:{ctr}".encode()).digest()
+            ctr += 1
+        return out[:npx]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                frames = [
+                    pixels(f"gif:{doc_id}:{i}") for i in range(n_frames)
+                ]
+                payload = gif_encode(
+                    size, size, frames, [10 * (i + 1) for i in range(n_frames)]
+                )
+                rows.append(
+                    (int(doc_id), payload, "image/gif", (source, len(payload)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "meta"]
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def synthetic_png_corpus(
+    docs: DataFrame, group_mod: int = 100, size: int = 32
+) -> DataFrame:
+    """Deterministic PNG corpus with PLANTED near-duplicate clusters:
+    pixels derive from the doc's group (``doc_id % group_mod``), then
+    one group-relative pixel gets a small per-doc perturbation — so
+    same-group images are perceptual near-dups (Hamming ≈ 0-1 after the
+    8×8 thumbnail) and cross-group images are unrelated md5 noise
+    (Hamming ≈ 32). Real spec-encoded PNGs, pure function of doc_id."""
+    import hashlib
+
+    import pandas as pd
+
+    from .imagecodec import build_codec
+
+    png_encode = build_codec().png_encode
+    npx = size * size
+
+    def base_pixels(group: int) -> bytearray:
+        out = b""
+        ctr = 0
+        while len(out) < npx:
+            out += hashlib.md5(f"png:{group}:{ctr}".encode()).digest()
+            ctr += 1
+        return bytearray(out[:npx])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                group = int(doc_id) % group_mod
+                px = base_pixels(group)
+                pos = (int(doc_id) * 7919) % npx
+                px[pos] = (px[pos] + 16) & 0xFF
+                payload = png_encode(size, size, 1, bytes(px))
+                rows.append(
+                    (int(doc_id), payload, "image/png", (source, len(payload)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "meta"]
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("is_image", T.BooleanType()),
+    ]
+)
+
+
+def with_image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: PNG (full
+    decode) or GIF (first decodable frame) → integer grayscale →
+    8×8 nearest-neighbor thumbnail → 64-bit sign-of-mean hash. All
+    integer arithmetic (sums and comparisons), so the hash is
+    bit-reproducible across executors and against a driver-side
+    reference — no float resampling kernels.
+
+    Non-decodable payloads get an md5-derived pseudo-hash
+    (``is_image=false``): deterministic, but effectively random bits,
+    so they never cluster with real images at small Hamming radii.
+    """
+    import hashlib
+    import struct as _struct
+
+    import pandas as pd
+
+    from .imagecodec import build_codec
+
+    codec = build_codec()
+    png_decode, gif_frames, resize_nearest = (
+        codec.png_decode,
+        codec.gif_frames,
+        codec.resize_nearest,
+    )
+
+    def gray_of(payload: bytes):
+        decoded = png_decode(payload)
+        if decoded is not None:
+            w, h, ch, px = decoded
+            if ch == 1:
+                return w, h, px
+            gray = bytes(
+                (px[i] + px[i + 1] + px[i + 2]) // 3
+                if ch >= 3
+                else px[i]
+                for i in range(0, len(px), ch)
+            )
+            return w, h, gray
+        parsed = gif_frames(payload)
+        if parsed is not None:
+            for left, top, fw, fh, delay, px in parsed[2]:
+                if px is not None:
+                    return fw, fh, px
+        return None
+
+    def ahash_of(payload: bytes):
+        g = gray_of(payload)
+        if g is None:
+            digest = hashlib.md5(payload).digest()
+            (pseudo,) = _struct.unpack(">q", digest[:8])
+            return pseudo, False
+        w, h, gray = g
+        thumb = resize_nearest(w, h, 1, gray, 8, 8)
+        mean = sum(thumb) // 64
+        bits = 0
+        for i, v in enumerate(thumb):
+            if v > mean:
+                bits |= 1 << i
+        return (bits - (1 << 64) if bits >= (1 << 63) else bits), True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [ahash_of(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": pd.Series(
+                        [h for h, _ in hashes], dtype="int64"
+                    ),
+                    "is_image": pd.Series(
+                        [ok for _, ok in hashes], dtype="bool"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate IMAGES by perceptual hash: ahash (real pixel
+    path above) + the same pigeonhole 8×8-bit band join the text
+    SimHash uses — Hamming ≤ 7 guarantees one exact byte-chunk match,
+    so candidate generation is an equi-join, never all-pairs. Returns
+    (id_a, id_b, hamming)."""
+    from .dedup import hamming64_near_pairs
+
+    fp = with_image_ahash(media).localCheckpoint(eager=False)
+    return hamming64_near_pairs(fp, "ahash", "doc_id", max_hamming)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-columnar metadata pass (no Python): byte sizes + declared
     sizes — the cheap pre-filter before any decode fan-out."""

@@ -297,3 +297,46 @@ def q131(spark, sf_dir):
             F.max("n_chars").alias("bin_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Video modality: animated-GIF frame sampling (real container + LZW decode).
+# ---------------------------------------------------------------------------
+@query("q130_video_frame_sample")  # rows-only: byte-level container decode
+def q130(spark, sf_dir):
+    """Video-leg gate: synthesize a REAL animated-GIF corpus from the
+    documents table (spec-compliant GIF89a, genuine LZW — pure function
+    of doc_id), then run the frame-sampling stage: block walk, per-frame
+    graphic-control delays, full LZW pixel decode, every-2nd-frame
+    sampling with decoded mean intensity. All-integer outputs so the
+    row set is deterministic across engines/partitionings; not
+    SQL-expressible (byte-level codec), hence rows-only with the
+    round-trip/reference tests in tests/test_video_image.py."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_gif_corpus(docs, n_frames=4)
+    return multimodal.sample_gif_frames(media, every_n=2).select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        "delay_cs", "mean_intensity", "decoded",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual average-hash over real decoded pixels.
+# ---------------------------------------------------------------------------
+@query("q132_image_phash_pairs")  # rows-only: pixel-level perceptual hash
+def q132(spark, sf_dir):
+    """Image-dedup gate: a planted-near-dup PNG corpus (real spec
+    encode; same doc-group → same base pixels ± one perturbed pixel)
+    through decode → grayscale → 8×8 thumbnail → 64-bit average-hash →
+    pigeonhole Hamming join. Registered output is the aggregate pair
+    histogram (hamming → n_pairs): scalar, order-insensitive, and the
+    planted-cluster invariants (every pair shares a group) are pinned
+    in tests/test_video_image.py."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_png_corpus(docs, group_mod=100)
+    pairs = multimodal.image_near_dup_pairs(media, max_hamming=4)
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
