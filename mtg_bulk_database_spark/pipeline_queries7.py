@@ -1,0 +1,239 @@
+"""Registry entries, round 3 (cont. 3): the native session-window
+operator (batch twin of the streaming gap-session), deterministic
+argmax aggregates, URL/link extraction over the corpus, the
+approximate-vs-exact dedup evaluation report, and a one-pass ANALYZE
+TABLE profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import dedup
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Native session_window — Spark's own gap-session operator. q24 builds
+# sessions by hand (lag + running sum, the portable-SQL shape); this is
+# the engine-native one-liner that also streams unchanged under a
+# watermark. Semantics: a new session starts when the gap from the
+# previous event is >= 30 min (window end = last ts + gap), hence the
+# oracle's >= — q24's hand-rolled twin uses > by its own declared rule.
+# ---------------------------------------------------------------------------
+@query(
+    "q133_session_window",
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS sid
+         FROM flagged
+       )
+       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def q133(spark, sf_dir):
+    """One shuffle on the grouping key; the session merge happens
+    inside Spark's SessionWindowStateStore-less batch path (sort +
+    merge within partition). Identical code streams with
+    ``withWatermark`` — that equivalence is the point of registering
+    the batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "1800 seconds").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic argmax (max_by / arg_max) — the "which row achieved the
+# max" aggregate, with a packed-integer total order so ties cannot make
+# the answer engine- or partitioning-dependent.
+# ---------------------------------------------------------------------------
+_PACK = 10_000_000_000  # doc_id < 10^10 by construction of the testdata
+
+@query(
+    "q134_argmax_longest_doc",
+    f"""SELECT lang,
+               arg_max(doc_id, n_chars * {_PACK} + doc_id) AS top_doc_id,
+               max(n_chars) AS max_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang""",
+)
+def q134(spark, sf_dir):
+    """max_by with a DETERMINISTIC tie-break: the ordering value packs
+    (n_chars, doc_id) into one BIGINT, so equal lengths resolve to the
+    larger doc_id in every engine — bare max_by(doc_id, n_chars) is
+    free to return ANY tied row and would flap under Spark's partial
+    aggregation. Single hash aggregate, map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = F.col("n_chars") * F.lit(_PACK) + F.col("doc_id")
+    return docs.groupBy("lang").agg(
+        F.max_by("doc_id", packed).alias("top_doc_id"),
+        F.max("n_chars").alias("max_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / link extraction — regexp_extract_all + explode + frequency.
+# ---------------------------------------------------------------------------
+_URL_RE = "https?://[^ ]+"
+
+@query(
+    "q135_url_extraction",
+    f"""WITH t AS (
+          SELECT doc_id,
+                 text || ' see http://ex.com/p/' || (doc_id % 50)
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' and https://ex.com/q/' || (doc_id % 7)
+                              ELSE '' END AS body
+          FROM documents),
+        u AS (SELECT unnest(regexp_extract_all(body, '{_URL_RE}')) AS url
+              FROM t)
+        SELECT url, count(*) AS n_refs FROM u GROUP BY url""",
+)
+def q135(spark, sf_dir):
+    """Link-graph extraction (the corpus-level URL frequency table that
+    feeds crawl frontier / citation analysis). The synthetic corpus has
+    no URLs, so the query PLANTS deterministic ones (1-2 per doc, a
+    pure function of doc_id) and then runs the real pipeline:
+    regexp_extract_all → explode → count. Map-side partial counts; one
+    shuffle keyed by url (Zipf-ish keys at scale → AQE skew split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" see http://ex.com/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" and https://ex.com/q/"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all(body, F.lit(_URL_RE), 0)).alias(
+                "url"
+            )
+        )
+        .groupBy("url")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-dedup evaluation report: MinHash+LSH vs the exact
+# operator, as a first-class pipeline query (the number you check
+# BEFORE trusting an approximate pass on a 100 TB corpus).
+# ---------------------------------------------------------------------------
+@query("q137_minhash_eval")  # rows-only: references the approximate op
+def q137(spark, sf_dir):
+    """Recall/precision of the banded-MinHash near-dup pass against the
+    exact n-gram Jaccard operator at the same threshold. Both pair sets
+    are tiny relative to the corpus (pairs, not documents), so the
+    full-outer join is cheap; metrics are integer micro-ratios (single
+    final division semantics, engine-exact). At 100 TB you run this on
+    a stratified sample (q83) and ship the sketch parameters only when
+    recall clears the bar."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    approx = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    j = exact.withColumn("in_exact", F.lit(1)).join(
+        approx.withColumn("in_approx", F.lit(1)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("in_approx", F.lit(0))).alias("n_approx"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull()
+                & F.col("in_approx").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("in_approx").isNull(), 1).otherwise(0)
+        ).alias("fn"),
+        F.sum(
+            F.when(F.col("in_exact").isNull(), 1).otherwise(0)
+        ).alias("fp"),
+    ).select(
+        "n_exact",
+        "n_approx",
+        "tp",
+        "fn",
+        "fp",
+        F.when(
+            F.col("n_exact") > 0,
+            (F.col("tp") * 1_000_000).cast("long") / F.col("n_exact"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_micro"),
+        F.when(
+            F.col("n_approx") > 0,
+            (F.col("tp") * 1_000_000).cast("long") / F.col("n_approx"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profile (ANALYZE TABLE shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q138_table_profile",
+    """SELECT count(*) AS n_rows,
+              count(DISTINCT lang) AS n_langs,
+              count(DISTINCT source) AS n_sources,
+              sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+              min(n_chars) AS min_chars,
+              max(n_chars) AS max_chars,
+              sum(n_chars) AS total_chars
+       FROM documents""",
+)
+def q138(spark, sf_dir):
+    """The profiling pass an optimizer (or an engineer) runs before
+    planning work on an unknown table: row count, per-column distinct
+    cardinalities, null counts, numeric ranges — one scan, one
+    aggregate, all integer-exact. Spark executes multi-DISTINCT via
+    expand + partial aggregation; at 100 TB swap the exact DISTINCTs
+    for q72's HLL sketches (same query shape, bounded memory)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("text").isNull(), 1).otherwise(0)
+        ).alias("null_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )

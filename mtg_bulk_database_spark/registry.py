@@ -35,6 +35,7 @@ def load_registry():
         pipeline_queries4,
         pipeline_queries5,
         pipeline_queries6,
+        pipeline_queries7,
         queries,
         queries_extra,
     )

@@ -157,3 +157,54 @@ def test_q128_result_sanity(spark):
     rows = QUERIES["q128_waiting_suppliers"](spark, SF_DIR).collect()
     assert rows, "expected at least one waiting supplier at sf0.01"
     assert all(r["numwait"] >= 1 for r in rows)
+
+
+# --- round-3 cont. 3: session_window / argmax / eval report ---------------
+
+
+def test_q133_native_sessions_agree_with_handrolled_q24(spark):
+    # same gap rule modulo >= vs > at exactly 1800 s; the synthetic data
+    # has no exact-1800 gap, so session counts and sizes must agree
+    native = QUERIES["q133_session_window"](spark, SF_DIR)
+    hand = QUERIES["q24_sessionize"](spark, SF_DIR)
+    n_native = native.count()
+    assert n_native == hand.count()
+    a = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in native.collect()
+    }
+    b = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in hand.collect()
+    }
+    assert a == b
+
+
+def test_q134_argmax_row_achieves_group_max(spark):
+    from mtg_bulk_database_spark.catalog import load_table
+
+    rows = QUERIES["q134_argmax_longest_doc"](spark, SF_DIR).collect()
+    docs = {
+        (r["doc_id"]): (r["lang"], r["n_chars"])
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        lang, n_chars = docs[r["top_doc_id"]]
+        assert lang == r["lang"]
+        assert n_chars == r["max_chars"]
+        # deterministic tie-break: top_doc_id is the LARGEST id at max
+        tied = [
+            d
+            for d, (lg, nc) in docs.items()
+            if lg == r["lang"] and nc == r["max_chars"]
+        ]
+        assert r["top_doc_id"] == max(tied)
+
+
+def test_q137_eval_report_is_consistent(spark):
+    r = QUERIES["q137_minhash_eval"](spark, SF_DIR).collect()[0]
+    assert r["tp"] + r["fn"] == r["n_exact"]
+    assert r["tp"] + r["fp"] == r["n_approx"]
+    # recall is pinned at 1.0 for this corpus in test_dedup's minhash
+    # tests; the report must agree with that
+    assert r["fn"] == 0 and r["recall_micro"] == 1_000_000.0
