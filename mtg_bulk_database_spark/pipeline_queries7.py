@@ -237,3 +237,185 @@ def q138(spark, sf_dir):
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: interval-bounded running aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q139_time_range_window",
+    """SELECT event_id, user_id, ts,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS rolling_1h_value,
+              COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+              ) AS rolling_1h_events
+       FROM events""",
+)
+def q139(spark, sf_dir):
+    """RANGE (time-interval) window frames — q60's moving sum bounds
+    the frame by ROW COUNT; real monitoring wants "the last hour",
+    which on an irregular event stream is a different operator. Spark
+    expresses it as rangeBetween over the epoch-seconds ordering
+    column (micros kept as fractional seconds so sub-second events
+    order identically to the oracle's native INTERVAL frame). One
+    shuffle on user_id; the frame scan is sort-merge within partition.
+    The decimal-exact SUM keeps cross-row float addition
+    order-independent as everywhere else."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint checking — see operators/constraints.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q140_constraint_report",
+    """SELECT 'lineitem_pk_not_null' AS rule,
+              sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                       THEN 1 ELSE 0 END) AS n_violations FROM lineitem
+       UNION ALL
+       SELECT 'lineitem_qty_positive',
+              sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+       FROM lineitem
+       UNION ALL
+       SELECT 'lineitem_returnflag_domain',
+              sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                       THEN 1 ELSE 0 END) FROM lineitem
+       UNION ALL
+       SELECT 'lineitem_line_unique',
+              count(*) FILTER (l_orderkey IS NOT NULL
+                               AND l_linenumber IS NOT NULL)
+              - count(DISTINCT (l_orderkey, l_linenumber))
+       FROM lineitem
+       UNION ALL
+       SELECT 'orders_pk_unique',
+              count(*) FILTER (o_orderkey IS NOT NULL)
+              - count(DISTINCT o_orderkey)
+       FROM orders
+       UNION ALL
+       SELECT 'lineitem_orders_fk', count(*)
+       FROM lineitem WHERE NOT EXISTS (
+         SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+       UNION ALL
+       SELECT 'orders_customer_fk', count(*)
+       FROM orders WHERE NOT EXISTS (
+         SELECT 1 FROM customer WHERE c_custkey = o_custkey)""",
+)
+def q140(spark, sf_dir):
+    """The post-ingest constraint sweep the reference gets from
+    Postgres DDL (PK/NOT NULL/CHECK/ENUM, init.sql:8-33), as explicit
+    operators: all row rules fold into ONE scan of lineitem; the two
+    FK rules are hash anti-joins (orders key set is the smaller side).
+    A publish gate then asserts every n_violations == 0 — and on this
+    synthetic corpus the lineitem line-uniqueness rule genuinely FIRES
+    (the datagen plants duplicate (orderkey, linenumber) pairs), which
+    is exactly the kind of surprise the sweep exists to catch."""
+    from .operators import constraints as C
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    row_rules = C.row_rule_report(
+        li,
+        {
+            "lineitem_pk_not_null": F.col("l_orderkey").isNull()
+            | F.col("l_linenumber").isNull(),
+            "lineitem_qty_positive": F.col("l_quantity") <= 0,
+            "lineitem_returnflag_domain": ~F.col("l_returnflag").isin(
+                "A", "N", "R"
+            ),
+        },
+    )
+    return C.constraint_report(
+        row_rules,
+        C.unique_key_rule(
+            li, ["l_orderkey", "l_linenumber"], "lineitem_line_unique"
+        ),
+        C.unique_key_rule(orders, ["o_orderkey"], "orders_pk_unique"),
+        C.fk_rule(
+            li, orders, [("l_orderkey", "o_orderkey")], "lineitem_orders_fk"
+        ),
+        C.fk_rule(
+            orders,
+            cust,
+            [("o_custkey", "c_custkey")],
+            "orders_customer_fk",
+            broadcast_parent=True,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase).
+# ---------------------------------------------------------------------------
+@query(
+    "q141_funnel_counts",
+    """WITH v AS (
+         SELECT user_id, min(ts) AS t_view FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, min(e.ts) AS t_click FROM events e
+         JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+         WHERE e.event_type = 'click' GROUP BY e.user_id),
+       p AS (
+         SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+         JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+         WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT (SELECT count(*) FROM v) AS n_view,
+              (SELECT count(*) FROM c) AS n_click,
+              (SELECT count(*) FROM p) AS n_purchase""",
+)
+def q141(spark, sf_dir):
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER
+    the first view, then purchased AFTER that click — the behavioral
+    query every event warehouse runs. Three aggregates and two joins,
+    ALL keyed on user_id: one hash partitioning serves the entire
+    plan (AQE reuses the exchange), so the funnel costs barely more
+    than one groupBy at 100 TB. The strictly-ordered semantics (first
+    qualifying timestamp per stage) are what window-function funnels
+    get wrong when events tie."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )

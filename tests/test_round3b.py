@@ -208,3 +208,57 @@ def test_q137_eval_report_is_consistent(spark):
     # recall is pinned at 1.0 for this corpus in test_dedup's minhash
     # tests; the report must agree with that
     assert r["fn"] == 0 and r["recall_micro"] == 1_000_000.0
+
+
+def test_constraint_rules_fire_on_tampered_data(spark):
+    from mtg_bulk_database_spark.operators import constraints as C
+
+    base = spark.createDataFrame(
+        [(1, 1, 5.0, "A"), (1, 2, -2.0, "N"), (2, 1, 3.0, "X"), (2, 1, 1.0, "R"),
+         (None, 9, 1.0, "A")],
+        "l_orderkey long, l_linenumber long, l_quantity double, l_returnflag string",
+    )
+    parent = spark.createDataFrame([(1,)], "o_orderkey long")
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in C.constraint_report(
+            C.row_rule_report(
+                base,
+                {
+                    "pk_not_null": F.col("l_orderkey").isNull(),
+                    "qty_positive": F.col("l_quantity") <= 0,
+                    "flag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+                },
+            ),
+            C.unique_key_rule(base, ["l_orderkey", "l_linenumber"], "pk_unique"),
+            C.fk_rule(base, parent, [("l_orderkey", "o_orderkey")], "fk",
+                      broadcast_parent=True),
+        ).collect()
+    }
+    assert report == {
+        "pk_not_null": 1,
+        "qty_positive": 1,
+        "flag_domain": 1,
+        # (2,1) appears twice; the NULL-key row belongs to pk_not_null,
+        # not the uniqueness rule
+        "pk_unique": 1,
+        "fk": 3,          # two orderkey-2 rows + the NULL-key row
+    }
+
+
+def test_q140_report_matches_known_data_quality(spark):
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in QUERIES["q140_constraint_report"](spark, SF_DIR).collect()
+    }
+    assert len(report) == 7
+    # the synthetic lineitem table genuinely violates line-uniqueness
+    # (planted duplicate (orderkey, linenumber) pairs); everything else
+    # is clean
+    assert report.pop("lineitem_line_unique") > 0
+    assert all(v == 0 for v in report.values())
+
+
+def test_q141_funnel_is_monotone(spark):
+    r = QUERIES["q141_funnel_counts"](spark, SF_DIR).collect()[0]
+    assert r["n_view"] >= r["n_click"] >= r["n_purchase"] > 0
