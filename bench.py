@@ -70,6 +70,15 @@ HEADLINE = [
     "q118_remove_boilerplate",
     "q120_crosscorpus_lm_score",
     "q122_gapfill_locf",
+    "q125_table_checksum",
+    "q127_cheapest_supplier",
+    "q128_waiting_suppliers",
+    "q130_video_frame_sample",
+    "q132_image_phash_pairs",
+    "q133_session_window",
+    "q139_time_range_window",
+    "q140_constraint_report",
+    "q141_funnel_counts",
 ]
 
 

@@ -187,6 +187,10 @@ def q128(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
+    # late feeds both the per-order stats and the final probe; no
+    # checkpoint — Spark's ReusedExchange already shares the
+    # lineitem⋈orders shuffle between the branches (measured: a
+    # localCheckpoint here COSTS ~15% by blocking that reuse)
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
@@ -314,7 +318,9 @@ def q130(spark, sf_dir):
     round-trip/reference tests in tests/test_video_image.py."""
     from .operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the codec stages are per-row Python CPU — a one-partition
+    # parquet scan would serialize the whole corpus on one core
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     media = multimodal.synthetic_gif_corpus(docs, n_frames=4)
     return multimodal.sample_gif_frames(media, every_n=2).select(
         "doc_id", "frame_idx", "n_frames", "width", "height",
@@ -336,7 +342,7 @@ def q132(spark, sf_dir):
     in tests/test_video_image.py."""
     from .operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     media = multimodal.synthetic_png_corpus(docs, group_mod=100)
     pairs = multimodal.image_near_dup_pairs(media, max_hamming=4)
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
