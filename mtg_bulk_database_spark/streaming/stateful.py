@@ -206,3 +206,26 @@ def stream_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("user_id", "event_id"),
+) -> DataFrame:
+    """Built-in event-TIME dedup: ``dropDuplicatesWithinWatermark``
+    keeps the first arrival per key and drops any duplicate whose
+    event time lands within the watermark delay of it.
+
+    The contrast with :func:`stream_dedup_events` is the state bound's
+    CLOCK: here state expires on event time (watermark passes → key
+    forgotten — deterministic against the data itself), there on
+    processing time (TTL of wall-clock idleness). Use this one when
+    duplicates are known to arrive close together in event time (e.g.
+    at-least-once producers that retry within minutes) — it needs no
+    Python state machine at all and runs entirely in the JVM state
+    store.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

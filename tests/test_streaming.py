@@ -508,3 +508,36 @@ def test_transform_with_state_running_totals_match_batch(spark, event_files):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_drop_duplicates_within_watermark_dedups_replays(spark, tmp_path):
+    """Replay a micro-batch file (at-least-once source): the built-in
+    event-time dedup must emit each (user, event) once, matching batch
+    dropDuplicates over the same input."""
+    import shutil
+
+    from mtg_bulk_database_spark.streaming import events as sev
+    from mtg_bulk_database_spark.streaming.stateful import (
+        stream_dedup_within_watermark,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id") < 10)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    part = next(
+        p for p in (tmp_path / "b1").iterdir() if p.name.endswith(".parquet")
+    )
+    shutil.copy(part, src / "batch1.parquet")
+    shutil.copy(part, src / "batch2.parquet")  # exact replay
+
+    stream = sev.read_event_stream(spark, str(src))
+    out = sev.run_available_now(
+        stream_dedup_within_watermark(stream),
+        "dedup_wm_out",
+        output_mode="append",
+    )
+    got = out.groupBy("user_id", "event_id").count().collect()
+    assert got, "expected deduped events"
+    assert all(r["count"] == 1 for r in got)
+    assert out.count() == ev.count()  # every original event, exactly once
