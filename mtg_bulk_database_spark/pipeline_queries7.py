@@ -419,3 +419,87 @@ def q141(spark, sf_dir):
         .crossJoin(c.agg(F.count("*").alias("n_click")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide measures -> long) + per-measure profile.
+# ---------------------------------------------------------------------------
+@query(
+    "q142_unpivot_measures",
+    """WITH long AS (
+         SELECT measure, value FROM (
+           SELECT l_quantity AS quantity, l_extendedprice AS extendedprice,
+                  l_discount AS discount, l_tax AS tax
+           FROM lineitem)
+         UNPIVOT (value FOR measure IN
+                  (quantity, extendedprice, discount, tax)))
+       SELECT measure, count(*) AS n,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM long GROUP BY measure""",
+)
+def q142(spark, sf_dir):
+    """Wide→long reshape via the native ``unpivot`` (melt) operator —
+    the inverse of q21's pivot, closing the reshape pair. Expand is a
+    zero-shuffle map (each row emits 4), and the per-measure profile is
+    a 4-group aggregate with map-side partials. The decimal-exact sum
+    keeps cross-row float addition order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot([], ["quantity", "extendedprice", "discount", "tax"],
+              "measure", "value")
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation (the replica-diff / CDC-compare shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q143_order_reconciliation",
+    """SELECT
+         CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+              WHEN o.o_custkey IS NULL THEN 'customer_only'
+              ELSE 'both' END AS presence,
+         count(*) AS n
+       FROM (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') o
+       FULL OUTER JOIN customer c ON c.c_custkey = o.o_custkey
+       GROUP BY 1""",
+)
+def q143(spark, sf_dir):
+    """Full-outer key reconciliation: which customers have orders,
+    which don't, and whether any order references a missing customer —
+    the side-by-side diff you run when two systems should agree (and
+    the set-level complement to q140's FK rule, which only counts one
+    direction). One distinct-projection each side, one full-outer hash
+    join on the key, three-way presence classification."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # restrict one side so BOTH asymmetry classes actually occur on the
+    # synthetic data (every customer has some order, not every customer
+    # has an urgent one)
+    o = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    j = o.join(cust, o.o_custkey == cust.c_custkey, "full_outer")
+    presence = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return j.groupBy(presence.alias("presence")).agg(
+        F.count("*").alias("n")
+    )
