@@ -79,6 +79,7 @@ HEADLINE = [
     "q139_time_range_window",
     "q140_constraint_report",
     "q141_funnel_counts",
+    "q144_supplier_triangles",
 ]
 
 

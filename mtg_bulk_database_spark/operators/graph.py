@@ -315,3 +315,51 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
+    """Exact triangle counting by ordered two-path join (the classic
+    MapReduce formulation: Suri & Vassilvitskii's node-iterator on
+    DataFrames).
+
+    Input: undirected edges in any orientation, possibly with
+    duplicates/self-loops (both are cleaned here). Canonicalizing every
+    edge to (lo, hi) and joining ONLY in ascending order means each
+    triangle {a<b<c} is built exactly once — as path a→b→c closed by
+    edge (a, c) — instead of six times; the dedup also makes the
+    count immune to double-reported pairs from upstream near-dup
+    operators.
+
+    Two hash joins, both on edge keys: wedges = E ⋈ E on the middle
+    vertex, closed = wedges ⋈ E on the outer pair. At 100 TB-scale
+    graphs the standard refinement is degree-ordering instead of
+    id-ordering (high-degree hubs produce O(d²) wedges; ordering by
+    (degree, id) bounds wedge fan-out) — same plan shape, one extra
+    degree join, documented here and cheap to swap in.
+
+    Returns a 1-row DataFrame: (n_triangles, n_edges, n_wedges), where
+    n_wedges counts ASCENDING two-paths a<b<c — the candidate set the
+    closing join actually probes (the cost driver to watch), a third of
+    the undirected wedge count.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds three join sides
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    closed = wedges.join(ac, ["a", "c"])
+    # one lazy plan, no driver-side counting: three scalar aggregates
+    # cross-joined (each is a 1-row broadcast)
+    return (
+        closed.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+    )

@@ -1,8 +1,10 @@
 """Registry entries, round 3 (cont. 3): the native session-window
 operator (batch twin of the streaming gap-session), deterministic
 argmax aggregates, URL/link extraction over the corpus, the
-approximate-vs-exact dedup evaluation report, and a one-pass ANALYZE
-TABLE profile.
+approximate-vs-exact dedup evaluation report, a one-pass ANALYZE TABLE
+profile, time-RANGE window frames, declarative constraint checking,
+ordered funnel analysis, unpivot, full-outer key reconciliation,
+triangle counting (graph leg 3), and grouped exact percentiles.
 """
 
 from __future__ import annotations
@@ -502,4 +504,72 @@ def q143(spark, sf_dir):
     )
     return j.groupBy(presence.alias("presence")).agg(
         F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the supplier co-supply graph.
+# ---------------------------------------------------------------------------
+@query(
+    "q144_supplier_triangles",
+    """WITH pairs AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       e AS (
+         SELECT DISTINCT a.s AS lo, b.s AS hi
+         FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s),
+       ab AS (SELECT lo AS a, hi AS b FROM e),
+       bc AS (SELECT lo AS b, hi AS c FROM e),
+       ac AS (SELECT lo AS a, hi AS c FROM e),
+       w AS (SELECT ab.a, ab.b, bc.c FROM ab JOIN bc USING (b)),
+       t AS (SELECT w.a, w.b, w.c FROM w JOIN ac USING (a, c))
+       SELECT (SELECT count(*) FROM t) AS n_triangles,
+              (SELECT count(*) FROM e) AS n_edges,
+              (SELECT count(*) FROM w) AS n_wedges""",
+)
+def q144(spark, sf_dir):
+    """Graph-analytics leg 3 (after connected components and PageRank):
+    exact triangle counting via the ordered two-path join, on the
+    "suppliers who co-supply a part" graph projected from lineitem.
+    Each triangle is constructed exactly once (ascending-id wedges);
+    the bipartite projection and both triangle joins are plain hash
+    joins Catalyst can reorder. See operators/graph.py::triangle_count
+    for the degree-ordering refinement at hub-heavy scale."""
+    from .operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+    ).select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+    return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact percentiles (per-language length profile).
+# ---------------------------------------------------------------------------
+@query(
+    "q145_grouped_percentiles",
+    """SELECT lang,
+              quantile_cont(n_chars, 0.50) AS p50,
+              quantile_cont(n_chars, 0.90) AS p90,
+              quantile_cont(n_chars, 0.99) AS p99,
+              count(*) AS n_docs
+       FROM documents GROUP BY lang""",
+)
+def q145(spark, sf_dir):
+    """Per-group exact percentiles — q57 profiles the whole corpus;
+    curation thresholds are usually set PER LANGUAGE (a p90 length cut
+    that is right for English clips Chinese). Spark's `percentile` is
+    an exact sort-based aggregate; one shuffle on the group key. At
+    100 TB swap percentile_approx (q87's sketch) into the same shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.50)").alias("p50"),
+        F.expr("percentile(n_chars, 0.90)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+        F.count("*").alias("n_docs"),
     )

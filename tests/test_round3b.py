@@ -262,3 +262,28 @@ def test_q140_report_matches_known_data_quality(spark):
 def test_q141_funnel_is_monotone(spark):
     r = QUERIES["q141_funnel_counts"](spark, SF_DIR).collect()[0]
     assert r["n_view"] >= r["n_click"] >= r["n_purchase"] > 0
+
+
+def test_triangle_count_on_known_graph(spark):
+    from mtg_bulk_database_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5, + noise: dup edge,
+    # reversed edge, self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (2, 1), (3, 1), (5, 5)],
+        "src long, dst long",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r["n_triangles"] == 4
+    assert r["n_edges"] == 7  # 6 K4 edges + (4,5); loop and dups dropped
+    # ASCENDING wedges a<b<c (the candidate set actually joined):
+    # 4 inside K4 + three (x,4,5) for x in {1,2,3}
+    assert r["n_wedges"] == 7
+
+
+def test_q145_grouped_percentiles_ordering(spark):
+    rows = QUERIES["q145_grouped_percentiles"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]
