@@ -573,3 +573,104 @@ def q145(spark, sf_dir):
         F.expr("percentile(n_chars, 0.99)").alias("p99"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (edit-distance join with blocking).
+# ---------------------------------------------------------------------------
+@query(
+    "q146_fuzzy_name_match",
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+       b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk
+             FROM names)
+       SELECT x.p_name AS name_a, y.p_name AS name_b,
+              levenshtein(x.p_name, y.p_name) AS dist
+       FROM b x JOIN b y ON x.blk = y.blk AND x.p_name < y.p_name
+       WHERE levenshtein(x.p_name, y.p_name) <= 3""",
+)
+def q146(spark, sf_dir):
+    """Edit-distance entity matching — the data-cleaning join that
+    reconciles near-identical names ("red widget" ~ "hot widget").
+    NEVER all-pairs: candidates are blocked on the last name token
+    (an equi-join), and levenshtein runs only inside blocks — the same
+    blocking discipline as every near-dup operator in this engine
+    (LSH bands, pigeonhole chunks, posting lists). Distinct-project
+    first so the pair space is over unique names, not rows."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    b = names.withColumn(
+        "blk", F.element_at(F.split("p_name", " "), -1)
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.p_name") < F.col("y.p_name")),
+        )
+        .select(
+            F.col("x.p_name").alias("name_a"),
+            F.col("y.p_name").alias("name_b"),
+            F.levenshtein(F.col("x.p_name"), F.col("y.p_name")).alias(
+                "dist"
+            ),
+        )
+        .where(F.col("dist") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (signup week × activity-week offset).
+# ---------------------------------------------------------------------------
+@query(
+    "q147_cohort_retention",
+    """WITH cohort AS (
+         SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       activity AS (
+         SELECT DISTINCT e.user_id, c.cohort_week,
+                CAST(floor((epoch(date_trunc('week', e.ts))
+                            - epoch(c.cohort_week)) / 604800.0) AS BIGINT)
+                  AS week_offset
+         FROM events e JOIN cohort c ON e.user_id = c.user_id
+         WHERE e.ts >= c.cohort_week)
+       SELECT cohort_week, week_offset, count(*) AS n_users
+       FROM activity GROUP BY cohort_week, week_offset""",
+)
+def q147(spark, sf_dir):
+    """Cohort retention — the canonical BI matrix: users grouped by
+    signup week, counted once per later week of activity. Week offsets
+    are integer epoch arithmetic (exact in every engine; no interval
+    rounding). Both heavy steps key on user_id — the cohort aggregate
+    and the activity join reuse one partitioning — then the matrix
+    aggregate is a tiny (weeks × offsets) rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(cohort, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.date_trunc("week", F.col("ts")).cast("double")
+                    - F.col("cohort_week").cast("double")
+                )
+                / 604800.0
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    # DuckDB's date_trunc('week') yields DATE where Spark yields
+    # TIMESTAMP — emit DATE so the column types agree
+    return (
+        activity.groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+        ).agg(F.count("*").alias("n_users"))
+    )
