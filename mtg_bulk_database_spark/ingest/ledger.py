@@ -407,6 +407,97 @@ def ledger_merge_upsert(
     )
 
 
+def ledger_delete(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    max_retries: int = 3,
+) -> int:
+    """DELETE WHERE ``predicate`` as a new snapshot version (the
+    GDPR / retention-sweep path — the one table operation the upsert
+    MERGE can't express).
+
+    SQL DELETE null semantics: rows where the predicate is TRUE are
+    removed; FALSE **and NULL** rows are kept.
+
+    File skipping is EXACT for any predicate: one probe pass reads the
+    current snapshot with the predicate and collects the distinct
+    ``input_file_name``s that contain matching rows (parquet row-group
+    min/max pruning makes this probe cheap for stats-column
+    predicates — files that can't match are eliminated before any row
+    is read). Only those files are rewritten without their matching
+    rows; every other manifest entry carries over byte-identical, and
+    a file whose rows are all deleted simply leaves the manifest
+    (its bytes become vacuum-collectable orphans). The deleted-row
+    count is recorded in the manifest (``deleted_rows``) — an audit
+    trail atomic with the commit. Old versions still read the deleted
+    rows via time travel until ``ledger_vacuum`` ages them out, which
+    is the documented compliance step for hard erasure.
+
+    Returns the committed version (current version if nothing matched
+    — a no-op delete does not burn a snapshot).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
+    keep_cond = F.coalesce(~pred, F.lit(True))  # FALSE or NULL survives
+    for _ in range(max_retries):
+        base = current_version(root)
+        if base == 0:
+            return 0  # empty table: nothing to delete
+        manifest = _read_manifest(root, base)
+        key = manifest["key"]
+        stats_cols = manifest.get("stats_cols")
+        paths = {
+            os.path.realpath(os.path.join(root, e["path"])): e
+            for e in manifest["files"]
+        }
+        if not paths:
+            return base
+        snap = spark.read.option("mergeSchema", "true").parquet(*paths)
+        hit_files = {
+            os.path.realpath(r[0].replace("file:", "", 1))
+            for r in snap.where(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+        if not hit_files:
+            return base
+        touched = [paths[p] for p in paths if p in hit_files]
+        untouched = [e for p, e in paths.items() if p not in hit_files]
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, e["path"]) for e in touched]
+        )
+        kept = old.where(keep_cond)
+        new_files = [
+            e
+            for e in _stage_data_files(
+                spark, root, kept, key, stats_cols=stats_cols
+            )
+            if e["rows"] > 0
+        ]
+        n_deleted = sum(e["rows"] for e in touched) - sum(
+            e["rows"] for e in new_files
+        )
+        try:
+            _commit(
+                root,
+                base + 1,
+                untouched + new_files,
+                key,
+                stats_cols,
+                extra_meta={"deleted_rows": n_deleted},
+            )
+            return base + 1
+        except ConcurrentCommitError:
+            continue  # staged files are invisible orphans; retry on new base
+    raise ConcurrentCommitError(
+        f"delete lost the commit race {max_retries} times at {root}"
+    )
+
+
 def ledger_vacuum(
     root: str, retain_versions: int = 2, orphan_min_age_s: float = 3600.0
 ) -> list[str]:

@@ -422,3 +422,58 @@ def test_zorder_compact_accepts_date_columns(spark, root):
     ledger.ledger_compact(spark, root, zorder=["d", "id"], target_files=2)
     out = ledger.ledger_read(spark, root)
     assert out.count() == 40
+
+
+# --- DELETE (GDPR / retention sweep) --------------------------------------
+
+
+def test_delete_removes_matching_keeps_null_predicate_rows(spark, root):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 99), (4, "d", 5)],
+        "id long, val string, score int",
+    )
+    ledger.ledger_write(spark, root, df)
+    v = ledger.ledger_delete(spark, root, F.col("score") > 50)
+    assert v == 2
+    got = _rows(ledger.ledger_read(spark, root))
+    # row 3 (score 99) deleted; row 2 (NULL score) KEPT — SQL DELETE
+    # null semantics
+    assert [r[0] for r in got] == [1, 2, 4]
+    # audit trail rides the manifest, atomic with the commit
+    assert ledger._read_manifest(root, 2)["deleted_rows"] == 1
+
+
+def test_delete_skips_untouched_files_and_time_travels(spark, root):
+    # two disjoint key ranges -> separate files via two commits
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(100, "x"), (101, "y")]))
+    before = {e["path"] for e in ledger._read_manifest(root, 2)["files"]}
+    v = ledger.ledger_delete(spark, root, "id = 100")
+    after = ledger._read_manifest(root, v)
+    # low-range file(s) carried over byte-identical: their manifest
+    # entries survive; only the high-range file was rewritten
+    kept_paths = {e["path"] for e in after["files"]}
+    assert any(p in kept_paths for p in before)
+    assert _rows(ledger.ledger_read(spark, root)) == [
+        (1, "a"),
+        (2, "b"),
+        (101, "y"),
+    ]
+    # deleted row is still visible at the old version (time travel);
+    # hard erasure = vacuum after retention
+    assert (100, "x") in _rows(ledger.ledger_read(spark, root, version=2))
+
+
+def test_delete_noop_burns_no_version(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a")]))
+    v = ledger.ledger_delete(spark, root, "id = 999")
+    assert v == 1 and ledger.current_version(root) == 1
+
+
+def test_delete_whole_file_drops_manifest_entry(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(100, "x")]))
+    v = ledger.ledger_delete(spark, root, "id >= 100")
+    files = ledger._read_manifest(root, v)["files"]
+    assert all(e["rows"] > 0 for e in files)
+    assert _rows(ledger.ledger_read(spark, root)) == [(1, "a"), (2, "b")]
