@@ -396,3 +396,75 @@ def test_events_ntz_read_is_session_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert ny_rows == utc_rows
+
+
+# --- Spark 4 custom Python DataSource (S4 as a pluggable source) ----------
+
+
+def test_bulk_datasource_partitioned_read_matches_json_reader(spark, tmp_path):
+    import json as _json
+
+    from mtg_bulk_database_spark.sources.bulk_datasource import (
+        ScryfallBulkDataSource,
+        with_parsed_cards,
+    )
+    from mtg_bulk_database_spark.sources.scryfall import read_cards_json
+
+    cards = make_cards(200)
+    jsonl = tmp_path / "cards.jsonl"
+    with open(jsonl, "w", encoding="utf-8") as f:
+        for c in cards:
+            f.write(_json.dumps(c, separators=(",", ":")) + "\n")
+
+    spark.dataSource.register(ScryfallBulkDataSource)
+    env = (
+        spark.read.format("scryfall_bulk")
+        .option("path", str(jsonl))
+        .option("partitions", "7")
+        .load()
+    )
+    # every line owned by exactly one byte-range partition
+    assert env.rdd.getNumPartitions() == 7
+    # the fixture plants missing-id rows (the F1 drop path) -> None here
+    ids = sorted((r["id"] for r in env.select("id").collect()), key=str)
+    assert ids == sorted((c.get("id") for c in cards), key=str)
+    assert len(ids) == 200
+
+    # the JVM-side typed decode agrees with the schema'd JSON reader
+    parsed = with_parsed_cards(env)
+    via_reader = read_cards_json(spark, str(jsonl))
+    a = sorted(
+        (
+            (r["id"], r["name"], r["cmc"], r["layout"])
+            for r in parsed.select("id", "name", "cmc", "layout").collect()
+        ),
+        key=repr,
+    )
+    b = sorted(
+        (
+            (r["id"], r["name"], r["cmc"], r["layout"])
+            for r in via_reader.select("id", "name", "cmc", "layout").collect()
+        ),
+        key=repr,
+    )
+    assert a == b
+
+
+def test_bulk_datasource_single_byte_ranges_degenerate(spark, tmp_path):
+    import json as _json
+
+    from mtg_bulk_database_spark.sources.bulk_datasource import (
+        ScryfallBulkDataSource,
+    )
+
+    jsonl = tmp_path / "tiny.jsonl"
+    jsonl.write_text(_json.dumps({"id": "x", "name": "y"}) + "\n")
+    spark.dataSource.register(ScryfallBulkDataSource)
+    env = (
+        spark.read.format("scryfall_bulk")
+        .option("path", str(jsonl))
+        .option("partitions", "64")  # far more ranges than bytes/lines
+        .load()
+    )
+    rows = env.collect()
+    assert len(rows) == 1 and rows[0]["id"] == "x"
