@@ -29,6 +29,7 @@ def attribution_join(
     purchases: DataFrame,
     window_minutes: int = 60,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs (click, purchase) of the same user with the click in the
     ``window_minutes`` before the purchase (strict: click < purchase).
@@ -36,6 +37,14 @@ def attribution_join(
     Works on batch inputs as-is; for streaming inputs pass ``watermark``
     (e.g. ``"2 hours"``) — required by Spark for append-mode
     stream-stream joins, and what bounds the buffered state.
+
+    ``how="left_outer"`` keeps purchases with NO qualifying click
+    (click columns NULL) — the conversion-denominator shape. In
+    streaming mode an unmatched purchase emits only once the watermark
+    has passed its eligibility window (Spark must be SURE no matching
+    click can still arrive), so trailing unmatched rows flush when a
+    later event advances the watermark — the documented outer-join
+    latency trade-off, pinned in the streaming test.
     """
     if watermark is not None:
         clicks = clicks.withWatermark("ts", watermark)
@@ -59,9 +68,10 @@ def attribution_join(
             >= F.col("p.purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")
         )
     )
+    # purchases on the LEFT so "left_outer" preserves purchase rows
     return (
-        c.alias("c")
-        .join(p.alias("p"), cond)
+        p.alias("p")
+        .join(c.alias("c"), cond, how)
         .select(
             F.col("p.user_id").alias("user_id"),
             "purchase_id",

@@ -541,3 +541,86 @@ def test_drop_duplicates_within_watermark_dedups_replays(spark, tmp_path):
     assert got, "expected deduped events"
     assert all(r["count"] == 1 for r in got)
     assert out.count() == ev.count()  # every original event, exactly once
+
+
+def test_stream_stream_left_outer_attribution(spark, tmp_path):
+    """Left-outer stream-stream join: purchases with no qualifying click
+    must emit (NULL click columns) once the watermark passes their
+    window — matching the batch left-outer on the same input.
+
+    Outer-state flush mechanics (pinned here): results for unmatched
+    rows are produced by the micro-batch AFTER the watermark advances
+    past their window, so a single availableNow drain ending on the
+    last data file withholds the tail. The fix is the real incremental
+    pattern: a SECOND checkpointed run (new sentinel file advances the
+    watermark again) flushes the remainder — exactly how a nightly
+    availableNow job converges."""
+    import datetime as dt
+
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.joins import attribution_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "ev_outer_in"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "a"))
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def sentinel(eid, when):
+        # one row PER JOIN SIDE: the global watermark is the MIN over
+        # the per-stream watermark operators, and those only see rows
+        # that SURVIVE the event_type filters — a filtered-out "noise"
+        # sentinel would advance nothing (the bug this test caught)
+        spark.createDataFrame(
+            [
+                (eid, when, -1, "click", 0.0, "{}"),
+                (eid + 1, when, -2, "purchase", 0.0, "{}"),
+            ],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.parquet(str(src / f"s{eid}"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        joined = attribution_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            60,
+            watermark="30 minutes",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    sentinel(10_000_000, dt.datetime(2030, 1, 1))
+    drain()
+    sentinel(10_000_002, dt.datetime(2030, 6, 1))
+    drain()  # second run flushes outer state held at end of run 1
+
+    got = [
+        r
+        for r in spark.read.parquet(out_dir).collect()
+        if r["purchase_id"] < 10_000_000  # drop the sentinel purchases
+    ]
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        60,
+        how="left_outer",
+    ).collect()
+    key = lambda r: (r["purchase_id"], r["click_id"])  # noqa: E731
+    assert sorted(map(key, got), key=repr) == sorted(map(key, batch), key=repr)
+    # the outer rows are actually exercised: some purchases had no click
+    assert any(r["click_id"] is None for r in batch)
