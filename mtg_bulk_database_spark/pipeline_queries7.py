@@ -510,30 +510,43 @@ def q143(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Triangle counting on the supplier co-supply graph.
 # ---------------------------------------------------------------------------
+_TRI_P = 20  # DOULION edge-sampling: keep 1/20 of edges
+
 @query(
     "q144_supplier_triangles",
-    """WITH pairs AS (
+    f"""WITH pairs AS (
          SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-       e AS (
+       e0 AS (
          SELECT DISTINCT a.s AS lo, b.s AS hi
          FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s),
+       e AS (
+         SELECT lo, hi FROM e0
+         WHERE ('0x' || substr(md5(lo || '_' || hi), 1, 15))::BIGINT
+               % {_TRI_P} = 0),
        ab AS (SELECT lo AS a, hi AS b FROM e),
        bc AS (SELECT lo AS b, hi AS c FROM e),
        ac AS (SELECT lo AS a, hi AS c FROM e),
        w AS (SELECT ab.a, ab.b, bc.c FROM ab JOIN bc USING (b)),
        t AS (SELECT w.a, w.b, w.c FROM w JOIN ac USING (a, c))
-       SELECT (SELECT count(*) FROM t) AS n_triangles,
-              (SELECT count(*) FROM e) AS n_edges,
+       SELECT (SELECT count(*) FROM t) AS n_triangles_sampled,
+              (SELECT count(*) FROM t) * {_TRI_P ** 3} AS est_triangles,
+              (SELECT count(*) FROM e) AS n_edges_sampled,
               (SELECT count(*) FROM w) AS n_wedges""",
 )
 def q144(spark, sf_dir):
     """Graph-analytics leg 3 (after connected components and PageRank):
-    exact triangle counting via the ordered two-path join, on the
-    "suppliers who co-supply a part" graph projected from lineitem.
-    Each triangle is constructed exactly once (ascending-id wedges);
-    the bipartite projection and both triangle joins are plain hash
-    joins Catalyst can reorder. See operators/graph.py::triangle_count
-    for the degree-ordering refinement at hub-heavy scale."""
+    triangle counting on the "suppliers who co-supply a part" graph.
+    That projection is DENSE by construction (every part has dozens of
+    suppliers → near-complete graph), so the registered query runs the
+    published scale recipe for dense graphs — DOULION (Tsourakakis et
+    al., KDD'09): sample each edge with probability 1/p via a
+    DETERMINISTIC content hash (engine-portable, no RNG — the same md5
+    trick as q83's sampler), count triangles exactly on the sparse
+    sample with the ordered two-path join, scale by p³ for the
+    unbiased estimate. Wall time drops from O(n³) on the clique-like
+    full graph to the sample's wedge count; the EXACT operator
+    (operators/graph.py::triangle_count, K4-tested) remains the right
+    call for naturally sparse graphs like near-dup pair sets."""
     from .operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -545,7 +558,33 @@ def q144(spark, sf_dir):
         b,
         (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
     ).select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-    return triangle_count(edges)
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.col("src").cast("string"),
+                                F.col("dst").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _TRI_P
+        == 0
+    )
+    # sample BEFORE distinct: the predicate is a pure function of the
+    # edge values, so filtering the raw 9M-row projection first is
+    # equivalent to sampling the distinct set — and the dedup shuffle
+    # then carries 1/p of the edges
+    sampled = edges.where(keep).distinct()
+    return triangle_count(sampled).select(
+        F.col("n_triangles").alias("n_triangles_sampled"),
+        (F.col("n_triangles") * _TRI_P**3).alias("est_triangles"),
+        F.col("n_edges").alias("n_edges_sampled"),
+        "n_wedges",
+    )
 
 
 # ---------------------------------------------------------------------------
