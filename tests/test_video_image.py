@@ -188,3 +188,65 @@ def test_q132_image_pairs_gate_histogram(spark):
     rows = QUERIES["q132_image_phash_pairs"](spark, SF_DIR).collect()
     assert rows
     assert all(0 <= r["hamming"] <= 4 and r["n_pairs"] > 0 for r in rows)
+
+
+# --- property tests (pure python, no spark) -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_lzw_round_trip_arbitrary_bytes(data):
+    enc = CODEC.lzw_encode(8, data)
+    assert CODEC.lzw_decode(8, enc, len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    mcs=st.integers(min_value=2, max_value=8),
+    data=st.lists(st.integers(min_value=0, max_value=3), max_size=2000),
+)
+def test_lzw_round_trip_small_alphabets(mcs, data):
+    b = bytes(data)  # values < 2^mcs for every mcs >= 2
+    enc = CODEC.lzw_encode(mcs, b)
+    assert CODEC.lzw_decode(mcs, enc, len(b)) == b
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.lists(
+        st.binary(min_size=16, max_size=16), min_size=1, max_size=6
+    )
+)
+def test_gif_animation_round_trip_property(frames):
+    gif = CODEC.gif_encode_animation(4, 4, frames)
+    w, h, parsed = CODEC.gif_frames(gif)
+    assert (w, h) == (4, 4)
+    assert [px for (_, _, _, _, _, px) in parsed] == frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**9))
+def test_ahash_deterministic_and_noise_tolerant(seed):
+    """Same pixels -> same hash; a single-pixel nudge moves the hash by
+    at most a few bits (the property the pigeonhole join relies on)."""
+    px = bytearray(
+        hashlib.md5(f"prop:{seed}".encode()).digest() * 64
+    )[: 32 * 32]
+    img_a = CODEC.png_encode(32, 32, 1, bytes(px))
+    pos = seed % len(px)
+    px[pos] = (px[pos] + 16) & 0xFF
+    img_b = CODEC.png_encode(32, 32, 1, bytes(px))
+
+    def ahash(img):
+        w, h, ch, p = CODEC.png_decode(img)
+        thumb = CODEC.resize_nearest(w, h, 1, p, 8, 8)
+        mean = sum(thumb) // 64
+        return sum(1 << i for i, v in enumerate(thumb) if v > mean)
+
+    a1, a2 = ahash(img_a), ahash(img_a)
+    assert a1 == a2
+    b = ahash(img_b)
+    assert bin(a1 ^ b).count("1") <= 3
