@@ -287,3 +287,45 @@ def test_q122_gapfill_grid_stays_per_user(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan
     assert plan.count("Window") >= 1
+
+
+def test_q139_range_window_single_shuffle(spark):
+    plan = executed_plan(QUERIES["q139_time_range_window"](spark, SF_DIR))
+    # one hash partitioning on user_id serves the whole window stage
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q141_funnel_reuses_user_partitioning(spark):
+    df = QUERIES["q141_funnel_counts"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # three stage aggregates + joins all key on user_id; AQE/exchange
+    # reuse keeps the shuffle count far below naive (2 per join + agg)
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_q144_triangles_no_nested_loop(spark):
+    plan = executed_plan(QUERIES["q144_supplier_triangles"](spark, SF_DIR))
+    # the two 1-row stat crossJoins are broadcast and fine; what must
+    # never appear is an unbroadcast cartesian over edge data
+    assert "CartesianProduct" not in plan
+
+
+def test_q135_url_extraction_partial_aggregates(spark):
+    plan = executed_plan(QUERIES["q135_url_extraction"](spark, SF_DIR))
+    # map-side partial count before the url shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q125_checksum_is_scan_plus_scalar_agg(spark):
+    plan = executed_plan(QUERIES["q125_table_checksum"](spark, SF_DIR))
+    # no hash-partitioned shuffle at all: partial XOR/COUNT -> single
+    # reduce exchange
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_q146_fuzzy_match_is_blocked_equi_join(spark):
+    plan = executed_plan(QUERIES["q146_fuzzy_name_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
