@@ -10,7 +10,10 @@ is implemented from the published file-format specs with stdlib only
   encode/decode (CLEAR/EOI, 4096-entry dictionary reset), frame walk
   with graphic-control delays, grayscale-palette animation encoder
   (the video-modality container).
-- **JPEG / BMP**: header parse (width, height, channels).
+- **JPEG**: header parse here; FULL baseline pixel decode/encode lives
+  in the sibling ``jpegcodec`` module (Huffman + DCT, 4:4:4/4:2:0,
+  restart markers).
+- **BMP**: header parse (width, height, channels).
 - anything else: the caller falls back to the deterministic stub.
 
 Everything is built inside :func:`build_codec` so the returned functions

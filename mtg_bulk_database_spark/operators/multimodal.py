@@ -162,6 +162,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     import pandas as pd
 
     from .imagecodec import build_codec
+    from .jpegcodec import build_jpeg_codec
 
     codec = build_codec()
     fake_decode = _decode_by_value(codec)
@@ -170,6 +171,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
         codec.png_encode,
         codec.resize_nearest,
     )
+    jpeg_decode = build_jpeg_codec().jpeg_decode
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,6 +179,10 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(payload)
                 decoded = png_decode(b)
+                if decoded is None and b[:3] == b"\xff\xd8\xff":
+                    # real JPEG pixel path; output stays PNG (lossless
+                    # re-encode of the resampled pixels)
+                    decoded = jpeg_decode(b)
                 if decoded is not None:
                     w, h, ch, px = decoded
                     scale = min(max_side / max(w, h), 1.0)
@@ -425,6 +431,7 @@ def with_image_ahash(media: DataFrame) -> DataFrame:
     import pandas as pd
 
     from .imagecodec import build_codec
+    from .jpegcodec import build_jpeg_codec
 
     codec = build_codec()
     png_decode, gif_frames, resize_nearest = (
@@ -432,9 +439,12 @@ def with_image_ahash(media: DataFrame) -> DataFrame:
         codec.gif_frames,
         codec.resize_nearest,
     )
+    jpeg_decode = build_jpeg_codec().jpeg_decode
 
     def gray_of(payload: bytes):
         decoded = png_decode(payload)
+        if decoded is None and payload[:3] == b"\xff\xd8\xff":
+            decoded = jpeg_decode(payload)  # real baseline JPEG decode
         if decoded is not None:
             w, h, ch, px = decoded
             if ch == 1:
