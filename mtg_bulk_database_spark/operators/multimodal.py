@@ -404,6 +404,61 @@ def synthetic_png_corpus(
     )
 
 
+def synthetic_mixed_corpus(
+    docs: DataFrame, group_mod: int = 50, size: int = 32
+) -> DataFrame:
+    """PNG/JPEG mixed corpus with CROSS-FORMAT planted near-dups: every
+    doc in a group renders the same base image, but even doc_ids encode
+    it losslessly (PNG) and odd doc_ids lossily (baseline JPEG). An
+    exact byte/content hash can never match across the two encodings of
+    the same picture — the perceptual aHash over DECODED pixels is what
+    clusters them, which is precisely the property q148 gates."""
+    import hashlib
+
+    import pandas as pd
+
+    from .imagecodec import build_codec
+    from .jpegcodec import build_jpeg_codec
+
+    png_encode = build_codec().png_encode
+    jpeg_encode = build_jpeg_codec().jpeg_encode
+    npx = size * size
+
+    def base_pixels(group: int) -> bytes:
+        # 8×8-pixel flat blocks from md5 bytes: aligned with JPEG's DCT
+        # grid (flat blocks are pure DC → near-exact under quantization)
+        # AND distinctive under aHash (each thumbnail cell samples one
+        # block) — unlike smooth gradients, whose coarse sign-of-mean
+        # bits collide across groups
+        seed = hashlib.md5(f"mix:{group}".encode()).digest()
+        grid = size // 8
+        return bytes(
+            seed[((i // size) // 8) * grid + ((i % size) // 8)]
+            for i in range(npx)
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                px = base_pixels(int(doc_id) % group_mod)
+                # alternate format along the group AXIS (doc_id //
+                # group_mod), so every group holds both encodings —
+                # doc_id % 2 would give whole groups one parity/format
+                if (int(doc_id) // group_mod) % 2 == 0:
+                    payload, mt = png_encode(size, size, 1, px), "image/png"
+                else:
+                    payload, mt = jpeg_encode(size, size, 1, px), "image/jpeg"
+                rows.append((int(doc_id), payload, mt, (source, len(payload))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "meta"]
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

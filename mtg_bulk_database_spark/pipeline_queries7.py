@@ -713,3 +713,32 @@ def q147(spark, sf_dir):
             "week_offset",
         ).agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-format image near-dup (PNG vs JPEG of the same picture).
+# ---------------------------------------------------------------------------
+@query("q148_cross_format_image_dedup")  # rows-only: pixel-level codecs
+def q148(spark, sf_dir):
+    """The dedup case exact hashing CANNOT solve: the same picture
+    stored twice — once lossless (PNG), once lossy (baseline JPEG from
+    the real stdlib codec) — has completely different bytes, so
+    fingerprint/minhash passes see two distinct documents. The
+    perceptual aHash decodes BOTH formats to pixels and hashes the 8×8
+    thumbnail, so cross-format copies land within a small Hamming
+    radius and the pigeonhole join pairs them. Output: pair histogram
+    by (hamming, cross_format) — the cross_format=true rows are the
+    wins unique to this operator."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = multimodal.synthetic_mixed_corpus(docs, group_mod=50)
+    pairs = multimodal.image_near_dup_pairs(media, max_hamming=4)
+    fmt = lambda c: (F.floor(c / 50) % 2)  # noqa: E731 — corpus format axis
+    return (
+        pairs.withColumn(
+            "cross_format", fmt(F.col("id_a")) != fmt(F.col("id_b"))
+        )
+        .groupBy("hamming", "cross_format")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -168,3 +168,22 @@ def test_resize_decodes_real_jpegs(spark):
         assert (r["width"], r["height"]) == (8, 8)
         # real path re-encodes as PNG
         assert bytes(r["content"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_q148_cross_format_dedup_gate(spark):
+    """The headline property: PNG and JPEG encodings of the same picture
+    pair up (cross_format=true at tiny Hamming), with zero cross-group
+    false positives and complete group recall."""
+    from mtg_bulk_database_spark.registry import load_registry
+
+    QUERIES, _ = load_registry()
+    rows = QUERIES["q148_cross_format_image_dedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    cross = sum(r["n_pairs"] for r in rows if r["cross_format"])
+    same = sum(r["n_pairs"] for r in rows if not r["cross_format"])
+    assert cross > 0, "cross-format copies must be found"
+    # 500 docs, 50 groups of 10 (5 PNG + 5 JPEG): 25 cross + 20 same
+    # pairs per group, all within the radius
+    assert cross == 25 * 50
+    assert same == 20 * 50
