@@ -404,6 +404,122 @@ def synthetic_png_corpus(
     )
 
 
+def sample_mjpeg_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """TRUE-video frame sampling: AVI/MJPEG container walk
+    (``videocodec.avi_parse``) + per-sampled-frame baseline JPEG pixel
+    decode (``jpegcodec``). Same output contract as the GIF sampler
+    (VIDEO_FRAMES_SCHEMA), and the reason sampling exists is visible in
+    the plan: only every ``every_n``-th frame's JPEG bytes are entropy-
+    decoded — the container walk itself never touches pixel data.
+
+    delay_cs comes from the container's microseconds-per-frame; the
+    decoded mean intensity (integer) is the proof-of-pixels feature,
+    exactly as in the GIF path. Non-AVI payloads fall back to one
+    ``decoded=false`` row so the stage stays total."""
+    import pandas as pd
+
+    from .jpegcodec import build_jpeg_codec
+    from .videocodec import build_video_codec
+
+    avi_parse = build_video_codec().avi_parse
+    jpeg_decode = build_jpeg_codec().jpeg_decode
+    fake_decode = _decode_by_value()
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                parsed = avi_parse(b)
+                if parsed is not None:
+                    w, h, n_decl, uspf, frames = parsed
+                    n = len(frames)
+                    delay_cs = uspf // 10_000
+                    for idx in range(0, n, every_n):
+                        dec = jpeg_decode(frames[idx])
+                        if dec is not None:
+                            fw, fh, ch, px = dec
+                            mean = sum(px) // len(px) if px else 0
+                            rows.append(
+                                (int(doc_id), idx, n, fw, fh,
+                                 delay_cs, mean, True)
+                            )
+                        else:
+                            rows.append(
+                                (int(doc_id), idx, n, w, h,
+                                 delay_cs, 0, False)
+                            )
+                    continue
+                w, h, _ = fake_decode(b)
+                mean = sum(b) // len(b) if b else 0
+                rows.append((int(doc_id), 0, 1, w, h, 0, mean, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "delay_cs", "mean_intensity", "decoded",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "frame_idx": "int32",
+                    "n_frames": "int32", "width": "int32",
+                    "height": "int32", "delay_cs": "int32",
+                    "mean_intensity": "int32", "decoded": "bool",
+                }
+            )
+
+    return media.mapInPandas(sample, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def synthetic_avi_corpus(
+    docs: DataFrame, n_frames: int = 6, size: int = 16, fps: int = 10
+) -> DataFrame:
+    """Deterministic AVI/MJPEG corpus: per doc, ``n_frames`` genuine
+    baseline-JPEG frames (DCT-aligned 8×8 block patterns from md5, so
+    frames survive quantization near-exactly) in a spec-conforming AVI
+    any external player could open. Pure function of doc_id."""
+    import hashlib
+
+    import pandas as pd
+
+    from .jpegcodec import build_jpeg_codec
+    from .videocodec import build_video_codec
+
+    jpeg_encode = build_jpeg_codec().jpeg_encode
+    avi_encode = build_video_codec().avi_encode_mjpeg
+    grid = size // 8
+
+    def frame_pixels(doc_id: int, idx: int) -> bytes:
+        seed = hashlib.md5(f"avi:{doc_id}:{idx}".encode()).digest()
+        return bytes(
+            # even levels only: exactly representable under the DC
+            # quantizer, so executor means are analytically predictable
+            (seed[((i // size) // 8) * grid + ((i % size) // 8)]) & 0xFE
+            for i in range(size * size)
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                frames = [
+                    jpeg_encode(size, size, 1, frame_pixels(int(doc_id), i))
+                    for i in range(n_frames)
+                ]
+                payload = avi_encode(size, size, frames, fps=fps)
+                rows.append(
+                    (int(doc_id), payload, "video/x-msvideo",
+                     (source, len(payload)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "meta"]
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
 def synthetic_mixed_corpus(
     docs: DataFrame, group_mod: int = 50, size: int = 32
 ) -> DataFrame:

@@ -742,3 +742,26 @@ def q148(spark, sf_dir):
         .groupBy("hamming", "cross_format")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# True-video modality: AVI/MJPEG container + per-frame JPEG decode.
+# ---------------------------------------------------------------------------
+@query("q149_mjpeg_frame_sample")  # rows-only: byte-level container+codec
+def q149(spark, sf_dir):
+    """Video gate over an ACTUAL video container: a deterministic
+    AVI/MJPEG corpus (RIFF layout + genuine baseline-JPEG frames, all
+    from this repo's stdlib codecs) through the frame sampler — chunk
+    walk, every-2nd-frame JPEG entropy decode, integer mean-intensity
+    feature. The GIF gate (q130) proved the sampling contract; this one
+    proves it on the format family real video pipelines start from
+    (MJPEG is the no-inter-frame-prediction case; production swaps
+    pyav/H.264 into the identical mapInPandas contract)."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = multimodal.synthetic_avi_corpus(docs, n_frames=6)
+    return multimodal.sample_mjpeg_frames(media, every_n=2).select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        "delay_cs", "mean_intensity", "decoded",
+    )

@@ -187,3 +187,61 @@ def test_q148_cross_format_dedup_gate(spark):
     # pairs per group, all within the radius
     assert cross == 25 * 50
     assert same == 20 * 50
+
+
+# --- AVI/MJPEG container --------------------------------------------------
+
+
+def test_avi_mjpeg_round_trip_and_reference_means(spark):
+    from mtg_bulk_database_spark.operators import multimodal
+    from mtg_bulk_database_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    media = multimodal.synthetic_avi_corpus(docs, n_frames=6)
+    out = multimodal.sample_mjpeg_frames(media, every_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 10
+    for doc_id, rows in by_doc.items():
+        assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4]
+        assert all(
+            r["decoded"] and r["n_frames"] == 6
+            and (r["width"], r["height"]) == (16, 16)
+            and r["delay_cs"] == 10  # fps=10 -> 100000 us -> 10 cs
+            for r in rows
+        )
+        # flat DCT-aligned even-level blocks reconstruct EXACTLY, so the
+        # executor's decoded mean equals the analytical mean of the four
+        # 8x8 block levels
+        for r in rows:
+            seed = hashlib.md5(
+                f"avi:{doc_id}:{r['frame_idx']}".encode()
+            ).digest()
+            blocks = [seed[0] & 0xFE, seed[1] & 0xFE, seed[2] & 0xFE, seed[3] & 0xFE]
+            want = sum(b * 64 for b in blocks) // 256
+            assert r["mean_intensity"] == want
+
+
+def test_mjpeg_sampler_fallback_for_non_avi(spark):
+    from mtg_bulk_database_spark.operators import multimodal
+    from mtg_bulk_database_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(4)
+    media = multimodal.as_media_table(docs)
+    out = multimodal.sample_mjpeg_frames(media).collect()
+    assert len(out) == 4
+    assert all(not r["decoded"] and r["n_frames"] == 1 for r in out)
+
+
+def test_q149_video_gate(spark):
+    from mtg_bulk_database_spark.registry import load_registry
+
+    QUERIES, _ = load_registry()
+    out = QUERIES["q149_mjpeg_frame_sample"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    n_docs = out.select("doc_id").distinct().count()
+    assert len(rows) == 3 * n_docs  # 6 frames sampled every 2
+    assert all(r["decoded"] for r in rows)
