@@ -80,6 +80,8 @@ HEADLINE = [
     "q140_constraint_report",
     "q141_funnel_counts",
     "q144_supplier_triangles",
+    "q148_cross_format_image_dedup",
+    "q149_mjpeg_frame_sample",
 ]
 
 

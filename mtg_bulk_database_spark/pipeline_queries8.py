@@ -1,0 +1,232 @@
+"""Registry entries, round 3 (cont. 4): classic applied-analytics
+surfaces — association rules (market-basket lift), RFM customer
+scoring, first-digit (Benford) profiling for anomaly detection, and
+per-group z-score outlier flagging. All integer/decimal-exact with the
+single-final-division discipline; every entry carries a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Market-basket: part-pair co-occurrence with support counts and lift.
+# ---------------------------------------------------------------------------
+@query(
+    "q150_market_basket",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+       freq AS (SELECT p, count(*) AS c FROM items GROUP BY p),
+       pairs AS (
+         SELECT a.p AS p_a, b.p AS p_b, count(*) AS n_both
+         FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         GROUP BY a.p, b.p
+         HAVING count(*) >= 3)
+       SELECT p_a, p_b, n_both, fa.c AS n_a, fb.c AS n_b,
+              CAST(n_both AS DOUBLE) * n.n_orders
+                / (CAST(fa.c AS BIGINT) * fb.c) AS lift
+       FROM pairs
+       JOIN freq fa ON fa.p = p_a
+       JOIN freq fb ON fb.p = p_b
+       CROSS JOIN n""",
+)
+def q150(spark, sf_dir):
+    """Association rules over order baskets: pair support via the
+    ascending self-join on the order key (each unordered pair built
+    once, same discipline as the triangle counter), lift from the
+    broadcast 1-row order count and the per-item frequency table. The
+    HAVING floor (min support 3) is what keeps the pair space sparse
+    at scale — exactly Apriori's first pruning level. Numerator and
+    denominator stay integers until ONE final double division, so the
+    lift value is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("o").alias("n_orders")
+    )
+    freq = items.groupBy("p").agg(F.count("*").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    fa = freq.select(F.col("p").alias("p_a"), F.col("c").alias("n_a"))
+    fb = freq.select(F.col("p").alias("p_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(fa, "p_a")
+        .join(fb, "p_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p_a",
+            "p_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double") * F.col("n_orders")
+                / (F.col("n_a").cast("bigint") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM scoring (recency / frequency / monetary quintiles per customer).
+# ---------------------------------------------------------------------------
+@query(
+    "q151_rfm_scores",
+    """WITH rfm AS (
+         SELECT o_custkey,
+                max(o_orderdate) AS last_order,
+                count(*) AS frequency,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS monetary
+         FROM orders GROUP BY o_custkey)
+       SELECT o_custkey, last_order, frequency, monetary,
+              ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+              ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+              ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+       FROM rfm""",
+)
+def q151(spark, sf_dir):
+    """RFM segmentation — the marketing-analytics staple. Every ntile
+    ordering carries the customer key as the FINAL tiebreak: bare
+    `ORDER BY frequency` leaves tied customers' bucket assignment to
+    engine whim (and Spark's partial sort order), which is exactly the
+    class of nondeterminism this engine bans. The three global ntiles
+    are windows over a single-partition frame — fine at customer-table
+    scale (dimension-sized), and the documented swap at larger scale is
+    percent_rank over range partitioning."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-digit (Benford) profile — the fraud/anomaly screening pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q152_first_digit_profile",
+    """SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS first_digit,
+              count(*) AS n,
+              CAST(count(*) AS DOUBLE)
+                / (SELECT count(*) FROM orders WHERE o_totalprice >= 1)
+                AS share
+       FROM orders WHERE o_totalprice >= 1
+       GROUP BY 1""",
+)
+def q152(spark, sf_dir):
+    """Benford screening: the leading-digit distribution of genuine
+    multiplicative quantities follows log10(1+1/d); fabricated numbers
+    don't. One scan, nine groups, integer truncation shared with the
+    oracle — via an EXPLICIT floor, because the bare double→BIGINT cast
+    itself diverges (Spark truncates, DuckDB rounds: 8999.99 lands on
+    digit 8 vs 9). The share division is the single final float op
+    against a broadcast 1-row total."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 1
+    )
+    total = orders.agg(F.count("*").alias("n_total"))
+    return (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("string"), 1, 1
+            ).alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score outliers (decimal-exact moments).
+# ---------------------------------------------------------------------------
+@query(
+    "q153_outlier_events",
+    """WITH m AS (
+         SELECT event_type,
+                count(*) AS n,
+                SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+                SUM(CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6))) AS s2
+         FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type, e.value,
+              CAST(m.s1 AS DOUBLE) / m.n AS grp_mean
+       FROM events e JOIN m ON e.event_type = m.event_type
+       WHERE m.n > 1
+         AND power(e.value - CAST(m.s1 AS DOUBLE) / m.n, 2)
+             > 9.0 * ((CAST(m.s2 AS DOUBLE)
+                       - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) / m.n)
+                      / (m.n - 1))""",
+)
+def q153(spark, sf_dir):
+    """|z| > 3 outliers per event type. Moments accumulate as DECIMAL
+    (order-independent — float Σx² flaps under Spark's partial
+    aggregation), and the predicate compares SQUARES rather than taking
+    a square root: (x-μ)² > 9σ² avoids any sqrt rounding question and
+    keeps the Spark/DuckDB float arithmetic step-for-step identical.
+    The tiny per-group moment table broadcasts back over the scan —
+    same shape as q86's percentile gate."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .where(
+            (F.col("n") > 1)
+            & (F.pow(F.col("value") - mean, F.lit(2)) > 9.0 * var)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            mean.alias("grp_mean"),
+        )
+    )

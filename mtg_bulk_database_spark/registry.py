@@ -36,6 +36,7 @@ def load_registry():
         pipeline_queries5,
         pipeline_queries6,
         pipeline_queries7,
+        pipeline_queries8,
         queries,
         queries_extra,
     )
