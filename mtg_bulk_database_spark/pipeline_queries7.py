@@ -521,8 +521,7 @@ _TRI_P = 20  # DOULION edge-sampling: keep 1/20 of edges
          FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s),
        e AS (
          SELECT lo, hi FROM e0
-         WHERE ('0x' || substr(md5(lo || '_' || hi), 1, 15))::BIGINT
-               % {_TRI_P} = 0),
+         WHERE ((lo * 2654435761 + hi * 40503) % 1000003) % {_TRI_P} = 0),
        ab AS (SELECT lo AS a, hi AS b FROM e),
        bc AS (SELECT lo AS b, hi AS c FROM e),
        ac AS (SELECT lo AS a, hi AS c FROM e),
@@ -546,7 +545,13 @@ def q144(spark, sf_dir):
     unbiased estimate. Wall time drops from O(n³) on the clique-like
     full graph to the sample's wedge count; the EXACT operator
     (operators/graph.py::triangle_count, K4-tested) remains the right
-    call for naturally sparse graphs like near-dup pair sets."""
+    call for naturally sparse graphs like near-dup pair sets.
+
+    The sampling hash is Knuth-style INTEGER mixing, not md5: the
+    predicate runs on every candidate pair inside the projection join
+    (~9M evaluations at sf0.1), where per-row md5 string hashing was
+    the measured dominant cost; integer multiply/mod is exact and
+    portable across engines by construction."""
     from .operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -559,19 +564,9 @@ def q144(spark, sf_dir):
         (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
     ).select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
     keep = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws("_", F.col("src").cast("string"),
-                                F.col("dst").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _TRI_P
+        (F.col("src") * F.lit(2654435761) + F.col("dst") * F.lit(40503))
+        % F.lit(1000003)
+        % F.lit(_TRI_P)
         == 0
     )
     # sample BEFORE distinct: the predicate is a pure function of the
