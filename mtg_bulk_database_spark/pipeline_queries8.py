@@ -230,3 +230,114 @@ def q153(spark, sf_dir):
             mean.alias("grp_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total window (ratio_to_report).
+# ---------------------------------------------------------------------------
+@query(
+    "q154_revenue_share",
+    """WITH r AS (
+         SELECT n_name, r_name,
+                SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS revenue_dec
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY n_name, r_name)
+       SELECT n_name, r_name,
+              CAST(revenue_dec AS DOUBLE) AS revenue,
+              CAST(revenue_dec AS DOUBLE)
+                / CAST(SUM(revenue_dec) OVER (PARTITION BY r_name)
+                       AS DOUBLE) AS region_share,
+              CAST(revenue_dec AS DOUBLE)
+                / CAST(SUM(revenue_dec) OVER () AS DOUBLE) AS global_share
+       FROM r""",
+)
+def q154(spark, sf_dir):
+    """ratio_to_report: each nation's revenue as a share of its region
+    and of the world — the window-over-aggregate reporting shape. The
+    aggregate itself is q22's decimal-exact revenue rollup (25 rows);
+    the two window sums run over that TINY frame, so the unpartitioned
+    global window costs nothing. Shares divide two decimal-exact
+    doubles — deterministic; summing shares back to 1.0 is NOT
+    guaranteed (float) and deliberately not an output."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ).alias("revenue_dec")
+        )
+    )
+    # the WINDOW sums also stay decimal — a double window sum re-adds
+    # floats in partition order and diverges from the oracle
+    return revenue.select(
+        "n_name",
+        "r_name",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (
+            F.col("revenue_dec").cast("double")
+            / F.sum("revenue_dec")
+            .over(Window.partitionBy("r_name"))
+            .cast("double")
+        ).alias("region_share"),
+        (
+            F.col("revenue_dec").cast("double")
+            / F.sum("revenue_dec").over(Window.partitionBy()).cast("double")
+        ).alias("global_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream transition matrix (behavioral path analysis).
+# ---------------------------------------------------------------------------
+@query(
+    "q155_event_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+         FROM events)
+       SELECT event_type AS from_type, next_type AS to_type,
+              count(*) AS n_transitions
+       FROM seq WHERE next_type IS NOT NULL
+       GROUP BY event_type, next_type""",
+)
+def q155(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence — the path-analysis matrix behind funnel diagnosis and
+    next-action models. One shuffle on user_id for the lead() window,
+    then a 25-cell aggregate with map-side partials. The (ts, event_id)
+    ordering tiebreak keeps simultaneous events deterministic, as
+    everywhere in this engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
