@@ -82,6 +82,8 @@ HEADLINE = [
     "q144_supplier_triangles",
     "q148_cross_format_image_dedup",
     "q149_mjpeg_frame_sample",
+    "q150_market_basket",
+    "q155_event_transitions",
 ]
 
 
