@@ -341,3 +341,106 @@ def q155(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial proximity join (grid-cell blocking, integer-exact distance).
+# ---------------------------------------------------------------------------
+_GEO_R = 5000          # radius (units)
+_GEO_CELL = 5000       # cell size >= radius => neighbors span 3x3 cells
+_GEO_SPAN = 1_000_000  # planted coordinate range
+
+_GEO_COORDS = f"""
+    SELECT c_custkey,
+           ('0x' || substr(md5('gx' || c_custkey), 1, 8))::BIGINT
+             % {_GEO_SPAN} AS x,
+           ('0x' || substr(md5('gy' || c_custkey), 1, 8))::BIGINT
+             % {_GEO_SPAN} AS y
+    FROM customer
+"""
+
+@query(
+    "q156_spatial_neighbor_join",
+    # ORACLE IS THE NAIVE ALL-PAIRS JOIN: the Spark side must prove its
+    # grid blocking LOSSLESS by matching ground truth exactly
+    f"""WITH pts AS ({_GEO_COORDS})
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 AS dist_sq
+        FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {_GEO_R * _GEO_R}""",
+)
+def q156(spark, sf_dir):
+    """Spatial proximity join — points within radius r — by 3×3
+    neighbor-cell grid blocking: each point joins only candidates in
+    its own and adjacent cells (cell edge ≥ r ⇒ no pair can be missed),
+    then the EXACT integer squared-distance filter decides. The
+    registered oracle is the naive O(n²) cross join: the driver's
+    value-hash comparison therefore PROVES the blocking lossless, not
+    just plausible. Coordinates are planted deterministically from the
+    customer key (md5-derived integers, shared with the oracle), so
+    distance arithmetic is pure BIGINT — no floats, no trig, no
+    engine drift. Scale: candidates ≈ 9·n·density instead of n²; the
+    explode side carries the 3×3 offsets so the join stays a plain
+    equi-join on the cell key."""
+    cust = load_table(spark, sf_dir, "customer")
+    coord = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _GEO_SPAN
+    )
+    pts = cust.select(
+        "c_custkey", coord("gx").alias("x"), coord("gy").alias("y")
+    )
+    cx = (F.col("x") / _GEO_CELL).cast("bigint")
+    cy = (F.col("y") / _GEO_CELL).cast("bigint")
+    # probe side: home cell only; build side: home + 8 neighbors
+    probe = pts.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    build = (
+        pts.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            cx.alias("bx"),
+            cy.alias("by"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "id_b",
+            "xb",
+            "yb",
+            (F.col("bx") + F.col("o.dx")).alias("cx"),
+            (F.col("by") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_sq", dist_sq)
+        .where(F.col("dist_sq") <= _GEO_R * _GEO_R)
+        .select("id_a", "id_b", "dist_sq")
+    )

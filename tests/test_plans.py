@@ -329,3 +329,9 @@ def test_q146_fuzzy_match_is_blocked_equi_join(spark):
     plan = executed_plan(QUERIES["q146_fuzzy_name_match"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q156_spatial_join_is_blocked_equi_join(spark):
+    plan = executed_plan(QUERIES["q156_spatial_neighbor_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
