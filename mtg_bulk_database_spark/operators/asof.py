@@ -15,6 +15,9 @@ second). Two implementations with identical semantics:
 Semantics (match DuckDB's ``ASOF JOIN ... ON l.ts > r.ts``): for each
 left row, the right row with the greatest ``right_ts`` strictly less
 than ``left_ts`` within the same key; left join (no match → NULLs).
+Both implementations also take ``direction`` ("backward" | "forward" |
+"nearest") for the full kdb/pandas as-of surface, with one shared
+deterministic equidistant rule (backward wins).
 """
 
 from __future__ import annotations
@@ -31,32 +34,67 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Relational composition: left ⟕ right on key + right_ts < left_ts,
-    then keep the single latest right row per left row.
+    """Relational composition: left ⟕ right on key + the direction's
+    time predicate, then keep the single best right row per left row.
+
+    Directions (kdb/pandas-parity surface):
+    - ``backward`` (default): greatest right_ts strictly BELOW left_ts;
+    - ``forward``: smallest right_ts strictly ABOVE left_ts;
+    - ``nearest``: smaller |left_ts − right_ts| of the two candidates,
+      equidistant ties resolved BACKWARD (deterministic; documented —
+      both implementations share the rule, the agreement tests pin it).
 
     Every left row is preserved — the dedup window partitions on a
     synthetic per-row id, not on the left columns (identical left rows
-    would otherwise collapse into one). Ties on the greatest right_ts
+    would otherwise collapse into one). Ties on the boundary right_ts
     are broken deterministically over the remaining right columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
     r = right.select(
         F.col(on).alias("_r_key"), *[F.col(c).alias(f"r_{c}") for c in rcols]
     )
     tagged = left.withColumn("_row_id", F.monotonically_increasing_id())
-    joined = tagged.join(
-        r,
-        (F.col(on) == F.col("_r_key")) & (F.col(f"r_{right_ts}") < F.col(left_ts)),
-        "left",
-    )
     tie_breaks = [
         F.col(f"r_{c}").desc_nulls_last() for c in rcols if c != right_ts
     ]
-    w = Window.partitionBy("_row_id").orderBy(
-        F.col(f"r_{right_ts}").desc_nulls_last(), *tie_breaks
+    if direction == "backward":
+        time_cond = F.col(f"r_{right_ts}") < F.col(left_ts)
+        order = [F.col(f"r_{right_ts}").desc_nulls_last(), *tie_breaks]
+    elif direction == "forward":
+        time_cond = F.col(f"r_{right_ts}") > F.col(left_ts)
+        order = [F.col(f"r_{right_ts}").asc_nulls_last(), *tie_breaks]
+    else:
+        # nearest: join on the key alone (both sides of left_ts are
+        # candidates), rank by |Δt| with equidistant ties resolved
+        # BACKWARD — a deterministic rule both implementations share
+        # (pandas' merge_asof(direction="nearest") leaves the
+        # equidistant case unspecified, so it is not used). Exact-equal
+        # timestamps stay EXCLUDED, consistent with the strict
+        # directional predicates.
+        time_cond = F.col(f"r_{right_ts}") != F.col(left_ts)
+        dist = F.abs(
+            F.col(left_ts).cast("double")
+            - F.col(f"r_{right_ts}").cast("double")
+        )
+        is_forward = (
+            F.col(f"r_{right_ts}") > F.col(left_ts)
+        ).cast("int")
+        order = [
+            F.when(F.col(f"r_{right_ts}").isNull(), None)
+            .otherwise(dist)
+            .asc_nulls_last(),
+            is_forward.asc_nulls_last(),  # backward wins equidistant
+            *tie_breaks,
+        ]
+    joined = tagged.join(
+        r, (F.col(on) == F.col("_r_key")) & time_cond, "left"
     )
+    w = Window.partitionBy("_row_id").orderBy(*order)
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -70,9 +108,16 @@ def asof_join_pandas(
     on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
     """Cogrouped merge_asof: one shuffle per side on the key, then a
     linear sorted merge per group via Arrow — no row explosion.
+
+    Directions match :func:`asof_join` exactly; ``nearest`` runs the
+    backward AND forward merges on the same sorted left frame (both
+    index-aligned) and picks per row by |Δt| with equidistant ties
+    resolved backward — pandas' own ``direction="nearest"`` leaves the
+    equidistant rule unspecified, so it is not used.
 
     The right side's non-key columns are renamed (``r_*``) in the Spark
     layer BEFORE the cogroup: when left and right share lineage (a
@@ -80,6 +125,8 @@ def asof_join_pandas(
     attribute to the analyzer and one side's column silently disappears
     from the Arrow batch — renaming breaks the ambiguity.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     rcols = [c for c in right.columns if c != on]
     right_renamed = right.select(
         F.col(on), *[F.col(c).alias(f"r_{c}") for c in rcols]
@@ -90,7 +137,9 @@ def asof_join_pandas(
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort").reset_index(
+            drop=True
+        )
         if rpdf.empty:
             for c in rcols:
                 lpdf[f"r_{c}"] = None
@@ -98,14 +147,29 @@ def asof_join_pandas(
         rpdf = rpdf.drop(columns=[on]).sort_values(
             f"r_{right_ts}", kind="mergesort"
         )
-        return pd.merge_asof(
-            lpdf,
-            rpdf,
-            left_on=left_ts,
-            right_on=f"r_{right_ts}",
-            allow_exact_matches=False,  # strict predecessor, like ts > ts
-            direction="backward",
-        )
+
+        def one(d: str) -> pd.DataFrame:
+            return pd.merge_asof(
+                lpdf,
+                rpdf,
+                left_on=left_ts,
+                right_on=f"r_{right_ts}",
+                allow_exact_matches=False,  # strict, like ts > ts
+                direction=d,
+            )
+
+        if direction in ("backward", "forward"):
+            return one(direction)
+        b, f = one("backward"), one("forward")
+        bt = b[f"r_{right_ts}"]
+        ft = f[f"r_{right_ts}"]
+        d_b = (lpdf[left_ts] - bt).abs()
+        d_f = (ft - lpdf[left_ts]).abs()
+        take_fwd = bt.isna() | (ft.notna() & (d_f < d_b))
+        out = b.copy()
+        for c in rcols:
+            out.loc[take_fwd, f"r_{c}"] = f.loc[take_fwd, f"r_{c}"]
+        return out
 
     return left.groupBy(on).cogroup(right_renamed.groupBy(on)).applyInPandas(
         merge, schema=out_schema
@@ -156,6 +220,7 @@ def asof_join_auto(
     strategy: str = "auto",
     threshold: float = AUTO_AVG_MATCHES_THRESHOLD,
     avg_depth: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join with stats-driven physical strategy.
 
@@ -175,7 +240,7 @@ def asof_join_auto(
         else:
             strategy = choose_asof_strategy(right, on, threshold)
     if strategy == "relational":
-        return asof_join(left, right, on, left_ts, right_ts)
+        return asof_join(left, right, on, left_ts, right_ts, direction)
     if strategy == "pandas":
-        return asof_join_pandas(left, right, on, left_ts, right_ts)
+        return asof_join_pandas(left, right, on, left_ts, right_ts, direction)
     raise ValueError(f"unknown as-of strategy: {strategy!r}")

@@ -287,3 +287,72 @@ def test_q145_grouped_percentiles_ordering(spark):
     assert rows
     for r in rows:
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+# --- as-of join directions (backward / forward / nearest) -----------------
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 35.0), (2, 50.0)],
+        "k long, lts double",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 18.0, "b"), (1, 30.0, "c"), (1, 40.0, "d")],
+        "k long, rts double, v string",
+    )
+    return left, right
+
+
+@pytest.mark.parametrize(
+    "direction,expected",
+    [
+        ("backward", {10.0: "a", 20.0: "b", 35.0: "c", 50.0: None}),
+        ("forward", {10.0: "b", 20.0: "c", 35.0: "d", 50.0: None}),
+        # 35 is EQUIDISTANT between 30 and 40 -> backward wins (rule)
+        ("nearest", {10.0: "a", 20.0: "b", 35.0: "c", 50.0: None}),
+    ],
+)
+def test_asof_directions_exact_semantics(spark, direction, expected):
+    from mtg_bulk_database_spark.operators import asof
+
+    left, right = _asof_fixture(spark)
+    for impl in (asof.asof_join, asof.asof_join_pandas):
+        got = {
+            r["lts"]: r["r_v"]
+            for r in impl(left, right, "k", "lts", "rts", direction).collect()
+        }
+        assert got == expected, (impl.__name__, direction)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_direction_impl_agreement_on_events(spark, direction):
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators import asof
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("lts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("purch_id")
+    )
+    a = sorted(
+        (
+            tuple(r)
+            for r in asof.asof_join(
+                clicks, purchases, "user_id", "lts", "rts", direction
+            ).collect()
+        ),
+        key=repr,
+    )
+    b = sorted(
+        (
+            tuple(r)
+            for r in asof.asof_join_pandas(
+                clicks, purchases, "user_id", "lts", "rts", direction
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert a == b and len(a) > 0
