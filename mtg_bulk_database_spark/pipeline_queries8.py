@@ -444,3 +444,62 @@ def q156(spark, sf_dir):
         .where(F.col("dist_sq") <= _GEO_R * _GEO_R)
         .select("id_a", "id_b", "dist_sq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join (oracled via the window formulation).
+# ---------------------------------------------------------------------------
+@query(
+    "q157_nearest_event_match",
+    """WITH c AS (
+         SELECT user_id, event_id AS click_id, ts AS click_ts
+         FROM events WHERE event_type = 'click'),
+       p AS (
+         SELECT user_id, event_id AS purch_id, ts AS purch_ts
+         FROM events WHERE event_type = 'purchase'),
+       j AS (
+         SELECT c.user_id, c.click_id, c.click_ts,
+                p.purch_id, p.purch_ts,
+                row_number() OVER (
+                  PARTITION BY c.click_id
+                  ORDER BY abs(epoch(c.click_ts) - epoch(p.purch_ts)) ASC,
+                           CASE WHEN p.purch_ts > c.click_ts
+                                THEN 1 ELSE 0 END ASC,
+                           p.purch_id DESC) AS rn
+         FROM c LEFT JOIN p
+           ON c.user_id = p.user_id AND p.purch_ts <> c.click_ts)
+       SELECT user_id, click_id, click_ts, purch_id, purch_ts
+       FROM j WHERE rn = 1""",
+)
+def q157(spark, sf_dir):
+    """nearest-direction as-of: each click matched to the same user's
+    closest purchase in EITHER time direction (equidistant → backward,
+    the family's shared rule; the right-column tiebreak is purch_id
+    DESC, mirrored literally in the oracle's window). DuckDB's native
+    ASOF JOIN is backward-only, so the oracle is the window
+    formulation — which doubles as documentation of what the operator
+    computes. Uses the relational variant (per-user purchase depth is
+    shallow here; asof_join_auto would pick the same)."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purch_ts"),
+        F.col("event_id").alias("purch_id"),
+    )
+    out = asof_join(
+        clicks, purchases, "user_id", "click_ts", "purch_ts", "nearest"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.col("r_purch_id").alias("purch_id"),
+        F.col("r_purch_ts").alias("purch_ts"),
+    )
