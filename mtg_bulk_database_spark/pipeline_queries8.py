@@ -503,3 +503,91 @@ def q157(spark, sf_dir):
         F.col("r_purch_id").alias("purch_id"),
         F.col("r_purch_ts").alias("purch_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation (the planner statistic, as a query).
+# ---------------------------------------------------------------------------
+@query(
+    "q158_join_cardinality",
+    """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
+                  FROM lineitem GROUP BY l_orderkey),
+         b AS (SELECT o_orderkey AS k, count(*) AS cb
+               FROM orders GROUP BY o_orderkey)
+       SELECT SUM(ca * cb) AS join_rows,
+              SUM(ca) AS left_rows,
+              SUM(cb) AS right_rows,
+              count(*) AS matching_keys
+       FROM a JOIN b USING (k)""",
+)
+def q158(spark, sf_dir):
+    """EXACT join-output cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k c_A(k)·c_B(k) over per-key counts — the statistic a
+    cost-based planner needs to choose broadcast vs shuffle vs skew
+    handling, computed from two cheap aggregates and a count-level
+    join (never materializing the join itself). At 100 TB the same
+    query runs on a stratified key sample or per-key HLL sketches
+    (q72's machinery) for a bounded-error estimate; this exact form is
+    also the verifier for those estimates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    b = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    return a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("join_rows"),
+        F.sum("ca").alias("left_rows"),
+        F.sum("cb").alias("right_rows"),
+        F.count("*").alias("matching_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew report (shuffle-planning diagnostics).
+# ---------------------------------------------------------------------------
+@query(
+    "q159_key_skew_report",
+    """WITH c AS (SELECT l_suppkey AS k, count(*) AS n
+                  FROM lineitem GROUP BY l_suppkey)
+       SELECT count(*) AS n_keys,
+              min(n) AS min_rows, max(n) AS max_rows,
+              SUM(n) AS total_rows,
+              CAST(max(n) AS DOUBLE) * count(*) / SUM(n) AS skew_factor,
+              SUM(CASE WHEN n * 100 >= (SELECT SUM(n) FROM c)
+                       THEN 1 ELSE 0 END) AS n_hot_keys
+       FROM c""",
+)
+def q159(spark, sf_dir):
+    """The pre-shuffle skew audit: per-key counts folded to
+    (max/avg skew factor, hot keys holding ≥1% of all rows). A
+    skew_factor near 1 means hash partitions balance; a large one says
+    salt the key or lean on AQE's skew-join split BEFORE launching the
+    real job. Two aggregates, one 1-row subquery broadcast — the
+    cheapest possible look at a question that decides whether a
+    100 TB shuffle finishes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    total = c.agg(F.sum("n").alias("grand")).withColumn("_j", F.lit(1))
+    return (
+        c.withColumn("_j", F.lit(1))
+        .join(F.broadcast(total), "_j")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("n").alias("min_rows"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("total_rows"),
+            (
+                F.max("n").cast("double")
+                * F.count("*")
+                / F.sum("n")
+            ).alias("skew_factor"),
+            F.sum(
+                F.when(F.col("n") * 100 >= F.col("grand"), 1).otherwise(0)
+            ).alias("n_hot_keys"),
+        )
+    )
