@@ -591,3 +591,63 @@ def q159(spark, sf_dir):
             ).alias("n_hot_keys"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-series downsampling (hypertable resample bars).
+# ---------------------------------------------------------------------------
+_BAR = 900  # 15-minute bars
+
+@query(
+    "q160_ohlc_bars",
+    f"""WITH t AS (
+          SELECT user_id, ts, value, event_id,
+                 to_timestamp(CAST(floor(epoch(ts) / {_BAR}) AS BIGINT)
+                              * {_BAR}) AS bar_ts
+          FROM events),
+        w AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id, bar_ts
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY user_id, bar_ts
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM t)
+        SELECT user_id, bar_ts,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_ticks,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        FROM w GROUP BY user_id, bar_ts""",
+)
+def q160(spark, sf_dir):
+    """OHLC resampling — the downsampling aggregate every time-series
+    store ships (continuous-aggregate fodder for the matview
+    machinery). open/close are argmin/argmax over the (epoch, event_id)
+    pair, so simultaneous ticks resolve identically in every engine —
+    the packed-tiebreak discipline from q134, expressed here as a
+    composite ordering struct. Bars come from integer epoch division
+    (no interval arithmetic to disagree on); one shuffle on
+    (user, bar)."""
+    ev = load_table(spark, sf_dir, "events")
+    bar_ts = F.timestamp_seconds(
+        F.floor(F.col("ts").cast("double") / _BAR).cast("bigint") * _BAR
+    )
+    order = F.struct(
+        F.col("ts").cast("double").alias("e"), F.col("event_id").alias("i")
+    )
+    return (
+        ev.withColumn("bar_ts", bar_ts)
+        .groupBy("user_id", "bar_ts")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count("*").alias("n_ticks"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
