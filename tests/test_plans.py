@@ -335,3 +335,25 @@ def test_q156_spatial_join_is_blocked_equi_join(spark):
     plan = executed_plan(QUERIES["q156_spatial_neighbor_join"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q150_basket_partial_aggregates(spark):
+    plan = executed_plan(QUERIES["q150_market_basket"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # items dedup + pair counts
+
+
+def test_q157_nearest_asof_no_cartesian(spark):
+    plan = executed_plan(QUERIES["q157_nearest_event_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q160_ohlc_single_shuffle(spark):
+    plan = executed_plan(QUERIES["q160_ohlc_bars"](spark, SF_DIR))
+    # one hash shuffle on (user, bar); the struct-ordered min_by/max_by
+    # compiles to SortAggregate — still partial + final (map-side
+    # combine), just sort-based buffers
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "partial_min_by" in plan
