@@ -13,7 +13,7 @@ is implemented from the published file-format specs with stdlib only
 - **JPEG**: header parse here; FULL baseline pixel decode/encode lives
   in the sibling ``jpegcodec`` module (Huffman + DCT, 4:4:4/4:2:0,
   restart markers).
-- **BMP**: header parse (width, height, channels).
+- **BMP**: full uncompressed 8/24/32-bit decode + 8/24-bit encode.
 - anything else: the caller falls back to the deterministic stub.
 
 Everything is built inside :func:`build_codec` so the returned functions
@@ -416,6 +416,94 @@ def build_codec():
         except (struct.error, IndexError):
             return None
 
+    # -- BMP: full uncompressed decode/encode --------------------------------
+    def bmp_decode(payload: bytes):
+        """Decode an uncompressed 8/24/32-bit BMP to raw pixels
+        (grayscale for 8-bit with a grayscale palette, RGB for 24/32 —
+        alpha dropped). Returns (w, h, channels, bytes) or None."""
+        if payload[:2] != b"BM" or len(payload) < 54:
+            return None
+        try:
+            (data_off,) = struct.unpack("<I", payload[10:14])
+            (hdr_size,) = struct.unpack("<I", payload[14:18])
+            if hdr_size < 40:
+                return None
+            w, h = struct.unpack("<ii", payload[18:26])
+            planes, bpp = struct.unpack("<HH", payload[26:30])
+            (compression,) = struct.unpack("<I", payload[30:34])
+            if planes != 1 or compression != 0 or w <= 0 or h == 0:
+                return None
+            if bpp not in (8, 24, 32):
+                return None
+            flip = h > 0  # positive height = bottom-up storage
+            h = abs(h)
+            if w * h > 1 << 22:
+                return None
+            row_stride = (w * (bpp // 8) + 3) & ~3  # 4-byte aligned
+            if data_off + row_stride * h > len(payload):
+                return None
+            palette = None
+            if bpp == 8:
+                pal_off = 14 + hdr_size
+                palette = payload[pal_off : pal_off + 1024]
+            ch = 1 if bpp == 8 else 3
+            out = bytearray(w * h * ch)
+            for y in range(h):
+                src_y = (h - 1 - y) if flip else y
+                row = payload[
+                    data_off + src_y * row_stride :
+                    data_off + src_y * row_stride + row_stride
+                ]
+                if bpp == 8:
+                    for x in range(w):
+                        i = row[x] * 4
+                        b, g, r = palette[i], palette[i + 1], palette[i + 2]
+                        out[y * w + x] = (r + g + b) // 3
+                else:
+                    step = bpp // 8
+                    base = y * w * 3
+                    for x in range(w):
+                        b, g, r = row[x * step : x * step + 3]
+                        out[base + x * 3] = r
+                        out[base + x * 3 + 1] = g
+                        out[base + x * 3 + 2] = b
+            return w, h, ch, bytes(out)
+        except (struct.error, IndexError):
+            return None
+
+    def bmp_encode(w: int, h: int, channels: int, pixels: bytes) -> bytes:
+        """Encode grayscale (8-bit + grayscale palette) or RGB (24-bit)
+        pixels as a bottom-up uncompressed BMP."""
+        if channels == 1:
+            bpp, pal = 8, bytes(
+                v for i in range(256) for v in (i, i, i, 0)
+            )
+        elif channels == 3:
+            bpp, pal = 24, b""
+        else:
+            raise ValueError("bmp_encode: channels must be 1 or 3")
+        row_stride = (w * (bpp // 8) + 3) & ~3
+        data_off = 14 + 40 + len(pal)
+        size = data_off + row_stride * h
+        out = bytearray()
+        out += b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+        out += struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, row_stride * h,
+            2835, 2835, 256 if channels == 1 else 0, 0,
+        )
+        out += pal
+        pad = b"\x00" * (row_stride - w * (bpp // 8))
+        for y in range(h - 1, -1, -1):  # bottom-up
+            if channels == 1:
+                out += pixels[y * w : (y + 1) * w] + pad
+            else:
+                row = bytearray()
+                for x in range(w):
+                    r, g, b = pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+                    row += bytes((b, g, r))
+                out += row + pad
+        return bytes(out)
+
     # -- resize --------------------------------------------------------------
     def resize_nearest(
         w: int, h: int, channels: int, pixels: bytes, nw: int, nh: int
@@ -436,6 +524,8 @@ def build_codec():
         resize_nearest=resize_nearest,
         gif_encode_animation=gif_encode_animation,
         gif_frames=gif_frames,
+        bmp_decode=bmp_decode,
+        bmp_encode=bmp_encode,
         lzw_encode=_lzw_encode,
         lzw_decode=_lzw_decode,
     )

@@ -616,6 +616,8 @@ def with_image_ahash(media: DataFrame) -> DataFrame:
         decoded = png_decode(payload)
         if decoded is None and payload[:3] == b"\xff\xd8\xff":
             decoded = jpeg_decode(payload)  # real baseline JPEG decode
+        if decoded is None and payload[:2] == b"BM":
+            decoded = codec.bmp_decode(payload)
         if decoded is not None:
             w, h, ch, px = decoded
             if ch == 1:

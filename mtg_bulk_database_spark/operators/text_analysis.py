@@ -610,6 +610,39 @@ def with_nfc_text(
     return df.withColumn(out_col, nfc(F.col(text_col)))
 
 
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    """DEFLATE compressibility as a quality signal (the gzip heuristic
+    CCNet/RefinedWeb-class pipelines use): templated/repetitive text
+    compresses far below natural prose, and high-entropy noise barely
+    compresses at all — both tails are removal candidates that simple
+    token ratios (q63) can miss when the repetition unit is long.
+
+    ratio = compressed_bytes / raw_bytes (level 6, headers included;
+    empty text → 1.0). zlib is deterministic for a fixed level and
+    strategy, so the column is stable across executors and runs —
+    but it is NOT SQL-expressible, hence the rows-only gate. Arrow
+    pandas UDF: per-row C-speed deflate, no Python-loop hot path.
+    """
+
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(s):
+            if s is None:
+                return None
+            raw = s.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
 # --- DuckDB-SQL twins (shared with pipeline_queries) ----------------------
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .operators import text_analysis
 from .registry import query
 
 
@@ -650,4 +651,29 @@ def q160(spark, sf_dir):
             .cast("double")
             .alias("volume"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality filtering (the gzip-compressibility heuristic).
+# ---------------------------------------------------------------------------
+@query("q161_compression_quality")  # rows-only: zlib is not SQL-expressible
+def q161(spark, sf_dir):
+    """DEFLATE-compressibility screening: flag documents whose
+    compression ratio falls outside the natural-prose band (templated
+    boilerplate compresses too WELL, noise too POORLY) — the signal
+    CCNet-class pipelines add on top of token-ratio heuristics.
+    Output is the per-band census plus the flags; deterministic (fixed
+    zlib level), verified by the planted-text property tests."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    scored = text_analysis.with_compression_ratio(docs)
+    band = (
+        F.when(F.col("compression_ratio") < 0.25, "too_compressible")
+        .when(F.col("compression_ratio") > 0.75, "too_random")
+        .otherwise("prose_like")
+    )
+    return (
+        scored.select("doc_id", band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"))
     )

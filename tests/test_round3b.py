@@ -356,3 +356,60 @@ def test_asof_direction_impl_agreement_on_events(spark, direction):
         key=repr,
     )
     assert a == b and len(a) > 0
+
+
+def test_compression_ratio_separates_planted_bands(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 200),               # boilerplate
+            (2, None),
+            (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog and then "
+                "discusses the economic implications of fox jumping with "
+                "several colleagues over a long afternoon " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    import hashlib
+    noise = " ".join(
+        hashlib.md5(f"n{i}".encode()).hexdigest() for i in range(100)
+    )
+    df = df.union(
+        spark.createDataFrame([(5, noise)], "doc_id long, text string")
+    )
+    out = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in text_analysis.with_compression_ratio(df).collect()
+    }
+    assert out[1] < 0.05          # repeated template crushes
+    assert out[2] is None         # NULL passthrough
+    assert out[3] == 1.0          # empty -> defined as 1.0
+    assert 0.2 < out[4] < 0.75    # prose band
+    assert out[5] > 0.5           # hex noise barely compresses
+    # determinism across evaluations
+    out2 = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in text_analysis.with_compression_ratio(df).collect()
+    }
+    assert out == out2
+
+
+def test_bmp_codec_round_trips_and_ahash_consumes(spark):
+    from mtg_bulk_database_spark.operators.imagecodec import build_codec
+    from mtg_bulk_database_spark.operators import multimodal
+
+    c = build_codec()
+    w, h = 16, 16
+    gray = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    bmp = c.bmp_encode(w, h, 1, gray)
+    assert c.decode_header(bmp) == (w, h, 1)
+    assert c.bmp_decode(bmp)[3] == gray
+    media = spark.createDataFrame(
+        [(1, bmp), (2, bmp)], "doc_id long, content binary"
+    ).withColumn("media_type", F.lit("image/bmp")).withColumn(
+        "meta",
+        F.struct(F.lit("t").alias("source"),
+                 F.lit(0).cast("long").alias("declared_bytes")),
+    )
+    rows = {r["doc_id"]: r for r in multimodal.with_image_ahash(media).collect()}
+    assert rows[1]["is_image"] and rows[1]["ahash"] == rows[2]["ahash"]
