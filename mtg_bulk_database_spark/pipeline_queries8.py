@@ -1,8 +1,13 @@
 """Registry entries, round 3 (cont. 4): classic applied-analytics
 surfaces — association rules (market-basket lift), RFM customer
-scoring, first-digit (Benford) profiling for anomaly detection, and
-per-group z-score outlier flagging. All integer/decimal-exact with the
-single-final-division discipline; every entry carries a DuckDB twin.
+scoring, first-digit (Benford) profiling, per-group z-score outliers,
+share-of-total windows, clickstream transition matrices, spatial
+proximity joins (grid blocking proven lossless against an all-pairs
+oracle), nearest-direction as-of matching, planner diagnostics
+(join-cardinality estimation, key-skew report), OHLC resampling bars,
+and DEFLATE compression-ratio quality screening. Integer/decimal-exact
+with the single-final-division discipline throughout; every entry but
+the zlib one carries a DuckDB twin.
 """
 
 from __future__ import annotations
