@@ -101,3 +101,22 @@ def attribution_counts(
         .withColumn("n_clicks_1h", F.coalesce(F.col("n_clicks_1h"), F.lit(0)))
         .select("purchase_id", "user_id", "purchase_value", "n_clicks_1h")
     )
+
+
+def enrich_stream_with_dim(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join — the third join mode Structured
+    Streaming supports (after stream-stream and batch): each micro-batch
+    joins the STATIC dimension as of that batch's execution, no state
+    store involved, and the dim side broadcasts when small (the same
+    plan as the batch q10 enrichment).
+
+    Contrast with the stream-stream interval join above: no watermark
+    is required because the static side never grows — but the dim is
+    re-resolved per micro-batch, so swapping the underlying files
+    (e.g. a ledger compaction) is picked up mid-stream; pin a version
+    via ledger_read for snapshot-stable enrichment."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, how)

@@ -624,3 +624,50 @@ def test_stream_stream_left_outer_attribution(spark, tmp_path):
     assert sorted(map(key, got), key=repr) == sorted(map(key, batch), key=repr)
     # the outer rows are actually exercised: some purchases had no click
     assert any(r["click_id"] is None for r in batch)
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: micro-batched events enriched against the
+    static customer-keyed dim equal the batch join on the same input."""
+    from mtg_bulk_database_spark.streaming import joins as sjoins
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "ev_enrich_in"
+    src.mkdir()
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "b"))
+    # static dim: one row per user with a deterministic segment label
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    enriched = sjoins.enrich_stream_with_dim(stream, dim, "user_id").groupBy(
+        "segment"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["segment"]: r["n"] for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {
+        r["segment"]: r["n"]
+        for r in sjoins.enrich_stream_with_dim(ev, dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) == 3
