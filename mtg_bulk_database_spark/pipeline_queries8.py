@@ -682,3 +682,80 @@ def q161(spark, sf_dir):
         .groupBy("band")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential recurrences (EWMA / CUSUM) — applyInPandas vs recursive CTE.
+# ---------------------------------------------------------------------------
+@query(
+    "q162_ewma_smoothing",
+    """WITH RECURSIVE ord AS (
+         SELECT user_id, event_id, ts, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       r AS (
+         SELECT user_id, event_id, ts, value, rn,
+                value AS ewma
+         FROM ord WHERE rn = 1
+         UNION ALL
+         SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+                0.5 * o.value + 0.5 * r.ewma
+         FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+       SELECT user_id, event_id, ts, value, ewma FROM r""",
+)
+def q162(spark, sf_dir):
+    """EWMA (α=0.5) per user — a feedback recurrence no window frame
+    can express, run as the custom-operator path (applyInPandas linear
+    scan per key; see operators/timeseries.py). The oracle is DuckDB's
+    recursive CTE executing the IDENTICAL float operation sequence, so
+    this rows+hash gate covers a custom stateful operator EXACTLY —
+    the first of the stateful family to get a hard oracle rather than
+    a batch twin."""
+    from .operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(ev, "user_id", "ts", "value", "event_id", alpha=0.5)
+
+
+@query(
+    "q163_cusum_alerts",
+    """WITH RECURSIVE ord AS (
+         SELECT user_id, event_id, ts, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       r AS (
+         SELECT user_id, event_id, ts, value, rn,
+                CASE WHEN (value - 10.0) < 0 THEN 0.0
+                     ELSE (value - 10.0) END AS cusum,
+                (CASE WHEN (value - 10.0) < 0 THEN 0.0
+                      ELSE (value - 10.0) END) > 25.0 AS alert
+         FROM ord WHERE rn = 1
+         UNION ALL
+         SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+                CASE WHEN ((CASE WHEN r.alert THEN 0.0 ELSE r.cusum END)
+                           + (o.value - 10.0)) < 0 THEN 0.0
+                     ELSE ((CASE WHEN r.alert THEN 0.0 ELSE r.cusum END)
+                           + (o.value - 10.0)) END,
+                (CASE WHEN ((CASE WHEN r.alert THEN 0.0 ELSE r.cusum END)
+                            + (o.value - 10.0)) < 0 THEN 0.0
+                      ELSE ((CASE WHEN r.alert THEN 0.0 ELSE r.cusum END)
+                            + (o.value - 10.0)) END) > 25.0
+         FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+       SELECT user_id, event_id, ts, value, cusum, alert FROM r""",
+)
+def q163(spark, sf_dir):
+    """One-sided CUSUM change-point detection per user (drift k=10,
+    threshold h=25, restart-on-alert) — the max-clamp feedback makes it
+    sequential by nature; same applyInPandas execution and
+    recursive-CTE oracle discipline as q162. The alert column is the
+    monitoring signal (sustained upward level shift in event values);
+    at 100 TB the identical state machine runs as the streaming
+    transformWithState twin over the same per-key ordering."""
+    from .operators.timeseries import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum(
+        ev, "user_id", "ts", "value", "event_id", drift=10.0, threshold=25.0
+    )

@@ -413,3 +413,46 @@ def test_bmp_codec_round_trips_and_ahash_consumes(spark):
     )
     rows = {r["doc_id"]: r for r in multimodal.with_image_ahash(media).collect()}
     assert rows[1]["is_image"] and rows[1]["ahash"] == rows[2]["ahash"]
+
+
+def test_ewma_analytic_constant_series(spark):
+    """EWMA of a constant series is the constant; of a step series it
+    converges geometrically — analytic fixpoints, not just oracle echo."""
+    from mtg_bulk_database_spark.operators.timeseries import ewma
+
+    rows = [(1, i, float(i), 5.0) for i in range(10)]
+    rows += [(2, i, float(i), 0.0 if i < 5 else 8.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, value double"
+    )
+    out = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(df, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert all(out[(1, i)] == 5.0 for i in range(10))
+    # step response: y_t = 8 * (1 - 2^-(t-4)) for t >= 5 (dyadic-exact)
+    for i in range(5, 10):
+        assert out[(2, i)] == 8.0 * (1 - 2.0 ** -(i - 4))
+
+
+def test_cusum_fires_on_level_shift_only(spark):
+    from mtg_bulk_database_spark.operators.timeseries import cusum
+
+    # user 1: flat at the drift level -> never fires;
+    # user 2: shifts to drift+15 at t=5 -> S grows 15/tick, fires at t=6
+    rows = [(1, i, float(i), 10.0) for i in range(10)]
+    rows += [(2, i, float(i), 10.0 if i < 5 else 25.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts double, value double"
+    )
+    out = {
+        (r["user_id"], r["event_id"]): r
+        for r in cusum(
+            df, "user_id", "ts", "value", "event_id", 10.0, 25.0
+        ).collect()
+    }
+    assert not any(out[(1, i)]["alert"] for i in range(10))
+    fired = [i for i in range(10) if out[(2, i)]["alert"]]
+    assert fired and fired[0] == 6  # 15 at t=5, 30 > 25 at t=6
+    # restart rule: S resets after each alert
+    assert out[(2, fired[0] + 1)]["cusum"] == 15.0
