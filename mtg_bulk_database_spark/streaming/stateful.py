@@ -229,3 +229,67 @@ def stream_dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_cusum_alerts(
+    events: DataFrame,
+    drift: float = 10.0,
+    threshold: float = 25.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.cusum`` — the identical
+    state machine (S = max(0, S + (x − k)); alert and restart at S > h)
+    carried across micro-batches in per-key state, so a monitor fires
+    mid-stream instead of at end-of-day batch.
+
+    Ordering contract: within a batch, rows are processed in (ts, id)
+    order; ACROSS batches the recurrence consumes them in arrival
+    order — equal to the batch operator exactly when per-key arrival
+    respects event time (the time-ordered-source case the equivalence
+    test pins). For out-of-order sources, bound the disorder with a
+    watermark-delayed upstream sort (the standard sessionize-then-fold
+    arrangement)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
+        f"{value_col} double, cusum double, alert boolean"
+    )
+    state_schema = "s double"
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else (0.0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            ss, alerts = [], []
+            for x in pdf[value_col]:
+                s = s + (x - drift)
+                if s < 0.0:
+                    s = 0.0
+                fire = s > threshold
+                ss.append(s)
+                alerts.append(bool(fire))
+                if fire:
+                    s = 0.0
+            out = pdf[[key_col, id_col, ts_col, value_col]].copy()
+            out["cusum"] = ss
+            out["alert"] = alerts
+            yield out
+        state.update((s,))
+
+    return (
+        events.select(key_col, id_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -671,3 +671,50 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_stream_cusum_matches_batch_on_time_ordered_source(spark, tmp_path):
+    """The CUSUM state machine folded across micro-batches equals the
+    batch operator when per-key arrival respects event time — input is
+    split into two files at the median timestamp, so every key's
+    batch-2 rows follow its batch-1 rows."""
+    from mtg_bulk_database_spark.operators.timeseries import cusum
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.stateful import stream_cusum_alerts
+
+    ev = load_table(spark, SF_DIR, "events")
+    mid_ts = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    src = tmp_path / "cusum_in"
+    src.mkdir()
+    ev.where(F.col("ts").cast("double") <= mid_ts).write.parquet(str(src / "a"))
+    ev.where(F.col("ts").cast("double") > mid_ts).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (tuple(r) for r in spark.sql("SELECT * FROM cusum_out").collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in cusum(
+                ev, "user_id", "ts", "value", "event_id", 10.0, 25.0
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == want and len(want) > 0
+    assert any(r[-1] for r in want)  # alerts actually fire on this data
