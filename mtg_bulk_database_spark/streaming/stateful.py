@@ -293,3 +293,104 @@ def stream_cusum_alerts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_time_sorted(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time REORDER BUFFER: per key, hold arriving rows in state
+    and release them in (ts, id) order once the watermark guarantees
+    nothing earlier can still arrive — the building block that turns
+    any order-sensitive stateful operator (EWMA/CUSUM folds, session
+    machines) into an EXACTLY order-correct one over out-of-order
+    sources, at the cost of watermark-delay latency.
+
+    Mechanics: rows with ts <= current watermark are emitted sorted;
+    later rows stay buffered (state size is bounded by the disorder
+    window — exactly what the watermark promises). Idle keys flush via
+    EVENT-TIME TIMEOUTS pinned to the earliest buffered row: Spark only
+    invokes the state function for keys PRESENT in a batch, so without
+    a timeout a key whose last rows arrived batches ago would hold its
+    buffer forever (found by the drain test). A drain still needs a
+    final watermark-advancing batch — the sentinel discipline the
+    outer-join test documents."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {id_col} long, {ts_col} timestamp, "
+        f"{value_col} double"
+    )
+    # buffered rows ride state as parallel arrays (micros, id, value)
+    state_schema = "ts_us array<long>, ids array<long>, vals array<double>"
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        ts_us, ids, vals = (
+            state.get if state.exists else ([], [], [])
+        )
+        ts_us, ids, vals = list(ts_us), list(ids), list(vals)
+        for pdf in pdfs:
+            for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                ts_us.append(int(t.value // 1000))  # pandas ns -> us
+                ids.append(int(i))
+                vals.append(float(v))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(
+            (t, i, v)
+            for t, i, v in zip(ts_us, ids, vals)
+            if t <= wm_us
+        )
+        held = [
+            (t, i, v)
+            for t, i, v in zip(ts_us, ids, vals)
+            if t > wm_us
+        ]
+        if ready:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(ready),
+                    id_col: [i for _, i, _ in ready],
+                    ts_col: [
+                        dt.datetime.utcfromtimestamp(t / 1_000_000)
+                        for t, _, _ in ready
+                    ],
+                    value_col: [v for _, _, v in ready],
+                }
+            )
+        if held:
+            state.update(
+                (
+                    [t for t, _, _ in held],
+                    [i for _, i, _ in held],
+                    [v for _, _, v in held],
+                )
+            )
+            # wake this key when the watermark passes its earliest
+            # buffered row (strictly-greater-than-watermark required)
+            state.setTimeoutTimestamp(
+                max(min(t for t, _, _ in held) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()  # fully drained: no stale empty state
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(key_col, id_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

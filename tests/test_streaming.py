@@ -718,3 +718,68 @@ def test_stream_cusum_matches_batch_on_time_ordered_source(spark, tmp_path):
     )
     assert got == want and len(want) > 0
     assert any(r[-1] for r in want)  # alerts actually fire on this data
+
+
+def test_reorder_buffer_restores_event_time_order(spark, tmp_path):
+    """Out-of-order arrival (file 1 = LATE half, file 2 = EARLY half)
+    through the reorder buffer: per key, the released rows come out in
+    strict (ts, id) order and no row is lost after the watermark-
+    advancing sentinel batch drains the buffer."""
+    import datetime as dt
+
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.stateful import stream_time_sorted
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id") < 20)
+    mid = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    src = tmp_path / "reorder_in"
+    src.mkdir()
+    # deliberately arrival-inverted: late events first
+    ev.where(F.col("ts").cast("double") > mid).write.parquet(str(src / "a"))
+    ev.where(F.col("ts").cast("double") <= mid).write.parquet(str(src / "b"))
+    # TWO sentinel batches: the watermark Spark applies to batch N is
+    # computed from batch N-1's max event time, so releasing the last
+    # real rows takes one more watermark-advancing batch
+    spark.createDataFrame(
+        [(10_000_000, dt.datetime(2030, 1, 1), -1, "noise", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    ).write.parquet(str(src / "c"))
+    spark.createDataFrame(
+        [(10_000_001, dt.datetime(2030, 6, 1), -1, "noise", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    ).write.parquet(str(src / "d"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream_time_sorted(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("reorder_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM reorder_out").collect()
+    got_ids = sorted(r["event_id"] for r in rows if r["user_id"] >= 0)
+    want_ids = sorted(r["event_id"] for r in ev.collect())
+    assert got_ids == want_ids, "no loss, no duplication"
+    # per key, WITHIN each micro-batch emission the rows are ts-sorted;
+    # across the whole drain each key's stream of releases is monotone
+    # because later batches only release rows above the earlier
+    # watermark — verify global per-key monotonicity via release order
+    out = spark.sql("SELECT * FROM reorder_out")
+    # memory sink preserves append order per batch; reconstruct order
+    # by collecting as-is (Spark returns rows in insertion order here)
+    seq = {}
+    for r in out.collect():
+        seq.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"])
+        )
+    for uid, items in seq.items():
+        if uid < 0:
+            continue
+        assert items == sorted(items), f"user {uid} out of order"
