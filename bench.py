@@ -84,6 +84,10 @@ HEADLINE = [
     "q149_mjpeg_frame_sample",
     "q150_market_basket",
     "q155_event_transitions",
+    "q156_spatial_neighbor_join",
+    "q160_ohlc_bars",
+    "q162_ewma_smoothing",
+    "q163_cusum_alerts",
 ]
 
 
