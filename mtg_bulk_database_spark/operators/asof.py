@@ -11,6 +11,11 @@ second). Two implementations with identical semantics:
                           shuffle once on the key, each group is a
                           sorted O(n+m) merge — the 100 TB path
                           (this is how time-series stores execute ASOF).
+                          Note the per-GROUP Arrow round-trip cost: the
+                          auto-switch sends only deep-keyed workloads
+                          here, where few large groups amortize it; for
+                          many tiny groups see timeseries.py's
+                          partition-batched mapInPandas discipline.
 
 Semantics (match DuckDB's ``ASOF JOIN ... ON l.ts > r.ts``): for each
 left row, the right row with the greatest ``right_ts`` strictly less
