@@ -3,8 +3,10 @@ classic decorrelation surfaces — order-independent table checksums
 (anti-entropy / replication verify), Unicode NFC normalization at the
 head of the curation pipeline, the three remaining TPC-H correlated
 shapes the engine had not yet demonstrated (Q2 min-per-group, Q21
-multi-EXISTS, Q15 view + global max), and an exact integer equi-width
-histogram.
+multi-EXISTS, Q15 view + global max), an exact integer equi-width
+histogram, and the video/image perceptual legs (animated-GIF frame
+sampling over the real LZW codec; planted-near-dup PNG corpus through
+the aHash pigeonhole join).
 
 House rules as everywhere: integer/decimal accumulation with a single
 final double step, no RNG, broadcast 1-row/stat frames instead of
