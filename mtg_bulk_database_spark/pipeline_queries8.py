@@ -5,7 +5,8 @@ share-of-total windows, clickstream transition matrices, spatial
 proximity joins (grid blocking proven lossless against an all-pairs
 oracle), nearest-direction as-of matching, planner diagnostics
 (join-cardinality estimation, key-skew report), OHLC resampling bars,
-and DEFLATE compression-ratio quality screening. Integer/decimal-exact
+DEFLATE compression-ratio quality screening, and the sequential
+recurrences (EWMA / CUSUM) oracled bit-for-bit against recursive CTEs. Integer/decimal-exact
 with the single-final-division discipline throughout; every entry but
 the zlib one carries a DuckDB twin.
 """
