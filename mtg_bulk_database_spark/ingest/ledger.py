@@ -760,3 +760,34 @@ def ledger_restore(root: str, version: int) -> int:
         root, base + 1, m["files"], m.get("key", "id"), m.get("stats_cols")
     )
     return base + 1
+
+
+def ledger_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY surface: one row per committed version, straight
+    from the manifests — version, commit time, file/row counts, and the
+    operation's audit fields (deleted_rows for DELETEs, base_version for
+    continuous-view refreshes). Metadata-only: no data file is opened,
+    so it costs O(versions) regardless of table size. Time travel +
+    vacuum planning both start from this listing."""
+    rows = []
+    v = current_version(root)
+    for version in range(1, v + 1):
+        try:
+            m = _read_manifest(root, version)
+        except FileNotFoundError:
+            continue  # vacuumed below the retention window
+        rows.append(
+            (
+                version,
+                float(m.get("committed_at", 0.0)),
+                len(m.get("files", [])),
+                sum(e.get("rows", 0) for e in m.get("files", [])),
+                m.get("deleted_rows"),
+                m.get("key"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, committed_at double, n_files long, n_rows long, "
+        "deleted_rows long, key string",
+    )

@@ -477,3 +477,18 @@ def test_delete_whole_file_drops_manifest_entry(spark, root):
     files = ledger._read_manifest(root, v)["files"]
     assert all(e["rows"] > 0 for e in files)
     assert _rows(ledger.ledger_read(spark, root)) == [(1, "a"), (2, "b")]
+
+
+def test_ledger_history_lists_versions_and_audit_fields(spark, root):
+    ledger.ledger_write(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    ledger.ledger_merge_upsert(spark, root, _df(spark, [(3, "c")]))
+    ledger.ledger_delete(spark, root, "id = 2")
+    hist = {r["version"]: r for r in ledger.ledger_history(spark, root).collect()}
+    assert sorted(hist) == [1, 2, 3]
+    assert hist[1]["n_rows"] == 2
+    assert hist[2]["n_rows"] == 3
+    assert hist[3]["n_rows"] == 2 and hist[3]["deleted_rows"] == 1
+    assert all(r["key"] == "id" for r in hist.values())
+    # commit times are monotone non-decreasing
+    times = [hist[v]["committed_at"] for v in sorted(hist)]
+    assert times == sorted(times)

@@ -357,3 +357,42 @@ def test_q160_ohlc_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert "partial_min_by" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter injection (the engine-native
+    semi-join pruning): with the size thresholds lowered to admit the
+    test fixture, a selective dim filter must inject a bloom filter
+    into the fact scan side of the shuffle join — at 100 TB this is
+    what turns a 1%-selective join into a 1% fact scan."""
+    from mtg_bulk_database_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold is a MAXIMUM (creation side must be
+        # smaller than it) — raise it so the tiny fixture qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").where(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 50000"
+        )
+        df = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = executed_plan(df).lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
