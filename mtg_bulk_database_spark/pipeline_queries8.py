@@ -760,3 +760,71 @@ def q163(spark, sf_dir):
     return cusum(
         ev, "user_id", "ts", "value", "event_id", drift=10.0, threshold=25.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Session journeys (ordered event-type paths per session).
+# ---------------------------------------------------------------------------
+@query(
+    "q164_session_journeys",
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s AS (
+         SELECT user_id, event_id, ts, event_type,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS sid
+         FROM flagged
+       ), j AS (
+         SELECT user_id, sid,
+                string_agg(event_type, '>' ORDER BY ts, event_id)
+                  AS journey
+         FROM s GROUP BY user_id, sid)
+       SELECT journey, count(*) AS n_sessions
+       FROM j GROUP BY journey""",
+)
+def q164(spark, sf_dir):
+    """User-journey mining: sessionize (q24's gap rule), then the
+    ordered event-type PATH of each session becomes a string key and
+    journeys are counted corpus-wide — 'which flows actually happen'
+    for product analytics. Ordering inside collect_list is pinned by
+    sorting (ts, event_id, type) STRUCTS (collect_list alone is
+    partition-order nondeterministic — the exact trap the engine's
+    determinism rules exist for). Two shuffles total: user sessions,
+    then the journey rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull()
+        | ((F.col("ts").cast("double") - lag_ts.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(w)
+    )
+    journeys = (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("journey")
+        )
+    )
+    return journeys.groupBy("journey").agg(
+        F.count("*").alias("n_sessions")
+    )
