@@ -828,3 +828,53 @@ def q164(spark, sf_dir):
     return journeys.groupBy("journey").agg(
         F.count("*").alias("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ensemble dedup: all near-dup signals -> one family clustering.
+# ---------------------------------------------------------------------------
+@query("q165_dedup_ensemble")  # rows-only: minhash/simhash legs
+def q165(spark, sf_dir):
+    """The production dedup posture: no single signal catches every
+    duplicate class, so the EDGE UNION of exact-fingerprint pairs,
+    n-gram Jaccard pairs, banded MinHash pairs, and SimHash pairs feeds
+    ONE connected-components pass, and a document's family is the
+    transitive closure over ALL signals at once. Output is the family
+    census (size -> n_families, n_docs_absorbed): the corpus-shrink
+    estimate a curation run reports before committing to hard dedup.
+    Each leg is the already-audited operator; the union is cheap
+    (pairs, not documents) and CC runs once instead of per-signal."""
+    from .operators import dedup
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = text_analysis.with_fingerprint(docs).select("doc_id", "fingerprint")
+    a, b = fp.alias("a"), fp.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.fingerprint") == F.col("b.fingerprint"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    jac = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    mh = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    sh = dedup.simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3
+    ).select("id_a", "id_b")
+    edges = (
+        exact_pairs.unionByName(jac)
+        .unionByName(mh)
+        .unionByName(sh)
+        .distinct()
+    )
+    comp = connected_components(edges)
+    fam = comp.groupBy("component").agg(F.count("*").alias("family_size"))
+    return fam.groupBy("family_size").agg(
+        F.count("*").alias("n_families"),
+        (F.count("*") * F.col("family_size")).cast("long").alias("n_docs"),
+    )

@@ -456,3 +456,15 @@ def test_cusum_fires_on_level_shift_only(spark):
     assert fired and fired[0] == 6  # 15 at t=5, 30 > 25 at t=6
     # restart rule: S resets after each alert
     assert out[(2, fired[0] + 1)]["cusum"] == 15.0
+
+
+def test_q165_ensemble_absorbs_all_single_signal_pairs(spark):
+    """The ensemble family census must account for every document that
+    ANY single signal pairs: family sizes >= 2 cover at least the doc
+    count touched by the exact-fingerprint signal alone."""
+    rows = QUERIES["q165_dedup_ensemble"](spark, SF_DIR).collect()
+    assert rows
+    absorbed = sum(r["n_docs"] for r in rows)
+    n_fams = sum(r["n_families"] for r in rows)
+    assert absorbed > n_fams  # families have >= 2 members by construction
+    assert all(r["family_size"] >= 2 for r in rows)
