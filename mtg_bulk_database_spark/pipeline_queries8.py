@@ -878,3 +878,72 @@ def q165(spark, sf_dir):
         F.count("*").alias("n_families"),
         (F.count("*") * F.col("family_size")).cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash parameter sweep (sketch-tuning harness as data).
+# ---------------------------------------------------------------------------
+@query("q166_minhash_param_sweep")  # rows-only: approximate legs
+def q166(spark, sf_dir):
+    """Sketch-parameter tuning as a QUERY: one exact ground-truth pass,
+    then each (num_perm, bands) candidate's recall/precision measured
+    against it — the table you read before fixing the sketch config for
+    a 100 TB run (q137 is the single-point version; this is the sweep).
+    The exact pair set computes ONCE (localCheckpoint) and broadcasts
+    into each candidate's comparison join; candidates run from the same
+    cached shingle base. Banding theory says recall falls as rows-per-
+    band grows — the output shows exactly where this corpus's knee is."""
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+        .select("id_a", "id_b")
+        # EAGER: the lazy variant emits noisy (benign) cleaned-accumulator
+        # warnings when the checkpoint is first materialized inside a
+        # later multi-job action; the pair set is tiny, so materializing
+        # it up front costs nothing
+        .localCheckpoint(eager=True)
+    )
+    settings = [(64, 16), (64, 8), (32, 8)]
+    out = None
+    for num_perm, bands in settings:
+        approx = dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id",
+            k=3, threshold=0.8, num_perm=num_perm, bands=bands,
+        ).select("id_a", "id_b")
+        j = exact.withColumn("e", F.lit(1)).join(
+            approx.withColumn("a", F.lit(1)), ["id_a", "id_b"], "full_outer"
+        )
+        row = j.agg(
+            F.sum(F.coalesce("e", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("a", F.lit(0))).alias("n_approx"),
+            F.sum(
+                F.when(F.col("e").isNotNull() & F.col("a").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("tp"),
+        ).select(
+            F.lit(num_perm).alias("num_perm"),
+            F.lit(bands).alias("bands"),
+            "n_exact",
+            "n_approx",
+            "tp",
+        ).localCheckpoint(eager=True)  # materialize each setting's 1-row
+        # result separately: fusing three sketch lineages into one union
+        # action trips Spark's cleaned-accumulator warnings
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "num_perm",
+        "bands",
+        "n_exact",
+        "n_approx",
+        "tp",
+        F.when(
+            F.col("n_exact") > 0,
+            (F.col("tp") * 1_000_000).cast("long") / F.col("n_exact"),
+        ).otherwise(F.lit(0.0)).alias("recall_micro"),
+        F.when(
+            F.col("n_approx") > 0,
+            (F.col("tp") * 1_000_000).cast("long") / F.col("n_approx"),
+        ).otherwise(F.lit(0.0)).alias("precision_micro"),
+    )
