@@ -947,3 +947,47 @@ def q166(spark, sf_dir):
             (F.col("tp") * 1_000_000).cast("long") / F.col("n_approx"),
         ).otherwise(F.lit(0.0)).alias("precision_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (exact, cumulative-weight window).
+# ---------------------------------------------------------------------------
+@query(
+    "q167_weighted_median_price",
+    """WITH s AS (
+         SELECT l_extendedprice AS v,
+                SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                  OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                  AS cw,
+                SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER () AS tw
+         FROM lineitem)
+       SELECT min(v) AS weighted_median_price,
+              CAST(max(tw) AS DOUBLE) AS total_weight
+       FROM s WHERE cw * 2 >= tw""",
+)
+def q167(spark, sf_dir):
+    """EXACT weighted median (price weighted by quantity) — a statistic
+    no engine ships built-in: sort by value with the key tiebreak,
+    running decimal-exact weight sum, boundary row where cumulative
+    weight crosses half the total. The cumulative window is evaluated
+    sequentially along a PINNED total order, so both engines add the
+    same decimals in the same order. Global-order window at this scale;
+    at 100 TB the standard two-pass swap applies (range-partition
+    histogram to locate the boundary partition, exact scan inside it —
+    the same recipe q57's exact percentile documents)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(18,6)")
+    order = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    s = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wq).over(order).alias("cw"),
+        F.sum(wq).over(
+            Window.partitionBy()
+        ).alias("tw"),
+    )
+    return s.where(F.col("cw") * 2 >= F.col("tw")).agg(
+        F.min("v").alias("weighted_median_price"),
+        F.max("tw").cast("double").alias("total_weight"),
+    )
