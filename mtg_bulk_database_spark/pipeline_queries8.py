@@ -991,3 +991,57 @@ def q167(spark, sf_dir):
         F.min("v").alias("weighted_median_price"),
         F.max("tw").cast("double").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (revenue-concentration audit).
+# ---------------------------------------------------------------------------
+@query(
+    "q168_revenue_gini",
+    """WITH c AS (
+         SELECT o_custkey,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS m
+         FROM orders GROUP BY o_custkey),
+       r AS (
+         SELECT m,
+                row_number() OVER (ORDER BY m, o_custkey) AS i,
+                count(*) OVER () AS n,
+                SUM(m) OVER () AS tot
+         FROM c)
+       SELECT CAST(2 * SUM(i * m) - (max(n) + 1) * max(tot) AS DOUBLE)
+                / CAST(max(n) * max(tot) AS DOUBLE) AS gini,
+              max(n) AS n_customers
+       FROM r""",
+)
+def q168(spark, sf_dir):
+    """Gini concentration of per-customer revenue — the inequality
+    audit run on any distribution before sampling/quota decisions (a
+    Gini near 1 says a handful of keys dominate: expect skew handling
+    everywhere downstream). Exact rank formulation
+    G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) over a PINNED total order
+    (monetary, custkey): every sum is decimal-exact and the division
+    happens once, on identical operands in both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m")
+    )
+    r = c.select(
+        "m",
+        F.row_number()
+        .over(Window.orderBy("m", "o_custkey"))
+        .alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("m").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("m"))
+                - (F.max("n") + 1) * F.max("tot")
+            ).cast("double")
+            / (F.max("n") * F.max("tot")).cast("double")
+        ).alias("gini"),
+        F.max("n").alias("n_customers"),
+    )
