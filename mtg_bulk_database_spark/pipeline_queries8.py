@@ -1045,3 +1045,38 @@ def q168(spark, sf_dir):
         ).alias("gini"),
         F.max("n").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per group (robust spread).
+# ---------------------------------------------------------------------------
+@query(
+    "q169_mad_by_lang",
+    """WITH med AS (
+         SELECT lang, quantile_cont(n_chars, 0.5) AS m
+         FROM documents GROUP BY lang)
+       SELECT d.lang,
+              max(med.m) AS median_chars,
+              quantile_cont(abs(d.n_chars - med.m), 0.5) AS mad
+       FROM documents d JOIN med ON d.lang = med.lang
+       GROUP BY d.lang""",
+)
+def q169(spark, sf_dir):
+    """Per-language MAD — the robust spread statistic outlier gates
+    should use instead of stddev (q153's z-score breaks down exactly
+    when the outliers you hunt contaminate the moments; MAD does not).
+    Two grouped exact percentiles: the per-group median broadcasts back
+    over the scan (tiny dim), then the median of absolute deviations —
+    the same quantile_cont/percentile interpolation parity q145 pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("m")
+    )
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("m").alias("median_chars"),
+            F.expr("percentile(abs(n_chars - m), 0.5)").alias("mad"),
+        )
+    )
