@@ -1080,3 +1080,49 @@ def q169(spark, sf_dir):
             F.expr("percentile(abs(n_chars - m), 0.5)").alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR-fence outliers per group.
+# ---------------------------------------------------------------------------
+@query(
+    "q170_iqr_outliers",
+    """WITH q AS (
+         SELECT event_type,
+                quantile_cont(value, 0.25) AS p25,
+                quantile_cont(value, 0.75) AS p75
+         FROM events GROUP BY event_type)
+       SELECT e.event_type,
+              max(q.p25) AS p25, max(q.p75) AS p75,
+              SUM(CASE WHEN e.value < q.p25 - 1.5 * (q.p75 - q.p25)
+                        OR  e.value > q.p75 + 1.5 * (q.p75 - q.p25)
+                       THEN 1 ELSE 0 END) AS n_outliers,
+              count(*) AS n_events
+       FROM events e JOIN q ON e.event_type = q.event_type
+       GROUP BY e.event_type""",
+)
+def q170(spark, sf_dir):
+    """Tukey box-plot fences per event type (1.5·IQR beyond the
+    quartiles) — the third outlier lens next to moment-based z-scores
+    (q153) and MAD (q169); quartile fences are what monitoring
+    dashboards actually draw. Quartile dim broadcasts back over the
+    scan; fences compare identical float expressions in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    is_out = (F.col("value") < F.col("p25") - 1.5 * iqr) | (
+        F.col("value") > F.col("p75") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("p25").alias("p25"),
+            F.max("p75").alias("p75"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )
