@@ -1126,3 +1126,134 @@ def q170(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth (MoM revenue).
+# ---------------------------------------------------------------------------
+@query(
+    "q171_mom_growth",
+    """WITH m AS (
+         SELECT date_trunc('month', o_orderdate) AS month,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+         FROM orders GROUP BY 1)
+       SELECT CAST(month AS DATE) AS month,
+              CAST(rev AS DOUBLE) AS revenue,
+              CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+              CASE WHEN lag(rev) OVER (ORDER BY month) IS NOT NULL
+                   THEN CAST(rev AS DOUBLE)
+                        / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) - 1.0
+              END AS growth
+       FROM m""",
+)
+def q171(spark, sf_dir):
+    """Month-over-month growth — the period-comparison reporting shape:
+    decimal-exact monthly rollup, lag() over the (tiny) month frame,
+    one division per row on identical operands. date_trunc('month')
+    returns TIMESTAMP in Spark vs DATE-castable in DuckDB — both sides
+    emit DATE (the q147 lesson, institutionalized)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        F.col("month").cast("date").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(),
+            F.col("rev").cast("double") / prev.cast("double") - 1.0,
+        ).alias("growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users by day (the growth-dashboard curve).
+# ---------------------------------------------------------------------------
+@query(
+    "q172_cumulative_uniques",
+    """WITH first_seen AS (
+         SELECT user_id, CAST(min(ts) AS DATE) AS d
+         FROM events GROUP BY user_id),
+       per_day AS (
+         SELECT d, count(*) AS n_new FROM first_seen GROUP BY d)
+       SELECT d, n_new,
+              SUM(n_new) OVER (ORDER BY d) AS cumulative_users
+       FROM per_day""",
+)
+def q172(spark, sf_dir):
+    """Exact cumulative distinct users over time WITHOUT a running
+    COUNT(DISTINCT) (which no engine supports as a window): each user
+    collapses to a first-seen date, and the cumulative-unique curve is
+    a plain running SUM of the per-day first-seen counts — the standard
+    rewrite that turns an impossible window into two cheap aggregates.
+    Integer counts only; the window frame is days, not users."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    return per_day.select(
+        "d",
+        "n_new",
+        F.sum("n_new").over(Window.orderBy("d")).alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (cumulative-share tiers).
+# ---------------------------------------------------------------------------
+@query(
+    "q173_abc_classification",
+    """WITH c AS (
+         SELECT o_custkey,
+                SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS m
+         FROM orders GROUP BY o_custkey),
+       r AS (
+         SELECT o_custkey, m,
+                SUM(m) OVER (ORDER BY m DESC, o_custkey) AS cum,
+                SUM(m) OVER () AS tot
+         FROM c),
+       t AS (
+         SELECT o_custkey,
+                CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                     WHEN cum * 100 <= tot * 95 THEN 'B'
+                     ELSE 'C' END AS tier
+         FROM r)
+       SELECT tier, count(*) AS n_customers FROM t GROUP BY tier""",
+)
+def q173(spark, sf_dir):
+    """ABC (Pareto) customer classification: rank by revenue
+    descending (custkey tiebreak), running decimal-exact share, tiers
+    at 80% / 95% of total — the inventory/CRM bread-and-butter. The
+    tier comparisons are INTEGER-scaled decimal inequalities
+    (cum·10 ≤ tot·8), so the class boundary cannot drift on float
+    rounding in either engine."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m")
+    )
+    r = c.select(
+        "o_custkey",
+        "m",
+        F.sum("m")
+        .over(Window.orderBy(F.desc("m"), F.asc("o_custkey")))
+        .alias("cum"),
+        F.sum("m").over(Window.partitionBy()).alias("tot"),
+    )
+    tier = (
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return r.select(tier.alias("tier")).groupBy("tier").agg(
+        F.count("*").alias("n_customers")
+    )
