@@ -1257,3 +1257,48 @@ def q173(spark, sf_dir):
     return r.select(tier.alias("tier")).groupBy("tier").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap histogram (traffic-shape diagnostics).
+# ---------------------------------------------------------------------------
+@query(
+    "q174_interarrival_histogram",
+    """WITH g AS (
+         SELECT epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                  AS gap_s
+         FROM events),
+       b AS (
+         SELECT CASE WHEN gap_s < 60 THEN '0_under_1m'
+                     WHEN gap_s < 600 THEN '1_1m_to_10m'
+                     WHEN gap_s < 1800 THEN '2_10m_to_30m'
+                     WHEN gap_s < 7200 THEN '3_30m_to_2h'
+                     ELSE '4_over_2h' END AS bucket
+         FROM g WHERE gap_s IS NOT NULL)
+       SELECT bucket, count(*) AS n_gaps FROM b GROUP BY bucket""",
+)
+def q174(spark, sf_dir):
+    """Inter-arrival-time histogram per user stream — the diagnostic
+    that justifies session-gap and watermark choices with data instead
+    of folklore (the 30-minute session rule and the 2-hour watermark
+    both come from where THIS distribution's mass sits). One window
+    shuffle for the lag, fixed log-spaced buckets, integer counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    bucket = (
+        F.when(gap < 60, "0_under_1m")
+        .when(gap < 600, "1_1m_to_10m")
+        .when(gap < 1800, "2_10m_to_30m")
+        .when(gap < 7200, "3_30m_to_2h")
+        .otherwise("4_over_2h")
+    )
+    return (
+        ev.select(gap.alias("gap_s"), bucket.alias("bucket"))
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_gaps"))
+    )
