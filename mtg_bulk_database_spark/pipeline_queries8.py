@@ -1302,3 +1302,49 @@ def q174(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").alias("n_gaps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dormancy / reactivation census (churn analytics).
+# ---------------------------------------------------------------------------
+_DORMANT_S = 7 * 86400  # a week of silence = dormancy
+
+@query(
+    "q175_reactivation_census",
+    f"""WITH g AS (
+          SELECT user_id,
+                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+                   AS gap_s
+          FROM events),
+        per_user AS (
+          SELECT user_id,
+                 SUM(CASE WHEN gap_s > {_DORMANT_S} THEN 1 ELSE 0 END)
+                   AS n_reactivations
+          FROM g GROUP BY user_id)
+        SELECT n_reactivations, count(*) AS n_users
+        FROM per_user GROUP BY n_reactivations""",
+)
+def q175(spark, sf_dir):
+    """Churn-and-return census: a reactivation is any per-user silence
+    longer than the dormancy window followed by new activity — counted
+    from the same lag-gap machinery as q174, rolled up per user, then
+    into the (reactivation count → users) distribution a retention
+    team tracks. One window shuffle, two cheap aggregates."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    per_user = (
+        ev.select("user_id", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_s") > _DORMANT_S, 1).otherwise(0)
+            ).alias("n_reactivations")
+        )
+    )
+    return per_user.groupBy("n_reactivations").agg(
+        F.count("*").alias("n_users")
+    )
