@@ -125,17 +125,31 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Full-name timings for local analysis (not driver-parsed).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump({"queries": timings, "sf": sf}, fh, indent=1)
+
+    # The driver keeps only a bounded tail of this process's output, so the
+    # JSON result line must be SHORT (short `qNN` keys, 3-decimal timings)
+    # and LAST (after spark.stop(), so no shutdown log noise follows it).
+    spark.stop()
+    compact = {n.split("_", 1)[0]: round(t, 3) for n, t in timings.items()}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -456,8 +456,18 @@ def ledger_delete(
         if not paths:
             return base
         snap = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # input_file_name() yields a Hadoop URI whose path segment is
+        # percent-encoded (spaces etc.); unquote before comparing with
+        # the manifest's plain filesystem paths or the probe silently
+        # matches nothing for table roots containing special characters.
+        from urllib.parse import unquote, urlparse
+
         hit_files = {
-            os.path.realpath(r[0].replace("file:", "", 1))
+            os.path.realpath(
+                unquote(urlparse(r[0]).path)
+                if r[0].startswith("file:")
+                else unquote(r[0])
+            )
             for r in snap.where(pred)
             .select(F.input_file_name())
             .distinct()

@@ -632,7 +632,17 @@ def hamming64_near_pairs(
     equi-join on (chunk_idx, chunk_value), never all-pairs. Shared by
     the text SimHash and image average-hash near-dup paths. Callers
     should localCheckpoint ``fp`` if the hash came from a Python stage
-    (it feeds both sides of the self-join)."""
+    (it feeds both sides of the self-join).
+
+    ``max_hamming`` must be <= 7: with 8 chunks, a pair at distance 8+
+    can differ in every chunk and would silently never become a
+    candidate — raise rather than lose recall."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            "hamming64_near_pairs: 8x8-bit pigeonhole banding is only "
+            f"complete for max_hamming <= 7 (got {max_hamming}); use more, "
+            "narrower bands for larger radii"
+        )
     chunks = fp.select(
         id_col,
         hash_col,

@@ -1,0 +1,203 @@
+"""Scale-safe GLOBAL ordered windows (cumulative sums / row numbers /
+ntiles) without a single-partition WindowExec.
+
+``Window.orderBy(...)`` with no PARTITION BY is the classic 100×-scale
+killer: Spark plans ``Exchange SinglePartition`` and sorts the whole
+input on one core.  Fine on a dimension table at sf0.1; fatal on a
+fact table on a 1000-executor cluster.  The standard two-pass swap
+implemented here:
+
+1. **Range-bucket** rows by an approximate-quantile histogram of a
+   numeric prefix of the sort key (one cheap pass; boundaries only
+   affect *balance*, never correctness — every row with the same key
+   value lands in the same bucket because assignment compares the
+   value against fixed boundary literals).
+2. **Local pass**: per-bucket running aggregates via
+   ``Window.partitionBy(bucket).orderBy(...)`` — a balanced hash
+   shuffle on the bucket id, each partition sorts only its slice.
+3. **Offset pass**: per-bucket totals (map-side-combined aggregate,
+   ≤ ``buckets`` rows) are collected to the driver — metadata-scale,
+   like a range partitioner's boundary exchange — turned into an
+   EXCLUSIVE prefix (count / weight) per bucket, and broadcast-joined
+   back.  ``global = bucket_offset + local``.
+
+Exactness: decimal addition is associative, so bucketed partial sums
+followed by the offset add reproduce the single-sequence cumulative
+sum bit-for-bit; row numbers are exact because the order columns pin a
+TOTAL order (callers must include a unique tiebreak, same discipline
+as everywhere else in this engine).
+
+The reference (a Postgres ETL, ``schema/init.sql``) leans on
+single-node ORDER BY for such statistics; this module is the
+distributed re-expression its reporting queries need at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: column names injected into the caller's frame (dropped by callers
+#: after use; underscored to avoid collisions with data columns).
+BUCKET = "_sw_bucket"
+CUM = "_sw_cum"
+RN = "_sw_rn"
+
+
+def _bucket_expr(range_col: str, bounds: Sequence[float]) -> Column:
+    """Bucket id = number of boundaries strictly below the value.
+
+    Rows equal to a boundary all take the LOWER bucket (``> b`` is
+    false), so equal sort-key values can never straddle a bucket edge
+    — the property that makes the decomposition exact even when the
+    histogram is approximate.  NULLs compare unknown → bucket 0, which
+    matches ascending NULLS FIRST ordering.
+    """
+    if not bounds:
+        return F.lit(0)
+    e: Column = F.lit(0)
+    for b in bounds:
+        e = e + F.when(F.col(range_col) > F.lit(b), 1).otherwise(0)
+    return e
+
+
+def global_running(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    range_col: str,
+    weight_col: Optional[str] = None,
+    buckets: int = 64,
+    sample_fraction: Optional[float] = None,
+) -> tuple[DataFrame, int, object]:
+    """Attach global running columns over ``ORDER BY order_exprs``.
+
+    Parameters
+    ----------
+    df : input frame; should be cheap to recompute or checkpointed by
+        the caller (three passes run over it: histogram, totals, main).
+    order_exprs : Column sort expressions pinning a TOTAL order (unique
+        tiebreak last — same determinism discipline as the rest of the
+        engine).
+    range_col : name of a NUMERIC column on ``df`` that is monotone in
+        the leading sort direction (for DESC ordering pass a negated
+        helper column).  Used only for bucket balance.
+    weight_col : optional column to cumulative-sum (decimal-safe); adds
+        ``CUM``.  ``RN`` (global row_number) is always added.
+    buckets : histogram resolution — the parallelism of the sort phase.
+    sample_fraction : when set, the boundary histogram is computed on a
+        ``df.sample`` of this fraction instead of the full input —
+        RangePartitioner's own trick.  Boundaries shape bucket BALANCE
+        only, never values, so sampling cannot affect correctness; use
+        it on fact-table inputs where a full extra scan is the dominant
+        cost.  A degenerate sample just means fewer/skewed buckets
+        (less parallelism), still exact.
+
+    Returns ``(out, n_total, weight_total)``; ``weight_total`` is a
+    driver-side value (``decimal.Decimal`` for decimal weights, None
+    when ``weight_col`` is None) so callers can inject grand totals
+    without another ``Window.partitionBy()`` single-partition pass.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    k = max(int(buckets), 1)
+    # Pass 1 — histogram. Approximate is fine: boundaries shape balance
+    # only. relativeError 1/(4k) keeps buckets within ~25% of even.
+    qs = [i / k for i in range(1, k)]
+    hist_src = (
+        df.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction is not None
+        else df
+    )
+    bounds = hist_src.approxQuantile(range_col, qs, 1.0 / (4 * k)) if qs else []
+    bounds = sorted(set(bounds))
+
+    tagged = df.withColumn(BUCKET, _bucket_expr(range_col, bounds))
+
+    # Pass 2 — per-bucket totals (map-side combined; ≤ k rows out).
+    aggs = [F.count(F.lit(1)).alias("_c")]
+    w_type: Optional[T.DataType] = None
+    if weight_col is not None:
+        aggs.append(F.sum(F.col(weight_col)).alias("_s"))
+        w_type = tagged.select(F.sum(F.col(weight_col))).schema[0].dataType
+    totals = {
+        r["_sw_bucket_key"]: r
+        for r in tagged.groupBy(F.col(BUCKET).alias("_sw_bucket_key"))
+        .agg(*aggs)
+        .collect()
+    }
+    n_total = sum(r["_c"] for r in totals.values())
+    weight_total = (
+        sum(r["_s"] for r in totals.values() if r["_s"] is not None)
+        if weight_col is not None
+        else None
+    )
+
+    # Exclusive prefix offsets in bucket order (driver-side: ≤ k rows —
+    # the same metadata-scale exchange a RangePartitioner performs).
+    import decimal
+
+    if isinstance(w_type, T.DecimalType):
+        zero: object = decimal.Decimal(0)
+    elif isinstance(w_type, (T.DoubleType, T.FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
+    rows = []
+    run_c, run_s = 0, zero
+    for b in sorted(totals):
+        r = totals[b]
+        rows.append((b, run_c) + ((run_s,) if weight_col is not None else ()))
+        run_c += r["_c"]
+        if weight_col is not None and r["_s"] is not None:
+            run_s = run_s + r["_s"]
+    fields = [
+        T.StructField(BUCKET, T.IntegerType(), False),
+        T.StructField("_sw_off_c", T.LongType(), False),
+    ]
+    if weight_col is not None:
+        fields.append(T.StructField("_sw_off_s", w_type, True))
+    off = spark.createDataFrame(rows, T.StructType(fields))
+
+    # Pass 3 — balanced local windows + broadcast offset join.
+    w_local = Window.partitionBy(BUCKET).orderBy(*order_exprs)
+    out = tagged.join(F.broadcast(off), BUCKET, "left")
+    out = out.withColumn(
+        RN, F.coalesce(F.col("_sw_off_c"), F.lit(0)) + F.row_number().over(w_local)
+    )
+    if weight_col is not None:
+        out = out.withColumn(
+            CUM,
+            F.coalesce(
+                F.col("_sw_off_s"), F.lit(0).cast(w_type)
+            )
+            + F.sum(F.col(weight_col)).over(w_local),
+        )
+    return (
+        out.drop("_sw_off_c", *(["_sw_off_s"] if weight_col is not None else [])),
+        int(n_total),
+        weight_total,
+    )
+
+
+def ntile_from_rn(rn: Column, n_rows: int, tiles: int) -> Column:
+    """SQL ``ntile(tiles)`` reconstructed from a global row number.
+
+    ntile semantics: with ``n = q*tiles + r`` rows, the first ``r``
+    tiles take ``q+1`` rows, the rest ``q`` — an integer formula over
+    the 1-based global rank, so the scale-safe ``global_running`` rank
+    yields bit-identical buckets to the engine built-in.
+    """
+    q, r = divmod(int(n_rows), int(tiles))
+    big = r * (q + 1)  # rows living in the (q+1)-sized leading tiles
+    if q == 0:
+        # fewer rows than tiles: tile i is row i
+        return rn.cast("int")
+    return (
+        F.when(rn <= F.lit(big), ((rn - 1) / F.lit(q + 1)).cast("int") + 1)
+        .otherwise(F.lit(r) + ((rn - F.lit(big) - 1) / F.lit(q)).cast("int") + 1)
+        .cast("int")
+    )

@@ -46,11 +46,24 @@ def q150(spark, sf_dir):
     """Association rules over order baskets: pair support via the
     ascending self-join on the order key (each unordered pair built
     once, same discipline as the triangle counter), lift from the
-    broadcast 1-row order count and the per-item frequency table. The
-    HAVING floor (min support 3) is what keeps the pair space sparse
-    at scale — exactly Apriori's first pruning level. Numerator and
-    denominator stay integers until ONE final double division, so the
-    lift value is bit-identical across engines."""
+    broadcast 1-row order count and the per-item frequency table.
+    Numerator and denominator stay integers until ONE final double
+    division, so the lift value is bit-identical across engines.
+
+    APRIORI LEVEL-1 PRUNE (r4): pair support is bounded by the rarer
+    item's frequency, so items with freq < min_support can never
+    appear in a surviving pair — semi-joining ``items`` against the
+    frequent-item set BEFORE the quadratic self-join shrinks its input
+    at zero correctness cost (the r3 plan filtered only AFTER building
+    every pair).  A documented per-basket size cap guards the
+    skewed-basket blowup: a basket of b frequent items emits b·(b−1)/2
+    pairs, so one pathological 10⁵-item basket would emit 5·10⁹ rows
+    from a single key.  TPC-H baskets are ≤ 7 lines, so the default
+    cap (64) provably drops nothing here and the oracle hash is
+    unchanged; at 100 TB you either keep the cap (standard practice:
+    such baskets are bot traffic, not signal) or sample within them."""
+    MIN_SUPPORT = 3
+    MAX_BASKET = 64
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -59,12 +72,35 @@ def q150(spark, sf_dir):
         F.countDistinct("o").alias("n_orders")
     )
     freq = items.groupBy("p").agg(F.count("*").alias("c"))
-    a, b = items.alias("a"), items.alias("b")
+    # Level-1 prune as a BROADCAST ANTI-join against the INFREQUENT
+    # set: on order-like data the frequent side is nearly everything
+    # (TPC-H sf0.1: ~0 parts below support 3), so semi-joining against
+    # it would shuffle `items` by p for nothing — the infrequent
+    # complement is the small, broadcastable side.  On a Zipfian corpus
+    # the tail dominates and the broadcast flips: swap to
+    # `items.join(frequent, "p", "left_semi")` (shuffle semi-join) —
+    # same algebra, opposite cardinality bet.
+    infrequent = freq.where(F.col("c") < MIN_SUPPORT).select("p")
+    items_f = items.join(F.broadcast(infrequent), "p", "left_anti")
+    # Basket-size cap as a COUNT window over the order key: one hash
+    # shuffle by o that the self-join below immediately reuses (both
+    # join legs descend from this same exchange), instead of a separate
+    # groupBy + semi-join pass.
+    from pyspark.sql import Window
+
+    items_f = (
+        items_f.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("o"))
+        )
+        .where(F.col("_bsz") <= MAX_BASKET)
+        .drop("_bsz")
+    )
+    a, b = items_f.alias("a"), items_f.alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
         .agg(F.count("*").alias("n_both"))
-        .where(F.col("n_both") >= 3)
+        .where(F.col("n_both") >= MIN_SUPPORT)
     )
     fa = freq.select(F.col("p").alias("p_a"), F.col("c").alias("n_a"))
     fb = freq.select(F.col("p").alias("p_b"), F.col("c").alias("n_b"))
@@ -109,11 +145,16 @@ def q151(spark, sf_dir):
     ordering carries the customer key as the FINAL tiebreak: bare
     `ORDER BY frequency` leaves tied customers' bucket assignment to
     engine whim (and Spark's partial sort order), which is exactly the
-    class of nondeterminism this engine bans. The three global ntiles
-    are windows over a single-partition frame — fine at customer-table
-    scale (dimension-sized), and the documented swap at larger scale is
-    percent_rank over range partitioning."""
-    from pyspark.sql import Window
+    class of nondeterminism this engine bans.
+
+    SCALE-SAFE plan (r4, replaces three single-partition global-ntile
+    windows): each score runs ``scalewin.global_running`` for a
+    range-bucketed global rank, then ``ntile_from_rn`` rebuilds the
+    exact SQL ntile bucket from (rank, n) with integer arithmetic —
+    bit-identical to the engine built-in.  The per-customer aggregate
+    is localCheckpointed once so the three ranking passes (histogram +
+    totals + rank each) don't recompute the orders scan."""
+    from .operators.scalewin import RN, global_running, ntile_from_rn
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -122,21 +163,33 @@ def q151(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("double")
         .alias("monetary"),
-    )
-    return rfm.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy("last_order", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_score"),
+    ).localCheckpoint(eager=True)
+
+    def score(col: str, range_expr, out_name: str):
+        base = rfm.select("o_custkey", col).withColumn("_rng", range_expr)
+        ranked, n, _ = global_running(
+            base, [F.asc(col), F.asc("o_custkey")], range_col="_rng"
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rn(F.col(RN), n, 5).alias(out_name)
+        )
+
+    r = score("last_order", F.datediff("last_order", F.lit("1970-01-01").cast("date")), "r_score")
+    f = score("frequency", F.col("frequency").cast("double"), "f_score")
+    m = score("monetary", F.col("monetary"), "m_score")
+    return (
+        rfm.join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            "o_custkey",
+            "last_order",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 
@@ -969,27 +1022,37 @@ def q167(spark, sf_dir):
     """EXACT weighted median (price weighted by quantity) — a statistic
     no engine ships built-in: sort by value with the key tiebreak,
     running decimal-exact weight sum, boundary row where cumulative
-    weight crosses half the total. The cumulative window is evaluated
-    sequentially along a PINNED total order, so both engines add the
-    same decimals in the same order. Global-order window at this scale;
-    at 100 TB the standard two-pass swap applies (range-partition
-    histogram to locate the boundary partition, exact scan inside it —
-    the same recipe q57's exact percentile documents)."""
-    from pyspark.sql import Window
+    weight crosses half the total.
+
+    SCALE-SAFE plan (r4, replaces the r3 single-partition
+    ``Window.orderBy`` over the FACT table): the cumulative weight is
+    computed by ``operators.scalewin.global_running`` — range-bucket
+    histogram on price, balanced per-bucket windows, driver-side
+    bucket-prefix offsets — so the biggest table in the schema is
+    sorted 64 ways in parallel instead of on one core.  Decimal
+    addition is associative, so the bucketed partial sums + offset add
+    reproduce the sequential cumulative sum bit-for-bit and the DuckDB
+    oracle (a literal single-sequence window) hashes identically."""
+    from .operators.scalewin import CUM, global_running
 
     li = load_table(spark, sf_dir, "lineitem")
-    wq = F.col("l_quantity").cast("decimal(18,6)")
-    order = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    s = li.select(
+    base = li.select(
         F.col("l_extendedprice").alias("v"),
-        F.sum(wq).over(order).alias("cw"),
-        F.sum(wq).over(
-            Window.partitionBy()
-        ).alias("tw"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("w"),
     )
-    return s.where(F.col("cw") * 2 >= F.col("tw")).agg(
-        F.min("v").alias("weighted_median_price"),
-        F.max("tw").cast("double").alias("total_weight"),
+    out, _n, tw = global_running(
+        base,
+        [F.asc("v"), F.asc("ok"), F.asc("ln")],
+        range_col="v",
+        weight_col="w",
+        sample_fraction=0.05,  # fact-table input: histogram on a sample
+    )
+    return (
+        out.where(F.col(CUM) * 2 >= F.lit(tw))
+        .agg(F.min("v").alias("weighted_median_price"))
+        .withColumn("total_weight", F.lit(float(tw)))
     )
 
 
@@ -1020,30 +1083,35 @@ def q168(spark, sf_dir):
     everywhere downstream). Exact rank formulation
     G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) over a PINNED total order
     (monetary, custkey): every sum is decimal-exact and the division
-    happens once, on identical operands in both engines."""
-    from pyspark.sql import Window
+    happens once, on identical operands in both engines.
+
+    SCALE-SAFE plan (r4): the global rank comes from
+    ``scalewin.global_running`` (range-bucketed row numbers, no
+    single-partition window); n and Σx ride back as driver literals
+    from the same bucket-totals pass instead of two more
+    ``Window.partitionBy()`` scans."""
+    from .operators.scalewin import RN, global_running
 
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m")
     )
-    r = c.select(
-        "m",
-        F.row_number()
-        .over(Window.orderBy("m", "o_custkey"))
-        .alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-        F.sum("m").over(Window.partitionBy()).alias("tot"),
+    base = c.withColumn("mr", F.col("m").cast("double"))
+    out, n, tot = global_running(
+        base,
+        [F.asc("m"), F.asc("o_custkey")],
+        range_col="mr",
+        weight_col="m",
     )
-    return r.agg(
+    return out.agg(
         (
             (
-                2 * F.sum(F.col("i") * F.col("m"))
-                - (F.max("n") + 1) * F.max("tot")
+                2 * F.sum(F.col(RN) * F.col("m"))
+                - (F.lit(n) + 1) * F.lit(tot)
             ).cast("double")
-            / (F.max("n") * F.max("tot")).cast("double")
+            / (F.lit(n) * F.lit(tot)).cast("double")
         ).alias("gini"),
-        F.max("n").alias("n_customers"),
+        F.lit(n).cast("long").alias("n_customers"),
     )
 
 
@@ -1234,27 +1302,31 @@ def q173(spark, sf_dir):
     at 80% / 95% of total — the inventory/CRM bread-and-butter. The
     tier comparisons are INTEGER-scaled decimal inequalities
     (cum·10 ≤ tot·8), so the class boundary cannot drift on float
-    rounding in either engine."""
-    from pyspark.sql import Window
+    rounding in either engine.
+
+    SCALE-SAFE plan (r4): the descending running revenue comes from
+    ``scalewin.global_running`` over a negated range helper (so the
+    ascending bucket histogram tracks the DESC order); the grand total
+    is the bucket-totals literal — no single-partition window."""
+    from .operators.scalewin import CUM, global_running
 
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m")
     )
-    r = c.select(
-        "o_custkey",
-        "m",
-        F.sum("m")
-        .over(Window.orderBy(F.desc("m"), F.asc("o_custkey")))
-        .alias("cum"),
-        F.sum("m").over(Window.partitionBy()).alias("tot"),
+    base = c.withColumn("negm", -F.col("m").cast("double"))
+    out, _n, tot = global_running(
+        base,
+        [F.desc("m"), F.asc("o_custkey")],
+        range_col="negm",
+        weight_col="m",
     )
     tier = (
-        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
-        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        F.when(F.col(CUM) * 10 <= F.lit(tot) * 8, "A")
+        .when(F.col(CUM) * 100 <= F.lit(tot) * 95, "B")
         .otherwise("C")
     )
-    return r.select(tier.alias("tier")).groupBy("tier").agg(
+    return out.select(tier.alias("tier")).groupBy("tier").agg(
         F.count("*").alias("n_customers")
     )
 

@@ -264,22 +264,32 @@ def stream_cusum_alerts(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (s,) = state.get if state.exists else (0.0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-            ss, alerts = [], []
-            for x in pdf[value_col]:
-                s = s + (x - drift)
-                if s < 0.0:
-                    s = 0.0
-                fire = s > threshold
-                ss.append(s)
-                alerts.append(bool(fire))
-                if fire:
-                    s = 0.0
-            out = pdf[[key_col, id_col, ts_col, value_col]].copy()
-            out["cusum"] = ss
-            out["alert"] = alerts
-            yield out
+        # applyInPandasWithState splits a key's micro-batch into ~10k-row
+        # Arrow chunks; sorting each chunk independently would run the
+        # fold out of (ts, id) order for keys with more rows per batch
+        # than one chunk holds. Concatenate the WHOLE batch for the key,
+        # sort once, then fold — the within-batch ordering contract in
+        # the docstring holds at any batch size.
+        chunks = list(pdfs)
+        if not chunks:  # defensive: key invoked with no data
+            state.update((s,))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        ss, alerts = [], []
+        for x in pdf[value_col]:
+            s = s + (x - drift)
+            if s < 0.0:
+                s = 0.0
+            fire = s > threshold
+            ss.append(s)
+            alerts.append(bool(fire))
+            if fire:
+                s = 0.0
+        out = pdf[[key_col, id_col, ts_col, value_col]].copy()
+        out["cusum"] = ss
+        out["alert"] = alerts
+        yield out
         state.update((s,))
 
     return (
@@ -328,18 +338,29 @@ def stream_time_sorted(
     # buffered rows ride state as parallel arrays (micros, id, value)
     state_schema = "ts_us array<long>, ids array<long>, vals array<double>"
 
+    # Arrow hands the worker NAIVE session-local wall-clock timestamps,
+    # while getCurrentWatermarkMs() is TRUE epoch — capture the session
+    # timezone driver-side so the worker can convert between the two
+    # correctly for any session tz, not only the UTC pin in session.py.
+    tz_name = (
+        events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
+
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import datetime as dt
+        from zoneinfo import ZoneInfo
 
+        tz = ZoneInfo(tz_name)
         ts_us, ids, vals = (
             state.get if state.exists else ([], [], [])
         )
         ts_us, ids, vals = list(ts_us), list(ids), list(vals)
         for pdf in pdfs:
             for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
-                ts_us.append(int(t.value // 1000))  # pandas ns -> us
+                # naive session-local -> true epoch micros
+                ts_us.append(int(t.tz_localize(tz).value // 1000))
                 ids.append(int(i))
                 vals.append(float(v))
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -359,7 +380,10 @@ def stream_time_sorted(
                     key_col: [key[0]] * len(ready),
                     id_col: [i for _, i, _ in ready],
                     ts_col: [
-                        dt.datetime.utcfromtimestamp(t / 1_000_000)
+                        # true epoch micros -> naive session-local
+                        pd.Timestamp(t, unit="us", tz="UTC")
+                        .tz_convert(tz)
+                        .tz_localize(None)
                         for t, _, _ in ready
                     ],
                     value_col: [v for _, _, v in ready],

@@ -396,3 +396,18 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q150_apriori_prune_semijoins(spark):
+    # r4: the basket self-join input must be pre-pruned upstream of the
+    # quadratic order-key self-join — a broadcast ANTI-join against the
+    # infrequent-item set (Apriori level 1; the complement bet, since on
+    # order data the frequent side is ~everything) and a per-basket size
+    # cap expressed as a count-window over the order key so the
+    # self-join reuses its hash partitioning
+    df = QUERIES["q150_market_basket"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert any(
+        "Window" in ln and "o#" in ln for ln in plan.splitlines()
+    ), plan[:2000]

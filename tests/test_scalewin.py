@@ -1,0 +1,129 @@
+"""Scale-safe global window decomposition (`operators/scalewin.py`):
+
+1. equivalence — `global_running` / `ntile_from_rn` must reproduce the
+   single-partition `Window.orderBy(...)` built-ins bit-for-bit
+   (including decimal cumulative sums and ntile's uneven buckets);
+2. plan pins — the four reporting queries rewritten onto it in r4
+   (q167 / q151 / q168 / q173) must contain NO window over an empty
+   partition spec: every WindowExec partitions by the range bucket, so
+   the sort parallelism scales with the bucket count, not 1.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.operators.scalewin import (
+    BUCKET,
+    CUM,
+    RN,
+    global_running,
+    ntile_from_rn,
+)
+from mtg_bulk_database_spark.plans import executed_plan
+from mtg_bulk_database_spark.registry import load_registry
+
+QUERIES, _ = load_registry()
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _mixed_frame(spark, n=997):
+    # deterministic, tie-heavy values: v repeats every 13, weight decimal
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 13).cast("double").alias("v"),
+        ((F.col("id") * 7) % 5 + 1).cast("decimal(18,6)").alias("w"),
+    )
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    df = _mixed_frame(spark)
+    out, n, tot = global_running(
+        df, [F.asc("v"), F.asc("id")], range_col="v", weight_col="w", buckets=8
+    )
+    got = {
+        r["id"]: (r[RN], r[CUM])
+        for r in out.select("id", RN, CUM).collect()
+    }
+    w = Window.orderBy("v", "id")
+    exp = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("w").over(w).alias("cum"),
+        ).collect()
+    }
+    assert n == 997
+    assert got == exp
+    assert tot == sum((i * 7) % 5 + 1 for i in range(997))
+
+
+def test_global_running_desc_order(spark):
+    df = _mixed_frame(spark, 300).withColumn("negv", -F.col("v"))
+    out, _, _ = global_running(
+        df, [F.desc("v"), F.asc("id")], range_col="negv", weight_col="w", buckets=8
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    exp = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {r["id"]: r[RN] for r in out.select("id", RN).collect()}
+    assert got == exp
+
+
+@pytest.mark.parametrize("n_rows", [3, 5, 7, 100, 101, 104])
+def test_ntile_formula_matches_builtin(spark, n_rows):
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 9).cast("double").alias("v")
+    )
+    out, n, _ = global_running(df, [F.asc("v"), F.asc("id")], range_col="v", buckets=4)
+    got = {
+        r["id"]: r["t"]
+        for r in out.select(
+            "id", ntile_from_rn(F.col(RN), n, 5).alias("t")
+        ).collect()
+    }
+    exp = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", F.ntile(5).over(Window.orderBy("v", "id")).alias("t")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_empty_input(spark):
+    df = spark.range(0).select(
+        F.col("id"), F.col("id").cast("double").alias("v"),
+        F.col("id").cast("decimal(18,6)").alias("w"),
+    )
+    out, n, tot = global_running(
+        df, [F.asc("v"), F.asc("id")], range_col="v", weight_col="w"
+    )
+    assert out.count() == 0 and n == 0 and tot == 0
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q167_weighted_median_price",
+        "q151_rfm_scores",
+        "q168_revenue_gini",
+        "q173_abc_classification",
+    ],
+)
+def test_no_single_partition_window(spark, qname):
+    # every Window in the plan must partition by the range bucket —
+    # the r3 plans had `Window [...], [], [... ASC]` (empty partition
+    # spec → Exchange SinglePartition → one-core sort of the input)
+    spark.catalog.clearCache()
+    df = QUERIES[qname](spark, SF_DIR)
+    plan = executed_plan(df)
+    win_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win_lines, f"{qname}: expected windowed plan, got none"
+    for ln in win_lines:
+        assert BUCKET in ln, f"{qname}: window without bucket partition: {ln}"
