@@ -29,6 +29,8 @@ def build_jpeg_codec():
     import struct
     from types import SimpleNamespace
 
+    import numpy as np
+
     ZIGZAG = [
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
         12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -107,6 +109,13 @@ def build_jpeg_codec():
         for x in range(8)
     ]
     C = [1 / math.sqrt(2)] + [1.0] * 7
+    # DCT basis as a matrix: A[u, x] = C[u]·cos((2x+1)uπ/16), so the
+    # 2-D transforms become two 8×8 matmuls (r4 numpy vectorization):
+    #   FDCT:  A @ block @ Aᵀ / 4      IDCT:  Aᵀ @ coefs @ A / 4
+    A_DCT = np.array(
+        [[C[u] * COS[x][u] for x in range(8)] for u in range(8)],
+        dtype=np.float64,
+    )
 
     # ---- shared Huffman machinery -----------------------------------------
     def _build_codes(bits, values):
@@ -122,27 +131,27 @@ def build_jpeg_codec():
             code <<= 1
         return out
 
+    _LUT_BITS = 9  # primary lookup width: covers the common short codes
+
     def _build_decode(bits, values):
-        """(length, code) -> symbol."""
+        """Two-level Huffman decode table: a 2^9 direct LUT for codes
+        <= 9 bits (one peek + one list index per symbol, replacing the
+        r3 bit-by-bit dict walk) and a (length, code) dict for the long
+        tail.  Built per DHT segment — 512 slice-assigned entries, so
+        per-image build cost stays trivial."""
         enc = _build_codes(bits, values)
-        return {(ln, code): sym for sym, (code, ln) in enc.items()}
+        lut = [None] * (1 << _LUT_BITS)
+        long_tab = {}
+        for sym, (code, ln) in enc.items():
+            if ln <= _LUT_BITS:
+                start = code << (_LUT_BITS - ln)
+                span = 1 << (_LUT_BITS - ln)
+                lut[start : start + span] = [(sym, ln)] * span
+            else:
+                long_tab[(ln, code)] = sym
+        return lut, long_tab
 
     # ---- encoder -----------------------------------------------------------
-    def _fdct_quant(block, qt):
-        out = [0] * 64
-        for v in range(8):
-            for u in range(8):
-                s = 0.0
-                for y in range(8):
-                    cyv = COS[y][v]
-                    row = block[y]
-                    for x in range(8):
-                        s += row[x] * COS[x][u] * cyv
-                val = s * C[u] * C[v] / 4.0
-                q = qt[v * 8 + u]
-                out[v * 8 + u] = int(round(val / q))
-        return out
-
     class _BitWriter:
         def __init__(self):
             self.buf = bytearray()
@@ -222,57 +231,41 @@ def build_jpeg_codec():
         if subsampling not in ("444", "420"):
             raise ValueError("jpeg_encode: subsampling must be 444 or 420")
         ncomp = 1 if channels == 1 else 3
-        # component planes, level-shifted
-        planes = []
+        # component planes, level-shifted (numpy; same expressions and
+        # evaluation order as the r3 scalar loops, float64 throughout)
+        px_arr = np.asarray(
+            bytearray(pixels) if isinstance(pixels, (bytes, bytearray)) else pixels,
+            dtype=np.float64,
+        ).reshape(h, w, channels)
         if ncomp == 1:
-            planes.append(
-                [
-                    [pixels[(y * w + x)] - 128 for x in range(w)]
-                    for y in range(h)
-                ]
-            )
+            planes = [px_arr[:, :, 0] - 128.0]
         else:
-            ys, cbs, crs = [], [], []
-            for y in range(h):
-                ry, rcb, rcr = [], [], []
-                for x in range(w):
-                    r = pixels[(y * w + x) * 3]
-                    g = pixels[(y * w + x) * 3 + 1]
-                    b = pixels[(y * w + x) * 3 + 2]
-                    yy = 0.299 * r + 0.587 * g + 0.114 * b
-                    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-                    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-                    ry.append(yy - 128)
-                    rcb.append(cb - 128)
-                    rcr.append(cr - 128)
-                ys.append(ry)
-                cbs.append(rcb)
-                crs.append(rcr)
-            planes = [ys, cbs, crs]
+            r = px_arr[:, :, 0]
+            g = px_arr[:, :, 1]
+            b = px_arr[:, :, 2]
+            yy = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+            planes = [yy - 128, cb - 128, cr - 128]
 
         # per-component sampling factors + (possibly downsampled) planes
         if ncomp == 3 and subsampling == "420":
             samp = [(2, 2), (1, 1), (1, 1)]
             for ci in (1, 2):
+                # 2x2 mean with edge replication for odd dims — the
+                # same (a+b+c+d)/4.0 the scalar loop computed
                 src = planes[ci]
-                cw, chh = (w + 1) // 2, (h + 1) // 2
-                ds = []
-                for y in range(chh):
-                    row = []
-                    for x in range(cw):
-                        y0, y1 = 2 * y, min(2 * y + 1, h - 1)
-                        x0, x1 = 2 * x, min(2 * x + 1, w - 1)
-                        row.append(
-                            (src[y0][x0] + src[y0][x1] + src[y1][x0]
-                             + src[y1][x1]) / 4.0
-                        )
-                    ds.append(row)
-                planes[ci] = ds
+                ph, pw = h + (h & 1), w + (w & 1)
+                pad = np.pad(src, ((0, ph - h), (0, pw - w)), mode="edge")
+                planes[ci] = (
+                    pad[0::2, 0::2] + pad[0::2, 1::2]
+                    + pad[1::2, 0::2] + pad[1::2, 1::2]
+                ) / 4.0
         else:
             samp = [(1, 1)] * ncomp
-        dims = []
-        for ci in range(ncomp):
-            dims.append((len(planes[ci][0]), len(planes[ci])))
+        dims = [
+            (planes[ci].shape[1], planes[ci].shape[0]) for ci in range(ncomp)
+        ]
 
         dc_lum = _build_codes(*HT_DC_LUM)
         ac_lum = _build_codes(*HT_AC_LUM)
@@ -284,6 +277,25 @@ def build_jpeg_codec():
         vmax = max(sv for _, sv in samp)
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        # Batched FDCT+quantization per component (r4): pad each plane
+        # to its MCU grid with edge replication (== the scalar loop's
+        # min() clamping), carve into 8×8 blocks, transform ALL of them
+        # with two broadcast matmuls, quantize with round-half-even —
+        # the entropy loop below just reads the precomputed blocks.
+        qblocks = []
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            cw, chh = dims[ci]
+            ph_, pw_ = mcuy * 8 * sv, mcux * 8 * sh
+            pad = np.pad(
+                planes[ci], ((0, ph_ - chh), (0, pw_ - cw)), mode="edge"
+            )
+            blocks = pad.reshape(ph_ // 8, 8, pw_ // 8, 8).transpose(0, 2, 1, 3)
+            qt = np.asarray(
+                QT_LUM if ci == 0 else QT_CHR, dtype=np.float64
+            ).reshape(8, 8)
+            coef = A_DCT @ blocks @ A_DCT.T / 4.0
+            qblocks.append(np.rint(coef / qt).astype(np.int64))
         n_mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
@@ -298,25 +310,12 @@ def build_jpeg_codec():
                 n_mcu += 1
                 for ci in range(ncomp):
                     sh, sv = samp[ci]
-                    cw, chh = dims[ci]
-                    plane = planes[ci]
                     for by in range(sv):
                         for bx in range(sh):
-                            block = []
-                            for yy in range(8):
-                                sy = min(
-                                    (my * sv + by) * 8 + yy, chh - 1
-                                )
-                                row = []
-                                for xx in range(8):
-                                    sx = min(
-                                        (mx * sh + bx) * 8 + xx, cw - 1
-                                    )
-                                    row.append(plane[sy][sx])
-                                block.append(row)
-                            qt = QT_LUM if ci == 0 else QT_CHR
                             # natural-order coefs; _encode_block zigzags
-                            coefs = _fdct_quant(block, qt)
+                            coefs = qblocks[ci][
+                                my * sv + by, mx * sh + bx
+                            ].ravel().tolist()
                             preds[ci] = _encode_block(
                                 bw,
                                 coefs,
@@ -359,91 +358,6 @@ def build_jpeg_codec():
         return bytes(out)
 
     # ---- decoder -----------------------------------------------------------
-    class _BitReader:
-        def __init__(self, data, pos):
-            self.data = data
-            self.pos = pos
-            self.acc = 0
-            self.n = 0
-
-        def _fill(self):
-            d = self.data
-            while self.n <= 24:
-                if self.pos >= len(d):
-                    self.acc = (self.acc << 8) | 0xFF  # pad past EOI
-                    self.n += 8
-                    continue
-                b = d[self.pos]
-                if b == 0xFF:
-                    nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                    if nxt == 0x00:
-                        self.pos += 2
-                    elif 0xD0 <= nxt <= 0xD7:
-                        break  # restart marker: stop filling
-                    else:
-                        break  # EOI / other marker
-                else:
-                    self.pos += 1
-                self.acc = (self.acc << 8) | b
-                self.n += 8
-
-        def read_bit(self):
-            if self.n == 0:
-                self._fill()
-                if self.n == 0:
-                    return 0
-            self.n -= 1
-            return (self.acc >> self.n) & 1
-
-        def read_bits(self, k):
-            v = 0
-            for _ in range(k):
-                v = (v << 1) | self.read_bit()
-            return v
-
-        def sync_restart(self):
-            """Consume an RSTn marker at the current byte position."""
-            self.acc = 0
-            self.n = 0
-            d = self.data
-            while self.pos + 1 < len(d):
-                if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                    self.pos += 2
-                    return True
-                self.pos += 1
-            return False
-
-    def _decode_huff(br, table):
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        return None
-
-    def _extend(bits, size):
-        if size == 0:
-            return 0
-        if bits >> (size - 1):
-            return bits
-        return bits - (1 << size) + 1
-
-    def _idct(coefs):
-        out = [[0.0] * 8 for _ in range(8)]
-        for y in range(8):
-            for x in range(8):
-                s = 0.0
-                for v in range(8):
-                    cv = C[v] * COS[y][v]
-                    base = v * 8
-                    for u in range(8):
-                        c = coefs[base + u]
-                        if c:
-                            s += C[u] * c * COS[x][u] * cv
-                out[y][x] = s / 4.0
-        return out
-
     def jpeg_decode(payload):
         """(width, height, n_channels, pixel_bytes) for a baseline JPEG,
         or None for unsupported variants (progressive, arithmetic,
@@ -558,39 +472,154 @@ def build_jpeg_codec():
             return None
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-        # per-component full-res planes (filled block by block, chroma
-        # at component resolution then upsampled)
+        # per-component planes at component resolution (numpy: blocks
+        # land as 8×8 slice stores; chroma upsampled vectorized below)
         planes = [
-            [
-                [0] * (mcux * 8 * c["h"])
-                for _ in range(mcuy * 8 * c["v"])
-            ]
+            np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.uint8)
             for c in scan
         ]
-        br = _BitReader(d, pos)
+        # --- entropy decode with an INLINED bit reader (r4) -------------
+        # The r3 _BitReader/_decode_huff method-call structure spent
+        # most of the decode in Python call overhead (~150k calls per
+        # 64×64 image); here the accumulator rides in locals, the 9-bit
+        # Huffman LUT resolves common symbols with one index, and the
+        # rare paths (refill at marker boundaries, >9-bit codes,
+        # bit-exhaustion 0-padding) live in closures with IDENTICAL
+        # semantics to the r3 reader.  Coefficient blocks are collected
+        # and IDCT'd in ONE batched matmul at the end.
+        lend = len(d)
+        acc = 0
+        nbits = 0
+        bpos = pos
+        LB = _LUT_BITS
+        LBMASK = (1 << LB) - 1
+
+        def _fill_bits():
+            nonlocal acc, nbits, bpos
+            while nbits <= 24:
+                if bpos >= lend:
+                    acc = (acc << 8) | 0xFF  # pad past EOI
+                    nbits += 8
+                    continue
+                b = d[bpos]
+                if b == 0xFF:
+                    nxt = d[bpos + 1] if bpos + 1 < lend else 0xD9
+                    if nxt == 0x00:
+                        bpos += 2
+                    elif 0xD0 <= nxt <= 0xD7:
+                        break  # restart marker: stop filling
+                    else:
+                        break  # EOI / other marker
+                else:
+                    bpos += 1
+                acc = (acc << 8) | b
+                nbits += 8
+
+        def _slow_bits(k):
+            # bit-at-a-time with 0-padding once truly exhausted —
+            # byte-for-byte the r3 read_bit loop
+            nonlocal acc, nbits
+            v = 0
+            for _ in range(k):
+                if nbits == 0:
+                    _fill_bits()
+                    if nbits == 0:
+                        v <<= 1
+                        continue
+                nbits -= 1
+                v = (v << 1) | ((acc >> nbits) & 1)
+            return v
+
+        def _slow_huff(lut, long_tab):
+            nonlocal acc, nbits
+            code = 0
+            for length in range(1, 17):
+                if nbits == 0:
+                    _fill_bits()
+                bit = 0
+                if nbits:
+                    nbits -= 1
+                    bit = (acc >> nbits) & 1
+                code = (code << 1) | bit
+                if length <= LB:
+                    hit = lut[code << (LB - length)]
+                    if hit is not None and hit[1] == length:
+                        return hit[0]
+                else:
+                    sym = long_tab.get((length, code))
+                    if sym is not None:
+                        return sym
+            return None
+
+        comp_dc = [dc_tabs[c["dc"]] for c in scan]
+        comp_ac = [ac_tabs[c["ac"]] for c in scan]
+        comp_qt = [qts[c["tq"]] for c in scan]
         preds = [0] * len(scan)
         n_mcu = 0
+        blk_coefs = []  # natural-order 64-lists, one per decoded block
+        blk_pos = []  # (ci, oy, ox)
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart and n_mcu and n_mcu % restart == 0:
-                    br.sync_restart()
+                    acc = 0
+                    nbits = 0
+                    while bpos + 1 < lend:  # consume the RSTn marker
+                        if d[bpos] == 0xFF and 0xD0 <= d[bpos + 1] <= 0xD7:
+                            bpos += 2
+                            break
+                        bpos += 1
                     preds = [0] * len(scan)
                 n_mcu += 1
                 for ci, c in enumerate(scan):
+                    dc_lut, dc_long = comp_dc[ci]
+                    ac_lut, ac_long = comp_ac[ci]
+                    qt = comp_qt[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             coefs = [0] * 64
-                            sym = _decode_huff(br, dc_tabs[c["dc"]])
+                            # DC symbol
+                            if nbits < LB:
+                                _fill_bits()
+                            sym = None
+                            if nbits >= LB:
+                                hit = dc_lut[(acc >> (nbits - LB)) & LBMASK]
+                                if hit is not None:
+                                    sym = hit[0]
+                                    nbits -= hit[1]
                             if sym is None:
-                                return None
-                            diff = _extend(br.read_bits(sym), sym)
-                            preds[ci] += diff
-                            coefs[0] = preds[ci] * qts[c["tq"]][0]
+                                sym = _slow_huff(dc_lut, dc_long)
+                                if sym is None:
+                                    return None
+                            if sym:
+                                if nbits < sym:
+                                    _fill_bits()
+                                if nbits >= sym:
+                                    nbits -= sym
+                                    bits = (acc >> nbits) & ((1 << sym) - 1)
+                                else:
+                                    bits = _slow_bits(sym)
+                                diff = (
+                                    bits
+                                    if bits >> (sym - 1)
+                                    else bits - (1 << sym) + 1
+                                )
+                                preds[ci] += diff
+                            coefs[0] = preds[ci] * qt[0]
                             k = 1
                             while k < 64:
-                                rs = _decode_huff(br, ac_tabs[c["ac"]])
+                                # AC run/size symbol
+                                if nbits < LB:
+                                    _fill_bits()
+                                rs = None
+                                if nbits >= LB:
+                                    hit = ac_lut[(acc >> (nbits - LB)) & LBMASK]
+                                    if hit is not None:
+                                        rs = hit[0]
+                                        nbits -= hit[1]
                                 if rs is None:
-                                    return None
+                                    rs = _slow_huff(ac_lut, ac_long)
+                                    if rs is None:
+                                        return None
                                 if rs == 0x00:
                                     break
                                 if rs == 0xF0:
@@ -600,50 +629,59 @@ def build_jpeg_codec():
                                 size = rs & 0xF
                                 if k > 63:
                                     break
-                                val = _extend(br.read_bits(size), size)
-                                coefs[ZIGZAG[k]] = (
-                                    val * qts[c["tq"]][ZIGZAG[k]]
-                                )
+                                if nbits < size:
+                                    _fill_bits()
+                                if nbits >= size:
+                                    nbits -= size
+                                    bits = (acc >> nbits) & ((1 << size) - 1)
+                                else:
+                                    bits = _slow_bits(size)
+                                if size and not bits >> (size - 1):
+                                    bits = bits - (1 << size) + 1
+                                zk = ZIGZAG[k]
+                                coefs[zk] = bits * qt[zk]
                                 k += 1
-                            px = _idct(coefs)
-                            plane = planes[ci]
-                            oy = (my * c["v"] + by) * 8
-                            ox = (mx * c["h"] + bx) * 8
-                            for yy in range(8):
-                                row = plane[oy + yy]
-                                for xx in range(8):
-                                    v = int(px[yy][xx] + 128.5)
-                                    row[ox + xx] = (
-                                        0 if v < 0 else 255 if v > 255 else v
-                                    )
-        # assemble output
+                            blk_coefs.append(coefs)
+                            blk_pos.append(
+                                (
+                                    ci,
+                                    (my * c["v"] + by) * 8,
+                                    (mx * c["h"] + bx) * 8,
+                                )
+                            )
+        # batched IDCT: one (Aᵀ @ cf @ A)/4 over every block, then the
+        # r3 scalar rounding (int(x+128.5) truncates; trunc == floor
+        # for the non-negatives that survive the clamp)
+        cf = np.asarray(blk_coefs, dtype=np.float64).reshape(-1, 8, 8)
+        px_all = np.clip(
+            np.trunc(A_DCT.T @ cf @ A_DCT / 4.0 + 128.5), 0, 255
+        ).astype(np.uint8)
+        for i, (ci, oy, ox) in enumerate(blk_pos):
+            planes[ci][oy : oy + 8, ox : ox + 8] = px_all[i]
+        # assemble output (vectorized: nearest-neighbor chroma upsample
+        # via integer index arrays, then one float64 YCbCr->RGB pass —
+        # the same expressions/order as the r3 scalar loop, so the
+        # float results and trunc-then-clamp rounding match exactly)
         if len(scan) == 1:
-            plane = planes[0]
-            out = bytearray(w * h)
-            for y in range(h):
-                out[y * w : (y + 1) * w] = bytes(plane[y][:w])
-            return w, h, 1, bytes(out)
-        out = bytearray(w * h * 3)
-        c0, c1, c2 = scan[0], scan[1], scan[2]
-        p0, p1, p2 = planes
-        for y in range(h):
-            y1 = y * c1["v"] // vmax
-            y2 = y * c2["v"] // vmax
-            row0 = p0[y * c0["v"] // vmax]
-            row1 = p1[y1]
-            row2 = p2[y2]
-            base = y * w * 3
-            for x in range(w):
-                Y = row0[x * c0["h"] // hmax]
-                cb = row1[x * c1["h"] // hmax] - 128
-                cr = row2[x * c2["h"] // hmax] - 128
-                r = int(Y + 1.402 * cr + 0.5)
-                g = int(Y - 0.344136 * cb - 0.714136 * cr + 0.5)
-                b = int(Y + 1.772 * cb + 0.5)
-                out[base + x * 3] = 0 if r < 0 else 255 if r > 255 else r
-                out[base + x * 3 + 1] = 0 if g < 0 else 255 if g > 255 else g
-                out[base + x * 3 + 2] = 0 if b < 0 else 255 if b > 255 else b
-        return w, h, 3, bytes(out)
+            return w, h, 1, planes[0][:h, :w].tobytes()
+        ys = np.arange(h)
+        xs = np.arange(w)
+
+        def _up(plane, c):
+            return plane[
+                np.ix_(ys * c["v"] // vmax, xs * c["h"] // hmax)
+            ].astype(np.float64)
+
+        Y = _up(planes[0], scan[0])
+        cb = _up(planes[1], scan[1]) - 128.0
+        cr = _up(planes[2], scan[2]) - 128.0
+        r = Y + 1.402 * cr + 0.5
+        g = Y - 0.344136 * cb - 0.714136 * cr + 0.5
+        b = Y + 1.772 * cb + 0.5
+        rgb = np.clip(
+            np.trunc(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+        return w, h, 3, rgb.tobytes()
 
     return SimpleNamespace(
         jpeg_encode=jpeg_encode,
