@@ -94,7 +94,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="mtg-spark-bench")
+    # keep STDOUT clean for the driver's JSON-line parse: Spark's
+    # console progress bar interleaves carriage-return frames into the
+    # captured output tail
+    spark = get_spark(
+        app_name="mtg-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM/IO path once with the cheapest query so the first

@@ -71,6 +71,7 @@ def global_running(
     weight_col: Optional[str] = None,
     buckets: int = 64,
     sample_fraction: Optional[float] = None,
+    group_cols: Sequence[str] = (),
 ) -> tuple[DataFrame, int, object]:
     """Attach global running columns over ``ORDER BY order_exprs``.
 
@@ -94,6 +95,17 @@ def global_running(
         it on fact-table inputs where a full extra scan is the dominant
         cost.  A degenerate sample just means fewer/skewed buckets
         (less parallelism), still exact.
+    group_cols : when non-empty, the running columns restart per group
+        (``PARTITION BY group ORDER BY ...``) — for the case where the
+        groups themselves are huge (few distinct keys over a fact
+        table: exactly where a plain grouped window concentrates each
+        whole group in one task).  One shared value histogram buckets
+        every group; offsets are computed per (group, bucket).  The
+        driver-side offset exchange is ``n_groups × buckets`` rows —
+        use this for LOW-cardinality/huge groups; high-cardinality
+        small groups don't need it (a plain grouped window already
+        parallelizes across keys).  ``n_total``/``weight_total``
+        become dicts keyed by the group-value tuple.
 
     Returns ``(out, n_total, weight_total)``; ``weight_total`` is a
     driver-side value (``decimal.Decimal`` for decimal weights, None
@@ -116,27 +128,44 @@ def global_running(
     bounds = sorted(set(bounds))
 
     tagged = df.withColumn(BUCKET, _bucket_expr(range_col, bounds))
+    gcols = list(group_cols)
 
-    # Pass 2 — per-bucket totals (map-side combined; ≤ k rows out).
+    # Pass 2 — per-(group,)bucket totals (map-side combined; ≤
+    # n_groups × k rows out).
     aggs = [F.count(F.lit(1)).alias("_c")]
     w_type: Optional[T.DataType] = None
     if weight_col is not None:
         aggs.append(F.sum(F.col(weight_col)).alias("_s"))
         w_type = tagged.select(F.sum(F.col(weight_col))).schema[0].dataType
+    key_cols = gcols + [BUCKET]
     totals = {
-        r["_sw_bucket_key"]: r
-        for r in tagged.groupBy(F.col(BUCKET).alias("_sw_bucket_key"))
-        .agg(*aggs)
-        .collect()
+        tuple(r[c] for c in key_cols): r
+        for r in tagged.groupBy(*key_cols).agg(*aggs).collect()
     }
-    n_total = sum(r["_c"] for r in totals.values())
-    weight_total = (
-        sum(r["_s"] for r in totals.values() if r["_s"] is not None)
-        if weight_col is not None
-        else None
-    )
 
-    # Exclusive prefix offsets in bucket order (driver-side: ≤ k rows —
+    def _per_group(reduce_weight: bool):
+        acc: dict = {}
+        for key, r in totals.items():
+            g = key[:-1]
+            if reduce_weight:
+                if r["_s"] is not None:
+                    acc[g] = acc.get(g, 0) + r["_s"]
+            else:
+                acc[g] = acc.get(g, 0) + r["_c"]
+        return acc
+
+    n_by_group = _per_group(False)
+    w_by_group = _per_group(True) if weight_col is not None else None
+    if gcols:
+        n_total: object = n_by_group
+        weight_total: object = w_by_group
+    else:
+        n_total = int(n_by_group.get((), 0))
+        weight_total = (
+            w_by_group.get((), 0) if weight_col is not None else None
+        )
+
+    # Exclusive prefix offsets in (group,) bucket order (driver-side —
     # the same metadata-scale exchange a RangePartitioner performs).
     import decimal
 
@@ -147,14 +176,22 @@ def global_running(
     else:
         zero = 0
     rows = []
-    run_c, run_s = 0, zero
-    for b in sorted(totals):
-        r = totals[b]
-        rows.append((b, run_c) + ((run_s,) if weight_col is not None else ()))
+    run: dict = {}  # group tuple -> (count offset, weight offset)
+    # bucket (the last key element) must sort NUMERICALLY — group order
+    # is irrelevant (prefixes are per group), repr only disambiguates
+    # mixed/None group values
+    for key in sorted(totals, key=lambda k: (repr(k[:-1]), k[-1])):
+        r = totals[key]
+        g = key[:-1]
+        run_c, run_s = run.get(g, (0, zero))
+        rows.append(
+            key + (run_c,) + ((run_s,) if weight_col is not None else ())
+        )
         run_c += r["_c"]
         if weight_col is not None and r["_s"] is not None:
             run_s = run_s + r["_s"]
-    fields = [
+        run[g] = (run_c, run_s)
+    fields = [tagged.schema[c] for c in gcols] + [
         T.StructField(BUCKET, T.IntegerType(), False),
         T.StructField("_sw_off_c", T.LongType(), False),
     ]
@@ -163,8 +200,8 @@ def global_running(
     off = spark.createDataFrame(rows, T.StructType(fields))
 
     # Pass 3 — balanced local windows + broadcast offset join.
-    w_local = Window.partitionBy(BUCKET).orderBy(*order_exprs)
-    out = tagged.join(F.broadcast(off), BUCKET, "left")
+    w_local = Window.partitionBy(*key_cols).orderBy(*order_exprs)
+    out = tagged.join(F.broadcast(off), key_cols, "left")
     out = out.withColumn(
         RN, F.coalesce(F.col("_sw_off_c"), F.lit(0)) + F.row_number().over(w_local)
     )
@@ -178,9 +215,91 @@ def global_running(
         )
     return (
         out.drop("_sw_off_c", *(["_sw_off_s"] if weight_col is not None else [])),
-        int(n_total),
+        n_total,
         weight_total,
     )
+
+
+def scale_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[float],
+    buckets: int = 64,
+    sample_fraction: Optional[float] = None,
+) -> dict:
+    """EXACT linear-interpolation percentiles (SQL ``quantile_cont`` /
+    Spark ``percentile``) per group WITHOUT the built-in aggregate's
+    scale trap: Spark's exact ``percentile()`` buffers every value of a
+    group inside one aggregation buffer — for few huge groups (q57's
+    3-flag split of the fact table) that is a whole-table sort on a
+    handful of tasks and an OOM at 100 TB.
+
+    Two-pass selection instead: range-bucketed per-group global ranks
+    (``global_running`` — balanced windows, metadata-scale offset
+    exchange), then ONLY the rows sitting at the target ranks
+    (``groups × quantiles × 2`` rows) come back to the driver, where
+    the interpolation ``v_lo + (pos − lo)·(v_hi − v_lo)`` runs in the
+    same IEEE arithmetic DuckDB's ``quantile_cont`` uses (pinned
+    bit-equal to both engines in the q57 oracle gate).
+
+    Returns ``{group_value: {q: float_value}}`` — metadata-sized by
+    construction; callers build their result frame from it.
+    """
+    import math
+
+    ranked, n_by_group, _ = global_running(
+        df.select(group_col, value_col).withColumn(
+            "_sw_rng", F.col(value_col).cast("double")
+        ),
+        [F.asc(value_col)],
+        range_col="_sw_rng",
+        buckets=buckets,
+        sample_fraction=sample_fraction,
+        group_cols=[group_col],
+    )
+    # target ranks per group (1-based; lo==hi when pos lands exactly)
+    want: dict = {}
+    for g_tuple, n in n_by_group.items():
+        g = g_tuple[0]
+        for q in quantiles:
+            pos = q * (n - 1)
+            want.setdefault(g, {})[q] = (
+                math.floor(pos) + 1, math.ceil(pos) + 1, pos
+            )
+    ranks = sorted(
+        {
+            (g, r)
+            for g, qs in want.items()
+            for (lo, hi, _) in qs.values()
+            for r in (lo, hi)
+        },
+        key=repr,
+    )
+    spark = df.sparkSession
+    need = spark.createDataFrame(
+        ranks,
+        T.StructType(
+            [df.schema[group_col], T.StructField(RN, T.LongType(), False)]
+        ),
+    )
+    hits = {
+        (r[group_col], r[RN]): float(r[value_col])
+        for r in ranked.join(
+            F.broadcast(need), [group_col, RN], "left_semi"
+        )
+        .select(group_col, RN, value_col)
+        .collect()
+    }
+    out: dict = {}
+    for g, qs in want.items():
+        for q, (lo, hi, pos) in qs.items():
+            v_lo = hits[(g, lo)]
+            v_hi = hits[(g, hi)]
+            out.setdefault(g, {})[q] = v_lo + (pos - math.floor(pos)) * (
+                v_hi - v_lo
+            )
+    return out
 
 
 def ntile_from_rn(rn: Column, n_rows: int, tiles: int) -> Column:

@@ -65,13 +65,24 @@ def q150(spark, sf_dir):
     MIN_SUPPORT = 3
     MAX_BASKET = 64
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # items feeds THREE consumers (order count, item frequencies, the
+    # pruned self-join input) — checkpoint it once or the fact-table
+    # distinct recomputes per branch (measured: the whole cost of the
+    # r4 prune was this recompute, 2.0s → 3.8s; with the cut the pruned
+    # plan matches the unpruned one at TPC-H and wins on Zipfian data).
+    # At cluster scale this is "persist the basket table between
+    # stages", the same discipline as dedup.py's shingle checkpoint.
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = items.agg(
         F.countDistinct("o").alias("n_orders")
     )
-    freq = items.groupBy("p").agg(F.count("*").alias("c"))
+    freq = items.groupBy("p").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     # Level-1 prune as a BROADCAST ANTI-join against the INFREQUENT
     # set: on order-like data the frequent side is nearly everything
     # (TPC-H sf0.1: ~0 parts below support 3), so semi-joining against

@@ -229,12 +229,54 @@ def q56(spark, sf_dir):
        FROM lineitem GROUP BY l_returnflag""",
 )
 def q57(spark, sf_dir):
+    """Stats-driven plan switch (r4): Spark's exact ``percentile()``
+    buffers EVERY value of a group in one aggregation buffer — fine
+    here (600k rows, 3 groups), an OOM and a 3-task sort at 100 TB.
+    Below the threshold the built-in runs (cheapest at bench scale);
+    above it the plan flips to ``scalewin.scale_exact_percentiles`` —
+    range-bucketed per-group ranks, then only the target-rank rows
+    (groups × quantiles × 2) leave the executors.  Both paths are
+    pinned bit-equal in ``test_scalewin.py`` and against the DuckDB
+    oracle, so the switch is pure plan choice — the same discipline as
+    the as-of join's stats-driven strategy (`operators/asof.py`)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+    if li.count() <= _PCTL_BUFFER_SAFE_ROWS:
+        return li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+        )
+    return scale_exact_percentile_plan(spark, li)
+
+
+#: above this many input rows the exact-percentile aggregate's
+#: per-group value buffer stops being memory-safe; flip to two-pass
+#: rank selection. ~10M doubles ≈ 80 MB/group buffer — the last size
+#: where a single aggregation buffer is defensible.
+_PCTL_BUFFER_SAFE_ROWS = 10_000_000
+
+
+def scale_exact_percentile_plan(spark, li):
+    """q57's scale path, callable directly so tests pin it bit-equal
+    to the built-in on the same input."""
+    from .operators.scalewin import scale_exact_percentiles
+
+    qty = scale_exact_percentiles(
+        li, "l_returnflag", "l_quantity", [0.25, 0.50, 0.75],
+        sample_fraction=0.05,
+    )
+    price = scale_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.9], sample_fraction=0.05
+    )
+    rows = [
+        (g, qty[g][0.25], qty[g][0.50], qty[g][0.75], price[g][0.9])
+        for g in sorted(qty)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, p25 double, p50 double, p75 double, "
+        "price_p90 double",
     )
 
 

@@ -127,3 +127,76 @@ def test_no_single_partition_window(spark, qname):
     assert win_lines, f"{qname}: expected windowed plan, got none"
     for ln in win_lines:
         assert BUCKET in ln, f"{qname}: window without bucket partition: {ln}"
+
+
+def test_constant_range_col_degenerates_safely(spark):
+    # worst-case skew: every row has the same range value -> ONE bucket
+    # (a single local window). Correctness must hold; parallelism is
+    # what degrades — which is the documented trade, not a wrong answer.
+    df = spark.range(500).select(
+        F.col("id"), F.lit(1.0).alias("v"),
+        (F.col("id") % 3 + 1).cast("decimal(18,6)").alias("w"),
+    )
+    out, n, tot = global_running(
+        df, [F.asc("id")], range_col="v", weight_col="w", buckets=16
+    )
+    rows = {r["id"]: (r[RN], r[CUM]) for r in out.collect()}
+    assert n == 500
+    running = 0
+    import decimal
+    cum = decimal.Decimal(0)
+    for i in range(500):
+        running += 1
+        cum += decimal.Decimal(i % 3 + 1)
+        assert rows[i][0] == running
+        assert rows[i][1] == cum
+    assert tot == cum
+
+
+def test_grouped_running_matches_grouped_window(spark):
+    df = _mixed_frame(spark, 600).withColumn("g", (F.col("id") % 3).cast("string"))
+    out, n_by_g, w_by_g = global_running(
+        df, [F.asc("v"), F.asc("id")], range_col="v", weight_col="w",
+        buckets=8, group_cols=["g"],
+    )
+    got = {r["id"]: (r[RN], r[CUM]) for r in out.select("id", RN, CUM).collect()}
+    w = Window.partitionBy("g").orderBy("v", "id")
+    exp = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("w").over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == exp
+    assert sum(n_by_g.values()) == 600 and set(n_by_g) == {("0",), ("1",), ("2",)}
+    assert sum(w_by_g.values()) == sum((i * 7) % 5 + 1 for i in range(600))
+
+
+def test_scale_percentile_path_matches_builtin_bitwise(spark):
+    # the q57 plan switch is pure plan choice: the two-pass rank
+    # selection must reproduce the built-in percentile() (and thus the
+    # DuckDB quantile_cont oracle) BIT-FOR-BIT on the same input
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.queries_extra import (
+        scale_exact_percentile_plan,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    builtin = {
+        r["l_returnflag"]: tuple(r)[1:]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+        )
+        .collect()
+    }
+    scale = {
+        r["l_returnflag"]: tuple(r)[1:]
+        for r in scale_exact_percentile_plan(spark, li).collect()
+    }
+    assert builtin == scale  # exact float equality, not approx

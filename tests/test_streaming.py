@@ -783,3 +783,48 @@ def test_reorder_buffer_restores_event_time_order(spark, tmp_path):
         if uid < 0:
             continue
         assert items == sorted(items), f"user {uid} out of order"
+
+
+def test_stream_cusum_state_is_one_row_per_key(spark, tmp_path):
+    """State-store SIZE probe for the CUSUM twin: the fold keeps exactly
+    one state row (a single double) per key, so after draining a
+    multi-batch source the store holds n_distinct_keys rows — state is
+    O(keys), independent of event volume. This is the bound that makes
+    the operator viable on an unbounded stream; a regression that
+    accumulates per-event state would show up here as
+    numRowsTotal >> n_keys."""
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.stateful import stream_cusum_alerts
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id") < 40)
+    n_keys = ev.select("user_id").distinct().count()
+    mid_ts = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    src = tmp_path / "cusum_state_in"
+    src.mkdir()
+    ev.where(F.col("ts").cast("double") <= mid_ts).write.parquet(str(src / "a"))
+    ev.where(F.col("ts").cast("double") > mid_ts).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_state_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, "no stateOperators metrics reported"
+    assert state_rows[-1] == n_keys, (
+        f"state rows {state_rows[-1]} != distinct keys {n_keys}"
+    )
