@@ -19,6 +19,13 @@ exist in three bindings:
   ``delta_available()`` gates every entry point and the shared test
   matrix (``tests/test_lakehouse.py``) runs the identical
   merge/idempotency contract on whichever backends are present.
+- ``"iceberg"``  — same verbs onto Apache Iceberg via its SQL
+  extensions (MERGE INTO / DELETE FROM / VERSION AS OF / the
+  ``.history`` metadata table).  Iceberg addresses CATALOG TABLES, so
+  for this backend the ``path`` argument is a ``catalog.db.table``
+  identifier (strictly validated before SQL splicing) and the session
+  must configure ``spark.sql.catalog.<name>``.  JVM-only integration:
+  ``iceberg_available()`` probes the runtime jar.
 
 Scale: all three bindings bound write amplification the same way —
 only files/partitions that can contain source keys are rewritten
@@ -36,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import ledger, sink
 
-FORMATS = ("parquet", "ledger", "delta")
+FORMATS = ("parquet", "ledger", "delta", "iceberg")
 
 
 def delta_available(spark: Optional[SparkSession] = None) -> bool:
@@ -56,6 +63,44 @@ def delta_available(spark: Optional[SparkSession] = None) -> bool:
         return True
     except Exception:
         return False
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath.
+    Unlike Delta there is no Python package to probe — Iceberg's Spark
+    integration is JVM-only (SQL extensions + a catalog impl)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_ident(path: str) -> str:
+    """Iceberg addresses CATALOG TABLES, not paths: for
+    ``table_format="iceberg"`` the ``path`` argument is a catalog
+    identifier like ``local.db.events`` (the session must configure
+    ``spark.sql.catalog.<name>``).  Validated strictly — it is spliced
+    into SQL (MERGE INTO has no DataFrame API)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+", path):
+        raise ValueError(
+            "iceberg backend expects a catalog identifier "
+            f"(catalog.db.table), got {path!r}"
+        )
+    return path
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "table_format='iceberg' requires the iceberg-spark-runtime "
+            "jar (spark.jars.packages=org.apache.iceberg:"
+            "iceberg-spark-runtime-4.0_2.13:<ver>) plus a configured "
+            "spark.sql.catalog.<name>"
+        )
 
 
 def _require(fmt: str) -> None:
@@ -85,6 +130,8 @@ def merge_upsert_into(
         return ledger.ledger_merge_upsert(
             spark, path, source, key=key, order_col=order_col
         )
+    if table_format == "iceberg":
+        return _iceberg_merge_upsert(spark, path, source, key, order_col)
     return _delta_merge_upsert(spark, path, source, key, order_col)
 
 
@@ -102,6 +149,10 @@ def delete_from(
         from delta.tables import DeltaTable
 
         DeltaTable.forPath(spark, path).delete(predicate)
+        return None
+    if table_format == "iceberg":
+        _require_iceberg(spark)
+        spark.sql(f"DELETE FROM {_iceberg_ident(path)} WHERE {predicate}")
         return None
     # parquet: read-filter-rewrite with the same null semantics
     from pyspark.sql import functions as F
@@ -128,6 +179,13 @@ def read_table(
         if version is not None:
             reader = reader.option("versionAsOf", version)
         return reader.load(path)
+    if table_format == "iceberg":
+        _require_iceberg(spark)
+        ident = _iceberg_ident(path)
+        if version is not None:
+            # iceberg versions are snapshot ids
+            return spark.sql(f"SELECT * FROM {ident} VERSION AS OF {int(version)}")
+        return spark.table(ident)
     if version is not None:
         raise ValueError("parquet backend has no version history")
     return spark.read.parquet(path)
@@ -144,7 +202,39 @@ def table_history(
         from delta.tables import DeltaTable
 
         return DeltaTable.forPath(spark, path).history()
+    if table_format == "iceberg":
+        _require_iceberg(spark)
+        return spark.table(f"{_iceberg_ident(path)}.history")
     raise ValueError("parquet backend has no version history")
+
+
+def _iceberg_merge_upsert(
+    spark: SparkSession,
+    ident: str,
+    source: DataFrame,
+    key: str,
+    order_col: Optional[str],
+) -> None:
+    """Iceberg MERGE INTO with the engine's batch semantics (last-wins
+    dedup first — Iceberg, like Delta, rejects multi-match sources).
+    SQL-based because Iceberg exposes MERGE only through the SQL
+    extensions, not a DataFrame API."""
+    _require_iceberg(spark)
+    ident = _iceberg_ident(ident)
+    deduped = sink._dedup_last_wins(source, key, order_col)
+    if not spark.catalog.tableExists(ident):
+        deduped.writeTo(ident).using("iceberg").create()
+        return
+    view = "_lakehouse_merge_src"
+    deduped.createOrReplaceTempView(view)
+    try:
+        spark.sql(
+            f"MERGE INTO {ident} t USING {view} s ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _delta_merge_upsert(

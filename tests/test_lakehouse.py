@@ -1,9 +1,10 @@
 """One merge/idempotency contract, every backend: the lakehouse seam
 (`ingest/lakehouse.py`) must give byte-identical table contents for the
 same op sequence on "parquet", "ledger", and — when its jars are on the
-classpath — "delta".  The delta leg self-skips in jarless containers
-(this sandbox) and runs unchanged in a production image; the OTHER legs
-prove the dispatcher + semantics, so a backend swap is one argument.
+classpath — "delta" and "iceberg".  Those legs self-skip in jarless
+containers (this sandbox) and run unchanged in a production image; the
+OTHER legs prove the dispatcher + semantics, so a backend swap is one
+argument.
 """
 
 from __future__ import annotations
@@ -23,7 +24,20 @@ BACKENDS = [
             reason="delta-spark not on classpath in this container",
         ),
     ),
+    # iceberg's availability probe needs a live session, so its skip is
+    # decided inside _target (identifier-addressed, not path-addressed)
+    "iceberg",
 ]
+
+
+def _target(spark, tmp_path, fmt, name):
+    """Backend-appropriate table address: a filesystem path for the
+    file backends, a catalog identifier for iceberg."""
+    if fmt == "iceberg":
+        if not lakehouse.iceberg_available(spark):
+            pytest.skip("iceberg runtime jar not on classpath")
+        return f"local.db.{name}"
+    return str(tmp_path / name)
 
 
 def _rows(spark, pairs):
@@ -37,7 +51,7 @@ def _contents(spark, path, fmt):
 
 @pytest.mark.parametrize("fmt", BACKENDS)
 def test_merge_upsert_contract(spark, tmp_path, fmt):
-    path = str(tmp_path / f"t_{fmt}")
+    path = _target(spark, tmp_path, fmt, f"t_{fmt}")
     # create
     lakehouse.merge_upsert_into(
         spark, path, _rows(spark, [(1, "a"), (2, "b")]), table_format=fmt
@@ -57,7 +71,7 @@ def test_merge_upsert_contract(spark, tmp_path, fmt):
 
 @pytest.mark.parametrize("fmt", BACKENDS)
 def test_merge_last_wins_within_batch(spark, tmp_path, fmt):
-    path = str(tmp_path / f"lw_{fmt}")
+    path = _target(spark, tmp_path, fmt, f"lw_{fmt}")
     src = spark.createDataFrame(
         [Row(id=1, v="old", seq=1), Row(id=1, v="new", seq=2)]
     )
@@ -71,7 +85,7 @@ def test_merge_last_wins_within_batch(spark, tmp_path, fmt):
 @pytest.mark.parametrize("fmt", BACKENDS)
 def test_delete_null_semantics(spark, tmp_path, fmt):
     # TRUE rows go; FALSE and NULL-predicate rows stay (SQL DELETE)
-    path = str(tmp_path / f"d_{fmt}")
+    path = _target(spark, tmp_path, fmt, f"d_{fmt}")
     src = spark.createDataFrame(
         [Row(id=1, v="x"), Row(id=2, v=None), Row(id=3, v="y")]
     )
@@ -105,7 +119,7 @@ def test_parquet_backend_rejects_versions(spark, tmp_path):
         lakehouse.read_table(spark, path, table_format="parquet", version=1)
     with pytest.raises(ValueError, match="unknown table_format"):
         lakehouse.merge_upsert_into(
-            spark, path, _rows(spark, [(1, "a")]), table_format="iceberg"
+            spark, path, _rows(spark, [(1, "a")]), table_format="hudi"
         )
 
 
@@ -119,3 +133,22 @@ def test_delta_unavailable_is_explicit(spark, tmp_path):
             _rows(spark, [(1, "a")]),
             table_format="delta",
         )
+
+
+def test_iceberg_unavailable_is_explicit(spark):
+    if lakehouse.iceberg_available(spark):
+        pytest.skip("iceberg present: covered by the parametrized matrix")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        lakehouse.merge_upsert_into(
+            spark, "local.db.t", _rows(spark, [(1, "a")]),
+            table_format="iceberg",
+        )
+
+
+def test_iceberg_identifier_validation():
+    from mtg_bulk_database_spark.ingest.lakehouse import _iceberg_ident
+
+    assert _iceberg_ident("local.db.events") == "local.db.events"
+    for bad in ("/tmp/path", "a", "a.b; DROP TABLE x", "a..b", "1a.b"):
+        with pytest.raises(ValueError, match="catalog identifier"):
+            _iceberg_ident(bad)

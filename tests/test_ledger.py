@@ -492,3 +492,26 @@ def test_ledger_history_lists_versions_and_audit_fields(spark, root):
     # commit times are monotone non-decreasing
     times = [hist[v]["committed_at"] for v in sorted(hist)]
     assert times == sorted(times)
+
+
+def test_delete_works_under_percent_encoded_roots(spark, tmp_path):
+    """Regression (r4): input_file_name() returns a percent-encoded
+    Hadoop URI — a table root containing spaces used to make the
+    delete probe match zero manifest paths and fail on an empty
+    parquet read. The probe now URL-decodes before comparing."""
+    from pyspark.sql import Row
+
+    from mtg_bulk_database_spark.ingest.ledger import (
+        ledger_delete,
+        ledger_merge_upsert,
+        ledger_read,
+    )
+
+    root = str(tmp_path / "with space" / "tbl")
+    src = spark.createDataFrame([Row(id=i, v=f"v{i}") for i in range(6)])
+    ledger_merge_upsert(spark, root, src, key="id")
+    v = ledger_delete(spark, root, "id >= 4")
+    assert v == 2
+    assert sorted(
+        r["id"] for r in ledger_read(spark, root).collect()
+    ) == [0, 1, 2, 3]

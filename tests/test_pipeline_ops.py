@@ -694,3 +694,18 @@ def test_leakage_safe_split_groups_copies(spark):
     # and the assignment covers every doc deterministically
     again = {r["doc_id"]: r["split"] for r in text_analysis.with_leakage_safe_split(df).collect()}
     assert again == {r["doc_id"]: r["split"] for r in out}
+
+
+def test_hamming64_rejects_recall_losing_radius(spark):
+    """8x8-bit pigeonhole banding is only candidate-complete for
+    Hamming <= 7; a larger radius must raise, not silently lose pairs
+    (r4, from r3 advice)."""
+    import pytest as _pytest
+
+    from mtg_bulk_database_spark.operators.dedup import hamming64_near_pairs
+
+    fp = spark.createDataFrame([(1, 0), (2, -1)], "doc_id long, h long")
+    with _pytest.raises(ValueError, match="max_hamming <= 7"):
+        hamming64_near_pairs(fp, "h", "doc_id", max_hamming=8)
+    # radius 7 still constructs (lazy plan, no error)
+    hamming64_near_pairs(fp, "h", "doc_id", max_hamming=7)

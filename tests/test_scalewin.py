@@ -200,3 +200,50 @@ def test_scale_percentile_path_matches_builtin_bitwise(spark):
         for r in scale_exact_percentile_plan(spark, li).collect()
     }
     assert builtin == scale  # exact float equality, not approx
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: random tie-heavy data, random bucket counts — the
+# decomposition must equal the single-partition window EXACTLY every
+# time (pure-Python reference avoids a Spark job per example).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    mod=st.integers(min_value=1, max_value=20),
+    buckets=st.integers(min_value=1, max_value=32),
+    tiles=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_fuzz_rank_and_ntile(spark, n, mod, buckets, tiles, seed):
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * (seed % 97 + 1)) % mod).cast("double").alias("v"),
+    )
+    out, total, _ = global_running(
+        df, [F.asc("v"), F.asc("id")], range_col="v", buckets=buckets
+    )
+    got = {
+        r["id"]: (r[RN], r["t"])
+        for r in out.select(
+            "id", RN, ntile_from_rn(F.col(RN), total, tiles).alias("t")
+        ).collect()
+    }
+    # pure-python reference
+    vals = sorted(((i * (seed % 97 + 1)) % mod, i) for i in range(n))
+    q, rem = divmod(n, tiles)
+    exp = {}
+    for rank0, (_, i) in enumerate(vals):
+        rn = rank0 + 1
+        if q == 0:
+            t = rn
+        elif rn <= rem * (q + 1):
+            t = (rn - 1) // (q + 1) + 1
+        else:
+            t = rem + (rn - rem * (q + 1) - 1) // q + 1
+        exp[i] = (rn, t)
+    assert total == n and got == exp

@@ -828,3 +828,60 @@ def test_stream_cusum_state_is_one_row_per_key(spark, tmp_path):
     assert state_rows[-1] == n_keys, (
         f"state rows {state_rows[-1]} != distinct keys {n_keys}"
     )
+
+
+def test_stream_cusum_sorts_across_arrow_chunks(spark, tmp_path):
+    """Regression (r4): applyInPandasWithState splits one key's
+    micro-batch into ~10k-row Arrow chunks; the r3 fold sorted each
+    chunk independently, so a single key with more rows than one chunk
+    in arrival-shuffled order ran the recurrence out of (ts, id) order.
+    25k rows for ONE key in ONE batch, written in a scrambled order,
+    must still fold identically to the batch operator."""
+    import pandas as pd
+
+    from mtg_bulk_database_spark.operators.timeseries import cusum
+    from mtg_bulk_database_spark.streaming.events import EVENTS_SCHEMA
+    from mtg_bulk_database_spark.streaming.stateful import stream_cusum_alerts
+
+    n = 25_000
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(n)],
+            "user_id": [7] * n,
+            "event_type": ["view"] * n,
+            "value": [(i * 37) % 50 / 2.0 for i in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    # scramble arrival order so chunk-local sorting would diverge
+    pdf = pdf.sample(frac=1.0, random_state=42).reset_index(drop=True)
+    ev = spark.createDataFrame(pdf, schema=EVENTS_SCHEMA)
+    src = tmp_path / "cusum_chunks_in"
+    ev.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    q = (
+        stream_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_chunks_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (tuple(r) for r in spark.sql("SELECT * FROM cusum_chunks_out").collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in cusum(
+                ev, "user_id", "ts", "value", "event_id", 10.0, 25.0
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert len(want) == n and got == want
