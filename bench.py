@@ -85,6 +85,7 @@ HEADLINE = [
     "q150_market_basket",
     "q155_event_transitions",
     "q156_spatial_neighbor_join",
+    "q176_scale_exact_percentiles",
     "q160_ohlc_bars",
     "q162_ewma_smoothing",
     "q163_cusum_alerts",

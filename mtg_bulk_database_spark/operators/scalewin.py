@@ -309,6 +309,11 @@ def ntile_from_rn(rn: Column, n_rows: int, tiles: int) -> Column:
     tiles take ``q+1`` rows, the rest ``q`` — an integer formula over
     the 1-based global rank, so the scale-safe ``global_running`` rank
     yields bit-identical buckets to the engine built-in.
+
+    The ``/`` divisions run in IEEE double then truncate; correctly
+    rounded division of integers a/b can only cross an integer
+    boundary when 1/b < half-ulp, i.e. tile sizes beyond ~4·10¹⁵ rows
+    — far past any partitionable dataset, so the cast is exact.
     """
     q, r = divmod(int(n_rows), int(tiles))
     big = r * (q + 1)  # rows living in the (q+1)-sized leading tiles

@@ -238,7 +238,9 @@ def q57(spark, sf_dir):
     (groups × quantiles × 2) leave the executors.  Both paths are
     pinned bit-equal in ``test_scalewin.py`` and against the DuckDB
     oracle, so the switch is pure plan choice — the same discipline as
-    the as-of join's stats-driven strategy (`operators/asof.py`)."""
+    the as-of join's stats-driven strategy (`operators/asof.py`).
+    (The count() here is a column-pruned scan; on a catalog-backed
+    deployment the row count comes from table statistics for free.)"""
     li = load_table(spark, sf_dir, "lineitem")
     if li.count() <= _PCTL_BUFFER_SAFE_ROWS:
         return li.groupBy("l_returnflag").agg(
@@ -255,6 +257,26 @@ def q57(spark, sf_dir):
 #: rank selection. ~10M doubles ≈ 80 MB/group buffer — the last size
 #: where a single aggregation buffer is defensible.
 _PCTL_BUFFER_SAFE_ROWS = 10_000_000
+
+
+@query(
+    "q176_scale_exact_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.50) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75,
+              quantile_cont(l_extendedprice, 0.9) AS price_p90
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q176(spark, sf_dir):
+    """q57's SCALE path, registered under its own gate with the SAME
+    oracle: the driver proves the distributed rank-selection percentile
+    (no whole-group aggregation buffer) bit-equal to DuckDB's
+    quantile_cont every round, independent of the q57 stats switch
+    taking the built-in branch at test scale. Not a new reporting
+    shape — the scale-plan twin of an existing one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return scale_exact_percentile_plan(spark, li)
 
 
 def scale_exact_percentile_plan(spark, li):
