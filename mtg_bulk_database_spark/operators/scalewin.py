@@ -64,6 +64,27 @@ def _bucket_expr(range_col: str, bounds: Sequence[float]) -> Column:
     return e
 
 
+def bucket_histogram(
+    df: DataFrame,
+    range_col: str,
+    buckets: int = 64,
+    sample_fraction: Optional[float] = None,
+) -> list:
+    """Approximate-quantile bucket boundaries on ``range_col`` — the
+    shared pass-1 of every two-pass operator here.  Boundaries shape
+    balance only; see :func:`global_running`."""
+    k = max(int(buckets), 1)
+    qs = [i / k for i in range(1, k)]
+    if not qs:
+        return []
+    src = (
+        df.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction is not None
+        else df
+    )
+    return sorted(set(src.approxQuantile(range_col, qs, 1.0 / (4 * k))))
+
+
 def global_running(
     df: DataFrame,
     order_exprs: Sequence[Column],
@@ -118,14 +139,7 @@ def global_running(
     k = max(int(buckets), 1)
     # Pass 1 — histogram. Approximate is fine: boundaries shape balance
     # only. relativeError 1/(4k) keeps buckets within ~25% of even.
-    qs = [i / k for i in range(1, k)]
-    hist_src = (
-        df.sample(fraction=sample_fraction, seed=42)
-        if sample_fraction is not None
-        else df
-    )
-    bounds = hist_src.approxQuantile(range_col, qs, 1.0 / (4 * k)) if qs else []
-    bounds = sorted(set(bounds))
+    bounds = bucket_histogram(df, range_col, k, sample_fraction)
 
     tagged = df.withColumn(BUCKET, _bucket_expr(range_col, bounds))
     gcols = list(group_cols)
@@ -235,39 +249,70 @@ def scale_exact_percentiles(
     3-flag split of the fact table) that is a whole-table sort on a
     handful of tasks and an OOM at 100 TB.
 
-    Two-pass selection instead: range-bucketed per-group global ranks
-    (``global_running`` — balanced windows, metadata-scale offset
-    exchange), then ONLY the rows sitting at the target ranks
-    (``groups × quantiles × 2`` rows) come back to the driver, where
-    the interpolation ``v_lo + (pos − lo)·(v_hi − v_lo)`` runs in the
-    same IEEE arithmetic DuckDB's ``quantile_cont`` uses (pinned
-    bit-equal to both engines in the q57 oracle gate).
+    BOUNDARY-BUCKET selection instead — the textbook two-pass recipe:
+
+    1. sampled histogram → bucket boundaries (balance only);
+    2. per-(group, bucket) COUNTS (map-side-combined aggregate,
+       metadata-scale) → the driver locates, for each target rank, the
+       bucket containing it and that bucket's exclusive rank offset;
+    3. ONE more scan that sorts ONLY the candidate buckets
+       (~``targets/buckets`` of the data) — never a full-table window
+       or shuffle — and returns the ``groups × quantiles × 2`` target
+       rows to the driver, where the interpolation
+       ``v_lo + (pos − lo)·(v_hi − v_lo)`` runs in the same IEEE
+       arithmetic DuckDB's ``quantile_cont`` uses (pinned bit-equal to
+       both engines in the q57/q176 oracle gates).
 
     Returns ``{group_value: {q: float_value}}`` — metadata-sized by
     construction; callers build their result frame from it.
     """
     import math
 
-    ranked, n_by_group, _ = global_running(
-        df.select(group_col, value_col).withColumn(
-            "_sw_rng", F.col(value_col).cast("double")
-        ),
-        [F.asc(value_col)],
-        range_col="_sw_rng",
-        buckets=buckets,
-        sample_fraction=sample_fraction,
-        group_cols=[group_col],
+    from pyspark.sql import Window
+
+    base = df.select(group_col, value_col).withColumn(
+        "_sw_rng", F.col(value_col).cast("double")
     )
-    # target ranks per group (1-based; lo==hi when pos lands exactly)
-    want: dict = {}
-    for g_tuple, n in n_by_group.items():
-        g = g_tuple[0]
+    bounds = bucket_histogram(base, "_sw_rng", buckets, sample_fraction)
+    tagged = base.withColumn(BUCKET, _bucket_expr("_sw_rng", bounds))
+
+    # pass 2: per-(group, bucket) counts
+    counts: dict = {}
+    for r in tagged.groupBy(group_col, BUCKET).count().collect():
+        counts.setdefault(r[group_col], {})[r[BUCKET]] = r["count"]
+
+    # driver: target ranks, their buckets, and bucket rank offsets
+    want: dict = {}  # g -> q -> (lo_rank, hi_rank, pos)
+    cand: dict = {}  # (g, bucket) -> exclusive rank offset
+    for g, per_bucket in counts.items():
+        n = sum(per_bucket.values())
+        cum = 0
+        offsets = {}  # bucket -> exclusive prefix count, in bucket order
+        for b in sorted(per_bucket):
+            offsets[b] = cum
+            cum += per_bucket[b]
         for q in quantiles:
             pos = q * (n - 1)
-            want.setdefault(g, {})[q] = (
-                math.floor(pos) + 1, math.ceil(pos) + 1, pos
-            )
-    ranks = sorted(
+            lo, hi = math.floor(pos) + 1, math.ceil(pos) + 1
+            want.setdefault(g, {})[q] = (lo, hi, pos)
+            for rank in (lo, hi):
+                for b in sorted(per_bucket):
+                    if offsets[b] < rank <= offsets[b] + per_bucket[b]:
+                        cand[(g, b)] = offsets[b]
+                        break
+
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [k + (v,) for k, v in sorted(cand.items(), key=repr)],
+        T.StructType(
+            [
+                df.schema[group_col],
+                T.StructField(BUCKET, T.IntegerType(), False),
+                T.StructField("_sw_off_c", T.LongType(), False),
+            ]
+        ),
+    )
+    ranks_needed = sorted(
         {
             (g, r)
             for g, qs in want.items()
@@ -276,18 +321,22 @@ def scale_exact_percentiles(
         },
         key=repr,
     )
-    spark = df.sparkSession
     need = spark.createDataFrame(
-        ranks,
+        ranks_needed,
         T.StructType(
             [df.schema[group_col], T.StructField(RN, T.LongType(), False)]
         ),
     )
+    # pass 3: candidate buckets only — filter + tiny per-bucket sorts
+    w_local = Window.partitionBy(group_col, BUCKET).orderBy(value_col)
     hits = {
         (r[group_col], r[RN]): float(r[value_col])
-        for r in ranked.join(
-            F.broadcast(need), [group_col, RN], "left_semi"
+        for r in tagged.join(F.broadcast(cand_df), [group_col, BUCKET])
+        .withColumn(
+            RN,
+            (F.col("_sw_off_c") + F.row_number().over(w_local)).cast("long"),
         )
+        .join(F.broadcast(need), [group_col, RN], "left_semi")
         .select(group_col, RN, value_col)
         .collect()
     }

@@ -1035,16 +1035,19 @@ def q167(spark, sf_dir):
     running decimal-exact weight sum, boundary row where cumulative
     weight crosses half the total.
 
-    SCALE-SAFE plan (r4, replaces the r3 single-partition
-    ``Window.orderBy`` over the FACT table): the cumulative weight is
-    computed by ``operators.scalewin.global_running`` — range-bucket
-    histogram on price, balanced per-bucket windows, driver-side
-    bucket-prefix offsets — so the biggest table in the schema is
-    sorted 64 ways in parallel instead of on one core.  Decimal
-    addition is associative, so the bucketed partial sums + offset add
-    reproduce the sequential cumulative sum bit-for-bit and the DuckDB
-    oracle (a literal single-sequence window) hashes identically."""
-    from .operators.scalewin import CUM, global_running
+    SCALE-SAFE plan (r4, upgraded r4b to the exact recipe the r3
+    docstring promised): sampled price histogram → per-bucket weight
+    totals (metadata-scale) → the driver locates the ONE bucket where
+    the running weight crosses half the total → one more scan sorts
+    ONLY that bucket (~1/64 of the table; never a full-table window or
+    shuffle) with the bucket's exclusive weight offset added.  The
+    boundary row's value is identical because cumulative weight is
+    monotone and all rows of equal price share a bucket; decimal sums
+    are associative, so the DuckDB oracle (a literal single-sequence
+    window) hashes identically."""
+    from pyspark.sql import Window
+
+    from .operators.scalewin import BUCKET, _bucket_expr, bucket_histogram
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select(
@@ -1053,15 +1056,43 @@ def q167(spark, sf_dir):
         F.col("l_linenumber").alias("ln"),
         F.col("l_quantity").cast("decimal(18,6)").alias("w"),
     )
-    out, _n, tw = global_running(
-        base,
-        [F.asc("v"), F.asc("ok"), F.asc("ln")],
-        range_col="v",
-        weight_col="w",
-        sample_fraction=0.05,  # fact-table input: histogram on a sample
+    bounds = bucket_histogram(base, "v", 64, sample_fraction=0.05)
+    tagged = base.withColumn(BUCKET, _bucket_expr("v", bounds))
+    per_bucket = {
+        r[BUCKET]: r["s"]
+        for r in tagged.groupBy(BUCKET).agg(F.sum("w").alias("s")).collect()
+    }
+    tw = sum(v for v in per_bucket.values() if v is not None)
+    # crossing bucket: first b where 2 * cumulative >= total
+    b_star, off = None, 0
+    cum = 0
+    for b in sorted(per_bucket):
+        if per_bucket[b] is None:
+            continue
+        if 2 * (cum + per_bucket[b]) >= tw and tw > 0:
+            b_star, off = b, cum
+            break
+        cum += per_bucket[b]
+    cand = tagged.where(
+        F.col(BUCKET) == (b_star if b_star is not None else -1)
     )
+    if b_star is not None and bounds:
+        # redundant with the bucket filter but expressed on the RAW
+        # column, so it reaches the parquet scan as a pushed range
+        # predicate — on a layout sorted/z-ordered by price this prunes
+        # every non-candidate row group before decode
+        if b_star > 0:
+            cand = cand.where(F.col("v") > F.lit(bounds[b_star - 1]))
+        if b_star < len(bounds):
+            # null-safe: NULL prices sort into bucket 0 (NULL > b is
+            # unknown -> 0 whens fire); a bare <= would drop them
+            cand = cand.where(
+                (F.col("v") <= F.lit(bounds[b_star])) | F.col("v").isNull()
+            )
+    w_local = Window.partitionBy(BUCKET).orderBy("v", "ok", "ln")
     return (
-        out.where(F.col(CUM) * 2 >= F.lit(tw))
+        cand.withColumn("_cw", F.lit(off) + F.sum("w").over(w_local))
+        .where(F.col("_cw") * 2 >= F.lit(tw))
         .agg(F.min("v").alias("weighted_median_price"))
         .withColumn("total_weight", F.lit(float(tw)))
     )
