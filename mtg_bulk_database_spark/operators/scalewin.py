@@ -241,6 +241,7 @@ def scale_exact_percentiles(
     quantiles: Sequence[float],
     buckets: int = 64,
     sample_fraction: Optional[float] = None,
+    task_rows_limit: int = 5_000_000,
 ) -> dict:
     """EXACT linear-interpolation percentiles (SQL ``quantile_cont`` /
     Spark ``percentile``) per group WITHOUT the built-in aggregate's
@@ -263,6 +264,13 @@ def scale_exact_percentiles(
        arithmetic DuckDB's ``quantile_cont`` uses (pinned bit-equal to
        both engines in the q57/q176 oracle gates).
 
+    ``task_rows_limit`` bounds the terminal single-task sort: candidate
+    slices above it narrow ITERATIVELY (re-histogram the pushed value
+    range, re-count, descend — log_buckets(n/limit) rounds, each over a
+    geometrically shrinking slice), so the operator has no whole-group
+    or whole-bucket memory requirement at ANY input size.  Tests force
+    a tiny limit to drive multi-round narrowing and pin bit-equality.
+
     Returns ``{group_value: {q: float_value}}`` — metadata-sized by
     construction; callers build their result frame from it.
     """
@@ -283,7 +291,7 @@ def scale_exact_percentiles(
 
     # driver: target ranks, their buckets, and bucket rank offsets
     want: dict = {}  # g -> q -> (lo_rank, hi_rank, pos)
-    cand: dict = {}  # (g, bucket) -> exclusive rank offset
+    cand: dict = {}  # (g, bucket) -> [exclusive rank offset, {ranks}]
     for g, per_bucket in counts.items():
         n = sum(per_bucket.values())
         cum = 0
@@ -298,48 +306,161 @@ def scale_exact_percentiles(
             for rank in (lo, hi):
                 for b in sorted(per_bucket):
                     if offsets[b] < rank <= offsets[b] + per_bucket[b]:
-                        cand[(g, b)] = offsets[b]
+                        cand.setdefault((g, b), [offsets[b], set()])[1].add(
+                            rank
+                        )
                         break
 
+    # Candidate buckets that fit one task sort resolve in ONE bulk job;
+    # oversized ones (a bucket can hold n/buckets rows — at 100 TB far
+    # beyond a task) go through ITERATIVE NARROWING: re-histogram the
+    # candidate value range (a pushed range filter on the raw column),
+    # re-count, descend into the sub-bucket holding each rank, repeat
+    # until the slice fits ``task_rows_limit``.  Depth is
+    # log_buckets(n / task_rows_limit) — 3 rounds cover 10^13 rows at
+    # 64 buckets — and every round's jobs shrink geometrically.
+    def _bound(bs, b, lo_v, hi_v):
+        lo2 = bs[b - 1] if b > 0 else lo_v
+        hi2 = bs[b] if b < len(bs) else hi_v
+        return lo2, hi2
+
+    bulk: dict = {}
+    work: list = []  # (g, lo_v, hi_v, off, n_rows, ranks, full_hist)
+    for (g, b), (off, ranks) in cand.items():
+        if counts[g][b] <= task_rows_limit:
+            bulk[(g, b)] = off
+        else:
+            lo_v, hi_v = _bound(bounds, b, None, None)
+            work.append((g, lo_v, hi_v, off, counts[g][b], ranks, False))
+
     spark = df.sparkSession
-    cand_df = spark.createDataFrame(
-        [k + (v,) for k, v in sorted(cand.items(), key=repr)],
-        T.StructType(
-            [
-                df.schema[group_col],
-                T.StructField(BUCKET, T.IntegerType(), False),
-                T.StructField("_sw_off_c", T.LongType(), False),
-            ]
-        ),
-    )
-    ranks_needed = sorted(
-        {
-            (g, r)
-            for g, qs in want.items()
-            for (lo, hi, _) in qs.values()
-            for r in (lo, hi)
-        },
-        key=repr,
-    )
-    need = spark.createDataFrame(
-        ranks_needed,
-        T.StructType(
-            [df.schema[group_col], T.StructField(RN, T.LongType(), False)]
-        ),
-    )
-    # pass 3: candidate buckets only — filter + tiny per-bucket sorts
-    w_local = Window.partitionBy(group_col, BUCKET).orderBy(value_col)
-    hits = {
-        (r[group_col], r[RN]): float(r[value_col])
-        for r in tagged.join(F.broadcast(cand_df), [group_col, BUCKET])
-        .withColumn(
-            RN,
-            (F.col("_sw_off_c") + F.row_number().over(w_local)).cast("long"),
+    hits: dict = {}
+    depth = 0
+    while work:
+        depth += 1
+        if depth > 80:  # bisection fallback worst case on double range
+            raise RuntimeError(
+                "scale_exact_percentiles: narrowing did not converge"
+            )
+        nxt = []
+        for g, lo_v, hi_v, off, n_rows, ranks, full_hist in work:
+            sub = base.where(
+                F.col(group_col).isNull()
+                if g is None
+                else F.col(group_col) == F.lit(g)
+            )
+            if lo_v is not None:
+                sub = sub.where(F.col("_sw_rng") > F.lit(lo_v))
+            if hi_v is not None:
+                # NULL values sort into the lowest bucket; keep them
+                sub = sub.where(
+                    (F.col("_sw_rng") <= F.lit(hi_v))
+                    | F.col("_sw_rng").isNull()
+                )
+            if n_rows <= task_rows_limit:
+                # exact scan inside the boundary slice: a bounded
+                # single-task sort — the terminal step of the recipe
+                w1 = Window.partitionBy(F.lit(1)).orderBy(value_col)
+                got = (
+                    sub.withColumn(
+                        RN,
+                        (F.row_number().over(w1) + F.lit(off)).cast("long"),
+                    )
+                    .where(F.col(RN).isin(*[int(r) for r in ranks]))
+                    .select(RN, value_col)
+                    .collect()
+                )
+                for r in got:
+                    hits[(g, r[RN])] = float(r[value_col])
+                continue
+            sb = bucket_histogram(
+                sub, "_sw_rng", buckets, None if full_hist else sample_fraction
+            )
+            c2 = None
+            if sb:
+                stag = sub.withColumn(BUCKET, _bucket_expr("_sw_rng", sb))
+                c2 = {
+                    r[BUCKET]: r["count"]
+                    for r in stag.groupBy(BUCKET).count().collect()
+                }
+            if not sb or (len(c2) == 1 and max(c2.values()) >= n_rows):
+                # degenerate split (sampled histogram missed the mass,
+                # or one value dominates the slice)
+                mm = sub.agg(
+                    F.min("_sw_rng").alias("a"),
+                    F.max("_sw_rng").alias("b"),
+                    F.min(value_col).alias("v"),
+                ).first()
+                if mm["a"] == mm["b"]:
+                    # the whole slice is ONE value: every rank resolves
+                    for r in ranks:
+                        hits[(g, r)] = float(mm["v"])
+                    continue
+                if not full_hist:
+                    nxt.append((g, lo_v, hi_v, off, n_rows, ranks, True))
+                    continue
+                # guaranteed progress: bisect the TRUE value range —
+                # both halves are non-empty whenever min < max
+                sb = [(mm["a"] + mm["b"]) / 2.0]
+                stag = sub.withColumn(BUCKET, _bucket_expr("_sw_rng", sb))
+                c2 = {
+                    r[BUCKET]: r["count"]
+                    for r in stag.groupBy(BUCKET).count().collect()
+                }
+            cum = off
+            for b2 in sorted(c2):
+                b_off = cum
+                cum += c2[b2]
+                rs = {r for r in ranks if b_off < r <= b_off + c2[b2]}
+                if not rs:
+                    continue
+                lo2, hi2 = _bound(sb, b2, lo_v, hi_v)
+                nxt.append(
+                    (g, lo2, hi2, b_off, c2[b2], rs, c2[b2] >= n_rows)
+                )
+        work = nxt
+
+    if bulk:
+        cand_df = spark.createDataFrame(
+            [k + (v,) for k, v in sorted(bulk.items(), key=repr)],
+            T.StructType(
+                [
+                    df.schema[group_col],
+                    T.StructField(BUCKET, T.IntegerType(), False),
+                    T.StructField("_sw_off_c", T.LongType(), False),
+                ]
+            ),
         )
-        .join(F.broadcast(need), [group_col, RN], "left_semi")
-        .select(group_col, RN, value_col)
-        .collect()
-    }
+        ranks_needed = sorted(
+            {
+                (g, r)
+                for (g, b), (off, ranks) in cand.items()
+                if (g, b) in bulk
+                for r in ranks
+            },
+            key=repr,
+        )
+        need = spark.createDataFrame(
+            ranks_needed,
+            T.StructType(
+                [df.schema[group_col], T.StructField(RN, T.LongType(), False)]
+            ),
+        )
+        # bulk pass: candidate buckets only — filter + tiny bucket sorts
+        w_local = Window.partitionBy(group_col, BUCKET).orderBy(value_col)
+        for r in (
+            tagged.join(F.broadcast(cand_df), [group_col, BUCKET])
+            .withColumn(
+                RN,
+                (F.col("_sw_off_c") + F.row_number().over(w_local)).cast(
+                    "long"
+                ),
+            )
+            .join(F.broadcast(need), [group_col, RN], "left_semi")
+            .select(group_col, RN, value_col)
+            .collect()
+        ):
+            hits[(r[group_col], r[RN])] = float(r[value_col])
     out: dict = {}
     for g, qs in want.items():
         for q, (lo, hi, pos) in qs.items():

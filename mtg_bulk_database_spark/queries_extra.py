@@ -284,12 +284,15 @@ def scale_exact_percentile_plan(spark, li):
     to the built-in on the same input."""
     from .operators.scalewin import scale_exact_percentiles
 
+    # buckets=32: the 31-term bucket expression halves the per-pass CPU
+    # vs 64 while narrowing keeps candidate slices task-sized at any n
     qty = scale_exact_percentiles(
         li, "l_returnflag", "l_quantity", [0.25, 0.50, 0.75],
-        sample_fraction=0.05,
+        buckets=32, sample_fraction=0.05,
     )
     price = scale_exact_percentiles(
-        li, "l_returnflag", "l_extendedprice", [0.9], sample_fraction=0.05
+        li, "l_returnflag", "l_extendedprice", [0.9],
+        buckets=32, sample_fraction=0.05,
     )
     rows = [
         (g, qty[g][0.25], qty[g][0.50], qty[g][0.75], price[g][0.9])

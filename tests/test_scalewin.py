@@ -247,3 +247,58 @@ def test_fuzz_rank_and_ntile(spark, n, mod, buckets, tiles, seed):
             t = rem + (rn - rem * (q + 1) - 1) // q + 1
         exp[i] = (rn, t)
     assert total == n and got == exp
+
+
+def test_scale_percentile_iterative_narrowing(spark):
+    # a tiny task_rows_limit forces multi-round narrowing (the path a
+    # 100 TB bucket takes): bit-equal to the built-in regardless
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators.scalewin import (
+        scale_exact_percentiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    builtin = {
+        r["l_returnflag"]: (r["p25"], r["p90"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    qty = scale_exact_percentiles(
+        li, "l_returnflag", "l_quantity", [0.25],
+        buckets=4, task_rows_limit=50,
+    )
+    price = scale_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.9],
+        buckets=4, task_rows_limit=50,
+    )
+    got = {g: (qty[g][0.25], price[g][0.9]) for g in builtin}
+    assert got == builtin  # exact float equality
+
+
+def test_scale_percentile_massive_tie_narrows(spark):
+    # one value holding >90% of a huge "bucket" defeats quantile
+    # histograms — the bisection fallback must still converge exactly
+    from mtg_bulk_database_spark.operators.scalewin import (
+        scale_exact_percentiles,
+    )
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") < 1800, F.lit(42.0))
+        .otherwise(F.col("id").cast("double") / 7.0)
+        .alias("v"),
+    )
+    exp = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.97)").alias("p"))
+        .collect()
+    }
+    got = scale_exact_percentiles(
+        df, "g", "v", [0.97], buckets=4, task_rows_limit=20
+    )
+    assert got["g"][0.97] == exp["g"]
