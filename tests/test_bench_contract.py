@@ -1,0 +1,36 @@
+"""The driver records only a bounded tail of bench.py's output and
+parses the LAST line as JSON — r3's full-name keys overflowed that
+window and BENCH_r03 recorded `parsed: null`.  Pin the two properties
+that keep the contract safe as the headline set grows."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def test_bench_json_line_stays_parseable():
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": {n.split("_", 1)[0]: 99.999 for n in HEADLINE},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1600, (
+        f"bench JSON line would be {len(line)} chars — shrink keys or "
+        "trim the headline set before it outgrows the driver's tail"
+    )
+
+
+def test_bench_short_keys_unique():
+    short = [n.split("_", 1)[0] for n in HEADLINE]
+    assert len(set(short)) == len(short), "qNN key collision in HEADLINE"
