@@ -585,12 +585,30 @@ AHASH_SCHEMA = T.StructType(
 
 
 def with_image_ahash(media: DataFrame) -> DataFrame:
-    """Perceptual average-hash over REAL decoded pixels: PNG (full
-    decode) or GIF (first decodable frame) → integer grayscale →
-    8×8 nearest-neighbor thumbnail → 64-bit sign-of-mean hash. All
-    integer arithmetic (sums and comparisons), so the hash is
-    bit-reproducible across executors and against a driver-side
-    reference — no float resampling kernels.
+    """Perceptual gradient-hash over REAL decoded pixels: PNG (full
+    decode), JPEG, BMP, or GIF (first decodable frame) → integer
+    grayscale → 8×8 nearest-neighbor thumbnail → 64-bit hash where
+    bit i = thumb[i] > thumb[(i*37+11) % 64]. All integer arithmetic
+    (comparisons only), so the hash is bit-reproducible across
+    executors and against a driver-side reference.
+
+    Why pairwise-comparison bits, not sign-of-mean (aHash): each bit
+    depends on exactly TWO cells, never on a global statistic — a
+    single changed thumbnail cell participates in exactly 2 comparisons
+    (its own bit, plus the one bit whose partner it is, since i↦(i*37+
+    11)%64 is a bijection), so single-cell noise flips ≤2 bits
+    (property-pinned in tests/test_video_image.py). aHash's ``v >
+    mean`` rule is tie-fragile: one nudged pixel can move the global
+    mean onto a value many cells tie at and flip them ALL at once
+    (observed: 16 bits from a +16 single-pixel nudge), breaking the
+    ≤7-Hamming pigeonhole-join contract. Why a FAR permutation rather
+    than adjacent-cell dHash: images with locally-flat structure
+    (logos, scans, flat color blocks) tie most adjacent pairs, draining
+    dHash's entropy to a handful of informative bits and letting
+    unrelated images collide at small radii; comparisons across the
+    scrambled permutation span distant cells, keeping ~64 informative
+    bits on exactly those images. The column keeps its historical name
+    ``ahash``.
 
     Non-decodable payloads get an md5-derived pseudo-hash
     (``is_image=false``): deterministic, but effectively random bits,
@@ -643,11 +661,12 @@ def with_image_ahash(media: DataFrame) -> DataFrame:
             (pseudo,) = _struct.unpack(">q", digest[:8])
             return pseudo, False
         w, h, gray = g
+        # 64 cells; bit i compares cell i to a far cell via a fixed
+        # bijection (gcd(37,64)=1) — see docstring for why
         thumb = resize_nearest(w, h, 1, gray, 8, 8)
-        mean = sum(thumb) // 64
         bits = 0
-        for i, v in enumerate(thumb):
-            if v > mean:
+        for i in range(64):
+            if thumb[i] > thumb[(i * 37 + 11) % 64]:
                 bits |= 1 << i
         return (bits - (1 << 64) if bits >= (1 << 63) else bits), True
 

@@ -105,15 +105,21 @@ def test_sample_gif_frames_fallback_for_non_gif(spark):
 # --- image average-hash ----------------------------------------------------
 
 
+def _dhash_bits(thumb: bytes) -> int:
+    """Gradient-hash twin of operators/multimodal.ahash_of: 8×8
+    thumbnail, bit i = cell i > cell (i*37+11)%64 (a fixed far
+    bijection)."""
+    bits = 0
+    for i in range(64):
+        if thumb[i] > thumb[(i * 37 + 11) % 64]:
+            bits |= 1 << i
+    return bits
+
+
 def _ahash_reference(payload: bytes) -> int:
     w, h, ch, px = CODEC.png_decode(payload)
     assert ch == 1
-    thumb = CODEC.resize_nearest(w, h, 1, px, 8, 8)
-    mean = sum(thumb) // 64
-    bits = 0
-    for i, v in enumerate(thumb):
-        if v > mean:
-            bits |= 1 << i
+    bits = _dhash_bits(CODEC.resize_nearest(w, h, 1, px, 8, 8))
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
@@ -192,7 +198,7 @@ def test_q132_image_pairs_gate_histogram(spark):
 
 # --- property tests (pure python, no spark) -------------------------------
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -229,9 +235,15 @@ def test_gif_animation_round_trip_property(frames):
 
 @settings(max_examples=25, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10**9))
+@example(seed=9372)  # the r4 failure: mean landed on a 16-way tie
 def test_ahash_deterministic_and_noise_tolerant(seed):
     """Same pixels -> same hash; a single-pixel nudge moves the hash by
-    at most a few bits (the property the pigeonhole join relies on)."""
+    at most a few bits (the property the pigeonhole join relies on).
+    The old sign-of-mean aHash FAILED this at seed 9372: the nudge moved
+    the global mean onto a 16-way tie and flipped 16 bits at once. The
+    gradient hash has no global statistic, so a changed pixel touches at
+    most one thumbnail cell (nearest-neighbor downscale is injective for
+    32×32→8×8) and flips at most that cell's 2 comparison bits."""
     px = bytearray(
         hashlib.md5(f"prop:{seed}".encode()).digest() * 64
     )[: 32 * 32]
@@ -240,13 +252,32 @@ def test_ahash_deterministic_and_noise_tolerant(seed):
     px[pos] = (px[pos] + 16) & 0xFF
     img_b = CODEC.png_encode(32, 32, 1, bytes(px))
 
-    def ahash(img):
+    def dhash(img):
         w, h, ch, p = CODEC.png_decode(img)
-        thumb = CODEC.resize_nearest(w, h, 1, p, 8, 8)
-        mean = sum(thumb) // 64
-        return sum(1 << i for i, v in enumerate(thumb) if v > mean)
+        return _dhash_bits(CODEC.resize_nearest(w, h, 1, p, 8, 8))
 
-    a1, a2 = ahash(img_a), ahash(img_a)
+    a1, a2 = dhash(img_a), dhash(img_a)
     assert a1 == a2
-    b = ahash(img_b)
-    assert bin(a1 ^ b).count("1") <= 3
+    b = dhash(img_b)
+    assert bin(a1 ^ b).count("1") <= 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    thumb=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=64, max_size=64
+    ),
+    cell=st.integers(min_value=0, max_value=63),
+    delta=st.integers(min_value=-255, max_value=255),
+)
+def test_dhash_single_cell_noise_bounded(thumb, cell, delta):
+    """The provable contract the pigeonhole join needs: changing ONE
+    thumbnail cell by ANY amount flips at most 2 bits (the cell's own
+    comparison plus the single bit whose partner it is, the map being a
+    bijection) — including on all-tied (flat) thumbnails, the case that
+    broke sign-of-mean aHash."""
+    a = bytes(thumb)
+    mutated = list(thumb)
+    mutated[cell] = max(0, min(255, mutated[cell] + delta))
+    b = bytes(mutated)
+    assert bin(_dhash_bits(a) ^ _dhash_bits(b)).count("1") <= 2
