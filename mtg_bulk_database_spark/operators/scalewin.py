@@ -73,16 +73,34 @@ def bucket_histogram(
     """Approximate-quantile bucket boundaries on ``range_col`` — the
     shared pass-1 of every two-pass operator here.  Boundaries shape
     balance only; see :func:`global_running`."""
+    return bucket_histograms(df, [range_col], buckets, sample_fraction)[
+        range_col
+    ]
+
+
+def bucket_histograms(
+    df: DataFrame,
+    range_cols: Sequence[str],
+    buckets: int = 64,
+    sample_fraction: Optional[float] = None,
+) -> dict:
+    """Multi-column variant of :func:`bucket_histogram`: ONE
+    ``approxQuantile`` job computes every column's boundaries in a
+    single scan (the sketch is per-column but the pass is shared) —
+    ``{col: sorted bounds}``."""
     k = max(int(buckets), 1)
     qs = [i / k for i in range(1, k)]
     if not qs:
-        return []
+        return {c: [] for c in range_cols}
     src = (
         df.sample(fraction=sample_fraction, seed=42)
         if sample_fraction is not None
         else df
     )
-    return sorted(set(src.approxQuantile(range_col, qs, 1.0 / (4 * k))))
+    per_col = src.approxQuantile(list(range_cols), qs, 1.0 / (4 * k))
+    return {
+        c: sorted(set(bs)) for c, bs in zip(range_cols, per_col)
+    }
 
 
 def global_running(
@@ -214,8 +232,17 @@ def global_running(
     off = spark.createDataFrame(rows, T.StructType(fields))
 
     # Pass 3 — balanced local windows + broadcast offset join.
+    # eqNullSafe on every key: a NULL group value is a group like any
+    # other, and a plain equi-join would silently coalesce its offset
+    # to 0 (wrong ranks for every NULL-group row past bucket 0).
     w_local = Window.partitionBy(*key_cols).orderBy(*order_exprs)
-    out = tagged.join(F.broadcast(off), key_cols, "left")
+    cond = None
+    for c in key_cols:
+        e = tagged[c].eqNullSafe(off[c])
+        cond = e if cond is None else (cond & e)
+    out = tagged.join(F.broadcast(off), cond, "left")
+    for c in key_cols:
+        out = out.drop(off[c])
     out = out.withColumn(
         RN, F.coalesce(F.col("_sw_off_c"), F.lit(0)) + F.row_number().over(w_local)
     )
@@ -243,20 +270,49 @@ def scale_exact_percentiles(
     sample_fraction: Optional[float] = None,
     task_rows_limit: int = 5_000_000,
 ) -> dict:
+    """Single-column convenience wrapper over
+    :func:`scale_exact_percentiles_multi` — returns
+    ``{group_value: {q: float_value}}``.  See the multi variant for the
+    algorithm, scale analysis, and NULL semantics."""
+    return scale_exact_percentiles_multi(
+        df,
+        group_col,
+        {value_col: quantiles},
+        buckets=buckets,
+        sample_fraction=sample_fraction,
+        task_rows_limit=task_rows_limit,
+    )[value_col]
+
+
+def scale_exact_percentiles_multi(
+    df: DataFrame,
+    group_col: str,
+    value_quantiles: dict,
+    buckets: int = 64,
+    sample_fraction: Optional[float] = None,
+    task_rows_limit: int = 5_000_000,
+) -> dict:
     """EXACT linear-interpolation percentiles (SQL ``quantile_cont`` /
-    Spark ``percentile``) per group WITHOUT the built-in aggregate's
-    scale trap: Spark's exact ``percentile()`` buffers every value of a
-    group inside one aggregation buffer — for few huge groups (q57's
-    3-flag split of the fact table) that is a whole-table sort on a
-    handful of tasks and an OOM at 100 TB.
+    Spark ``percentile``) per group for SEVERAL value columns at once,
+    WITHOUT the built-in aggregate's scale trap: Spark's exact
+    ``percentile()`` buffers every value of a group inside one
+    aggregation buffer — for few huge groups (q57's 3-flag split of the
+    fact table) that is a whole-table sort on a handful of tasks and an
+    OOM at 100 TB.
 
-    BOUNDARY-BUCKET selection instead — the textbook two-pass recipe:
+    BOUNDARY-BUCKET selection instead — the textbook two-pass recipe,
+    with the expensive full-input passes SHARED across value columns
+    (one histogram job via multi-column ``approxQuantile``, one joint
+    count job; the r4 single-column version re-scanned per column):
 
-    1. sampled histogram → bucket boundaries (balance only);
-    2. per-(group, bucket) COUNTS (map-side-combined aggregate,
-       metadata-scale) → the driver locates, for each target rank, the
+    1. sampled histogram → per-column bucket boundaries (balance only);
+    2. ONE per-(group, bucket₁…bucketₘ) COUNT (map-side-combined
+       aggregate; ``groups × bucketsᵐ`` cells — metadata-scale for the
+       m ≤ 2 case this engine uses; for m ≥ 3 the pass automatically
+       splits per-column to keep the cell count linear) → the driver
+       marginalizes per column, then locates, for each target rank, the
        bucket containing it and that bucket's exclusive rank offset;
-    3. ONE more scan that sorts ONLY the candidate buckets
+    3. per column, ONE more scan that sorts ONLY the candidate buckets
        (~``targets/buckets`` of the data) — never a full-table window
        or shuffle — and returns the ``groups × quantiles × 2`` target
        rows to the driver, where the interpolation
@@ -271,205 +327,337 @@ def scale_exact_percentiles(
     or whole-bucket memory requirement at ANY input size.  Tests force
     a tiny limit to drive multi-round narrowing and pin bit-equality.
 
-    Returns ``{group_value: {q: float_value}}`` — metadata-sized by
-    construction; callers build their result frame from it.
+    NULL semantics match the engines being twinned: NULL VALUES are
+    ignored per column (``percentile``/``quantile_cont`` skip them), so
+    two columns of the same row can contribute to different
+    populations; a group whose values are ALL NULL in a column is
+    absent from that column's result dict (callers needing a NULL row
+    for it must outer-join their group domain).  NULL GROUP KEYS are a
+    group like any other — they resolve through the narrowing path,
+    whose filters use ``isNull`` explicitly, so no null-unsafe
+    equi-join ever drops them (the r4 bulk path crashed on them).
+
+    Returns ``{value_col: {group_value: {q: float_value}}}`` —
+    metadata-sized by construction; callers build their result frame
+    from it.
     """
     import math
 
     from pyspark.sql import Window
 
-    base = df.select(group_col, value_col).withColumn(
-        "_sw_rng", F.col(value_col).cast("double")
+    cols = list(value_quantiles)
+    rng = {c: f"_sw_rng_{i}" for i, c in enumerate(cols)}
+    bkt = {c: f"{BUCKET}_{i}" for i, c in enumerate(cols)}
+    base = df.select(group_col, *cols).select(
+        group_col,
+        *cols,
+        *[F.col(c).cast("double").alias(rng[c]) for c in cols],
     )
-    bounds = bucket_histogram(base, "_sw_rng", buckets, sample_fraction)
-    tagged = base.withColumn(BUCKET, _bucket_expr("_sw_rng", bounds))
+    bounds = bucket_histograms(
+        base, [rng[c] for c in cols], buckets, sample_fraction
+    )
+    # NULL values take a NULL bucket id: excluded from every marginal
+    # count and never equal to a candidate bucket in the bulk join —
+    # the built-in aggregates' ignore-NULLs semantics fall out for free
+    tagged = base.select(
+        "*",
+        *[
+            F.when(
+                F.col(rng[c]).isNotNull(),
+                _bucket_expr(rng[c], bounds[rng[c]]),
+            ).alias(bkt[c])
+            for c in cols
+        ],
+    )
 
-    # pass 2: per-(group, bucket) counts
-    counts: dict = {}
-    for r in tagged.groupBy(group_col, BUCKET).count().collect():
-        counts.setdefault(r[group_col], {})[r[BUCKET]] = r["count"]
+    # pass 2: joint per-(group, bucket…) counts, marginalized per column
+    # on the driver.  groups × buckets^m cells; for m ≥ 3 fall back to
+    # per-column passes so the exchange stays linear in `buckets`.
+    counts: dict = {c: {} for c in cols}  # col -> g -> bucket -> n
+    if len(cols) <= 2:
+        for r in (
+            tagged.groupBy(group_col, *[bkt[c] for c in cols])
+            .count()
+            .collect()
+        ):
+            for c in cols:
+                b = r[bkt[c]]
+                if b is None:
+                    continue  # NULL value: not part of c's population
+                gd = counts[c].setdefault(r[group_col], {})
+                gd[b] = gd.get(b, 0) + r["count"]
+    else:
+        for c in cols:
+            for r in (
+                tagged.where(F.col(bkt[c]).isNotNull())
+                .groupBy(group_col, bkt[c])
+                .count()
+                .collect()
+            ):
+                counts[c].setdefault(r[group_col], {})[r[bkt[c]]] = r[
+                    "count"
+                ]
 
-    # driver: target ranks, their buckets, and bucket rank offsets
-    want: dict = {}  # g -> q -> (lo_rank, hi_rank, pos)
-    cand: dict = {}  # (g, bucket) -> [exclusive rank offset, {ranks}]
-    for g, per_bucket in counts.items():
-        n = sum(per_bucket.values())
-        cum = 0
-        offsets = {}  # bucket -> exclusive prefix count, in bucket order
-        for b in sorted(per_bucket):
-            offsets[b] = cum
-            cum += per_bucket[b]
-        for q in quantiles:
-            pos = q * (n - 1)
-            lo, hi = math.floor(pos) + 1, math.ceil(pos) + 1
-            want.setdefault(g, {})[q] = (lo, hi, pos)
-            for rank in (lo, hi):
-                for b in sorted(per_bucket):
-                    if offsets[b] < rank <= offsets[b] + per_bucket[b]:
-                        cand.setdefault((g, b), [offsets[b], set()])[1].add(
-                            rank
-                        )
-                        break
-
-    # Candidate buckets that fit one task sort resolve in ONE bulk job;
-    # oversized ones (a bucket can hold n/buckets rows — at 100 TB far
-    # beyond a task) go through ITERATIVE NARROWING: re-histogram the
-    # candidate value range (a pushed range filter on the raw column),
-    # re-count, descend into the sub-bucket holding each rank, repeat
-    # until the slice fits ``task_rows_limit``.  Depth is
-    # log_buckets(n / task_rows_limit) — 3 rounds cover 10^13 rows at
-    # 64 buckets — and every round's jobs shrink geometrically.
     def _bound(bs, b, lo_v, hi_v):
         lo2 = bs[b - 1] if b > 0 else lo_v
         hi2 = bs[b] if b < len(bs) else hi_v
         return lo2, hi2
 
-    bulk: dict = {}
-    work: list = []  # (g, lo_v, hi_v, off, n_rows, ranks, full_hist)
-    for (g, b), (off, ranks) in cand.items():
-        if counts[g][b] <= task_rows_limit:
-            bulk[(g, b)] = off
-        else:
-            lo_v, hi_v = _bound(bounds, b, None, None)
-            work.append((g, lo_v, hi_v, off, counts[g][b], ranks, False))
-
     spark = df.sparkSession
-    hits: dict = {}
-    depth = 0
-    while work:
-        depth += 1
-        if depth > 80:  # bisection fallback worst case on double range
-            raise RuntimeError(
-                "scale_exact_percentiles: narrowing did not converge"
-            )
-        nxt = []
-        for g, lo_v, hi_v, off, n_rows, ranks, full_hist in work:
-            sub = base.where(
-                F.col(group_col).isNull()
-                if g is None
-                else F.col(group_col) == F.lit(g)
-            )
-            if lo_v is not None:
-                sub = sub.where(F.col("_sw_rng") > F.lit(lo_v))
-            if hi_v is not None:
-                # NULL values sort into the lowest bucket; keep them
-                sub = sub.where(
-                    (F.col("_sw_rng") <= F.lit(hi_v))
-                    | F.col("_sw_rng").isNull()
-                )
-            if n_rows <= task_rows_limit:
-                # exact scan inside the boundary slice: a bounded
-                # single-task sort — the terminal step of the recipe
-                w1 = Window.partitionBy(F.lit(1)).orderBy(value_col)
-                got = (
-                    sub.withColumn(
-                        RN,
-                        (F.row_number().over(w1) + F.lit(off)).cast("long"),
-                    )
-                    .where(F.col(RN).isin(*[int(r) for r in ranks]))
-                    .select(RN, value_col)
-                    .collect()
-                )
-                for r in got:
-                    hits[(g, r[RN])] = float(r[value_col])
-                continue
-            sb = bucket_histogram(
-                sub, "_sw_rng", buckets, None if full_hist else sample_fraction
-            )
-            c2 = None
-            if sb:
-                stag = sub.withColumn(BUCKET, _bucket_expr("_sw_rng", sb))
-                c2 = {
-                    r[BUCKET]: r["count"]
-                    for r in stag.groupBy(BUCKET).count().collect()
-                }
-            if not sb or (len(c2) == 1 and max(c2.values()) >= n_rows):
-                # degenerate split (sampled histogram missed the mass,
-                # or one value dominates the slice)
-                mm = sub.agg(
-                    F.min("_sw_rng").alias("a"),
-                    F.max("_sw_rng").alias("b"),
-                    F.min(value_col).alias("v"),
-                ).first()
-                if mm["a"] == mm["b"]:
-                    # the whole slice is ONE value: every rank resolves
-                    for r in ranks:
-                        hits[(g, r)] = float(mm["v"])
-                    continue
-                if not full_hist:
-                    nxt.append((g, lo_v, hi_v, off, n_rows, ranks, True))
-                    continue
-                # guaranteed progress: bisect the TRUE value range —
-                # both halves are non-empty whenever min < max
-                sb = [(mm["a"] + mm["b"]) / 2.0]
-                stag = sub.withColumn(BUCKET, _bucket_expr("_sw_rng", sb))
-                c2 = {
-                    r[BUCKET]: r["count"]
-                    for r in stag.groupBy(BUCKET).count().collect()
-                }
-            cum = off
-            for b2 in sorted(c2):
-                b_off = cum
-                cum += c2[b2]
-                rs = {r for r in ranks if b_off < r <= b_off + c2[b2]}
-                if not rs:
-                    continue
-                lo2, hi2 = _bound(sb, b2, lo_v, hi_v)
-                nxt.append(
-                    (g, lo2, hi2, b_off, c2[b2], rs, c2[b2] >= n_rows)
-                )
-        work = nxt
+    all_want: dict = {}  # col -> g -> q -> (lo, hi, pos)
+    all_hits: dict = {}  # col -> (g, rank) -> float value
+    all_bulk: dict = {}  # col -> (g, bucket) -> exclusive rank offset
+    all_cand: dict = {}  # col -> (g, bucket) -> [offset, {ranks}]
+    for value_col in cols:
+        quantiles = value_quantiles[value_col]
+        col_counts = counts[value_col]
+        col_bounds = bounds[rng[value_col]]
+        rng_col = rng[value_col]
 
-    if bulk:
+        # driver: target ranks, their buckets, and bucket rank offsets
+        want: dict = {}  # g -> q -> (lo_rank, hi_rank, pos)
+        cand: dict = {}  # (g, bucket) -> [exclusive rank offset, {ranks}]
+        for g, per_bucket in col_counts.items():
+            n = sum(per_bucket.values())
+            cum = 0
+            offsets = {}  # bucket -> exclusive prefix, in bucket order
+            for b in sorted(per_bucket):
+                offsets[b] = cum
+                cum += per_bucket[b]
+            for q in quantiles:
+                pos = q * (n - 1)
+                lo, hi = math.floor(pos) + 1, math.ceil(pos) + 1
+                want.setdefault(g, {})[q] = (lo, hi, pos)
+                for rank in (lo, hi):
+                    for b in sorted(per_bucket):
+                        if offsets[b] < rank <= offsets[b] + per_bucket[b]:
+                            cand.setdefault((g, b), [offsets[b], set()])[
+                                1
+                            ].add(rank)
+                            break
+
+        # Candidate buckets that fit one task sort resolve in ONE bulk
+        # job; oversized ones (a bucket can hold n/buckets rows — at
+        # 100 TB far beyond a task) go through ITERATIVE NARROWING:
+        # re-histogram the candidate value range (a pushed range filter
+        # on the raw column), re-count, descend into the sub-bucket
+        # holding each rank, repeat until the slice fits
+        # ``task_rows_limit``.  Depth is log_buckets(n/limit) — 3
+        # rounds cover 10^13 rows at 64 buckets — and every round's
+        # jobs shrink geometrically.  NULL groups always take this
+        # path: its filters are explicitly null-aware, where the
+        # combined bulk join below is a plain (null-unsafe) equi-join.
+        bulk: dict = {}
+        work: list = []  # (g, lo_v, hi_v, off, n_rows, ranks, full_hist)
+        for (g, b), (off, ranks) in cand.items():
+            if g is not None and col_counts[g][b] <= task_rows_limit:
+                bulk[(g, b)] = off
+            else:
+                lo_v, hi_v = _bound(col_bounds, b, None, None)
+                work.append(
+                    (g, lo_v, hi_v, off, col_counts[g][b], ranks, False)
+                )
+
+        hits = all_hits.setdefault(value_col, {})
+        depth = 0
+        while work:
+            depth += 1
+            if depth > 80:  # bisection worst case on double range
+                raise RuntimeError(
+                    "scale_exact_percentiles: narrowing did not converge"
+                )
+            nxt = []
+            for g, lo_v, hi_v, off, n_rows, ranks, full_hist in work:
+                sub = base.where(
+                    F.col(group_col).isNull()
+                    if g is None
+                    else F.col(group_col) == F.lit(g)
+                ).where(F.col(rng_col).isNotNull())
+                if lo_v is not None:
+                    sub = sub.where(F.col(rng_col) > F.lit(lo_v))
+                if hi_v is not None:
+                    sub = sub.where(F.col(rng_col) <= F.lit(hi_v))
+                if n_rows <= task_rows_limit:
+                    # exact scan inside the boundary slice: a bounded
+                    # single-task sort — the recipe's terminal step
+                    w1 = Window.partitionBy(F.lit(1)).orderBy(value_col)
+                    got = (
+                        sub.withColumn(
+                            RN,
+                            (F.row_number().over(w1) + F.lit(off)).cast(
+                                "long"
+                            ),
+                        )
+                        .where(F.col(RN).isin(*[int(r) for r in ranks]))
+                        .select(RN, value_col)
+                        .collect()
+                    )
+                    for r in got:
+                        hits[(g, r[RN])] = float(r[value_col])
+                    continue
+                sb = bucket_histogram(
+                    sub,
+                    rng_col,
+                    buckets,
+                    None if full_hist else sample_fraction,
+                )
+                c2 = None
+                if sb:
+                    stag = sub.withColumn(
+                        BUCKET, _bucket_expr(rng_col, sb)
+                    )
+                    c2 = {
+                        r[BUCKET]: r["count"]
+                        for r in stag.groupBy(BUCKET).count().collect()
+                    }
+                if not sb or (
+                    len(c2) == 1 and max(c2.values()) >= n_rows
+                ):
+                    # degenerate split (sampled histogram missed the
+                    # mass, or one value dominates the slice)
+                    mm = sub.agg(
+                        F.min(rng_col).alias("a"),
+                        F.max(rng_col).alias("b"),
+                        F.min(value_col).alias("v"),
+                    ).first()
+                    if mm["a"] == mm["b"]:
+                        # the whole slice is ONE value: all ranks resolve
+                        for r in ranks:
+                            hits[(g, r)] = float(mm["v"])
+                        continue
+                    if not full_hist:
+                        nxt.append(
+                            (g, lo_v, hi_v, off, n_rows, ranks, True)
+                        )
+                        continue
+                    # guaranteed progress: bisect the TRUE value range —
+                    # both halves are non-empty whenever min < max
+                    sb = [(mm["a"] + mm["b"]) / 2.0]
+                    stag = sub.withColumn(
+                        BUCKET, _bucket_expr(rng_col, sb)
+                    )
+                    c2 = {
+                        r[BUCKET]: r["count"]
+                        for r in stag.groupBy(BUCKET).count().collect()
+                    }
+                cum = off
+                for b2 in sorted(c2):
+                    b_off = cum
+                    cum += c2[b2]
+                    rs = {
+                        r for r in ranks if b_off < r <= b_off + c2[b2]
+                    }
+                    if not rs:
+                        continue
+                    lo2, hi2 = _bound(sb, b2, lo_v, hi_v)
+                    nxt.append(
+                        (g, lo2, hi2, b_off, c2[b2], rs, c2[b2] >= n_rows)
+                    )
+            work = nxt
+
+        all_want[value_col] = want
+        all_bulk[value_col] = bulk
+        all_cand[value_col] = cand
+
+    # ONE combined bulk pass for every column's in-limit candidate
+    # buckets: the input scan is shared (r4 ran one bulk job per
+    # column).  Each row explodes into m (which-column, bucket, value)
+    # triples; the broadcast join against the candidate list keeps only
+    # candidate-bucket triples, tiny per-(col, group, bucket) sorts
+    # rank them, and a second broadcast semi-join keeps only the
+    # groups × quantiles × 2 target ranks.  Values ride as doubles:
+    # the interpolation output is float, and two decimals that tie in
+    # double also tie in the output, so double ordering is
+    # result-exact.  (NULL groups never reach here — narrowing above.)
+    if any(all_bulk.values()):
+        cand_rows = sorted(
+            (
+                (g, i, b, off)
+                for i, c in enumerate(cols)
+                for (g, b), off in all_bulk[c].items()
+            ),
+            key=repr,
+        )
         cand_df = spark.createDataFrame(
-            [k + (v,) for k, v in sorted(bulk.items(), key=repr)],
+            cand_rows,
             T.StructType(
                 [
                     df.schema[group_col],
-                    T.StructField(BUCKET, T.IntegerType(), False),
+                    T.StructField("_sw_w", T.IntegerType(), False),
+                    T.StructField("_sw_b", T.IntegerType(), False),
                     T.StructField("_sw_off_c", T.LongType(), False),
                 ]
             ),
         )
-        ranks_needed = sorted(
+        need_rows = sorted(
             {
-                (g, r)
-                for (g, b), (off, ranks) in cand.items()
-                if (g, b) in bulk
+                (g, i, r)
+                for i, c in enumerate(cols)
+                for (g, b), (off, ranks) in all_cand[c].items()
+                if (g, b) in all_bulk[c]
                 for r in ranks
             },
             key=repr,
         )
         need = spark.createDataFrame(
-            ranks_needed,
+            need_rows,
             T.StructType(
-                [df.schema[group_col], T.StructField(RN, T.LongType(), False)]
+                [
+                    df.schema[group_col],
+                    T.StructField("_sw_w", T.IntegerType(), False),
+                    T.StructField(RN, T.LongType(), False),
+                ]
             ),
         )
-        # bulk pass: candidate buckets only — filter + tiny bucket sorts
-        w_local = Window.partitionBy(group_col, BUCKET).orderBy(value_col)
+        exploded = tagged.select(
+            group_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_sw_w"),
+                            F.col(bkt[c]).alias("_sw_b"),
+                            F.col(rng[c]).alias("_sw_val"),
+                        )
+                        for i, c in enumerate(cols)
+                    ]
+                )
+            ).alias("_sw_x"),
+        ).select(group_col, "_sw_x.*")
+        w_local = Window.partitionBy(group_col, "_sw_w", "_sw_b").orderBy(
+            "_sw_val"
+        )
         for r in (
-            tagged.join(F.broadcast(cand_df), [group_col, BUCKET])
+            exploded.join(
+                F.broadcast(cand_df), [group_col, "_sw_w", "_sw_b"]
+            )
             .withColumn(
                 RN,
                 (F.col("_sw_off_c") + F.row_number().over(w_local)).cast(
                     "long"
                 ),
             )
-            .join(F.broadcast(need), [group_col, RN], "left_semi")
-            .select(group_col, RN, value_col)
+            .join(F.broadcast(need), [group_col, "_sw_w", RN], "left_semi")
+            .select(group_col, "_sw_w", RN, "_sw_val")
             .collect()
         ):
-            hits[(r[group_col], r[RN])] = float(r[value_col])
-    out: dict = {}
-    for g, qs in want.items():
-        for q, (lo, hi, pos) in qs.items():
-            v_lo = hits[(g, lo)]
-            v_hi = hits[(g, hi)]
-            out.setdefault(g, {})[q] = v_lo + (pos - math.floor(pos)) * (
-                v_hi - v_lo
+            all_hits[cols[r["_sw_w"]]][(r[group_col], r[RN])] = float(
+                r["_sw_val"]
             )
-    return out
+
+    result: dict = {}
+    for value_col in cols:
+        hits = all_hits[value_col]
+        out: dict = {}
+        for g, qs in all_want[value_col].items():
+            for q, (lo, hi, pos) in qs.items():
+                v_lo = hits[(g, lo)]
+                v_hi = hits[(g, hi)]
+                out.setdefault(g, {})[q] = v_lo + (
+                    pos - math.floor(pos)
+                ) * (v_hi - v_lo)
+        result[value_col] = out
+    return result
 
 
 def ntile_from_rn(rn: Column, n_rows: int, tiles: int) -> Column:

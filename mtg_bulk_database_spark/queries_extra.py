@@ -282,18 +282,21 @@ def q176(spark, sf_dir):
 def scale_exact_percentile_plan(spark, li):
     """q57's scale path, callable directly so tests pin it bit-equal
     to the built-in on the same input."""
-    from .operators.scalewin import scale_exact_percentiles
+    from .operators.scalewin import scale_exact_percentiles_multi
 
     # buckets=32: the 31-term bucket expression halves the per-pass CPU
-    # vs 64 while narrowing keeps candidate slices task-sized at any n
-    qty = scale_exact_percentiles(
-        li, "l_returnflag", "l_quantity", [0.25, 0.50, 0.75],
-        buckets=32, sample_fraction=0.05,
+    # vs 64 while narrowing keeps candidate slices task-sized at any n.
+    # ONE multi-column call: the histogram and count passes over the
+    # lineitem scan are shared between the two value columns (r4 ran
+    # the whole recipe twice — 6 jobs where 4 suffice).
+    pct = scale_exact_percentiles_multi(
+        li,
+        "l_returnflag",
+        {"l_quantity": [0.25, 0.50, 0.75], "l_extendedprice": [0.9]},
+        buckets=32,
+        sample_fraction=0.05,
     )
-    price = scale_exact_percentiles(
-        li, "l_returnflag", "l_extendedprice", [0.9],
-        buckets=32, sample_fraction=0.05,
-    )
+    qty, price = pct["l_quantity"], pct["l_extendedprice"]
     rows = [
         (g, qty[g][0.25], qty[g][0.50], qty[g][0.75], price[g][0.9])
         for g in sorted(qty)

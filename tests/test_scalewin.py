@@ -302,3 +302,108 @@ def test_scale_percentile_massive_tie_narrows(spark):
         df, "g", "v", [0.97], buckets=4, task_rows_limit=20
     )
     assert got["g"][0.97] == exp["g"]
+
+
+def test_scale_percentile_null_group_and_null_values(spark):
+    # ADVICE r4: NULL group keys crashed the bulk path (null-unsafe
+    # equi-join left their ranks unjoined -> KeyError), and NULL values
+    # were counted/ranked where percentile()/quantile_cont ignore them.
+    # Both semantics now match the built-in exactly.
+    from mtg_bulk_database_spark.operators.scalewin import (
+        scale_exact_percentiles,
+    )
+
+    df = spark.range(900).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("g"),
+        # every 7th value NULL: percentile must skip them
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise((F.col("id") % 101).cast("double"))
+        .alias("v"),
+    )
+    exp = {
+        r["g"]: (r["p25"], r["p80"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.80)").alias("p80"),
+        )
+        .collect()
+    }
+    for task_rows_limit in (5_000_000, 40):  # bulk path AND narrowing
+        got = scale_exact_percentiles(
+            df, "g", "v", [0.25, 0.80], buckets=4,
+            task_rows_limit=task_rows_limit,
+        )
+        assert {g: (d[0.25], d[0.80]) for g, d in got.items()} == exp
+
+
+def test_scale_percentile_all_null_group_absent(spark):
+    # a group whose values are ALL NULL has no percentile population:
+    # documented to be absent from the result dict
+    from mtg_bulk_database_spark.operators.scalewin import (
+        scale_exact_percentiles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 2 == 0).cast("string").alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("v"),
+    )
+    got = scale_exact_percentiles(df, "g", "v", [0.5], buckets=4)
+    assert set(got) == {"true"}
+
+
+def test_scale_percentile_multi_matches_per_column(spark):
+    # the shared-pass multi-column API must equal independent
+    # single-column runs (same histogram resolution) bit-for-bit
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators.scalewin import (
+        scale_exact_percentiles,
+        scale_exact_percentiles_multi,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    multi = scale_exact_percentiles_multi(
+        li,
+        "l_returnflag",
+        {"l_quantity": [0.25, 0.75], "l_discount": [0.5]},
+        buckets=8,
+    )
+    single_q = scale_exact_percentiles(
+        li, "l_returnflag", "l_quantity", [0.25, 0.75], buckets=8
+    )
+    single_d = scale_exact_percentiles(
+        li, "l_returnflag", "l_discount", [0.5], buckets=8
+    )
+    assert multi["l_quantity"] == single_q
+    assert multi["l_discount"] == single_d
+
+
+def test_global_running_null_group_offsets(spark):
+    # ADVICE r4: global_running's offset join silently coalesced a NULL
+    # group's offset to 0 -> wrong ranks. eqNullSafe join fixes it.
+    df = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise((F.col("id") % 4).cast("string"))
+        .alias("g"),
+        (F.col("id") % 11).cast("double").alias("v"),
+        ((F.col("id") * 3) % 7 + 1).cast("decimal(18,6)").alias("w"),
+    )
+    out, n_by_g, _ = global_running(
+        df, [F.asc("v"), F.asc("id")], range_col="v", weight_col="w",
+        buckets=8, group_cols=["g"],
+    )
+    got = {r["id"]: (r[RN], r[CUM]) for r in out.select("id", RN, CUM).collect()}
+    w = Window.partitionBy("g").orderBy("v", "id")
+    exp = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("w").over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == exp
+    assert (None,) in n_by_g and n_by_g[(None,)] == 100
