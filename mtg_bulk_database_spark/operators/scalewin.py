@@ -316,9 +316,11 @@ def scale_exact_percentiles_multi(
        (~``targets/buckets`` of the data) — never a full-table window
        or shuffle — and returns the ``groups × quantiles × 2`` target
        rows to the driver, where the interpolation
-       ``v_lo + (pos − lo)·(v_hi − v_lo)`` runs in the same IEEE
-       arithmetic DuckDB's ``quantile_cont`` uses (pinned bit-equal to
-       both engines in the q57/q176 oracle gates).
+       ``v_lo·(1−d) + v_hi·d`` is evaluated in EXACTLY the operation
+       order Spark's ``Percentile`` and DuckDB's ``quantile_cont``
+       use (pinned bit-equal to both engines in the q57/q176 oracle
+       gates; the algebraically-equal ``lo + d·(hi−lo)`` rounds
+       differently).
 
     ``task_rows_limit`` bounds the terminal single-task sort: candidate
     slices above it narrow ITERATIVELY (re-histogram the pushed value
@@ -653,9 +655,13 @@ def scale_exact_percentiles_multi(
             for q, (lo, hi, pos) in qs.items():
                 v_lo = hits[(g, lo)]
                 v_hi = hits[(g, hi)]
-                out.setdefault(g, {})[q] = v_lo + (
-                    pos - math.floor(pos)
-                ) * (v_hi - v_lo)
+                # EXACTLY the expression Spark's Percentile and
+                # DuckDB's quantile_cont evaluate — lo·(1−d) + hi·d,
+                # NOT the algebraically-equal lo + d·(hi−lo), whose
+                # different rounding breaks bit-equality (caught by
+                # the q170 pin: 14.2475 vs 14.247499999999999)
+                d = pos - math.floor(pos)
+                out.setdefault(g, {})[q] = v_lo * (1.0 - d) + v_hi * d
         result[value_col] = out
     return result
 

@@ -1177,8 +1177,20 @@ def q169(spark, sf_dir):
     when the outliers you hunt contaminate the moments; MAD does not).
     Two grouped exact percentiles: the per-group median broadcasts back
     over the scan (tiny dim), then the median of absolute deviations —
-    the same quantile_cont/percentile interpolation parity q145 pinned."""
+    the same quantile_cont/percentile interpolation parity q145 pinned.
+
+    Stats-driven switch (r5, the q57 discipline): the built-in grouped
+    ``percentile()`` buffers each group's values in ONE aggregation
+    buffer — the per-group twin of the scale trap q57 closed. Above
+    ``_PCTL_BUFFER_SAFE_ROWS`` the plan flips to
+    ``scalewin.scale_exact_percentiles`` twice (medians, then MAD of
+    the broadcast-joined deviations), pinned bit-equal in
+    ``test_scalewin.py``."""
+    from .queries_extra import _PCTL_BUFFER_SAFE_ROWS
+
     docs = load_table(spark, sf_dir, "documents")
+    if docs.count() > _PCTL_BUFFER_SAFE_ROWS:
+        return q169_scale_plan(spark, docs)
     med = docs.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.5)").alias("m")
     )
@@ -1189,6 +1201,32 @@ def q169(spark, sf_dir):
             F.max("m").alias("median_chars"),
             F.expr("percentile(abs(n_chars - m), 0.5)").alias("mad"),
         )
+    )
+
+
+def q169_scale_plan(spark, docs):
+    """q169's scale path, callable directly so tests pin it bit-equal
+    to the built-in on the same input.  Two sequential scale-percentile
+    calls — the MAD's input column EXISTS only after the medians are
+    known, so the passes cannot be fused."""
+    from .operators.scalewin import scale_exact_percentiles
+
+    med = scale_exact_percentiles(
+        docs, "lang", "n_chars", [0.5], buckets=32, sample_fraction=0.05
+    )
+    med_df = spark.createDataFrame(
+        [(g, m[0.5]) for g, m in sorted(med.items())],
+        "lang string, m double",
+    )
+    dev = docs.join(F.broadcast(med_df), "lang").withColumn(
+        "_dev", F.abs(F.col("n_chars") - F.col("m"))
+    )
+    mad = scale_exact_percentiles(
+        dev, "lang", "_dev", [0.5], buckets=32, sample_fraction=0.05
+    )
+    return spark.createDataFrame(
+        [(g, med[g][0.5], mad[g][0.5]) for g in sorted(med)],
+        "lang string, median_chars double, mad double",
     )
 
 
@@ -1216,12 +1254,44 @@ def q170(spark, sf_dir):
     quartiles) — the third outlier lens next to moment-based z-scores
     (q153) and MAD (q169); quartile fences are what monitoring
     dashboards actually draw. Quartile dim broadcasts back over the
-    scan; fences compare identical float expressions in both engines."""
+    scan; fences compare identical float expressions in both engines.
+
+    Stats-driven switch (r5, the q57 discipline): above
+    ``_PCTL_BUFFER_SAFE_ROWS`` the quartile dim comes from
+    ``scalewin.scale_exact_percentiles`` (both quantiles share one
+    histogram/count scan) instead of the built-in's per-group value
+    buffer; the fence aggregation is identical either way."""
+    from .queries_extra import _PCTL_BUFFER_SAFE_ROWS
+
     ev = load_table(spark, sf_dir, "events")
+    if ev.count() > _PCTL_BUFFER_SAFE_ROWS:
+        return q170_scale_plan(spark, ev)
     q = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.25)").alias("p25"),
         F.expr("percentile(value, 0.75)").alias("p75"),
     )
+    return _iqr_fences(ev, q)
+
+
+def q170_scale_plan(spark, ev):
+    """q170's scale path, callable directly so tests pin it bit-equal
+    to the built-in on the same input."""
+    from .operators.scalewin import scale_exact_percentiles
+
+    pct = scale_exact_percentiles(
+        ev, "event_type", "value", [0.25, 0.75],
+        buckets=32, sample_fraction=0.05,
+    )
+    q = ev.sparkSession.createDataFrame(
+        [(g, d[0.25], d[0.75]) for g, d in sorted(pct.items())],
+        "event_type string, p25 double, p75 double",
+    )
+    return _iqr_fences(ev, q)
+
+
+def _iqr_fences(ev, q):
+    """Shared fence aggregation: 1.5·IQR Tukey fences from a quartile
+    dim frame, broadcast back over the events scan."""
     iqr = F.col("p75") - F.col("p25")
     is_out = (F.col("value") < F.col("p25") - 1.5 * iqr) | (
         F.col("value") > F.col("p75") + 1.5 * iqr

@@ -407,3 +407,50 @@ def test_global_running_null_group_offsets(spark):
     }
     assert got == exp
     assert (None,) in n_by_g and n_by_g[(None,)] == 100
+
+
+def test_q169_scale_plan_matches_builtin_bitwise(spark):
+    # the r5 switch for grouped MAD: the two-stage scale-percentile
+    # plan must reproduce the built-in grouped percentile() bit-for-bit
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.pipeline_queries8 import q169_scale_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("m")
+    )
+    builtin = {
+        r["lang"]: (r["median_chars"], r["mad"])
+        for r in docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("m").alias("median_chars"),
+            F.expr("percentile(abs(n_chars - m), 0.5)").alias("mad"),
+        )
+        .collect()
+    }
+    scale = {
+        r["lang"]: (r["median_chars"], r["mad"])
+        for r in q169_scale_plan(spark, docs).collect()
+    }
+    assert scale == builtin  # exact float equality
+
+
+def test_q170_scale_plan_matches_builtin_bitwise(spark):
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.pipeline_queries8 import (
+        _iqr_fences,
+        q170_scale_plan,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    builtin = {r["event_type"]: tuple(r)[1:] for r in _iqr_fences(ev, q).collect()}
+    scale = {
+        r["event_type"]: tuple(r)[1:]
+        for r in q170_scale_plan(spark, ev).collect()
+    }
+    assert scale == builtin  # exact float equality
