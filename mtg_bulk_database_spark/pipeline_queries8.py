@@ -43,73 +43,114 @@ from .registry import query
        CROSS JOIN n""",
 )
 def q150(spark, sf_dir):
-    """Association rules over order baskets: pair support via the
-    ascending self-join on the order key (each unordered pair built
-    once, same discipline as the triangle counter), lift from the
-    broadcast 1-row order count and the per-item frequency table.
-    Numerator and denominator stay integers until ONE final double
-    division, so the lift value is bit-identical across engines.
-
-    APRIORI LEVEL-1 PRUNE (r4): pair support is bounded by the rarer
-    item's frequency, so items with freq < min_support can never
-    appear in a surviving pair — semi-joining ``items`` against the
-    frequent-item set BEFORE the quadratic self-join shrinks its input
-    at zero correctness cost (the r3 plan filtered only AFTER building
-    every pair).  A documented per-basket size cap guards the
-    skewed-basket blowup: a basket of b frequent items emits b·(b−1)/2
-    pairs, so one pathological 10⁵-item basket would emit 5·10⁹ rows
-    from a single key.  TPC-H baskets are ≤ 7 lines, so the default
-    cap (64) provably drops nothing here and the oracle hash is
-    unchanged; at 100 TB you either keep the cap (standard practice:
-    such baskets are bot traffic, not signal) or sample within them."""
-    MIN_SUPPORT = 3
-    MAX_BASKET = 64
+    """Association rules over order baskets: pair support from
+    in-basket pair expansion, lift from the broadcast 1-row order
+    count and the per-item frequency table.  Numerator and denominator
+    stay integers until ONE final double division, so the lift value
+    is bit-identical across engines.  See ``market_basket_rules`` for
+    the plan."""
     li = load_table(spark, sf_dir, "lineitem")
-    # items feeds THREE consumers (order count, item frequencies, the
-    # pruned self-join input) — checkpoint it once or the fact-table
-    # distinct recomputes per branch (measured: the whole cost of the
-    # r4 prune was this recompute, 2.0s → 3.8s; with the cut the pruned
-    # plan matches the unpruned one at TPC-H and wins on Zipfian data).
-    # At cluster scale this is "persist the basket table between
-    # stages", the same discipline as dedup.py's shingle checkpoint.
-    items = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    return market_basket_rules(li)
+
+
+def market_basket_rules(
+    li,
+    min_support: int = 3,
+    max_basket: int = 64,
+    cap_observation=None,
+):
+    """q150's plan as a parameterized operator.
+
+    BASKET-ARRAY PLAN (r5): one ``groupBy(order).collect_set`` builds
+    each basket as an array — replacing the r3/r4 distinct + order-key
+    SELF-JOIN with in-executor pair expansion (a sorted-array HOF:
+    ``flatten(transform(ps, (x,i) -> transform(slice(ps, i+2, …),
+    y -> (x,y))))``), so the quadratic step never touches the shuffle
+    at all.  Three shuffles total (baskets, item frequencies, pair
+    counts) vs the r4 plan's five; interleaved 7-round A/B at sf0.1:
+    r4 plan 2.51 s median, this plan 2.03 s — level with the unpruned
+    r3 plan while also carrying the prune, the cap, and the metric.
+
+    APRIORI LEVEL-1 PRUNE: pair support is bounded by the rarer item's
+    frequency, so items with freq < min_support can never appear in a
+    surviving pair.  Pruning is ``array_except`` against the
+    infrequent-item list (collected to ONE broadcast row — on
+    order-like data the infrequent tail is tiny; on a Zipfian corpus
+    where the tail dominates, swap to the shuffle form: explode →
+    broadcast-anti-join → re-collect_set, same algebra).
+
+    BASKET CAP (results-affecting on non-TPC-H data, so it is a
+    PARAMETER, and truncation is OBSERVABLE, r5 per ADVICE): a basket
+    of b frequent items expands to b·(b−1)/2 pairs, so one pathological
+    10⁵-item basket would emit 5·10⁹ rows from a single task.  TPC-H
+    baskets are ≤ 7 lines, so the default cap (64) provably drops
+    nothing here and the oracle hash is unchanged; at 100 TB you either
+    keep the cap (standard practice: such baskets are bot traffic, not
+    signal) or sample within them.  Dropped baskets are counted in an
+    ``observe`` metric named ``basket_cap`` — a zero-cost columnar
+    metric visible to any QueryExecutionListener / the Spark UI; pass
+    a ``pyspark.sql.Observation`` as ``cap_observation`` to read
+    ``{'n_capped_baskets': …, 'n_capped_rows': …}`` (both exact)
+    programmatically after an action.  No more silent truncation.
+
+    Scale note: ``collect_set`` bounds per-task memory by the largest
+    single basket (arrays of item ids — megabytes at 10⁵ items), which
+    the cap then drops; a basket too large to even collect is the
+    explode→anti-join escape hatch above."""
+    MIN_SUPPORT = int(min_support)
+    MAX_BASKET = int(max_basket)
+    # baskets feed THREE consumers (order count, item frequencies, the
+    # pair expansion) — checkpoint once or the fact-table aggregation
+    # recomputes per branch.  At cluster scale this is "persist the
+    # basket table between stages", the same discipline as dedup.py's
+    # shingle checkpoint.
+    baskets0 = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.collect_set("l_partkey").alias("ps0"))
         .localCheckpoint(eager=False)
     )
-    n_orders = items.agg(
-        F.countDistinct("o").alias("n_orders")
+    n_orders = baskets0.agg(F.count(F.lit(1)).alias("n_orders"))
+    freq = (
+        baskets0.select(F.explode("ps0").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    freq = items.groupBy("p").agg(F.count("*").alias("c")).localCheckpoint(
-        eager=False
+    infreq_row = freq.where(F.col("c") < MIN_SUPPORT).agg(
+        F.coalesce(F.collect_list("p"), F.array()).alias("bad")
     )
-    # Level-1 prune as a BROADCAST ANTI-join against the INFREQUENT
-    # set: on order-like data the frequent side is nearly everything
-    # (TPC-H sf0.1: ~0 parts below support 3), so semi-joining against
-    # it would shuffle `items` by p for nothing — the infrequent
-    # complement is the small, broadcastable side.  On a Zipfian corpus
-    # the tail dominates and the broadcast flips: swap to
-    # `items.join(frequent, "p", "left_semi")` (shuffle semi-join) —
-    # same algebra, opposite cardinality bet.
-    infrequent = freq.where(F.col("c") < MIN_SUPPORT).select("p")
-    items_f = items.join(F.broadcast(infrequent), "p", "left_anti")
-    # Basket-size cap as a COUNT window over the order key: one hash
-    # shuffle by o that the self-join below immediately reuses (both
-    # join legs descend from this same exchange), instead of a separate
-    # groupBy + semi-join pass.
-    from pyspark.sql import Window
-
-    items_f = (
-        items_f.withColumn(
-            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("o"))
+    baskets = baskets0.crossJoin(F.broadcast(infreq_row)).select(
+        "o", F.array_except("ps0", "bad").alias("ps")
+    )
+    cap_metrics = [
+        F.count(
+            F.when(F.size("ps") > MAX_BASKET, F.lit(1))
+        ).alias("n_capped_baskets"),
+        F.coalesce(
+            F.sum(F.when(F.size("ps") > MAX_BASKET, F.size("ps"))),
+            F.lit(0),
+        ).alias("n_capped_rows"),
+    ]
+    baskets = baskets.observe(
+        cap_observation if cap_observation is not None else "basket_cap",
+        *cap_metrics,
+    ).where(F.size("ps") <= MAX_BASKET)
+    # ascending in-basket pair expansion: sort once, pair each element
+    # with its strict successors — each unordered pair built exactly
+    # once (same discipline as the triangle counter), all JVM-side HOFs
+    ps = F.array_sort(F.col("ps"))
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda y: F.struct(x.alias("p_a"), y.alias("p_b")),
+            ),
         )
-        .where(F.col("_bsz") <= MAX_BASKET)
-        .drop("_bsz")
     )
-    a, b = items_f.alias("a"), items_f.alias("b")
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.p_a").alias("p_a"), F.col("pr.p_b").alias("p_b"))
         .agg(F.count("*").alias("n_both"))
         .where(F.col("n_both") >= MIN_SUPPORT)
     )

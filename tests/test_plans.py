@@ -398,16 +398,51 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.set(k, v)
 
 
-def test_q150_apriori_prune_semijoins(spark):
-    # r4: the basket self-join input must be pre-pruned upstream of the
-    # quadratic order-key self-join — a broadcast ANTI-join against the
-    # infrequent-item set (Apriori level 1; the complement bet, since on
-    # order data the frequent side is ~everything) and a per-basket size
-    # cap expressed as a count-window over the order key so the
-    # self-join reuses its hash partitioning
+def test_q150_basket_array_plan(spark):
+    # r5: the quadratic pair step must be IN-EXECUTOR array expansion,
+    # never an order-key self-join — the plan may contain no
+    # SortMergeJoin/ShuffledHashJoin at all (the only joins left are
+    # broadcasts: infrequent-list, frequency lookups, 1-row order
+    # count), and the pair explode must feed a lambda-HOF projection
     df = QUERIES["q150_market_basket"](spark, SF_DIR)
     plan = executed_plan(df)
-    assert "LeftAnti" in plan, plan[:2000]
-    assert any(
-        "Window" in ln and "o#" in ln for ln in plan.splitlines()
-    ), plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "Generate explode" in plan, plan[:2000]
+    # prune + cap are still present: array_except against the
+    # broadcast infrequent row, size() filter for the basket cap
+    assert "array_except" in plan, plan[:2000]
+    assert "size(" in plan, plan[:2000]
+
+
+def test_q150_basket_cap_observable_and_parameterized(spark):
+    # r5 per ADVICE: the basket cap is a parameter and its truncation
+    # is an exact, programmatically readable observe metric — no more
+    # silent drops on non-TPC-H data
+    from pyspark.sql import Observation
+
+    from mtg_bulk_database_spark.pipeline_queries8 import (
+        market_basket_rules,
+    )
+
+    rows = (
+        [(1, p) for p in range(80)]      # one 80-item basket -> capped
+        + [(2, 1), (2, 2), (3, 1), (3, 2), (3, 3)]
+    )
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    obs = Observation("basket_cap")
+    out = market_basket_rules(
+        li, min_support=1, max_basket=10, cap_observation=obs
+    )
+    got = {(r["p_a"], r["p_b"]): r["n_both"] for r in out.collect()}
+    assert obs.get == {"n_capped_baskets": 1, "n_capped_rows": 80}
+    # pairs come only from the two surviving baskets
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # and with a cap that keeps everything, nothing is dropped
+    obs2 = Observation("basket_cap")
+    out2 = market_basket_rules(
+        li, min_support=1, max_basket=100, cap_observation=obs2
+    )
+    n_all = out2.count()
+    assert obs2.get == {"n_capped_baskets": 0, "n_capped_rows": 0}
+    assert n_all > len(got)
