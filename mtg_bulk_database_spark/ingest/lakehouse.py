@@ -225,7 +225,12 @@ def _iceberg_merge_upsert(
     if not spark.catalog.tableExists(ident):
         deduped.writeTo(ident).using("iceberg").create()
         return
-    view = "_lakehouse_merge_src"
+    # uuid-suffixed view name: a fixed name would let two concurrent
+    # merges in one SparkSession overwrite each other's source view
+    # mid-MERGE (same discipline as sink._atomic_write's temp dirs)
+    import uuid
+
+    view = f"_lakehouse_merge_src_{uuid.uuid4().hex}"
     deduped.createOrReplaceTempView(view)
     try:
         spark.sql(

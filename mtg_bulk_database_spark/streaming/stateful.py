@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: 24 h: long enough that realistic replays (consumer restarts,
 #: redeliveries) dedup exactly; short enough that dead keys leave the
@@ -239,6 +240,7 @@ def stream_cusum_alerts(
     ts_col: str = "ts",
     value_col: str = "value",
     id_col: str = "event_id",
+    max_key_batch_rows: int = 2_000_000,
 ) -> DataFrame:
     """Streaming twin of ``operators.timeseries.cusum`` — the identical
     state machine (S = max(0, S + (x − k)); alert and restart at S > h)
@@ -251,7 +253,16 @@ def stream_cusum_alerts(
     respects event time (the time-ordered-source case the equivalence
     test pins). For out-of-order sources, bound the disorder with a
     watermark-delayed upstream sort (the standard sessionize-then-fold
-    arrangement)."""
+    arrangement).
+
+    Memory contract: the within-batch sort buffers ONE key's
+    micro-batch rows in pandas (4 small columns — ~50 MB at the 2M-row
+    default), so a hot key's per-batch volume is the worker's memory
+    bound, NOT total batch size across keys.  ``max_key_batch_rows``
+    makes the bound loud: exceeding it raises (killing the query)
+    rather than silently OOMing mid-fold; raise the limit or shrink
+    micro-batches (``maxOffsetsPerTrigger`` & friends) for genuinely
+    hotter keys."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
@@ -270,7 +281,18 @@ def stream_cusum_alerts(
         # than one chunk holds. Concatenate the WHOLE batch for the key,
         # sort once, then fold — the within-batch ordering contract in
         # the docstring holds at any batch size.
-        chunks = list(pdfs)
+        chunks, n_rows = [], 0
+        for c in pdfs:
+            n_rows += len(c)
+            if n_rows > max_key_batch_rows:
+                raise RuntimeError(
+                    f"stream_cusum_alerts: key {key} has {n_rows}+ rows "
+                    f"in one micro-batch (> max_key_batch_rows="
+                    f"{max_key_batch_rows}); the within-batch sort "
+                    "would buffer them all — raise the limit or shrink "
+                    "micro-batches"
+                )
+            chunks.append(c)
         if not chunks:  # defensive: key invoked with no data
             state.update((s,))
             return
@@ -339,9 +361,15 @@ def stream_time_sorted(
     state_schema = "ts_us array<long>, ids array<long>, vals array<double>"
 
     # Arrow hands the worker NAIVE session-local wall-clock timestamps,
-    # while getCurrentWatermarkMs() is TRUE epoch — capture the session
-    # timezone driver-side so the worker can convert between the two
-    # correctly for any session tz, not only the UTC pin in session.py.
+    # while getCurrentWatermarkMs() is TRUE epoch.  The INPUT direction
+    # (wall-clock -> epoch) is not total in a DST timezone — localizing
+    # a wall time inside the repeated/skipped hour raises
+    # Ambiguous/NonExistentTimeError (r5 ADVICE) — so Spark computes
+    # true epoch micros JVM-side (unix_micros on the internal
+    # epoch-based TimestampType: exact, DST-free) and ships them
+    # alongside.  Only the OUTPUT direction (epoch -> wall-clock, which
+    # is total) runs in the worker; for that, capture the session
+    # timezone driver-side.
     tz_name = (
         events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
         or "UTC"
@@ -358,9 +386,10 @@ def stream_time_sorted(
         )
         ts_us, ids, vals = list(ts_us), list(ids), list(vals)
         for pdf in pdfs:
-            for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
-                # naive session-local -> true epoch micros
-                ts_us.append(int(t.tz_localize(tz).value // 1000))
+            for t, i, v in zip(
+                pdf["_ts_us"], pdf[id_col], pdf[value_col]
+            ):
+                ts_us.append(int(t))  # epoch micros, computed JVM-side
                 ids.append(int(i))
                 vals.append(float(v))
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -408,7 +437,13 @@ def stream_time_sorted(
 
     return (
         events.withWatermark(ts_col, watermark)
-        .select(key_col, id_col, ts_col, value_col)
+        .select(
+            key_col,
+            id_col,
+            ts_col,
+            value_col,
+            F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        )
         .groupBy(key_col)
         .applyInPandasWithState(
             fold,

@@ -885,3 +885,138 @@ def test_stream_cusum_sorts_across_arrow_chunks(spark, tmp_path):
         key=repr,
     )
     assert len(want) == n and got == want
+
+
+def test_stream_cusum_hot_key_100k_batch_within_memory(spark, tmp_path):
+    """r5 memory contract: a single key delivering 100k rows in ONE
+    micro-batch folds correctly (whole-batch sort spans many Arrow
+    chunks) and stays far under the documented per-key bound."""
+    from mtg_bulk_database_spark.operators.timeseries import cusum
+    from mtg_bulk_database_spark.streaming.stateful import stream_cusum_alerts
+
+    n = 100_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.lit("load").alias("event_type"),
+        (F.col("id") % 23).cast("double").alias("value"),
+        F.lit("{}").alias("payload"),
+    )
+    src = tmp_path / "hotkey_in"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src) + "/*")
+    q = (
+        stream_cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_hot")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (tuple(r) for r in spark.sql("SELECT * FROM cusum_hot").collect()),
+        key=repr,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in cusum(
+                ev, "user_id", "ts", "value", "event_id", 10.0, 25.0
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert len(got) == n and got == want
+
+
+def test_stream_cusum_key_batch_guard_raises(spark, tmp_path):
+    """The per-key batch bound fails LOUDLY (query error naming the
+    limit), never a silent executor OOM mid-fold."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mtg_bulk_database_spark.streaming.stateful import stream_cusum_alerts
+
+    ev = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("x").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+        F.lit("{}").alias("payload"),
+    )
+    src = tmp_path / "guard_in"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "a"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src) + "/*")
+    q = (
+        stream_cusum_alerts(stream, max_key_batch_rows=100)
+        .writeStream.format("memory")
+        .queryName("cusum_guard")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="max_key_batch_rows"):
+        q.awaitTermination(300)
+        raise AssertionError("query should have failed on the guard")
+
+
+def test_reorder_buffer_survives_dst_transition_non_utc(spark, tmp_path):
+    """r5 ADVICE: with a non-UTC session timezone, events whose wall
+    clock falls in the DST repeated hour (US fall-back) used to kill
+    the query via tz_localize AmbiguousTimeError.  Epoch micros now
+    come from the JVM, so the worker never localizes a wall time."""
+    import datetime as dt
+
+    from mtg_bulk_database_spark.streaming.stateful import stream_time_sorted
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, payload string"
+        )
+        # 2025-11-02 01:30 New York wall time happens TWICE (EDT+EST)
+        rows = [
+            (1, dt.datetime(2025, 11, 2, 0, 30), 5, "e", 1.0, "{}"),
+            (2, dt.datetime(2025, 11, 2, 1, 30), 5, "e", 2.0, "{}"),
+            (3, dt.datetime(2025, 11, 2, 2, 30), 5, "e", 3.0, "{}"),
+        ]
+        sent = [
+            (100, dt.datetime(2026, 1, 1), -1, "noise", 0.0, "{}"),
+            (101, dt.datetime(2026, 6, 1), -1, "noise", 0.0, "{}"),
+        ]
+        src = tmp_path / "dst_in"
+        src.mkdir()
+        spark.createDataFrame(rows, schema).write.parquet(str(src / "a"))
+        spark.createDataFrame(sent[:1], schema).write.parquet(str(src / "b"))
+        spark.createDataFrame(sent[1:], schema).write.parquet(str(src / "c"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream_time_sorted(stream, watermark="1 minute")
+            .writeStream.format("memory")
+            .queryName("dst_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        out = {
+            r["event_id"]: r["ts"]
+            for r in spark.sql(
+                "SELECT * FROM dst_out WHERE user_id >= 0"
+            ).collect()
+        }
+        # nothing lost, wall-clock round-trips (same naive ts back out)
+        assert out == {i: ts for i, ts, *_ in rows}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
