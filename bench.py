@@ -144,16 +144,22 @@ def main() -> None:
     # and LAST (after spark.stop(), so no shutdown log noise follows it).
     spark.stop()
     compact = {n.split("_", 1)[0]: round(t, 3) for n, t in timings.items()}
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": round(sum(timings.values()), 4),
-            "unit": "sec",
-            "queries": compact,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": compact,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1600:
+        # Driver keeps a bounded output tail: past ~105 headline
+        # entries the per-query map would push the line out of the
+        # parse window.  Drop it from stdout (BENCH_LOCAL.json above
+        # retains full per-query timings) rather than emit an
+        # unparseable line.
+        payload.pop("queries")
+        line = json.dumps(payload, separators=(",", ":"))
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)
