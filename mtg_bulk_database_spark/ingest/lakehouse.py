@@ -93,6 +93,26 @@ def _iceberg_ident(path: str) -> str:
     return path
 
 
+def _iceberg_merge_sql(ident: str, view: str, key: str) -> str:
+    """The exact MERGE text the iceberg binding executes.  Kept as a
+    pure function so the contract test can push the production string
+    through Spark's own SQL parser (parse-only, catalog-free) even in
+    containers without the Iceberg runtime jar."""
+    return (
+        f"MERGE INTO {ident} t USING {view} s ON t.{key} = s.{key} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def _iceberg_delete_sql(ident: str, predicate: str) -> str:
+    return f"DELETE FROM {ident} WHERE {predicate}"
+
+
+def _iceberg_time_travel_sql(ident: str, version: int) -> str:
+    return f"SELECT * FROM {ident} VERSION AS OF {int(version)}"
+
+
 def _require_iceberg(spark: SparkSession) -> None:
     if not iceberg_available(spark):
         raise RuntimeError(
@@ -152,7 +172,7 @@ def delete_from(
         return None
     if table_format == "iceberg":
         _require_iceberg(spark)
-        spark.sql(f"DELETE FROM {_iceberg_ident(path)} WHERE {predicate}")
+        spark.sql(_iceberg_delete_sql(_iceberg_ident(path), predicate))
         return None
     # parquet: read-filter-rewrite with the same null semantics
     from pyspark.sql import functions as F
@@ -184,7 +204,7 @@ def read_table(
         ident = _iceberg_ident(path)
         if version is not None:
             # iceberg versions are snapshot ids
-            return spark.sql(f"SELECT * FROM {ident} VERSION AS OF {int(version)}")
+            return spark.sql(_iceberg_time_travel_sql(ident, version))
         return spark.table(ident)
     if version is not None:
         raise ValueError("parquet backend has no version history")
@@ -233,11 +253,7 @@ def _iceberg_merge_upsert(
     view = f"_lakehouse_merge_src_{uuid.uuid4().hex}"
     deduped.createOrReplaceTempView(view)
     try:
-        spark.sql(
-            f"MERGE INTO {ident} t USING {view} s ON t.{key} = s.{key} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        spark.sql(_iceberg_merge_sql(ident, view, key))
     finally:
         spark.catalog.dropTempView(view)
 
