@@ -122,14 +122,123 @@ def q95(spark, sf_dir):
     )
 
 
-@query("q33_minhash_lsh_pairs")  # approximate → rows-only driver check;
-# tests/test_dedup.py pins recall==1.0 vs the exact operator on this data
+@query("q33_minhash_lsh_pairs")  # xxhash64 base hash has no DuckDB twin
+# → rows-only driver check; tests pin recall==1.0 vs the exact operator
+# on this data, and q177 hash-checks the identical banded plan via the
+# portable hash family
 def q33(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
 
 
-@query("q34_simhash_near_pairs")  # pandas-UDF fingerprints → rows-only
+def _q177_oracle(num_perm: int = 64, bands: int = 16, seed: int = 13) -> str:
+    """Exact DuckDB twin of the PORTABLE MinHash-LSH (r5): the banded
+    plan was rows-only for four rounds because xxhash64 has no DuckDB
+    twin — swapping the base hash for md5-derived 60-bit ints (and the
+    band bucket for md5 of the slice string) makes every stage exact
+    SQL, so signatures, buckets, the candidate equi-join AND the
+    Jaccard verify all hash-check.  The (aᵢ, bᵢ) permutation constants
+    inline from the same seeded generator the operator uses."""
+    from .operators.dedup import _MERSENNE_31, _perm_params
+
+    rows = num_perm // bands
+    p = _MERSENNE_31
+    sig = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {p}))"
+        for a, b in _perm_params(num_perm, seed)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), hx AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s),1,15))::BIGINT % {p}) AS hs
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, [{sig}] AS sig FROM hx
+    ), bnd AS (
+      SELECT doc_id, band,
+             ('0x' || substr(md5(array_to_string(
+                 sig[band*{rows}+1 : band*{rows}+{rows}], '-')),1,15))::BIGINT
+               AS bucket
+      FROM sig, (SELECT unnest(range({bands})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.8"""
+
+
+@query("q177_minhash_lsh_portable", _q177_oracle())
+def q177(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return dedup.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    )
+
+
+# Exact DuckDB twin of the md5-based SimHash (r5): same tokenization
+# ([^a-z0-9]+ split on lower()), same distinct word-3-shingles, the
+# same first-8-bytes-of-md5 big-endian feature hash (hex-literal cast),
+# per-bit ±1 votes, fp bit set iff vote sum > 0, then BRUTE-FORCE
+# Hamming ≤ 3 over all pairs — the O(n²) oracle proves the production
+# pigeonhole band join (8×8-bit chunks, complete for Hamming ≤ 7)
+# lossless, the same pattern as the other blocked-plan oracles.
+# fp assembly uses bit_or of single-bit UBIGINTs — sum() would go
+# through DOUBLE and truncate the low ~11 bits.
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(tk)-1, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+  FROM toks
+),
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM feats
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit::UBIGINT) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hashes, (SELECT unnest(range(64))::UBIGINT AS bit)
+  GROUP BY doc_id, bit
+),
+fps AS (
+  SELECT t.doc_id,
+         coalesce((SELECT bit_or(CASE WHEN acc > 0
+                                      THEN ((1::UHUGEINT << bit::UHUGEINT)::UBIGINT)
+                                      ELSE 0::UBIGINT END)
+                   FROM votes v WHERE v.doc_id = t.doc_id), 0::UBIGINT) AS f
+  FROM toks t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.f, b.f))::INT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@query("q34_simhash_near_pairs", _SIMHASH_ORACLE)
 def q34(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
@@ -183,8 +292,53 @@ def q36(spark, sf_dir):
     )
 
 
-@query("q37_lsh_ann_topk")  # approximate (bucket-pruned) → rows-only;
-# tests pin its recall against q36 on this data
+def _sql_plane_bucket(vec_expr: str, n_planes: int = 4, seed: int = 42) -> str:
+    """Sign-bit LSH bucket as DuckDB SQL with the plane constants
+    INLINED as float literals (r5): ``hyperplanes`` is deterministic
+    (RandomState(seed) — identical on every run/cluster), so the
+    "approximate" LSH operators are exact functions of their seed and
+    can hash-check against DuckDB instead of rows-only.  The per-plane
+    dot uses the same left-to-right fold that is bit-equal between
+    F.aggregate and list_sum (the q35-proven float path)."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes=n_planes, seed=seed)
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> {vec_expr}[i]::DOUBLE * ({lit(p)})[i])) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _q37_oracle() -> str:
+    """DuckDB twin of the multiprobe LSH top-k (r5): approximate
+    w.r.t. true nearest neighbors but deterministic given the seed —
+    the query's bucket, the pool buckets (inlined planes), the
+    Hamming ≤ 2 probe and the rounded rank all replicate exactly.
+    The only cross-engine seam is the query bucket: Spark computes it
+    with np.dot (pairwise summation) where SQL folds left-to-right —
+    signs can only differ for |dot| within fold reassociation error
+    (~1e-12 relative), absent by A/B on every shipped sf."""
+    from .functions.vectors import sql_cosine
+
+    return f"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qb AS (SELECT ({_sql_plane_bucket('qe')}) AS qbucket FROM q),
+      b AS (SELECT vec_id, embedding,
+                   ({_sql_plane_bucket('embedding')}) AS bucket
+            FROM embeddings WHERE vec_id <> 0)
+      SELECT vec_id, round({sql_cosine('b.embedding', 'q.qe')}, 4) AS cosine
+      FROM b, q, qb
+      WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 2
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+@query("q37_lsh_ann_topk", _q37_oracle())
 def q37(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     qv = _query_vector(spark, sf_dir)
@@ -359,8 +513,26 @@ def q44(spark, sf_dir):
     return token_weighted_quality(text_analysis.with_quality_score(docs))
 
 
-@query("q45_embedding_near_dup_lsh")  # bucket recall is corpus-dependent
-# → rows-only; tests pin candidate-set pruning + precision
+def _q45_oracle() -> str:
+    """Exact DuckDB twin of the hyperplane-LSH near-dup blocking: same
+    inlined planes, same sign-bit bucket equi-join, same rounded
+    verify cosine — proves the blocked plan end-to-end."""
+    from .functions.vectors import sql_cosine
+
+    bucket = _sql_plane_bucket("embedding")
+    cos = sql_cosine("x.embedding", "y.embedding")
+    return f"""
+      WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket
+                 FROM embeddings)
+      SELECT id_a, id_b, cosine FROM (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               round({cos}, 4) AS cosine
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      ) WHERE cosine >= 0.4"""
+
+
+@query("q45_embedding_near_dup_lsh", _q45_oracle())
 def q45(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return dedup.embedding_near_dup_lsh(emb, threshold=0.4)

@@ -309,9 +309,45 @@ def q102(spark, sf_dir):
     )
 
 
-@query("q103_sq_refine_topk")  # two-stage quantized ANN → rows-only
-# (the int8 rounding inside the coarse pass isn't worth a SQL twin;
-# recall vs the exact q36 ranking is pinned in tests)
+def _q103_oracle() -> str:
+    """DuckDB twin of the SQ+refine probe (r5 — supersedes the r2
+    rows-only call): every stage is deterministic, so it IS SQL-
+    expressible after all.  Quantization uses ⌊x·s + ½⌋ (the operator
+    chose floor precisely because round() tie rules differ across
+    engines), the coarse rank uses the shared round-4 + vec_id
+    tie-break, and the refine rescores the 50 coarse survivors with
+    full precision — identical candidate sets because the rounded
+    coarse key is bit-equal under the q35-proven fold path."""
+    from .functions.vectors import sql_cosine
+
+    return f"""
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      quant AS (
+        SELECT vec_id, embedding,
+               CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                              x -> abs(x::DOUBLE))) AS amax
+              FROM embeddings WHERE vec_id <> 0)
+      ),
+      deq AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * s + 0.5) / s) AS dv
+        FROM quant
+      ),
+      coarse AS (
+        SELECT vec_id, embedding
+        FROM deq, q
+        ORDER BY round({sql_cosine('deq.dv', 'q.qe')}, 4) DESC, vec_id
+        LIMIT 50
+      )
+      SELECT vec_id, round({sql_cosine('coarse.embedding', 'q.qe')}, 4) AS cosine
+      FROM coarse, q
+      ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+@query("q103_sq_refine_topk", _q103_oracle())
 def q103(spark, sf_dir):
     """SQ+refine ANN probe: coarse top-50 over dequantized int8
     vectors, exact rescore of those candidates to a top-10 — the scan

@@ -111,3 +111,31 @@ def test_oracled_queries_emit_scalar_columns_only(spark):
         "oracled queries returning complex-typed columns (driver canon "
         f"would crash): {offenders}"
     )
+
+
+def test_driver_facing_order_surfaces_fresh_oracled_first():
+    """r5: the external correctness sample is a prefix of ``queries()``
+    order, and rounds 3-4 resampled the same 50 names.  Pin the
+    rotation: while never-externally-sampled oracled queries remain,
+    they fill the head of the dict so each driver round accrues fresh
+    hash-checked evidence."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_spark_entry_for_test",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries())
+    oracles = mod.oracle_sql()
+    fresh_oracled = [
+        n for n in names
+        if n in oracles and n not in mod._EXTERNALLY_VERIFIED
+    ]
+    head = names[: len(fresh_oracled)]
+    assert head == sorted(fresh_oracled), (
+        "queries() must lead with every never-sampled oracled query "
+        "(sorted) so the driver's prefix sample rotates onto them"
+    )
