@@ -86,6 +86,9 @@ HEADLINE = [
     "q155_event_transitions",
     "q156_spatial_neighbor_join",
     "q176_scale_exact_percentiles",
+    "q177_minhash_lsh_portable",
+    "q178_hll_portable_distinct",
+    "q179_cms_portable_heavy_hitters",
     "q160_ohlc_bars",
     "q162_ewma_smoothing",
     "q163_cusum_alerts",

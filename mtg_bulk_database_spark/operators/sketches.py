@@ -28,11 +28,28 @@ CMS_DEPTH = 5
 CMS_WIDTH = 1024
 
 
+def _cms_bucket(col: str, i, width: int, portable: bool):
+    """Row-seeded bucket hash.  Default: xxhash64(value, row) — fastest
+    JVM path.  Portable: md5 of the ``'<row>:<value>'`` string via
+    ``dedup.md5_60`` — reproducible in any engine with md5(), which is
+    what gives q179 its value-hash oracle (q116's xxhash64 cells are
+    opaque to DuckDB)."""
+    if not portable:
+        return F.pmod(F.xxhash64(F.col(col), i), F.lit(width)).cast("int")
+    from .dedup import md5_60
+
+    return F.pmod(
+        md5_60(F.concat_ws(":", i.cast("string"), F.col(col))),
+        F.lit(width),
+    ).cast("int")
+
+
 def cms_build(
     df: DataFrame,
     col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    portable: bool = False,
 ) -> DataFrame:
     """Build the sketch: one row per (sketch_row, bucket) with the
     collision-summed count. One explode (×depth) + one groupBy — the
@@ -44,9 +61,7 @@ def cms_build(
                 F.sequence(F.lit(0), F.lit(depth - 1)),
                 lambda i: F.struct(
                     i.cast("int").alias("row_idx"),
-                    F.pmod(F.xxhash64(F.col(col), i), F.lit(width))
-                    .cast("int")
-                    .alias("bucket"),
+                    _cms_bucket(col, i, width, portable).alias("bucket"),
                 ),
             )
         ).alias("_cell")
@@ -75,19 +90,19 @@ def cms_estimate(
     col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    portable: bool = False,
 ) -> DataFrame:
     """Point-estimate counts for ``keys[col]``: re-hash each key into
     its d cells, join the sketch (d·w rows — broadcast), take the MIN
     cell. Missing cells count 0 (no item hashed there at all).
-    Output: ``keys.* , est_count``."""
+    Output: ``keys.* , est_count``.  ``portable`` must match the
+    sketch's build flag — the probe re-derives the same cells."""
     probes = keys.select(
         "*",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(depth - 1)),
-                lambda i: F.pmod(F.xxhash64(F.col(col), i), F.lit(width)).cast(
-                    "int"
-                ),
+                lambda i: _cms_bucket(col, i, width, portable),
             )
         ).alias("row_idx", "bucket"),
     )
@@ -96,3 +111,110 @@ def cms_estimate(
     ).withColumn("cnt", F.coalesce("cnt", F.lit(0)))
     key_cols = [c for c in keys.columns]
     return joined.groupBy(*key_cols).agg(F.min("cnt").alias("est_count"))
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: engine-exact registers AND estimate.
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 registers — the Flajolet et al. 2007 default scale
+
+
+def _hll_consts(p: int):
+    m = 1 << p
+    w_bits = 60 - p  # md5_60 yields 60 hash bits; top p select the register
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # scale the harmonic sum by 2^(w_bits+1): every 2^-M term becomes the
+    # INTEGER 2^(w_bits+1-M), so the register fold is an exact int64 SUM —
+    # no float addition order anywhere (sum <= m * 2^(w_bits+1) < 2^62)
+    scale = 1 << (w_bits + 1)
+    return m, w_bits, alpha, scale
+
+
+def hll_portable(
+    df: DataFrame, group_col: str, col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL distinct estimate built from first principles on
+    the engine-portable base hash (``dedup.md5_60``), designed so a
+    DuckDB twin reproduces it BIT-FOR-BIT — unlike the Datasketches /
+    approx_count_distinct paths (q115/q72), whose xxhash-family
+    sketches no other engine can replay:
+
+    - register index = top ``p`` hash bits; rho = leading-zero count of
+      the remaining ``60-p`` bits + 1, via a generated integer CASE
+      ladder (no float log2 near power-of-two boundaries);
+    - the harmonic sum folds as an EXACT int64 (2^-M terms scaled to
+      integers), so groupBy order cannot perturb the estimate;
+    - the only float ops are one division, one optional ln, and the
+      final round(4) that absorbs libm-vs-JVM last-ulp differences.
+
+    Mergeable the standard way (max over register rows); the register
+    frame (group, idx, M) is the ingest artifact, this returns the
+    scalar per-group estimate ``(group_col, est_distinct)``.
+    """
+    from .dedup import md5_60
+
+    m, w_bits, alpha, scale = _hll_consts(p)
+    h = md5_60(F.col(col))
+    idx = F.shiftright(h, w_bits)
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    rho = F.lit(w_bits + 1)  # w == 0: all bits zero
+    for r in range(w_bits, 0, -1):  # w >= 2^(w_bits-r) → rho = r
+        rho = F.when(w >= (1 << (w_bits - r)), F.lit(r)).otherwise(rho)
+    regs = (
+        df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {w_bits + 1} - M)")
+        ).alias("sp"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    c = alpha * m * m * scale  # one python-float constant, same in SQL
+    s_total = F.col("sp") + (F.lit(m) - F.col("np")) * F.lit(scale)
+    raw = F.lit(c) / s_total.cast("double")
+    zeros = F.lit(m) - F.col("np")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
+    ).otherwise(F.round(raw, 4))
+    return agg.select(F.col(group_col), est.alias("est_distinct"))
+
+
+def sql_hll_portable(
+    source_cte: str, group_col: str, val_expr: str, p: int = HLL_P
+) -> str:
+    """The DuckDB twin of :func:`hll_portable` over a CTE named
+    ``source_cte`` exposing ``(group_col, {val_expr})`` rows."""
+    m, w_bits, alpha, scale = _hll_consts(p)
+    c = repr(alpha * m * m * scale)
+    ladder = " ".join(
+        f"WHEN w >= {1 << (w_bits - r)} THEN {r}"
+        for r in range(1, w_bits + 1)
+    )
+    return f"""
+      cells AS (
+        SELECT {group_col},
+               h >> {w_bits} AS idx, h & {(1 << w_bits) - 1} AS w
+        FROM (SELECT {group_col},
+                     ('0x' || substr(md5({val_expr}),1,15))::BIGINT AS h
+              FROM {source_cte})
+      ), regs AS (
+        SELECT {group_col}, idx,
+               max(CASE {ladder} ELSE {w_bits + 1} END) AS M
+        FROM cells GROUP BY 1, 2
+      ), hagg AS (
+        SELECT {group_col},
+               sum((1::BIGINT << ({w_bits + 1} - M))) AS sp,
+               count(*) AS np
+        FROM regs GROUP BY 1
+      )
+      SELECT {group_col},
+             CASE WHEN raw <= {2.5 * m} AND ({m} - np) > 0
+                  THEN round({float(m)} * ln({float(m)} / ({m} - np)), 4)
+                  ELSE round(raw, 4) END AS est_distinct
+      FROM (SELECT {group_col}, np,
+                   {c} / (sp + ({m} - np) * {scale})::DOUBLE AS raw
+            FROM hagg)"""

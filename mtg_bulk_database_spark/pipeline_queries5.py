@@ -272,6 +272,88 @@ def q115(spark, sf_dir):
     )
 
 
+def _q178_oracle() -> str:
+    from .operators.sketches import sql_hll_portable
+
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest({sql_tokens("text")}) AS t FROM documents
+    ), {sql_hll_portable("tok", "source", "t")}"""
+
+
+@query("q178_hll_portable_distinct", _q178_oracle())
+def q178(spark, sf_dir):
+    """q115's estimate rebuilt on the ENGINE-PORTABLE HLL (r5): md5-
+    derived 60-bit hashes, integer leading-zero ladder, and a harmonic
+    sum folded as EXACT int64 (2^-M terms scaled to integers) so no
+    float addition order exists anywhere — the one estimator in the
+    sketch family whose value a different engine can reproduce
+    bit-for-bit, and therefore the one with a value-hash oracle.
+    Same 2^12-register state bound and merge story as q115."""
+    from .functions.text import tokens
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("t"))
+    return sketches.hll_portable(tok, "source", "t").orderBy("source")
+
+
+def _q179_oracle(depth: int = 5, width: int = 1024) -> str:
+    """DuckDB twin of the PORTABLE count-min sketch (r5): the md5-
+    seeded cells make the whole pipeline integer-exact — cell counts
+    are plain SUMs, the probe is a min over d joined cells, and there
+    is no float anywhere, so sketch contents AND estimates hash-check
+    across engines."""
+    cell = (
+        "('0x' || substr(md5(i::VARCHAR || ':' || t),1,15))::BIGINT"
+        f" % {width}"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens("text")}) AS t FROM documents
+    ), cells AS (
+      SELECT i AS row_idx, {cell} AS bucket
+      FROM tok, (SELECT unnest(range({depth})) AS i)
+    ), sk AS (
+      SELECT row_idx, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ), top AS (
+      SELECT t, count(*) AS true_count FROM tok
+      GROUP BY 1 ORDER BY true_count DESC, t LIMIT 20
+    ), probes AS (
+      SELECT t, true_count, i AS row_idx, {cell} AS bucket
+      FROM top, (SELECT unnest(range({depth})) AS i)
+    )
+    SELECT t, true_count, min(coalesce(cnt, 0)) AS est_count
+    FROM probes LEFT JOIN sk USING (row_idx, bucket)
+    GROUP BY t, true_count"""
+
+
+@query("q179_cms_portable_heavy_hitters", _q179_oracle())
+def q179(spark, sf_dir):
+    """q116 on the engine-portable CMS hash family: identical d×w SUM
+    sketch and min-cell probe, but every cell index derives from md5 —
+    integer-exact end to end, so unlike q116 this one carries a
+    value-hash oracle (the sketch-correctness guarantee stops being
+    "trust the local tests" and becomes a driver-checked equality)."""
+    from .functions.text import tokens
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    sketch = sketches.cms_build(tok, "t", portable=True)
+    top = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "t")
+        .limit(20)
+    )
+    return (
+        sketches.cms_estimate(sketch, top, "t", portable=True)
+        .select("t", "true_count", "est_count")
+        .orderBy(F.col("true_count").desc(), "t")
+    )
+
+
 @query("q116_cms_heavy_hitters")
 def q116(spark, sf_dir):
     """Count-min-sketch frequency estimates for the exact top-20

@@ -206,6 +206,88 @@ def q137(spark, sf_dir):
     )
 
 
+def _q180_oracle() -> str:
+    """Fully-oracled twin of the eval report (r5): with the portable
+    MinHash (q177) exactly SQL-expressible, the WHOLE evaluation —
+    exact pair set, approximate pair set, full-outer confusion counts,
+    micro-ratio metrics — hash-checks, making the sketch-quality gate
+    itself a driver-checked number instead of a local pin."""
+    from .pipeline_queries import _JACCARD_ORACLE, _q177_oracle
+
+    return f"""
+    WITH exact AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
+    approx AS (SELECT id_a, id_b FROM ({_q177_oracle()})),
+    j AS (
+      SELECT e.id_a AS ea, a.id_a AS aa
+      FROM exact e FULL OUTER JOIN approx a
+        ON e.id_a = a.id_a AND e.id_b = a.id_b
+    )
+    SELECT count(ea) AS n_exact, count(aa) AS n_approx,
+           sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
+                    THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN aa IS NULL THEN 1 ELSE 0 END) AS fn,
+           sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS fp,
+           CASE WHEN count(ea) > 0
+                THEN (sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
+                               THEN 1 ELSE 0 END) * 1000000) / count(ea)
+                ELSE 0.0 END AS recall_micro,
+           CASE WHEN count(aa) > 0
+                THEN (sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
+                               THEN 1 ELSE 0 END) * 1000000) / count(aa)
+                ELSE 0.0 END AS precision_micro
+    FROM j"""
+
+
+@query("q180_minhash_eval_portable", _q180_oracle())
+def q180(spark, sf_dir):
+    """q137's recall/precision report with the portable-hash MinHash
+    leg, so every number in the report is oracle-checked (q137 stays
+    registered for the production xxhash64 path)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    approx = dedup.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    j = exact.withColumn("in_exact", F.lit(1)).join(
+        approx.withColumn("in_approx", F.lit(1)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("in_approx", F.lit(0))).alias("n_approx"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull()
+                & F.col("in_approx").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(F.when(F.col("in_approx").isNull(), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("in_exact").isNull(), 1).otherwise(0)).alias("fp"),
+    ).select(
+        "n_exact",
+        "n_approx",
+        "tp",
+        "fn",
+        "fp",
+        F.when(
+            F.col("n_exact") > 0,
+            (F.col("tp") * 1_000_000).cast("long") / F.col("n_exact"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_micro"),
+        F.when(
+            F.col("n_approx") > 0,
+            (F.col("tp") * 1_000_000).cast("long") / F.col("n_approx"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # One-pass table profile (ANALYZE TABLE shape).
 # ---------------------------------------------------------------------------

@@ -446,3 +446,22 @@ def test_q150_basket_cap_observable_and_parameterized(spark):
     n_all = out2.count()
     assert obs2.get == {"n_capped_baskets": 0, "n_capped_rows": 0}
     assert n_all > len(got)
+
+
+def test_portable_hash_family_stays_jvm_side(spark):
+    """r5 portable-hash operators (q177/q178/q179): the md5 swap must
+    not smuggle a Python stage into the plan — every hash is built-in
+    (md5/conv/substring), joins stay hash equi-joins (LSH banding:
+    never a cartesian), and the HLL register fold keeps its bounded
+    two-level aggregation (≤ groups × 2^p shuffle rows)."""
+    for name, max_exchanges in (
+        ("q177_minhash_lsh_portable", None),
+        ("q178_hll_portable_distinct", 3),
+        ("q179_cms_portable_heavy_hitters", None),
+    ):
+        plan = executed_plan(QUERIES[name](spark, SF_DIR))
+        assert "Python" not in plan and "ArrowEval" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        if max_exchanges is not None:
+            assert plan.count("Exchange") <= max_exchanges, name

@@ -101,3 +101,47 @@ def test_pagerank_on_dup_graph_invariants(spark):
     ).first()
     assert abs(got.s - n_nodes) < 1e-4 * max(n_nodes, 1)
     assert got.mn >= 0.15 - 1e-9
+
+
+def test_hll_portable_raw_branch_error_and_duckdb_parity(spark, tmp_path):
+    """r5 portable HLL: the sf corpora only exercise the linear-
+    counting branch (tiny vocab), so drive the RAW harmonic-sum branch
+    with 50k distinct keys — relative error must sit inside the
+    published 1.04/sqrt(m) envelope (3 sigma), and the DuckDB twin must
+    reproduce the estimate BIT-for-bit in this branch too."""
+    import duckdb
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    est = sketches.hll_portable(df, "grp", "v").collect()[0]["est_distinct"]
+    m = 1 << sketches.HLL_P
+    assert est > 2.5 * m, "50k distinct must leave the linear-counting branch"
+    assert abs(est - n) / n < 3 * 1.04 / math.sqrt(m)
+
+    path = str(tmp_path / "hll_in.parquet")
+    df.write.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW src AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    sql = "WITH t AS (SELECT grp, v FROM src), " + sketches.sql_hll_portable(
+        "t", "grp", "v"
+    )
+    assert con.sql(sql).fetchall() == [("g", est)]
+
+
+def test_hll_portable_merge_via_register_max(spark):
+    """Split-and-merge equals single-pass: per-half register frames
+    max-merge into the same registers, hence the same estimate — the
+    mergeability contract that makes the sketch an ingest artifact."""
+    df = spark.range(20_000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    whole = sketches.hll_portable(df, "grp", "v").collect()[0]["est_distinct"]
+    # overlapping halves: dedup across batches is exactly what max() absorbs
+    a = df.filter(F.col("id") < 12_000)
+    b = df.filter(F.col("id") >= 8_000)
+    merged = sketches.hll_portable(a.unionByName(b), "grp", "v").collect()[0][
+        "est_distinct"
+    ]
+    assert merged == whole
