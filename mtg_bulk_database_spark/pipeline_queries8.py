@@ -985,6 +985,101 @@ def q165(spark, sf_dir):
     )
 
 
+def _q181_oracle() -> str:
+    """Transitive-closure ensemble, fully oracled (r5): with the
+    SimHash twin (q34) and the portable MinHash (q177) both exact SQL,
+    the ENTIRE production dedup posture — four signal families unioned
+    into one connected-components pass — hash-checks end to end: edge
+    legs, closure, family census.  Composes the existing proven oracle
+    strings as subqueries; the closure uses the same recursive-reach
+    pattern as the q61 dup-clusters oracle."""
+    from .functions.text import sql_ts_tokens
+    from .pipeline_queries import (
+        _JACCARD_ORACLE,
+        _SIMHASH_ORACLE,
+        _q177_oracle,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    jp AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
+    mh AS (SELECT id_a, id_b FROM ({_q177_oracle()})),
+    shp AS (SELECT id_a, id_b FROM ({_SIMHASH_ORACLE})),
+    fpt AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({sql_ts_tokens("text")}), ' ')) AS fp
+      FROM documents
+    ),
+    ep AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fpt a JOIN fpt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    all_pairs AS (
+      SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM mh
+      UNION SELECT id_a, id_b FROM shp UNION SELECT id_a, id_b FROM ep
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM all_pairs
+      UNION SELECT id_b, id_a FROM all_pairs
+    ),
+    reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (
+      SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+    ),
+    fam AS (
+      SELECT component, count(*) AS family_size FROM comp GROUP BY component
+    )
+    SELECT family_size, count(*) AS n_families,
+           (count(*) * family_size)::BIGINT AS n_docs
+    FROM fam GROUP BY family_size"""
+
+
+@query("q181_dedup_ensemble_portable", _q181_oracle())
+def q181(spark, sf_dir):
+    """q165's ensemble census with the portable MinHash leg: every
+    edge family now has an exact SQL twin, so the transitive closure
+    over ALL signals at once is driver-checked (q165 stays registered
+    for the production xxhash64 leg)."""
+    from .operators import dedup
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = text_analysis.with_fingerprint(docs).select("doc_id", "fingerprint")
+    a, b = fp.alias("a"), fp.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.fingerprint") == F.col("b.fingerprint"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    jac = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    mh = dedup.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ).select("id_a", "id_b")
+    sh = dedup.simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3
+    ).select("id_a", "id_b")
+    edges = (
+        exact_pairs.unionByName(jac)
+        .unionByName(mh)
+        .unionByName(sh)
+        .distinct()
+    )
+    comp = connected_components(edges)
+    fam = comp.groupBy("component").agg(F.count("*").alias("family_size"))
+    return fam.groupBy("family_size").agg(
+        F.count("*").alias("n_families"),
+        (F.count("*") * F.col("family_size")).cast("long").alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash parameter sweep (sketch-tuning harness as data).
 # ---------------------------------------------------------------------------
