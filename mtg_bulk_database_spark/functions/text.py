@@ -6,8 +6,17 @@ oracle_text)``, reference ``init.sql:144-146``): we define our own
 documented tokenizer semantics (SURVEY §2.5 Q8) instead of emulating the
 'english' tsvector config bit-for-bit:
 
-    token  := maximal run of [a-z0-9] over the lowercased text
+    token  := maximal run of [a-zA-Z0-9], lowercased AFTER extraction
     ts_tokens := distinct tokens minus a fixed English stopword list
+
+Split-BEFORE-lower is deliberate (r5): locale-sensitive case mappings
+(Turkish İ → ``i̇`` in the JVM/Python but ``i`` in ICU/DuckDB, Greek
+final sigma, Kelvin sign) make "lower the text, then split" produce
+DIFFERENT tokens in different engines.  Splitting on the ASCII class
+first leaves only pure-ASCII tokens, whose lowercasing is identical
+everywhere — the tokenizer family is engine- and locale-exact BY
+CONSTRUCTION, not just on the corpora we happened to test (probed
+divergence set: tests/test_pipeline_ops.py::test_tokenizer_locale_free).
 
 Everything is a JVM-side column expression (split/filter/transform — no
 UDFs), so FTS predicates stay inside whole-stage codegen and the
@@ -26,7 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
 
 #: Fixed, documented stopword list (deliberately small and versioned with
 #: the engine — unlike PG's locale-dependent 'english' config, this is
@@ -58,9 +67,13 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 
 
 def tokens(col: Column | str) -> Column:
-    """All tokens of ``col`` in order (lowercased, empty strings removed)."""
+    """All tokens of ``col`` in order (split first, lowercased after —
+    see the module docstring for why that order is load-bearing)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+    return F.transform(
+        F.filter(F.split(c, TOKEN_SPLIT_RE), lambda t: t != F.lit("")),
+        F.lower,
+    )
 
 
 def ts_tokens(col: Column | str) -> Column:
@@ -80,7 +93,8 @@ def _query_terms(terms: Sequence[str]) -> list[str]:
 
     out: list[str] = []
     for t in terms:
-        for tok in re.split(TOKEN_SPLIT_RE, t.lower()):
+        for raw in re.split(TOKEN_SPLIT_RE, t):
+            tok = raw.lower()
             if tok and tok not in ENGLISH_STOPWORDS and tok not in out:
                 out.append(tok)
     return out
@@ -110,8 +124,8 @@ def fts_match_any(doc_tokens: Column, terms: Sequence[str]) -> Column:
 
 def sql_tokens(expr: str) -> str:
     return (
-        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'),"
-        " x -> x <> '')"
+        f"list_transform(list_filter(string_split_regex({expr},"
+        f" '{TOKEN_SPLIT_RE}'), x -> x <> ''), x -> lower(x))"
     )
 
 

@@ -43,7 +43,7 @@ WORD_END = "</w>"
 
 
 def _words(text: str) -> list[str]:
-    return [w for w in re.split(TOKEN_SPLIT_RE, text.lower()) if w]
+    return [w.lower() for w in re.split(TOKEN_SPLIT_RE, text) if w]
 
 
 def bpe_train(

@@ -56,7 +56,11 @@ def shingle_udtf_class():
         def eval(self, doc_id: int, text: str, k: int):  # noqa: D102
             import re
 
-            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            toks = [
+                t.lower()
+                for t in re.split(r"[^a-zA-Z0-9]+", text or "")
+                if t
+            ]
             seen = set()
             for i in range(max(len(toks) - k + 1, 0)):
                 s = " ".join(toks[i : i + k])

@@ -720,7 +720,13 @@ def with_simhash(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
 
         out = []
         for text in texts:
-            toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+            # split-before-lower: the tokenizer family's locale-free
+            # order (functions/text.py module docstring)
+            toks = [
+                t.lower()
+                for t in re.split(r"[^a-zA-Z0-9]+", text or "")
+                if t
+            ]
             feats = {
                 " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
             }

@@ -16,7 +16,11 @@ from ..functions.text import ENGLISH_STOPWORDS, tokens, ts_tokens
 
 #: regex for the BPE-ish sub-token count: alpha runs, single digits,
 #: or single non-alphanumeric-non-space symbols.
-BPE_ISH_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+# ASCII-case-insensitive classes over the RAW text (no lower() first):
+# locale-sensitive case mappings (İ) change the extracted-run count
+# between engines when lowering precedes extraction — see
+# functions/text.py on the tokenizer family's split-before-lower order.
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
 
 
 def _stopword_hits(tok: Column) -> Column:
@@ -55,7 +59,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit(""))
     )
     bpe = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0)
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)
     )
     return df.withColumn("ws_tokens", ws).withColumn("bpe_ish_tokens", bpe)
 
@@ -97,14 +101,19 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Canonical text form for training corpora: lowercase, non-[a-z0-9]
-    runs collapsed to single spaces, trimmed. Pure columnar (two regexp
-    passes inside codegen); emits ``norm_text`` + ``norm_chars``."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
+    """Canonical text form for training corpora: non-ASCII-alnum runs
+    collapsed to single spaces, trimmed, THEN lowercased — replace
+    before lower so only pure-ASCII letters reach the case mapping
+    (the tokenizer family's locale-free order, functions/text.py).
+    Pure columnar (two regexp passes inside codegen); emits
+    ``norm_text`` + ``norm_chars``."""
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", " "),
+                " +",
+                " ",
+            )
         )
     )
     return df.withColumn("norm_text", norm).withColumn(

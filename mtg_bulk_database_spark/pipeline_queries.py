@@ -193,7 +193,7 @@ def q177(spark, sf_dir):
 
 
 # Exact DuckDB twin of the md5-based SimHash (r5): same tokenization
-# ([^a-z0-9]+ split on lower()), same distinct word-3-shingles, the
+# (ASCII-class split, lower after), same distinct word-3-shingles, the
 # same first-8-bytes-of-md5 big-endian feature hash (hex-literal cast),
 # per-bit ±1 votes, fp bit set iff vote sum > 0, then BRUTE-FORCE
 # Hamming ≤ 3 over all pairs — the O(n²) oracle proves the production
@@ -204,8 +204,10 @@ def q177(spark, sf_dir):
 _SIMHASH_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'),
-                     t -> t <> '') AS tk
+         list_transform(
+           list_filter(regexp_split_to_array(coalesce(text,''), '[^a-zA-Z0-9]+'),
+                       t -> t <> ''),
+           t -> lower(t)) AS tk
   FROM documents
 ),
 feats AS (
@@ -406,7 +408,7 @@ def q38(spark, sf_dir):
     f"""SELECT doc_id,
                len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
                  AS ws_tokens,
-               len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))
+               len(regexp_extract_all(text, '{BPE_ISH_RE}'))
                  AS bpe_ish_tokens
         FROM documents""",
 )
@@ -590,10 +592,10 @@ def q96(spark, sf_dir):
 @query(
     "q62_normalize_text",
     """SELECT doc_id,
-              trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
-              length(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_chars
+              lower(trim(regexp_replace(regexp_replace(text,
+                   '[^a-zA-Z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_text,
+              length(lower(trim(regexp_replace(regexp_replace(text,
+                   '[^a-zA-Z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS norm_chars
        FROM documents""",
 )
 def q62(spark, sf_dir):

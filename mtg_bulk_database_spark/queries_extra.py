@@ -337,7 +337,8 @@ _FTS_TERMS = ("spark", "vector")
         WHERE list_contains(t, '{_FTS_TERMS[0]}') OR list_contains(t, '{_FTS_TERMS[1]}')
         ORDER BY score DESC, doc_id LIMIT 20""".replace(
         "{toks}",
-        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')",
+        "list_transform(list_filter(string_split_regex(text,"
+        " '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x))",
     ),
 )
 def q58(spark, sf_dir):

@@ -41,7 +41,7 @@ def test_bpe_encode_roundtrip_and_monotone(spark):
         # concatenating subwords (dropping </w>) reproduces the word stream
         rebuilt = "".join(toks).replace(WORD_END, " ").strip()
         words = " ".join(
-            w for w in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if w
+            w.lower() for w in re.split(TOKEN_SPLIT_RE, r["text"]) if w
         )
         assert rebuilt == words
     # more merges => never more tokens
@@ -52,5 +52,5 @@ def test_bpe_encode_roundtrip_and_monotone(spark):
     # zero merges degenerate to chars+wordend
     zero = bpe_encode(docs, [], count_col="n0").select("doc_id", "text", "n0").collect()
     for r in zero:
-        words = [w for w in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if w]
+        words = [w.lower() for w in re.split(TOKEN_SPLIT_RE, r["text"]) if w]
         assert r["n0"] == sum(len(w) + 1 for w in words)

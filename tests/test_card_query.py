@@ -35,8 +35,12 @@ def q(spark, tmp_path_factory, fixture_cards):
 
 
 def _tokens(c):
-    doc = f"{c['name'] or ''} {c['oracle_text'] or ''}".lower()
-    return {t for t in re.split(r"[^a-z0-9]+", doc) if t and t not in ENGLISH_STOPWORDS}
+    doc = f"{c['name'] or ''} {c['oracle_text'] or ''}"
+    return {
+        t.lower()
+        for t in re.split(r"[^a-zA-Z0-9]+", doc)
+        if t and t.lower() not in ENGLISH_STOPWORDS
+    }
 
 
 def test_q1_point_lookup(q, fixture_cards):

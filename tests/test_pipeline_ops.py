@@ -653,7 +653,7 @@ def test_gopher_quality_rules(docs):
     r0 = next(r for r in rows if r["doc_id"] == 0)
     text = docs.filter(F.col("doc_id") == 0).first()["text"]
     import re
-    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    toks = [t.lower() for t in re.split(r"[^a-zA-Z0-9]+", text) if t]
     assert r0["n_words"] == len(toks)
     assert abs(r0["mean_word_len"] - sum(map(len, toks)) / len(toks)) < 1e-12
 
@@ -709,3 +709,71 @@ def test_hamming64_rejects_recall_losing_radius(spark):
         hamming64_near_pairs(fp, "h", "doc_id", max_hamming=8)
     # radius 7 still constructs (lazy plan, no error)
     hamming64_near_pairs(fp, "h", "doc_id", max_hamming=7)
+
+
+def test_tokenizer_locale_free(spark):
+    """r5: lower-then-split diverged between engines on locale-
+    sensitive case mappings (probed: Turkish İ lowers to 'i̇' in the
+    JVM/Python but 'i' in ICU/DuckDB — the token stream itself forked).
+    The tokenizer family now splits on the ASCII class FIRST and lowers
+    the pure-ASCII tokens after, so Spark, DuckDB and the Python twins
+    agree on ANY input by construction.  Pin the divergence palette."""
+    import duckdb
+    import re as _re
+
+    from mtg_bulk_database_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+        sql_tokens,
+        tokens,
+    )
+
+    palette = [
+        "İstanbul FooBar",          # the probed JVM-vs-ICU fork
+        "ΣΊΣΥΦΟΣ kelvin K2",        # final sigma + Kelvin sign
+        "café NOËL Straße123",      # latin-1 + ß
+        "ＡＢＣ ascii123 ＡＢＣ",     # fullwidth forms
+        "a-İ-b C_d",                # divergent char INSIDE a word
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in palette], "text string")
+    got = {
+        r["text"]: list(r["t"])
+        for r in df.select("text", tokens("text").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for s in palette:
+        duck = con.execute(
+            f"SELECT {sql_tokens('?')}", [s]
+        ).fetchone()[0]
+        py = [t.lower() for t in _re.split(TOKEN_SPLIT_RE, s) if t]
+        assert got[s] == duck == py, (s, got[s], duck, py)
+    # the İ word splits at the non-ASCII char in EVERY engine now
+    assert got["a-İ-b C_d"] == ["a", "b", "c", "d"]
+
+
+def test_token_count_and_normalize_locale_free(spark):
+    """Same divergence palette, for the two non-tokenizer text twins
+    converted in r5: BPE-ish run counts now extract over RAW text with
+    case-insensitive ASCII classes, and normalize replaces before
+    lowering — both must agree with DuckDB on İ-class inputs."""
+    import duckdb
+
+    from mtg_bulk_database_spark.operators.text_analysis import BPE_ISH_RE
+
+    palette = ["İstanbul FooBar", "a-İ-b C_d", "ΣΊΣΥΦΟΣ K x", ""]
+    df = spark.createDataFrame([(s,) for s in palette], "text string")
+    counted = {
+        r["text"]: (r["bpe_ish_tokens"], r["norm_text"])
+        for r in text_analysis.with_normalized_text(
+            text_analysis.with_token_counts(df)
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in palette:
+        d_bpe, d_norm = con.execute(
+            f"""SELECT len(regexp_extract_all(?, '{BPE_ISH_RE}')),
+                       lower(trim(regexp_replace(regexp_replace(?,
+                            '[^a-zA-Z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))""",
+            [s, s],
+        ).fetchone()
+        assert counted[s] == (d_bpe, d_norm), (s, counted[s], (d_bpe, d_norm))
