@@ -66,6 +66,35 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 
+#: The two halves of the ASCII case fold, kept as module constants so the
+#: Spark ``translate``, the DuckDB twin, and Python ``str.translate`` are
+#: all generated from the SAME table.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_PY_ASCII_FOLD = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_fold(col: Column | str) -> Column:
+    """ASCII-only case fold: A-Z mapped to a-z via a 26-entry
+    ``translate`` — no Unicode case mapping ever runs, so the fold is
+    byte-identical across Spark/DuckDB/Python (the ILIKE family's
+    locale-free analog of the tokenizer's split-before-lower order)
+    and cheaper than ``lower()`` on the hot scan (table walk vs a full
+    case-conversion pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def py_ascii_fold(s: str) -> str:
+    """Driver-side twin of :func:`ascii_fold` for folding needles."""
+    return s.translate(_PY_ASCII_FOLD)
+
+
+def sql_ascii_fold(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_fold`."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
 def tokens(col: Column | str) -> Column:
     """All tokens of ``col`` in order (split first, lowercased after —
     see the module docstring for why that order is load-bearing)."""

@@ -25,11 +25,15 @@ def token_weighted_quality(docs_with_scores: DataFrame) -> DataFrame:
         # summing in int64 makes the result identical no matter how Spark
         # partitions the group — which is what lets this UDAF carry a
         # DuckDB oracle (decimal-exact SUM(score*w)/SUM(w)).
-        w = weights.astype("int64")
+        # SQL-aggregate NULL semantics: rows where either input is NULL
+        # (e.g. NULL-text docs — n_tokens is NULL) drop out of BOTH
+        # sums, exactly as DuckDB's SUM skips them in the oracle.
+        ok = scores.notna() & weights.notna()
+        w = weights[ok].astype("int64")
         total = int(w.sum())
         if total == 0:
             return 0.0
-        micros = (scores * 1_000_000).round().astype("int64")
+        micros = (scores[ok] * 1_000_000).round().astype("int64")
         return float(int((micros * w).sum())) / 1e6 / total
 
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —

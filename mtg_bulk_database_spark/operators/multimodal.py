@@ -118,14 +118,23 @@ def decode_images(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [fake_decode(bytes(b)) for b in pdf["content"]]
+            # NULL content decodes to NULL features (the SQL twin's
+            # octet_length(NULL)/NULL-arithmetic propagation), via
+            # pandas nullable dtypes so Arrow ships real nulls back.
+            dims = [
+                (None, None, None) if b is None else fake_decode(bytes(b))
+                for b in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "content_bytes": pdf["content"].map(len).astype("int64"),
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
-                    "n_channels": pd.Series([d[2] for d in dims], dtype="int32"),
+                    "content_bytes": pd.Series(
+                        [None if b is None else len(b) for b in pdf["content"]],
+                        dtype="Int64",
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="Int32"),
+                    "n_channels": pd.Series([d[2] for d in dims], dtype="Int32"),
                 }
             )
 
@@ -765,6 +774,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                if payload is None:
+                    # NULL payload → NULL features (SQL propagation)
+                    rows.append((int(doc_id),) + (None,) * 7)
+                    continue
                 is_wav, nch, rate, f = features(bytes(payload))
                 rows.append(
                     (
@@ -791,15 +804,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     "zero_crossings",
                 ],
             ).astype(
+                # pandas NULLABLE dtypes so a None row ships as real
+                # nulls through Arrow instead of failing the int cast
                 {
                     "doc_id": "int64",
-                    "is_wav": "bool",
-                    "n_channels": "int32",
-                    "sample_rate": "int32",
-                    "n_samples": "int64",
-                    "duration_ms": "int64",
-                    "rms": "int64",
-                    "zero_crossings": "int64",
+                    "is_wav": "boolean",
+                    "n_channels": "Int32",
+                    "sample_rate": "Int32",
+                    "n_samples": "Int64",
+                    "duration_ms": "Int64",
+                    "rms": "Int64",
+                    "zero_crossings": "Int64",
                 }
             )
 

@@ -15,7 +15,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fts_match_all, fts_match_any, ts_tokens
+from ..functions.text import (
+    ascii_fold,
+    fts_match_all,
+    fts_match_any,
+    py_ascii_fold,
+    ts_tokens,
+)
 
 
 class CardQuery:
@@ -61,11 +67,15 @@ class CardQuery:
 
     # -- Q5/Q6: ILIKE substring (trigram GIN, init.sql:137-138) ----------
     def name_contains(self, needle: str) -> DataFrame:
-        return self.cards.filter(F.lower(F.col("name")).contains(needle.lower()))
+        # ascii_fold, not lower(): the ILIKE family's locale-free case
+        # fold (functions/text.py) — identical across engines on ANY text
+        return self.cards.filter(
+            ascii_fold("name").contains(py_ascii_fold(needle))
+        )
 
     def oracle_text_contains(self, needle: str) -> DataFrame:
         return self.cards.filter(
-            F.lower(F.col("oracle_text")).contains(needle.lower())
+            ascii_fold("oracle_text").contains(py_ascii_fold(needle))
         )
 
     # -- Q7: cmc range (B-tree idx_cards_cmc, init.sql:141) --------------

@@ -20,7 +20,16 @@ from ..functions.text import ENGLISH_STOPWORDS, tokens, ts_tokens
 # locale-sensitive case mappings (İ) change the extracted-run count
 # between engines when lowering precedes extraction — see
 # functions/text.py on the tokenizer family's split-before-lower order.
-BPE_ISH_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+#
+# Explicit whitespace ENUMERATION, never the engine-defined ``\s``
+# (r5, probed): Java's ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2's is
+# ``[ \t\n\f\r]`` — a vertical tab forks the whitespace-token count
+# between Spark and DuckDB (and Python's is Unicode-wide, a third
+# answer). The enumerated class is the tokenizer family's
+# by-construction portability applied to whitespace.
+WS_CLASS = " \\t\\n\\x0B\\f\\r"
+WS_SPLIT_RE = f"[{WS_CLASS}]+"
+BPE_ISH_RE = f"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9{WS_CLASS}]"
 
 
 def _stopword_hits(tok: Column) -> Column:
@@ -56,7 +65,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish sub-token count (alpha runs /
     digits / symbols) — the standard pre-tokenization cost estimate."""
     ws = F.size(
-        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit(""))
+        F.filter(F.split(F.col(text_col), WS_SPLIT_RE), lambda t: t != F.lit(""))
     )
     bpe = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)
@@ -76,13 +85,20 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     tok = tokens(text_col)
     n_tok = F.size(tok)
     n_chars = F.length(F.col(text_col))
-    # alpha count = len(lower) − len(lower with a-z deleted): `translate`
-    # is a 26-entry table walk per char vs the regex engine running
-    # "[^a-z]" per char — measured 1.48 s → 0.32 s on the sf0.1 document
-    # scan (r4 profile), bit-identical result (oracle keeps regexp form)
-    low = F.lower(F.col(text_col))
-    n_alpha = F.length(low) - F.length(
-        F.translate(low, "abcdefghijklmnopqrstuvwxyz", "")
+    # alpha count = ASCII-alpha chars of the RAW text: `translate` is a
+    # 52-entry table walk per char vs the regex engine running a class
+    # per char — measured 1.48 s → 0.32 s on the sf0.1 document scan
+    # (r4 profile; oracle keeps the regexp form).  No lower() pass at
+    # all (r5): counting [a-z] of the LOWERCASED text would hinge on
+    # every engine's locale-sensitive case mapping emitting the same
+    # number of ASCII letters — counting [a-zA-Z] of the raw text is
+    # locale-free by construction (functions/text.py) and drops a
+    # whole string materialization from the hot scan.
+    txt = F.col(text_col)
+    n_alpha = F.length(txt) - F.length(
+        F.translate(
+            txt, "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", ""
+        )
     )
     len_score = F.least(n_tok, F.lit(100)).cast("double") / 100.0
     alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(
@@ -359,7 +375,9 @@ def with_winnow_fingerprints(
     dedup.py. No shuffle; fingerprints are ready to explode into the
     posting-list join that powers substring-level dup mining.
     """
-    base = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    # strip-before-lower: only pure-ASCII chars reach the case mapping
+    # (the tokenizer family's locale-free order, functions/text.py)
+    base = F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
     staged = df.withColumn("_wf_base", base)
     b = F.col("_wf_base")
     n_grams = F.length(b) - (k - 1)

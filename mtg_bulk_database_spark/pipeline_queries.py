@@ -17,7 +17,7 @@ from .catalog import load_table
 from .functions.text import sql_ts_tokens, sql_tokens
 from .functions.vectors import sql_cosine
 from .operators import dedup, multimodal, similarity, text_analysis
-from .operators.text_analysis import BPE_ISH_RE, sql_stopword_hits
+from .operators.text_analysis import BPE_ISH_RE, WS_SPLIT_RE, sql_stopword_hits
 from .registry import query
 
 _TOKS = sql_tokens("text")
@@ -40,8 +40,9 @@ def q30(spark, sf_dir):
 
 @query(
     "q31_dedup_fingerprint",
-    f"""SELECT md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
-              AS fingerprint,
+    f"""SELECT md5(coalesce(
+                array_to_string(list_sort({sql_ts_tokens('text')}), ' '),
+                '')) AS fingerprint,
               min(doc_id) AS representative_id, count(*) AS n_duplicates
        FROM documents GROUP BY 1""",
 )
@@ -406,7 +407,7 @@ def q38(spark, sf_dir):
 @query(
     "q39_token_counts",
     f"""SELECT doc_id,
-               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               len(list_filter(string_split_regex(text, '{WS_SPLIT_RE}'), x -> x <> ''))
                  AS ws_tokens,
                len(regexp_extract_all(text, '{BPE_ISH_RE}'))
                  AS bpe_ish_tokens
@@ -424,7 +425,7 @@ def q39(spark, sf_dir):
     f"""WITH t AS (
           SELECT doc_id, text, {_TOKS} AS toks,
                  length(text) AS n_chars,
-                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
           FROM documents
         )
         SELECT doc_id, len(toks) AS n_tokens,
@@ -470,7 +471,8 @@ def q41(spark, sf_dir):
               octet_length(encode(text)) AS content_bytes,
               CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width,
               CAST(octet_length(encode(text)) % 768 + 1 AS INT) AS height,
-              CAST(3 AS INT) AS n_channels
+              CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INT)
+                AS n_channels
        FROM documents""",
 )
 def q42(spark, sf_dir):
@@ -482,7 +484,7 @@ _WEIGHTED_QUALITY_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, source, {_TOKS} AS toks,
              length(text) AS n_chars,
-             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
       FROM documents
     ), q AS (
       SELECT doc_id, source, len(toks) AS n_tokens,
@@ -692,7 +694,7 @@ _CURATE_ORACLE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, text, source, {_TOKS} AS tk,
              length(text) AS n_chars,
-             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
       FROM documents
     ), q AS (
       SELECT doc_id, text, source, tk, len(tk) AS n_tokens,
@@ -708,7 +710,8 @@ _CURATE_ORACLE = f"""
                   ELSE 0.0 END AS top_token_ratio
       FROM t
     ), g AS (
-      SELECT *, md5(array_to_string(list_sort({sql_ts_tokens('text')}), ' '))
+      SELECT *, md5(coalesce(array_to_string(
+                    list_sort({sql_ts_tokens('text')}), ' '), ''))
                   AS fingerprint
       FROM q WHERE quality_score >= 0.5 AND top_token_ratio <= 0.3
     ), e AS (

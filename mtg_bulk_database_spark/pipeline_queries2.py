@@ -201,7 +201,7 @@ def q83(spark, sf_dir):
     "q84_winnow_fingerprints",
     """WITH b AS (
          SELECT doc_id,
-                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS base
+                lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS base
          FROM documents),
        h AS (
          SELECT doc_id,

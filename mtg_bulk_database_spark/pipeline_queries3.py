@@ -117,7 +117,7 @@ def q94(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _SQL_QUALITY = f"""round((least(len({_TOKS}), 100)::DOUBLE / 100.0
         + CASE WHEN length(text) > 0
-               THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+               THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
                     / length(text) ELSE 0.0 END
         + least(CASE WHEN len({_TOKS}) > 0
                 THEN {sql_stopword_hits(_TOKS)}::DOUBLE / len({_TOKS})

@@ -1007,7 +1007,8 @@ def _q181_oracle() -> str:
     shp AS (SELECT id_a, id_b FROM ({_SIMHASH_ORACLE})),
     fpt AS (
       SELECT doc_id,
-             md5(array_to_string(list_sort({sql_ts_tokens("text")}), ' ')) AS fp
+             md5(coalesce(array_to_string(
+                 list_sort({sql_ts_tokens("text")}), ' '), '')) AS fp
       FROM documents
     ),
     ep AS (

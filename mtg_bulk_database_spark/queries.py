@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.text import (
+    ascii_fold,
     fts_match_all,
     fts_match_any,
+    sql_ascii_fold,
     sql_ts_tokens,
     sql_tokens,
     tokens,
@@ -112,16 +114,20 @@ def q04(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # §2.5 Q5/Q6 — trigram ILIKE substring search (init.sql:137-138). Columnar
-# scan replaces the trigram GIN index; predicate stays in codegen.
+# scan replaces the trigram GIN index; predicate stays in codegen.  The
+# case-insensitivity is the ASCII fold (functions/text.py ascii_fold):
+# lower(text) LIKE ... hinges on every engine's Unicode case mapping,
+# which forks on İ-class chars — a 26-entry translate is byte-identical
+# everywhere and cheaper than lower() on the scan.
 # ---------------------------------------------------------------------------
 @query(
     "q05_ilike_substring",
-    """SELECT doc_id, source FROM documents
-       WHERE lower(text) LIKE '%window batch%'""",
+    f"""SELECT doc_id, source FROM documents
+       WHERE {sql_ascii_fold('text')} LIKE '%window batch%'""",
 )
 def q05(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.filter(F.lower(F.col("text")).like("%window batch%")).select(
+    return docs.filter(ascii_fold("text").like("%window batch%")).select(
         "doc_id", "source"
     )
 

@@ -18,6 +18,28 @@ WORDS = (
     "stream scan order dup group"
 ).split()
 
+#: Locale/portability trap palette (r5): tokens whose CASE MAPPING or
+#: CHARACTER CLASS membership differs between the JVM, ICU/DuckDB and
+#: Python — the exact inputs where lower-then-split, ``\s``, and
+#: Unicode-aware folds fork between engines. Injected into a fraction
+#: of fuzz documents so EVERY oracled text query is differential-tested
+#: on them, not just the curated pin palettes in test_pipeline_ops.
+TRAP_TOKENS = (
+    "İstanbul", "ıssız", "DİYARBAKIR",        # Turkish dotted/dotless I
+    "straße", "STRASSE", "ẞARP",              # ß / capital sharp S
+    "ΣΊΣΥΦΟΣ", "σίσυφος",                     # Greek final sigma
+    "KELVİN", "\u212a",                        # Kelvin sign U+212A
+    "NOËL", "naïve", "ﬁle", "ǅungla",          # latin-1, ligature, digraph
+    "ＦＵＬＬ１２３", "e\u0301tude",       # fullwidth forms, combining acute
+    "→x", "🙂ok", "#tag", "3.14",              # symbols through BPE-ish
+)
+#: Separators spanning the ASCII-whitespace class boundary (VT is the
+#: Java-vs-RE2 ``\s`` fork) plus non-whitespace glue.
+TRAP_SEPS = (
+    " ", " ", " ", "\t", "\n", "\x0b", "\x0c", "\r\n",
+    "\xa0", "　", "-", "_", "--", ". ",
+)
+
 
 def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
     rng = random.Random(seed)
@@ -164,11 +186,23 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
         ),
     )
     # documents: word salad + engineered near-dups (shuffled/perturbed
-    # copies) + exact dups + an empty-ish doc
+    # copies) + exact dups + an empty-ish doc + locale-trap docs
     texts = []
     for i in range(n_docs):
         n_words = rng.randint(3, 120)
-        texts.append(" ".join(rng.choice(WORDS) for _ in range(n_words)))
+        if rng.random() < 0.25:
+            # adversarial doc: trap tokens glued by boundary separators
+            toks = [
+                rng.choice(TRAP_TOKENS if rng.random() < 0.4 else WORDS)
+                for _ in range(n_words)
+            ]
+            parts = [toks[0]]
+            for t in toks[1:]:
+                parts.append(rng.choice(TRAP_SEPS))
+                parts.append(t)
+            texts.append("".join(parts))
+        else:
+            texts.append(" ".join(rng.choice(WORDS) for _ in range(n_words)))
     for i in range(0, 30, 3):  # near-dups: drop one word from a copy
         words = texts[i].split()
         if len(words) > 5:
@@ -176,13 +210,19 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
             texts.append(" ".join(words[:drop] + words[drop + 1 :]))
     texts += [texts[0], texts[1]]  # exact dups
     texts.append("x")  # single-token doc (shingle edge)
+    texts.append("")  # empty doc
+    texts.append("\x0b\xa0　")  # whitespace-only (VT/NBSP/ideographic)
+    texts.append("İ ı ẞ ΣΊΣΥΦΟΣ \u212a")  # trap-only doc (no ASCII-alnum at all)
+    texts.append(None)  # NULL text: SQL-null propagation through every twin
     docs = pd.DataFrame(
         {
             "doc_id": np.arange(len(texts), dtype="int64"),
             "text": texts,
             "lang": [rng.choice(["en", "de", "fr", "es", "zh"]) for _ in texts],
             "source": [f"src{i % 12}" for i in range(len(texts))],
-            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+            "n_chars": np.array(
+                [len(t) if t is not None else 0 for t in texts], dtype="int64"
+            ),
         }
     )
     write("documents", docs)

@@ -63,3 +63,17 @@ def test_fuzzed_oracle_parity(spark, fuzz_env, name):
     assert not mismatches, (
         f"{name}: {len(mismatches)} differing rows; first: {mismatches[:2]}"
     )
+
+
+def test_fuzzed_rows_only_queries_run(spark, fuzz_env):
+    """Rows-only queries (no SQL twin) still must EXECUTE on the
+    adversarial corpora — locale traps, VT/NBSP separators, empty and
+    NULL text. A Python-side ``None.lower()``/``bytes(None)`` crash in
+    a sampled-driver or mapInPandas stage only surfaces on data like
+    this (the fixed corpus has no NULLs at all)."""
+    sf_dir, _ = fuzz_env
+    for name, fn in QUERIES.items():
+        if name in ORACLE_SQL:
+            continue
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name

@@ -777,3 +777,113 @@ def test_token_count_and_normalize_locale_free(spark):
             [s, s],
         ).fetchone()
         assert counted[s] == (d_bpe, d_norm), (s, counted[s], (d_bpe, d_norm))
+
+
+def test_alpha_count_and_winnow_base_locale_free(spark):
+    """r5 completion of the locale-free family: the quality score's
+    alpha count now counts [a-zA-Z] of the RAW text (translate, no
+    lower() pass), and the winnowing base strips to ASCII-alnum BEFORE
+    lowering — both must agree with their DuckDB twins on İ-class
+    inputs, and the İ word contributes its ASCII letters only."""
+    import duckdb
+
+    palette = ["İstanbul FooBar", "a-İ-b C_d", "ΣΊΣΥΦΟΣ K2 x", "ı I", ""]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(palette)], "doc_id long, text string"
+    )
+    qual = {
+        r["text"]: r["n_alpha"]
+        for r in text_analysis.with_quality_score(df)
+        .withColumn(
+            "n_alpha",
+            F.length("text")
+            - F.length(
+                F.translate(
+                    F.col("text"),
+                    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "",
+                )
+            ),
+        )
+        .collect()
+    }
+    winnow = {
+        r["text"]: r["_base"]
+        for r in df.withColumn(
+            "_base",
+            F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", "")),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in palette:
+        d_alpha, d_base = con.execute(
+            """SELECT length(regexp_replace(?, '[^a-zA-Z]', '', 'g')),
+                      lower(regexp_replace(?, '[^a-zA-Z0-9]', '', 'g'))""",
+            [s, s],
+        ).fetchone()
+        assert qual[s] == d_alpha, (s, qual[s], d_alpha)
+        assert winnow[s] == d_base, (s, winnow[s], d_base)
+    # İ is NOT an ASCII letter: 'a-İ-b' has exactly 2 alpha chars and
+    # base 'ab' in every engine (no case mapping ever touches it)
+    assert qual["a-İ-b C_d"] == 4 and winnow["a-İ-b C_d"] == "abcd"
+
+
+def test_ascii_fold_locale_free(spark):
+    """The ILIKE family's case fold is a 26-entry translate (A-Z→a-z),
+    never a Unicode lower() — so 'İ' passes through untouched and the
+    fold is byte-identical across Spark, DuckDB and Python."""
+    import duckdb
+
+    from mtg_bulk_database_spark.functions.text import (
+        ascii_fold,
+        py_ascii_fold,
+        sql_ascii_fold,
+    )
+
+    palette = ["İstanbul WINDOW Batch", "ΣΊΣΥΦΟΣ K", "MiXeD ascii", ""]
+    df = spark.createDataFrame([(s,) for s in palette], "text string")
+    got = {
+        r["text"]: r["f"]
+        for r in df.select("text", ascii_fold("text").alias("f")).collect()
+    }
+    con = duckdb.connect()
+    for s in palette:
+        duck = con.execute(f"SELECT {sql_ascii_fold('?')}", [s]).fetchone()[0]
+        assert got[s] == duck == py_ascii_fold(s), (s, got[s], duck)
+    # İ survives the fold unchanged (no case mapping ran at all)
+    assert got["İstanbul WINDOW Batch"] == "İstanbul window batch"
+
+
+def test_ws_token_split_locale_free(spark):
+    """The whitespace-token split is the ENUMERATED ASCII class, never
+    the engine-defined \\s (Java includes \\x0B, RE2 doesn't, Python is
+    Unicode-wide — three different counts on the same text). Pin the
+    probe palette against DuckDB."""
+    import duckdb
+
+    from mtg_bulk_database_spark.operators.text_analysis import WS_SPLIT_RE
+
+    palette = [
+        "a\x0bb",        # vertical tab: THE Java-vs-RE2 fork
+        "a\x0cb c\td",
+        "a\xa0b",        # NBSP: one token in both engines
+        "a b",
+        "a　b",           # ideographic space
+        "a\r\nb  c",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in palette], "text string")
+    got = {
+        r["text"]: r["ws_tokens"]
+        for r in text_analysis.with_token_counts(df).collect()
+    }
+    con = duckdb.connect()
+    for s in palette:
+        duck = con.execute(
+            f"""SELECT len(list_filter(
+                  string_split_regex(?, '{WS_SPLIT_RE}'), x -> x <> ''))""",
+            [s],
+        ).fetchone()[0]
+        assert got[s] == duck, (repr(s), got[s], duck)
+    assert got["a\x0bb"] == 2      # VT splits (it IS ASCII whitespace)
+    assert got["a\xa0b"] == 1      # NBSP does not (not in the class)
