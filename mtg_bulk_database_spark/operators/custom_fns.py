@@ -38,15 +38,21 @@ def token_weighted_quality(docs_with_scores: DataFrame) -> DataFrame:
 
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
     # compute the count separately and join (both aggs share the shuffle
-    # key, so AQE coalesces them onto the same exchange).
+    # key, so AQE coalesces them onto the same exchange). eqNullSafe:
+    # groupBy forms a NULL-source group on both sides, and a plain
+    # equi-join would silently drop it (NULL never equals NULL).
     weighted = docs_with_scores.groupBy("source").agg(
         F.round(
             weighted_mean(F.col("quality_score"), F.col("n_tokens").cast("double")),
             6,
         ).alias("weighted_quality")
     )
-    counts = docs_with_scores.groupBy("source").agg(F.count("*").alias("n_docs"))
-    return weighted.join(counts, on="source")
+    counts = docs_with_scores.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    ).withColumnRenamed("source", "_cnt_source")
+    return weighted.join(
+        counts, weighted["source"].eqNullSafe(counts["_cnt_source"])
+    ).drop("_cnt_source")
 
 
 def shingle_udtf_class():

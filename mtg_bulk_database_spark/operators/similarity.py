@@ -196,6 +196,10 @@ def ivf_index(
 
     from ..functions.vectors import l2_norm
 
+    # NULL embeddings (failed-embedder rows) cannot be indexed — drop
+    # them here, mirroring how NULL similarity scores fall out of the
+    # brute-force top-k (array_to_vector NPEs on a null array otherwise)
+    df = df.where(F.col(vec_col).isNotNull())
     vec_dbl = F.col(vec_col).cast("array<double>")
     unit = F.element_at(
         F.transform(
@@ -340,6 +344,7 @@ def pq_train(
     iteration count — no RNG draws depend on partitioning.
     """
     target = k * train_per_centroid
+    df = df.where(F.col(vec_col).isNotNull())  # un-indexable rows (see ivf)
     total = df.count()
     pool = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     if total > target:

@@ -770,9 +770,16 @@ def q71(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query(
     "q43_json_extract",
+    # json_valid guard: Spark's get_json_object maps malformed JSON to
+    # NULL (the tolerate-dirty-data contract this engine keeps for
+    # scraped pipelines) where DuckDB's json_extract THROWS — the CASE
+    # makes the oracle express the same total function.
     """SELECT event_id, event_type,
-              CAST(json_extract_string(props, '$.k') AS INT) AS k
-       FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""",
+              CAST(json_extract_string(
+                CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k
+       FROM events
+       WHERE CAST(json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) > 50""",
 )
 def q43(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")

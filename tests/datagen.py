@@ -181,7 +181,15 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
                     ["click", "view", "purchase", "error", "signup"], n_events
                 ),
                 "value": np.round(nprng.uniform(0, 100, n_events), 3),
-                "props": [f'{{"k": {rng.randint(0, 100)}}}' for _ in range(n_events)],
+                # ~3% dirty props: malformed / empty / NULL JSON —
+                # the engine's contract is get_json_object-style NULL
+                # tolerance, and the oracles must express the same
+                "props": [
+                    rng.choice(["not json", "", None, '{"k":'])
+                    if rng.random() < 0.03
+                    else f'{{"k": {rng.randint(0, 100)}}}'
+                    for _ in range(n_events)
+                ],
             }
         ),
     )
@@ -218,8 +226,18 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
         {
             "doc_id": np.arange(len(texts), dtype="int64"),
             "text": texts,
-            "lang": [rng.choice(["en", "de", "fr", "es", "zh"]) for _ in texts],
-            "source": [f"src{i % 12}" for i in range(len(texts))],
+            # ~2% NULL lang/source: scraped corpora carry missing
+            # metadata, and group-by/stratify twins must agree on the
+            # NULL group across engines
+            "lang": [
+                None if rng.random() < 0.02
+                else rng.choice(["en", "de", "fr", "es", "zh"])
+                for _ in texts
+            ],
+            "source": [
+                None if i % 97 == 96 else f"src{i % 12}"
+                for i in range(len(texts))
+            ],
             "n_chars": np.array(
                 [len(t) if t is not None else 0 for t in texts], dtype="int64"
             ),
@@ -232,7 +250,12 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
         pd.DataFrame(
             {
                 "vec_id": np.arange(n_emb, dtype="int64"),
-                "embedding": [list(map(float, v)) for v in emb.astype("float32")],
+                # ~1.5% NULL embeddings (failed-embedder rows): the
+                # similarity twins must agree they drop out of top-k
+                "embedding": [
+                    None if rng.random() < 0.015 else list(map(float, v))
+                    for v in emb.astype("float32")
+                ],
                 "label": nprng.randint(0, 8, n_emb).astype("int32"),
             }
         ),
