@@ -88,7 +88,13 @@ def ewma(
     """Exponentially-weighted moving average per key:
     ``y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}`` over (ts, id) order.
     The per-group recurrence is pandas' C-implemented
-    ``ewm(adjust=False)`` — the same IEEE op sequence as the loop."""
+    ``ewm(adjust=False)`` — the same IEEE op sequence as the loop.
+
+    NULL observations are not samples: they neither update state nor
+    emit a row (filtered at entry — the SQL-twin contract; without
+    the filter, a NULL poisons DuckDB's recurrence for the whole key
+    while pandas' NaN-skipping silently carries state past it)."""
+    df = df.where(F.col(value_col).isNotNull())
     out_schema = T.StructType(
         [
             df.schema[key_col],
@@ -125,7 +131,11 @@ def cusum(
     with alert when ``S_t > h`` — the classic sequential change-point
     detector (upward shifts accumulate faster than the drift allowance
     ``k`` bleeds off). The max-clamp is what makes this inexpressible
-    as a prefix sum; S resets to 0 after each alert (restart rule)."""
+    as a prefix sum; S resets to 0 after each alert (restart rule).
+
+    NULL observations neither update state nor emit a row (same
+    contract and rationale as :func:`ewma`)."""
+    df = df.where(F.col(value_col).isNotNull())
     out_schema = T.StructType(
         [
             df.schema[key_col],

@@ -799,7 +799,7 @@ def q161(spark, sf_dir):
          SELECT user_id, event_id, ts, value,
                 row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
-         FROM events),
+         FROM events WHERE value IS NOT NULL),
        r AS (
          SELECT user_id, event_id, ts, value, rn,
                 value AS ewma
@@ -830,7 +830,7 @@ def q162(spark, sf_dir):
          SELECT user_id, event_id, ts, value,
                 row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
-         FROM events),
+         FROM events WHERE value IS NOT NULL),
        r AS (
          SELECT user_id, event_id, ts, value, rn,
                 CASE WHEN (value - 10.0) < 0 THEN 0.0
@@ -886,8 +886,8 @@ def q163(spark, sf_dir):
          FROM flagged
        ), j AS (
          SELECT user_id, sid,
-                string_agg(event_type, '>' ORDER BY ts, event_id)
-                  AS journey
+                coalesce(string_agg(event_type, '>' ORDER BY ts, event_id),
+                         '') AS journey
          FROM s GROUP BY user_id, sid)
        SELECT journey, count(*) AS n_sessions
        FROM j GROUP BY journey""",

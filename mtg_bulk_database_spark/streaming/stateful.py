@@ -316,6 +316,9 @@ def stream_cusum_alerts(
 
     return (
         events.select(key_col, id_col, ts_col, value_col)
+        # NULL observations neither update state nor emit (the batch
+        # operator's contract, operators/timeseries.py)
+        .where(F.col(value_col).isNotNull())
         .groupBy(key_col)
         .applyInPandasWithState(
             fold,

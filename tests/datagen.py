@@ -177,10 +177,21 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
                 "event_id": np.arange(n_events, dtype="int64"),
                 "ts": pd.to_datetime(ts_ns),
                 "user_id": user_ids,
-                "event_type": nprng.choice(
-                    ["click", "view", "purchase", "error", "signup"], n_events
-                ),
-                "value": np.round(nprng.uniform(0, 100, n_events), 3),
+                # ~1.5% NULL event_type / value: instrumentation gaps
+                # in real clickstreams; filter/agg twins must agree on
+                # NULL-drop semantics
+                "event_type": [
+                    None if rng.random() < 0.015
+                    else rng.choice(
+                        ["click", "view", "purchase", "error", "signup"]
+                    )
+                    for _ in range(n_events)
+                ],
+                "value": [
+                    None if rng.random() < 0.015
+                    else round(rng.uniform(0, 100), 3)
+                    for _ in range(n_events)
+                ],
                 # ~3% dirty props: malformed / empty / NULL JSON —
                 # the engine's contract is get_json_object-style NULL
                 # tolerance, and the oracles must express the same
