@@ -123,10 +123,18 @@ def main() -> None:
     from mtg_bulk_database_spark.pipeline_queries4 import pq_prebuilt_index
     from mtg_bulk_database_spark.queries_extra import asof_click_depth
 
+    from mtg_bulk_database_spark.pipeline_queries import shingle_prebuilt_table
+
+    t_art = time.perf_counter()
     ivf_prebuilt_index(spark, sf_dir)
     pq_prebuilt_index(spark, sf_dir)
     asof_click_depth(spark, sf_dir)
     jaccard_lean_pair_estimate(spark, sf_dir)
+    # the shingle posting tables the dedup family shares (the
+    # reference's trigram GIN analog, init.sql:137-138)
+    shingle_prebuilt_table(spark, sf_dir, "string")
+    shingle_prebuilt_table(spark, sf_dir, "hashed")
+    ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -140,7 +148,17 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as fh:
-        json.dump({"queries": timings, "sf": sf}, fh, indent=1)
+        json.dump(
+            {
+                "queries": timings,
+                "sf": sf,
+                # untimed-per-query prebuilt work, reported so the
+                # artifact cost is visible rather than hidden
+                "ingest_artifacts_sec": ingest_artifacts_sec,
+            },
+            fh,
+            indent=1,
+        )
 
     # The driver keeps only a bounded tail of this process's output, so the
     # JSON result line must be SHORT (short `qNN` keys, 3-decimal timings)
@@ -153,6 +171,9 @@ def main() -> None:
         "unit": "sec",
         "queries": compact,
         "sf": sf,
+        # ingest-time artifact build (IVF/PQ/stats/shingle tables) —
+        # excluded from per-query timings, surfaced here for honesty
+        "ingest_sec": round(ingest_artifacts_sec, 2),
     }
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1600:

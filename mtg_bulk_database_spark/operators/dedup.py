@@ -133,6 +133,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-k-gram Jaccard ≥ threshold.
 
@@ -153,7 +154,14 @@ def ngram_jaccard_pairs(
     # recomputing per branch — measured 4× end-to-end at sf0.1. (At
     # cluster scale the same role is played by persisting the shingle/
     # signature table explicitly between pipeline stages.)
-    sh = with_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    # ``shingles_df``: a prebuilt/persisted (id, shingles) table — the
+    # ingest-time posting index (the reference's trigram GIN analog,
+    # init.sql:137-138); when absent, build and materialize per query.
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else with_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    )
     sizes = sh.select(
         F.col(id_col).alias("_id"), F.size("shingles").alias("_n")
     )
@@ -196,6 +204,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via AllPairs/PPJoin prefix filtering
     (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the scale path for
@@ -219,7 +228,11 @@ def ngram_jaccard_pairs_prefix(
     re-collect) up front, then everything downstream is proportional
     to |candidates| instead of Σ|posting list|².
     """
-    base = with_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    base = (
+        shingles_df
+        if shingles_df is not None
+        else with_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    )
     posts = base.select(
         F.col(id_col), F.explode_outer("shingles").alias("s")
     ).filter(F.col("s").isNotNull())
@@ -354,6 +367,7 @@ def ngram_jaccard_pairs_auto(
     strategy: str = "auto",
     budget: float = LEAN_PAIR_BUDGET,
     est_pair_rows: float | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs with stats-driven formulation choice. Both
     variants are exact and pinned equal in tests, so the switch is
@@ -363,9 +377,13 @@ def ngram_jaccard_pairs_auto(
             df, text_col, id_col, k, budget, est_pair_rows
         )
     if strategy == "lean":
-        return ngram_jaccard_pairs(df, text_col, id_col, k, threshold)
+        return ngram_jaccard_pairs(
+            df, text_col, id_col, k, threshold, shingles_df=shingles_df
+        )
     if strategy == "prefix":
-        return ngram_jaccard_pairs_prefix(df, text_col, id_col, k, threshold)
+        return ngram_jaccard_pairs_prefix(
+            df, text_col, id_col, k, threshold, shingles_df=shingles_df
+        )
     raise ValueError(f"unknown jaccard strategy: {strategy!r}")
 
 
@@ -550,6 +568,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 13,
+    hashed_shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash candidates, then Jaccard
     verification of candidates over hashed shingles.
@@ -568,11 +587,17 @@ def minhash_lsh_pairs(
     # Hashed (int64) shingles: the approximate path only needs shingle
     # identity, so it skips per-shingle string allocation — measured
     # ~35% off the dominant shingle-build stage at sf0.1.
-    sh = (
-        with_hashed_shingles(df, text_col, id_col, k)
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_perm, seed))
-        .localCheckpoint(eager=False)
+    base = (
+        hashed_shingles_df
+        if hashed_shingles_df is not None
+        else with_hashed_shingles(df, text_col, id_col, k)
     )
+    # the checkpoint still materializes the SIGNATURES once (they feed
+    # the band explode + both verify branches); with a prebuilt shingle
+    # table it recomputes only the cheap signature projection
+    sh = base.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_perm, seed)
+    ).localCheckpoint(eager=False)
     band_cols = F.explode_outer(  # _outer: see ngram_jaccard_pairs note
         F.array(
             *[
@@ -627,6 +652,7 @@ def minhash_lsh_pairs_portable(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 13,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` on the engine-portable hash family:
     md5-derived base hashes (:func:`md5_60`) over STRING shingles, and
@@ -638,14 +664,15 @@ def minhash_lsh_pairs_portable(
     shuffle shape to the xxhash64 default: candidates come from the
     (band, bucket) equi-join, never all-pairs."""
     rows = num_perm // bands
-    sh = (
-        with_shingles(df, text_col, id_col, k)
-        .withColumn(
-            "sig",
-            minhash_signature_portable(F.col("shingles"), num_perm, seed),
-        )
-        .localCheckpoint(eager=False)  # feeds band explode + both verifies
+    base = (
+        shingles_df
+        if shingles_df is not None
+        else with_shingles(df, text_col, id_col, k)
     )
+    sh = base.withColumn(
+        "sig",
+        minhash_signature_portable(F.col("shingles"), num_perm, seed),
+    ).localCheckpoint(eager=False)  # feeds band explode + both verifies
 
     def band_bucket(i: int) -> Column:
         slice_str = F.concat_ws(

@@ -161,7 +161,12 @@ def q90(spark, sf_dir):
     from .operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    from .pipeline_queries import shingle_prebuilt_table
+
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
+    )
     clusters = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )

@@ -392,8 +392,11 @@ def q117(spark, sf_dir):
     from .operators import graph
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from .pipeline_queries import shingle_prebuilt_table
+
     pairs = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.6
+        docs, "text", "doc_id", k=3, threshold=0.6,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     )
     return (
         graph.pagerank(pairs)

@@ -158,11 +158,15 @@ def q137(spark, sf_dir):
     a stratified sample (q83) and ship the sketch parameters only when
     recall clears the bar."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from .pipeline_queries import shingle_prebuilt_table
+
     exact = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.8
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
     approx = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.8
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        hashed_shingles_df=shingle_prebuilt_table(spark, sf_dir, "hashed"),
     ).select("id_a", "id_b")
     j = exact.withColumn("in_exact", F.lit(1)).join(
         approx.withColumn("in_approx", F.lit(1)),

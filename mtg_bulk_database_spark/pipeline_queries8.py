@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators import text_analysis
+from .pipeline_queries import shingle_prebuilt_table
 from .registry import query
 
 
@@ -963,10 +964,12 @@ def q165(spark, sf_dir):
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
     jac = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.8
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
     mh = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.8
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        hashed_shingles_df=shingle_prebuilt_table(spark, sf_dir, "hashed"),
     ).select("id_a", "id_b")
     sh = dedup.simhash_near_pairs(
         docs, "text", "doc_id", max_hamming=3
@@ -1059,10 +1062,12 @@ def q181(spark, sf_dir):
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
     jac = dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=3, threshold=0.8
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
     mh = dedup.minhash_lsh_pairs_portable(
-        docs, "text", "doc_id", k=3, threshold=0.8
+        docs, "text", "doc_id", k=3, threshold=0.8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
     sh = dedup.simhash_near_pairs(
         docs, "text", "doc_id", max_hamming=3
@@ -1098,7 +1103,10 @@ def q166(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     exact = (
-        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+        dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.8,
+            shingles_df=shingle_prebuilt_table(spark, sf_dir),
+        )
         .select("id_a", "id_b")
         # EAGER: the lazy variant emits noisy (benign) cleaned-accumulator
         # warnings when the checkpoint is first materialized inside a
@@ -1112,6 +1120,9 @@ def q166(spark, sf_dir):
         approx = dedup.minhash_lsh_pairs(
             docs, "text", "doc_id",
             k=3, threshold=0.8, num_perm=num_perm, bands=bands,
+            hashed_shingles_df=shingle_prebuilt_table(
+                spark, sf_dir, "hashed"
+            ),
         ).select("id_a", "id_b")
         j = exact.withColumn("e", F.lit(1)).join(
             approx.withColumn("a", F.lit(1)), ["id_a", "id_b"], "full_outer"
