@@ -92,6 +92,12 @@ HEADLINE = [
     "q160_ohlc_bars",
     "q162_ewma_smoothing",
     "q163_cusum_alerts",
+    # TPC-H completion set (r5): the three with distinct plan character
+    # at scale — pure pushdown agg, two-nation market share, fact⋈fact
+    # quarter join + top-k
+    "q183_forecast_revenue",
+    "q184_national_market_share",
+    "q186_returned_item_customers",
 ]
 
 

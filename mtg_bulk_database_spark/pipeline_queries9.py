@@ -1,0 +1,721 @@
+"""TPC-H suite completion — the 13 canonical query SHAPES the registry
+did not yet carry (Q4 Q6 Q8 Q9 Q10 Q11 Q12 Q13 Q14 Q16 Q19 Q20 Q22),
+q182–q194.
+
+The reference is a single-node Postgres ETL whose analytics surface is
+plain SQL over its card tables (``schema/init.sql:1-146``); these
+queries institutionalize the remaining decision-support shapes a user
+of that schema would run, each expressed as the PLAN Spark should pick
+at 100 TB (broadcast dims, semi/anti joins instead of correlated
+subqueries, decimal-exact money sums, one final double division).
+
+The driver's synthetic star schema is TPC-H-ish but REDUCED — no
+``partsupp``, no ``l_commitdate``/``l_receiptdate``, no ``c_phone``,
+no ``p_container``, no comment columns — so each query keeps the
+canonical SHAPE (the join/aggregation/subquery structure that makes it
+a distinct optimizer test) with adapted predicates, documented per
+query.  Same discipline as the existing Q2/Q21 shapes
+(``pipeline_queries6.py``).
+
+Engine-portability discipline (the hard-won house rules):
+- money sums via DECIMAL(18,6) on BOTH sides (partial-agg order);
+- ratios = ONE final double division of decimal-exact operands;
+- CASE counts via COUNT(CASE WHEN .. THEN 1 END), never SUM(int)
+  (DuckDB SUM(INTEGER) is HUGEINT, Spark's is BIGINT);
+- year() CAST to INT in the oracle (DuckDB returns BIGINT);
+- top-k orderings always carry a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import _dsum, _sql_dsum
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 — order priority checking: EXISTS → semi-join with a
+# correlated date comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "q182_order_priority_check",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate
+                                          + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority""",
+)
+def q182(spark, sf_dir):
+    """TPC-H Q4's shape: EXISTS over the fact decorrelates to a LEFT
+    SEMI join whose condition carries the correlated date comparison
+    (the commit<receipt predicate of the full schema becomes "shipped
+    more than 60 days after ordering" on the reduced one).  The
+    quarter filter prunes the orders scan BEFORE the join; the semi
+    join shuffles on l_orderkey only rows that can match, and emits
+    each order at most once — no distinct, no count inflation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 — forecasting revenue change: the pure filter-aggregate
+# (predicate-pushdown showcase; no join at all).
+# ---------------------------------------------------------------------------
+@query(
+    "q183_forecast_revenue",
+    f"""SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""",
+)
+def q183(spark, sf_dir):
+    """TPC-H Q6 verbatim (every column exists): one scan, every
+    predicate pushed to parquet (shipdate/quantity are min/max-
+    prunable; the plan pin asserts PushedFilters carries them), one
+    map-side-combined decimal aggregate — at 100 TB this is the query
+    partition pruning + column pruning should make ~free.  The
+    discount band compares stored doubles against the same literals in
+    both engines, so no epsilon is needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 — national market share: conditional share of a decimal
+# volume sum, two independent nation lookups on one fact row.
+# ---------------------------------------------------------------------------
+@query(
+    "q184_national_market_share",
+    """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+              CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                       THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+              AS mkt_share
+       FROM lineitem l
+       JOIN orders o    ON o.o_orderkey = l.l_orderkey
+       JOIN customer c  ON c.c_custkey = o.o_custkey
+       JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+       JOIN region r    ON r.r_regionkey = nc.n_regionkey
+       JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+       JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+       JOIN part p      ON p.p_partkey = l.l_partkey
+       WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+       GROUP BY o_year""",
+)
+def q184(spark, sf_dir):
+    """TPC-H Q8's shape: market share = conditional volume / total
+    volume per order year, the same fact row resolving its CUSTOMER
+    nation (via orders) and its SUPPLIER nation independently — the
+    two-aliases-of-one-dimension pattern.  All five dimension tables
+    broadcast; lineitem⋈orders is the only big-big join (shuffle on
+    the order key).  Both volume sums are decimal-exact; the share is
+    one final double division per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    # customer side collapsed driver-free: nation⋈region prunes to the
+    # ASIA nation-key set before touching the fact
+    nc = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(nc), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(part.where(F.col("p_type") == "STANDARD")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(F.broadcast(ns), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("s_nation") == "NATION_7", dec(vol)).otherwise(
+                        dec(F.lit(0))
+                    )
+                ).cast("double")
+                / F.sum(dec(vol)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 — product type profit: LIKE-filtered part dim, profit
+# measure with a cost term, (nation, year) rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q185_product_profit",
+    f"""SELECT ns.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {_sql_dsum(
+                   'l.l_extendedprice * (1 - l.l_discount)'
+                   ' - 0.6 * p.p_retailprice * l.l_quantity',
+                   'sum_profit')}
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY nation, o_year""",
+)
+def q185(spark, sf_dir):
+    """TPC-H Q9's shape: profit per supplier nation per order year over
+    a LIKE-filtered slice of parts.  The reduced schema has no
+    ``partsupp``, so the supply-cost term uses the deterministic
+    surrogate ``0.6 * p_retailprice`` (documented, same on both
+    sides); the SHAPE — fact⋈4 dims, arithmetic measure mixing fact
+    and dim columns, two-level group — is unchanged.  part/supplier/
+    nation broadcast; lineitem⋈orders shuffles once.  The profit
+    expression evaluates in double EXACTLY as written on both engines,
+    then the per-row cast to decimal makes the SUM order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_name").like("%red%")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(profit, "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 — returned item reporting: quarter of orders × returned
+# lines, revenue per customer, deterministic top 20.
+# ---------------------------------------------------------------------------
+@query(
+    "q186_returned_item_customers",
+    f"""SELECT * FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               c.c_acctbal,
+               {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)',
+                          'revenue')}
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, nation, c.c_acctbal)
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q186(spark, sf_dir):
+    """TPC-H Q10's shape: lost-revenue census of customers who
+    returned goods in one quarter — fact⋈fact (lineitem⋈orders)
+    shuffle join with BOTH sides pre-filtered (the quarter prunes
+    orders, the returnflag prunes lineitem, each pushed to its own
+    scan), customer/nation broadcast, then a top-20.  The ordering
+    carries c_custkey as tiebreak so the LIMIT is deterministic under
+    equal revenues; Spark plans it as TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(
+                cust.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+        .groupBy(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal"
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 — important stock: group HAVING > fraction-of-grand-total
+# scalar subquery, broadcast as a 1-row cross join.
+# ---------------------------------------------------------------------------
+@query(
+    "q187_important_parts",
+    f"""SELECT l_partkey,
+               {_sql_dsum('l_extendedprice * (1 - l_discount)', 'value')}
+        FROM lineitem GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE)
+               > 0.0005 * (SELECT CAST(SUM(CAST(
+                               l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                           FROM lineitem)""",
+)
+def q187(spark, sf_dir):
+    """TPC-H Q11's shape: per-key value rollup kept only where it
+    exceeds a FRACTION OF THE GRAND TOTAL — the scalar subquery every
+    engine must turn into "aggregate once, broadcast one row" (the
+    reduced schema aggregates lineitem revenue per part instead of
+    partsupp stock value; same plan).  Both the per-group and the
+    grand total are decimal-exact; the threshold comparison runs in
+    double on identically-derived values, so the boundary cannot
+    disagree across engines.  One shuffle (the groupBy); the total's
+    second scan map-side-combines to a single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(_dsum(val, "value"))
+    total = li.agg(_dsum(val, "_grand"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > 0.0005 * F.col("_grand"))
+        .select("l_partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 — shipping modes / priority: CASE counts after a fact⋈fact
+# join (COUNT(CASE..) — DuckDB SUM(INTEGER) would be HUGEINT).
+# ---------------------------------------------------------------------------
+@query(
+    "q188_shipmode_priority",
+    """SELECT l.l_linestatus,
+              COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 END) AS high_line_count,
+              COUNT(CASE WHEN o.o_orderpriority NOT IN
+                              ('1-URGENT','2-HIGH')
+                         THEN 1 END) AS low_line_count
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l.l_linestatus""",
+)
+def q188(spark, sf_dir):
+    """TPC-H Q12's shape: how many high- vs low-priority orders moved
+    under each line status in a year (l_linestatus standing in for the
+    absent l_shipmode).  The year filter prunes the lineitem scan
+    before the orderkey shuffle join; the conditional tallies are
+    COUNT(CASE) so both engines emit BIGINT.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 — customer order-count distribution: conditional LEFT
+# OUTER join + two-level aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q189_customer_order_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT OUTER JOIN orders o
+               ON o.o_custkey = c.c_custkey
+              AND o.o_orderpriority <> '5-LOW'
+             GROUP BY c.c_custkey)
+       GROUP BY c_count""",
+)
+def q189(spark, sf_dir):
+    """TPC-H Q13's shape: the distribution of per-customer order
+    counts INCLUDING zero-order customers — the conditional predicate
+    lives in the OUTER JOIN's ON clause (pushing it to WHERE would
+    silently drop the zeros, the classic outer-join trap), and
+    ``count(o_orderkey)`` counts only matched rows because COUNT
+    ignores the NULLs the outer join manufactures.  Orders-side filter
+    evaluates BEFORE the join (Catalyst pushes ON-clause predicates on
+    the nullable side down to its scan); the second aggregation is
+    metadata-sized (≤ distinct counts).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey").where(
+                F.col("o_orderpriority") != "5-LOW"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 — promotion effect: conditional share of revenue in one
+# month, part dim broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q190_promo_revenue_share",
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+              AS promo_revenue_pct
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+)
+def q190(spark, sf_dir):
+    """TPC-H Q14: the share of one month's revenue that came from
+    promotional parts.  The month filter prunes the fact scan; part
+    broadcasts; both operands of the percentage are decimal-exact sums
+    and the division (then ×100) happens once in double — identical
+    evaluation order on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", dec(rev)).otherwise(
+                        dec(F.lit(0))
+                    )
+                ).cast("double")
+                / F.sum(dec(rev)).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 — parts/supplier relationship: NOT IN → anti-join, then
+# COUNT(DISTINCT) per attribute triple.
+# ---------------------------------------------------------------------------
+@query(
+    "q191_part_supplier_counts",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+              count(DISTINCT l.l_suppkey) AS supplier_cnt
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'Brand#3'
+         AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND l.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_type, p.p_size""",
+)
+def q191(spark, sf_dir):
+    """TPC-H Q16's shape: how many distinct suppliers can source each
+    surviving (brand, type, size) triple, EXCLUDING blacklisted
+    suppliers — the NOT IN becomes a LEFT ANTI join against the
+    (tiny, broadcast) negative-balance supplier list, the filtered
+    part dim broadcasts, and the COUNT(DISTINCT suppkey) expands to
+    Spark's standard two-shuffle distinct-aggregate.  The blacklist
+    has no NULL keys (s_suppkey is the PK), so anti-join and NOT IN
+    agree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    p = part.where(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 — discounted revenue: OR-of-ANDs mixing fact and dim
+# predicates across an equi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q192_disjunctive_revenue",
+    f"""SELECT {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)',
+                          'revenue')}
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q192(spark, sf_dir):
+    """TPC-H Q19's shape: a disjunction of conjunctions spanning BOTH
+    join sides.  The per-side implied predicates are derivable
+    (quantity ∈ [1,30] on the fact, size ∈ [1,15] + brand ∈ {1,2,3} on
+    the dim — Catalyst extracts the common filters from the OR), so
+    the scans prune before the broadcast join and only the residual
+    disjunction evaluates post-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    b, s = F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .where(cond)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 — potential part promotion: IN over a grouped HAVING
+# subquery → semi-join against an aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q193_promotion_suppliers",
+    """SELECT s.s_name, s.s_acctbal
+       FROM supplier s
+       WHERE s.s_suppkey IN
+             (SELECT l.l_suppkey
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_name LIKE 'red%'
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l.l_suppkey
+              HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) > 50)""",
+)
+def q193(spark, sf_dir):
+    """TPC-H Q20's shape: suppliers who moved a meaningful volume of a
+    LIKE-selected part family in one year — IN over a GROUP
+    BY/HAVING subquery, planned as supplier LEFT SEMI JOIN the
+    aggregated fact slice.  The part filter broadcasts into the fact
+    scan first (prefix LIKE), the year filter pushes down, the
+    per-supplier quantity sum is decimal-exact, and the HAVING output
+    (qualified supplier keys) is small enough to broadcast into the
+    semi join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    qualified = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(
+                part.where(F.col("p_name").like("red%")).select("p_partkey")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
+        .where(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        F.broadcast(qualified),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    ).select("s_name", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 — global sales opportunity: scalar AVG subquery threshold +
+# NOT EXISTS anti-join, grouped census.
+# ---------------------------------------------------------------------------
+@query(
+    "q194_dormant_rich_customers",
+    """SELECT cntrycode, count(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                  AS totacctbal
+       FROM (SELECT CAST(c.c_nationkey % 5 AS INT) AS cntrycode,
+                    c.c_acctbal
+             FROM customer c
+             WHERE c.c_nationkey % 5 IN (0, 2, 3)
+               AND c.c_acctbal >
+                   (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6)))
+                                AS DOUBLE) / count(*)
+                    FROM customer c2
+                    WHERE c2.c_acctbal > 0.0
+                      AND c2.c_nationkey % 5 IN (0, 2, 3))
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderdate >=
+                                     TIMESTAMP '2000-01-01 00:00:00'))
+       GROUP BY cntrycode""",
+)
+def q194(spark, sf_dir):
+    """TPC-H Q22's shape: above-average-balance customers with NO
+    RECENT orders (the canonical "no orders in N years" dormancy
+    window, here orderdate >= 2000-01-01 so the gate is non-empty on
+    the synthetic data), grouped by country code (``c_nationkey % 5``
+    standing in for the absent phone prefix).  The scalar AVG threshold is
+    computed as decimal-exact SUM ÷ COUNT in ONE double division
+    (``AVG(decimal)`` itself rounds differently across engines), and
+    broadcast; NOT EXISTS is a LEFT ANTI join against the orders
+    fact's custkey projection.  At scale the anti join shuffles
+    customer vs the distinct-custkey side; everything else is
+    metadata.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    code = (F.col("c_nationkey") % 5).cast("int")
+    pool = cust.where(code.isin(0, 2, 3))
+    thresh = pool.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("_avg")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            orders.where(
+                F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(code.alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -37,6 +37,7 @@ def load_registry():
         pipeline_queries6,
         pipeline_queries7,
         pipeline_queries8,
+        pipeline_queries9,
         queries,
         queries_extra,
     )

@@ -465,3 +465,47 @@ def test_portable_hash_family_stays_jvm_side(spark):
         assert "BroadcastNestedLoop" not in plan, name
         if max_exchanges is not None:
             assert plan.count("Exchange") <= max_exchanges, name
+
+
+def test_tpch_completion_plan_contracts(spark):
+    """q182-q194 (the TPC-H completion set) each pin the plan property
+    that makes their shape scale: pushdown on the no-join Q6, top-k
+    without a global sort on Q10, broadcast anti/semi joins where the
+    filter side is small, and no nested-loop/cartesian anywhere."""
+    # Q6: pure filter-agg — every predicate reaches the parquet scan
+    df = QUERIES["q183_forecast_revenue"](spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    assert read_schema_columns(df) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+
+    # Q10: top-20 plans as TakeOrderedAndProject, customer/nation broadcast
+    plan = executed_plan(QUERIES["q186_returned_item_customers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+    # Q16: the supplier blacklist is a BROADCAST anti join, part broadcast
+    plan = executed_plan(QUERIES["q191_part_supplier_counts"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    # Q20: HAVING subquery feeds a broadcast LEFT SEMI join
+    plan = executed_plan(QUERIES["q193_promotion_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+    # no shape in the set degenerates to a nested loop
+    for name in (
+        "q182_order_priority_check", "q184_national_market_share",
+        "q185_product_profit", "q187_important_parts",
+        "q188_shipmode_priority", "q189_customer_order_distribution",
+        "q190_promo_revenue_share", "q192_disjunctive_revenue",
+        "q194_dormant_rich_customers",
+    ):
+        plan = executed_plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        # 1-row scalar subqueries legitimately broadcast-nested-loop;
+        # only flag it when the build side is not a 1-row aggregate
+        if "BroadcastNestedLoop" in plan:
+            assert name in (
+                "q187_important_parts", "q194_dormant_rich_customers",
+            ), name
