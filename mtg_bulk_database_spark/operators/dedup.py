@@ -1101,3 +1101,117 @@ def semantic_dedup(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans (suffix-array dedup, relationalized)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_len: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal character spans (≥ ``min_len``) whose every length-``k``
+    substring also occurs in ≥ ``min_docs`` distinct documents — the
+    EXACT substring-level duplication pass of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally instead of via a monolithic suffix array:
+
+    1. every character position becomes a (doc, pos, md5₆₀(k-gram))
+       row — the same Θ(total chars) expansion a suffix array sorts,
+       here a scan + explode that partitions freely;
+    2. one hash-groupBy finds k-grams living in ≥ min_docs documents
+       (count-distinct, map-side combined) — the posting-list shuffle
+       IS the suffix-array sort's distributed analog;
+    3. a LEFT SEMI join marks duplicated positions, and a per-document
+       gaps-and-islands window (pos − row_number) chains CONSECUTIVE
+       duplicated positions into maximal spans: a span of islands
+       [a..b] certifies chars [a, b+k−1] as duplicated text.
+
+    Windows partition by document (bounded by document length), so no
+    single-partition stage exists at any corpus size; the only global
+    shuffles key on the 60-bit gram hash.  The cheaper screens
+    (winnowing fingerprints, chunk-level repeated passages) remain the
+    first-line filters; this is the exact pass run on what they flag.
+
+    Returns (id, span_start, span_len) with 1-based starts; spans
+    within a document may overlap by up to k−2 chars when separated by
+    exactly one non-duplicated gram — :func:`covered_char_spans`
+    interval-merges them for exact per-document coverage.
+    """
+    t = F.col(text_col)
+    pos = (
+        df.select(
+            F.col(id_col),
+            t,
+            F.explode(
+                F.when(
+                    F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - k + 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            "i",
+            md5_60(t.substr(F.col("i"), F.lit(k))).alias("_g"),
+        )
+        # feeds the dup-gram aggregate AND the semi join: materialize once
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        pos.groupBy("_g")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    return (
+        pos.join(dup, "_g", "left_semi")
+        .withColumn("_isl", F.col("i") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") - F.min("i") + k).alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_len")
+    )
+
+
+def covered_char_spans(spans: DataFrame, id_col: str) -> DataFrame:
+    """Interval-union of (span_start, span_len) per document →
+    (id, dup_chars): the exact number of characters inside at least
+    one duplicated span.  Classic running-max interval merge, windowed
+    per document (span starts are strictly increasing within a doc,
+    so the ordering is total without a tiebreak)."""
+    from pyspark.sql import Window
+
+    end = F.col("span_start") + F.col("span_len") - 1
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_grp = F.when(
+        F.col("span_start") > F.max(end).over(w_prev), 1
+    ).otherwise(0)  # first row: max over empty frame is NULL -> otherwise(0)
+    merged = (
+        spans.withColumn("_end", end)
+        .withColumn("_new", new_grp)
+        .withColumn("_grp", F.sum("_new").over(w_run))
+        .groupBy(id_col, "_grp")
+        .agg((F.max("_end") - F.min("span_start") + 1).alias("_covered"))
+    )
+    return merged.groupBy(id_col).agg(F.sum("_covered").alias("dup_chars"))

@@ -719,3 +719,98 @@ def q194(spark, sf_dir):
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring dedup (Lee et al. 2022), q195/q196.
+# ---------------------------------------------------------------------------
+_SUBSTR_SPAN_CTE = """
+    WITH pos AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 20)),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT d.doc_id, d.text,
+                   unnest(generate_series(
+                       1, greatest(coalesce(length(d.text), 0) - 19, 0)))
+                       AS i
+            FROM documents d)
+    ),
+    dup AS (SELECT g FROM pos
+            GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (g)),
+    isl AS (SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+            FROM hits),
+    spans AS (SELECT doc_id,
+                     CAST(min(i) AS INT) AS span_start,
+                     CAST(max(i) - min(i) + 20 AS INT) AS span_len
+              FROM isl GROUP BY doc_id, grp
+              HAVING max(i) - min(i) + 20 >= 40)
+"""
+
+
+@query(
+    "q195_duplicate_substrings",
+    _SUBSTR_SPAN_CTE + "SELECT doc_id, span_start, span_len FROM spans",
+)
+def q195(spark, sf_dir):
+    """Exact substring-level duplication (Lee et al. 2022): maximal
+    spans ≥40 chars whose every 20-gram occurs in ≥2 documents.  See
+    ``dedup.duplicate_substring_spans`` for the relational
+    suffix-array-equivalent plan (position explode → gram groupBy →
+    semi join → per-doc gaps-and-islands window).  The oracle is the
+    same pipeline in DuckDB SQL over the identical md5₆₀ gram hash.
+    """
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return dedup.duplicate_substring_spans(
+        docs, "text", "doc_id", k=20, min_len=40, min_docs=2
+    )
+
+
+@query(
+    "q196_duplicated_char_coverage",
+    _SUBSTR_SPAN_CTE + """,
+    merged AS (
+      SELECT doc_id, grp2, CAST(max(e) - min(span_start) + 1 AS BIGINT)
+             AS covered
+      FROM (SELECT doc_id, span_start, span_start + span_len - 1 AS e,
+                   SUM(CASE WHEN span_start > coalesce(mx, -1) THEN 1
+                            ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY span_start
+                             ROWS UNBOUNDED PRECEDING) AS grp2
+            FROM (SELECT *,
+                         max(span_start + span_len - 1)
+                             OVER (PARTITION BY doc_id ORDER BY span_start
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS mx
+                  FROM spans))
+      GROUP BY doc_id, grp2),
+    cov AS (SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_chars
+            FROM merged GROUP BY doc_id)
+    SELECT d.doc_id, c.dup_chars,
+           CAST(c.dup_chars AS DOUBLE) / length(d.text) AS dup_frac
+    FROM cov c JOIN documents d USING (doc_id)""",
+)
+def q196(spark, sf_dir):
+    """Per-document duplicated-character coverage: interval-union of
+    q195's spans (they can overlap by up to k−2 chars) → exact
+    duplicated char count and fraction of the document — the number
+    that decides KEEP / TRIM / DROP in a substring-dedup pass.
+    """
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    spans = dedup.duplicate_substring_spans(
+        docs, "text", "doc_id", k=20, min_len=40, min_docs=2
+    )
+    cov = dedup.covered_char_spans(spans, "doc_id")
+    return cov.join(
+        docs.select("doc_id", F.length("text").alias("_len")), "doc_id"
+    ).select(
+        "doc_id",
+        "dup_chars",
+        (F.col("dup_chars").cast("double") / F.col("_len")).alias("dup_frac"),
+    )

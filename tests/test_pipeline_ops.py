@@ -887,3 +887,53 @@ def test_ws_token_split_locale_free(spark):
         assert got[s] == duck, (repr(s), got[s], duck)
     assert got["a\x0bb"] == 2      # VT splits (it IS ASCII whitespace)
     assert got["a\xa0b"] == 1      # NBSP does not (not in the class)
+
+
+def test_duplicate_substring_spans_planted(spark):
+    """Exact-substring dedup (q195/q196 operator): planted docs pin the
+    span boundaries, the ≥min_docs gate, the one-gap overlap case the
+    interval merge exists for, and NULL/short-text safety."""
+    from mtg_bulk_database_spark.operators.dedup import (
+        covered_char_spans,
+        duplicate_substring_spans,
+    )
+
+    shared = "0123456789abcdefghijklmnopqrs"  # 29 chars, ≥ min_len=25
+    rows = [
+        (1, "AAA" + shared + "BBB"),          # span at 4..32
+        (2, "xx" + shared + "yyyyy"),         # span at 3..31
+        (3, "unique text with no repeats z"), # no span
+        (4, None),                            # NULL text: no positions
+        (5, "short"),                         # < k: no positions
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_substring_spans(
+        docs, "text", "doc_id", k=10, min_len=25, min_docs=2
+    ).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_len"]) for r in spans}
+    # islands: positions 4..23 in doc1 (k-grams of the 29-char shared
+    # run), span = [4, 23+10-1] → len 29; doc2 starts at 3
+    assert got == {(1, 4, 29), (2, 3, 29)}
+
+    # coverage merges spans that overlap by up to k-2 chars: doc 20's
+    # duplicated positions are {1..3} (prefix shared with doc 21) and
+    # {5..11} (suffix shared with doc 22) — a ONE-position gap, so the
+    # two spans cover chars [1,12] and [5,20]: naive summing counts 28
+    # chars in a 20-char doc; the interval union must report exactly 20
+    s = "abcdefghijklmnopqrst"  # 20 chars
+    d2 = spark.createDataFrame(
+        [(20, s), (21, s[:12]), (22, s[4:])],
+        "doc_id long, text string",
+    )
+    s2 = duplicate_substring_spans(d2, "text", "doc_id", k=10, min_len=10, min_docs=2)
+    by_doc = {}
+    for r in s2.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_len"])
+        )
+    assert by_doc[20] == {(1, 12), (5, 16)}  # overlapping pair
+    cov = {
+        r["doc_id"]: r["dup_chars"]
+        for r in covered_char_spans(s2, "doc_id").collect()
+    }
+    assert cov[20] == 20  # union, not 12 + 16
