@@ -814,3 +814,74 @@ def q196(spark, sf_dir):
         "dup_chars",
         (F.col("dup_chars").cast("double") / F.col("_len")).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-frontier normalizer), q197.
+# ---------------------------------------------------------------------------
+from .functions.web import canonical_url, sql_canonical_url  # noqa: E402
+
+_RAW_URL_SQL = """
+      CASE doc_id % 6
+        WHEN 1 THEN 'HTTP://EX.COM/p/' || (doc_id % 50)
+        WHEN 2 THEN 'http://ex.com:80/p/' || (doc_id % 50)
+        WHEN 3 THEN 'http://ex.com/p/' || (doc_id % 50) || '/'
+        WHEN 4 THEN 'http://ex.com/p/' || (doc_id % 50)
+                    || '?utm_source=x&utm_campaign=y'
+        WHEN 5 THEN 'http://ex.com/p/' || (doc_id % 50) || '?b=2&a=1#frag'
+        ELSE 'http://ex.com/p/' || (doc_id % 50)
+      END
+"""
+
+
+@query(
+    "q197_url_canonical_dedup",
+    f"""WITH raw AS (
+          SELECT doc_id,
+                 {_RAW_URL_SQL.strip()} AS raw_url
+          FROM documents)
+        SELECT {sql_canonical_url('raw_url')} AS canonical_url,
+               count(*) AS n_refs,
+               count(DISTINCT raw_url) AS n_variants
+        FROM raw GROUP BY canonical_url""",
+)
+def q197(spark, sf_dir):
+    """Canonical-URL dedup: the synthetic corpus has no URLs, so (as in
+    q135) the query PLANTS deterministic messy variants — case-mangled
+    host, explicit default port, trailing slash, utm_* tracking params,
+    unsorted params + fragment, one variant family per ``doc_id % 6`` —
+    then groups by ``functions.web.canonical_url``.  All six families
+    of one base URL collapse to ≤2 canonical forms (the clean one, plus
+    the sorted real-params one), which the n_variants column makes
+    visible.  The normalizer is pure codegen'd string/array expressions
+    and the groupBy keys on the canonical string: one shuffle, partial
+    counts map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 6
+    raw = (
+        F.when(v == 1, F.concat(F.lit("HTTP://EX.COM/p/"), n))
+        .when(v == 2, F.concat(F.lit("http://ex.com:80/p/"), n))
+        .when(v == 3, F.concat(F.lit("http://ex.com/p/"), n, F.lit("/")))
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("http://ex.com/p/"), n,
+                F.lit("?utm_source=x&utm_campaign=y"),
+            ),
+        )
+        .when(
+            v == 5,
+            F.concat(F.lit("http://ex.com/p/"), n, F.lit("?b=2&a=1#frag")),
+        )
+        .otherwise(F.concat(F.lit("http://ex.com/p/"), n))
+    )
+    return (
+        docs.select(F.col("doc_id"), raw.alias("raw_url"))
+        .groupBy(canonical_url(F.col("raw_url")).alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.count_distinct(F.col("raw_url")).alias("n_variants"),
+        )
+    )

@@ -937,3 +937,54 @@ def test_duplicate_substring_spans_planted(spark):
         for r in covered_char_spans(s2, "doc_id").collect()
     }
     assert cov[20] == 20  # union, not 12 + 16
+
+
+def test_canonical_url_differential_battery(spark):
+    """functions/web.py: Spark and DuckDB twins must agree byte-for-byte
+    on a battery of tricky URLs (the q197 gate only exercises the six
+    planted families)."""
+    import duckdb
+
+    from mtg_bulk_database_spark.functions.web import (
+        canonical_url,
+        sql_canonical_url,
+    )
+
+    urls = [
+        "http://ex.com/p/1",
+        "HTTP://EX.COM:80/p/1",
+        "https://Ex.Com:443/a/b/?z=1&a=2#frag",
+        "https://ex.com:8443/a",          # NON-default port survives
+        "http://ex.com",                  # empty path -> /
+        "http://ex.com/?utm_source=x",    # only tracking -> no '?'
+        "http://ex.com/p?utm_a=1&b=2&utm_c=3&a=9",
+        "http://ex.com/p/",               # root-child trailing slash
+        "http://ex.com/",                 # root slash stays
+        "ftp://Files.Ex.com/x/",          # other scheme: no port rule
+        "http://ex.com/p?",               # empty query
+        "http://ex.com/p#only-frag",
+    ]
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(canonical_url(F.col("u")).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    # inline literals: the twin SQL contains '?' inside regexes, which
+    # DuckDB would otherwise parse as prepared-statement placeholders
+    want = [
+        con.execute(
+            "SELECT " + sql_canonical_url("'" + u.replace("'", "''") + "'")
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got == want
+    # and the transforms actually landed
+    m = dict(zip(urls, got))
+    assert m["HTTP://EX.COM:80/p/1"] == "http://ex.com/p/1"
+    assert m["https://Ex.Com:443/a/b/?z=1&a=2#frag"] == "https://ex.com/a/b?a=2&z=1"
+    assert m["https://ex.com:8443/a"] == "https://ex.com:8443/a"
+    assert m["http://ex.com"] == "http://ex.com/"
+    assert m["http://ex.com/?utm_source=x"] == "http://ex.com/"
+    assert m["http://ex.com/"] == "http://ex.com/"
