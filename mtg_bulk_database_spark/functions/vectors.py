@@ -35,6 +35,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def indexable_vector(a: Column) -> Column:
+    """True iff the vector participates in similarity math: non-NULL
+    AND non-zero norm. Zero-norm vectors have no direction, so cosine
+    against them is 0/0 — Spark's non-ANSI divide yields NULL while
+    DuckDB's IEEE mode yields NaN (which sorts ABOVE every real score
+    in ORDER BY DESC), so letting them through silently corrupts top-k
+    fronts differently per engine. Every embedding consumer filters on
+    this predicate; its SQL twin is :func:`sql_indexable`."""
+    return a.isNotNull() & (l2_norm(a) > 0)
+
+
 # --- DuckDB-SQL twins ---------------------------------------------------
 
 
@@ -48,3 +59,9 @@ def sql_l2_norm(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / ({sql_l2_norm(a)} * {sql_l2_norm(b)}))"
+
+
+def sql_indexable(a: str) -> str:
+    """DuckDB twin of :func:`indexable_vector` (NULL norm compares
+    false, so NULL embeddings drop out through the same predicate)."""
+    return f"({sql_l2_norm(a)} > 0)"

@@ -920,8 +920,12 @@ def embedding_top_pairs(
     broadcast back — never a driver collect. Blocks under the cap are
     untouched, so small-block results (and the q35 oracle) are exact.
     """
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import dot, indexable_vector, l2_norm
 
+    # NULL / zero-norm vectors have no direction: drop before the
+    # normalize (whose 0/0 is NULL in Spark but NaN — sorting FIRST —
+    # in an IEEE engine; see functions.vectors.indexable_vector)
+    df = df.where(indexable_vector(F.col(vec_col)))
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:
         cols.append(F.col(block_col))
@@ -1007,8 +1011,10 @@ def embedding_near_dup_lsh(
     tune planes (or add multiprobe) per corpus. Candidate volume drops
     from n² to Σ bucket².
     """
+    from ..functions.vectors import indexable_vector
     from .similarity import with_lsh_buckets
 
+    df = df.where(indexable_vector(F.col(vec_col)))
     head = df.select(vec_col).head(1)
     if not head:
         # empty input → empty pairs frame, not a crash on first()[0]

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, indexable_vector
 
 
 def _query_vec_lit(qv: Sequence[float]) -> Column:
@@ -35,12 +35,16 @@ def _rank_topk(
 ) -> DataFrame:
     """Shared ranking tail for every top-k variant — one place defines
     the rounding scale and tie-break, so brute/LSH/IVF recall
-    comparisons can never diverge on ordering semantics."""
+    comparisons can never diverge on ordering semantics. NULL and
+    zero-norm vectors are filtered here (see
+    functions.vectors.indexable_vector for why they must not reach the
+    cosine)."""
     sim = F.round(
         cosine_similarity(F.col(vec_col), _query_vec_lit(query_vec)), 4
     ).alias("cosine")
     return (
-        df.select(F.col(id_col), sim)
+        df.where(indexable_vector(F.col(vec_col)))
+        .select(F.col(id_col), sim)
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -199,7 +203,7 @@ def ivf_index(
     # NULL embeddings (failed-embedder rows) cannot be indexed — drop
     # them here, mirroring how NULL similarity scores fall out of the
     # brute-force top-k (array_to_vector NPEs on a null array otherwise)
-    df = df.where(F.col(vec_col).isNotNull())
+    df = df.where(indexable_vector(F.col(vec_col)))
     vec_dbl = F.col(vec_col).cast("array<double>")
     unit = F.element_at(
         F.transform(
@@ -344,7 +348,7 @@ def pq_train(
     iteration count — no RNG draws depend on partitioning.
     """
     target = k * train_per_centroid
-    df = df.where(F.col(vec_col).isNotNull())  # un-indexable rows (see ivf)
+    df = df.where(indexable_vector(F.col(vec_col)))  # un-indexable rows (see ivf)
     total = df.count()
     pool = df.select(F.col(vec_col).cast("array<double>").alias("v"))
     if total > target:

@@ -291,6 +291,8 @@ def q34(spark, sf_dir):
                   sqrt(list_sum(list_transform(embedding,
                        y -> y::DOUBLE * y::DOUBLE)))) AS v
          FROM embeddings
+         WHERE sqrt(list_sum(list_transform(embedding,
+               y -> y::DOUBLE * y::DOUBLE))) > 0
        )
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               round(list_sum(list_transform(range(1, len(a.v)+1),
@@ -317,7 +319,7 @@ def _query_vector(spark, sf_dir):
                round({sql_cosine('e.embedding', 'q.embedding')}, 4) AS cosine
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        WHERE e.vec_id <> 0
+        WHERE e.vec_id <> 0 AND (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0)
         ORDER BY cosine DESC, e.vec_id LIMIT 10""",
 )
 def q36(spark, sf_dir):
@@ -367,7 +369,8 @@ def _q37_oracle() -> str:
       qb AS (SELECT ({_sql_plane_bucket('qe')}) AS qbucket FROM q),
       b AS (SELECT vec_id, embedding,
                    ({_sql_plane_bucket('embedding')}) AS bucket
-            FROM embeddings WHERE vec_id <> 0)
+            FROM embeddings
+            WHERE vec_id <> 0 AND (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0))
       SELECT vec_id, round({sql_cosine('b.embedding', 'q.qe')}, 4) AS cosine
       FROM b, q, qb
       WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 2
@@ -560,7 +563,8 @@ def _q45_oracle() -> str:
     cos = sql_cosine("x.embedding", "y.embedding")
     return f"""
       WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket
-                 FROM embeddings)
+                 FROM embeddings
+                 WHERE (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0))
       SELECT id_a, id_b, cosine FROM (
         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                round({cos}, 4) AS cosine

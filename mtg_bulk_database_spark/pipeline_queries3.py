@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.text import sql_tokens
-from .functions.vectors import cosine_similarity, sql_cosine
+from .functions.vectors import cosine_similarity, indexable_vector, sql_cosine
 from .operators import dedup, retrieval, text_analysis
 from .operators.text_analysis import sql_stopword_hits
 from .pipeline_queries import _JACCARD_ORACLE
@@ -64,7 +64,7 @@ def q89(spark, sf_dir):
                           AS cosine
                  FROM embeddings e,
                       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-                 WHERE e.vec_id <> 0),
+                 WHERE e.vec_id <> 0 AND (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0)),
         sem AS (SELECT doc_id, row_number() OVER
                   (ORDER BY cosine DESC, doc_id) AS rb
                 FROM sem0 ORDER BY cosine DESC, doc_id LIMIT 50),
@@ -94,7 +94,10 @@ def q94(spark, sf_dir):
         F.col("embedding").alias("_qv")
     )
     sem = (
-        emb.filter(F.col("vec_id") != 0)
+        emb.filter(
+            (F.col("vec_id") != 0)
+            & indexable_vector(F.col("embedding"))
+        )
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),

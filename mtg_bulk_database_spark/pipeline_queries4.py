@@ -328,7 +328,8 @@ def _q103_oracle() -> str:
         FROM (SELECT vec_id, embedding,
                      list_max(list_transform(embedding,
                               x -> abs(x::DOUBLE))) AS amax
-              FROM embeddings WHERE vec_id <> 0)
+              FROM embeddings
+              WHERE vec_id <> 0 AND (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) > 0))
       ),
       deq AS (
         SELECT vec_id, embedding,

@@ -232,6 +232,10 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
     texts.append("")  # empty doc
     texts.append("\x0b\xa0　")  # whitespace-only (VT/NBSP/ideographic)
     texts.append("İ ı ẞ ΣΊΣΥΦΟΣ \u212a")  # trap-only doc (no ASCII-alnum at all)
+    # one giant single token: no separator anywhere, so tokenizers see
+    # ONE 50k-char token — chunkers, shinglers and quality scores must
+    # not blow up or disagree on it
+    texts.append("z" * 50_000)
     texts.append(None)  # NULL text: SQL-null propagation through every twin
     docs = pd.DataFrame(
         {
@@ -256,6 +260,14 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
     )
     write("documents", docs)
     emb = nprng.randn(n_emb, 64).astype("float32")
+    # engineered similarity edges: an all-zero vector (norm 0 — cosine
+    # must not divide by zero), an exact duplicate pair (cosine == 1.0
+    # ties that rank/top-k twins must break identically), and a
+    # near-duplicate (1e-3 nudge) that sits right at the top of top-k
+    emb[1] = 0.0
+    emb[3] = emb[2]
+    emb[5] = emb[4]
+    emb[5][0] += 1e-3
     write(
         "embeddings",
         pd.DataFrame(
@@ -264,8 +276,10 @@ def make_fuzz_dir(out_dir: str, seed: int, scale: int = 1) -> str:
                 # ~1.5% NULL embeddings (failed-embedder rows): the
                 # similarity twins must agree they drop out of top-k
                 "embedding": [
-                    None if rng.random() < 0.015 else list(map(float, v))
-                    for v in emb.astype("float32")
+                    None
+                    if (i >= 8 and rng.random() < 0.015)
+                    else list(map(float, v))
+                    for i, v in enumerate(emb.astype("float32"))
                 ],
                 "label": nprng.randint(0, 8, n_emb).astype("int32"),
             }

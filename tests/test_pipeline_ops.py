@@ -988,3 +988,38 @@ def test_canonical_url_differential_battery(spark):
     assert m["http://ex.com"] == "http://ex.com/"
     assert m["http://ex.com/?utm_source=x"] == "http://ex.com/"
     assert m["http://ex.com/"] == "http://ex.com/"
+
+
+def test_unindexable_vectors_drop_from_similarity(spark):
+    """NULL and zero-norm embeddings must vanish from every similarity
+    surface — Spark's 0/0 is NULL while an IEEE engine's is NaN (which
+    sorts FIRST under ORDER BY DESC), so letting them reach a cosine
+    silently corrupts top-k fronts differently per engine (the fuzz
+    corpus plants both shapes; functions.vectors.indexable_vector is
+    the shared predicate)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.0, 0.0, 0.0], 0),  # zero norm: no direction
+        (2, None, 0),             # failed embedder
+        (3, [0.9, 0.1, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = similarity.brute_force_topk(df, [1.0, 0.0, 0.0], k=5).collect()
+    assert [r["vec_id"] for r in got] == [0, 3, 4]
+    assert all(r["cosine"] is not None for r in got)
+
+    pairs = dedup.embedding_top_pairs(
+        df, top_n=10, max_block_rows=None
+    ).collect()
+    # pairs form within label blocks: {0,3} share label 0; 4 is alone
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    assert ids == {0, 3} and all(
+        r["cosine"] is not None for r in pairs
+    )
+
+    near = dedup.embedding_near_dup_lsh(df, threshold=-1.0).collect()
+    ids = {i for r in near for i in (r["id_a"], r["id_b"])}
+    assert 1 not in ids and 2 not in ids
