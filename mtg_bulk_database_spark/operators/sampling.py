@@ -104,6 +104,115 @@ def sql_sample_predicate(
     return pred
 
 
+#: largest supported weight exponent: weights are the power-of-two
+#: classes 2^0 .. 2^_MAX_WEIGHT_LOG2 (see aes_score for why classes).
+_MAX_WEIGHT_LOG2 = 6
+
+#: 2^60 as an exact double — md5_60's range; division by a power of two
+#: only adjusts the exponent, so u = (m+1)/2^60 is the SAME double in
+#: every IEEE engine.
+_TWO_60 = float(1 << 60)
+
+
+def aes_uniform(key: Column) -> Column:
+    """Content-hash uniform u ∈ (0, 1]: (md5₆₀(key)+1) / 2⁶⁰.
+
+    The +1 excludes u=0 (whose A-ES score would tie across all weights)
+    and the power-of-two divisor makes the quotient exponent-shift
+    exact, so u is bit-identical in Spark and DuckDB for the same
+    UTF-8 key."""
+    from .dedup import md5_60
+
+    return (md5_60(key) + F.lit(1)).cast("double") / F.lit(_TWO_60)
+
+
+def aes_score(key: Column, weight_log2: Column) -> Column:
+    """Efraimidis–Spirakis weighted-sampling score u^(1/w) for the
+    power-of-two weight w = 2^j, computed as j ITERATED SQUARE ROOTS of
+    the content-hash uniform — not ``pow(u, 1/w)``.
+
+    Why weight classes instead of continuous weights: ``pow``/``ln``
+    are not correctly-rounded in IEEE 754 and differ across libm
+    implementations, so a pow-based score can order two rows
+    differently on two engines; ``sqrt`` IS correctly-rounded
+    everywhere, so u^(1/2^j) = sqrt∘…∘sqrt(u) is bit-identical in
+    Spark and DuckDB and the sample is engine-exact. Power-of-two
+    classes (1,2,4,…,64) are how corpus mixing actually weights
+    sources (quality tiers), not a real loss of generality.
+
+    A-ES semantics: drawing the k largest scores samples k items
+    without replacement with inclusion probability increasing in w
+    (exactly proportional for k=1). j ≤ 0 → score = u (weight 1);
+    j > _MAX_WEIGHT_LOG2 clamps to the largest class.
+    """
+    u = aes_uniform(key)
+    expr = F.when(weight_log2 <= 0, u)
+    s = u
+    for j in range(1, _MAX_WEIGHT_LOG2 + 1):
+        s = F.sqrt(s)
+        if j < _MAX_WEIGHT_LOG2:
+            expr = expr.when(weight_log2 == j, s)
+    return expr.otherwise(s)
+
+
+def sql_aes_score(key_sql: str, weight_log2_sql: str) -> str:
+    """DuckDB twin of :func:`aes_score` (shared builder so query and
+    oracle can never drift): same md5₆₀ uniform, same iterated-sqrt
+    CASE ladder."""
+    u = (
+        f"((('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 15))::BIGINT"
+        f" + 1)::DOUBLE / {int(_TWO_60)}.0)"
+    )
+    arms = []
+    s = u
+    for j in range(1, _MAX_WEIGHT_LOG2 + 1):
+        s = f"sqrt({s})"
+        if j < _MAX_WEIGHT_LOG2:
+            arms.append(f"WHEN ({weight_log2_sql}) = {j} THEN {s}")
+    arms_sql = " ".join(arms)
+    return (
+        f"(CASE WHEN ({weight_log2_sql}) <= 0 THEN {u} "
+        f"{arms_sql} ELSE {s} END)"
+    )
+
+
+def weighted_hash_topk(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_log2_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES): keep
+    the k rows with the largest ``aes_score`` — per group when
+    ``group_cols`` is given, else globally.
+
+    Scale shape: grouped → one ``row_number`` window shuffled on the
+    group keys (rank predicate applies streamingly, only winners
+    materialize past the filter). Global → ``orderBy().limit(k)``,
+    which Spark plans as TakeOrderedAndProject: per-partition top-k
+    heaps merged on the driver, never a single-partition sort. NULL
+    keys are excluded (md5(NULL) is NULL and the two engines order
+    NULL scores differently); callers wanting them must coalesce.
+    """
+    from pyspark.sql import Window
+
+    score = aes_score(F.col(key_col), F.col(weight_log2_col))
+    scored = df.filter(F.col(key_col).isNotNull()).withColumn(
+        "aes_score", score
+    )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("aes_score").desc(), F.col(key_col)
+        )
+        return scored.withColumn(
+            "sample_rank", F.row_number().over(w)
+        ).filter(F.col("sample_rank") <= k)
+    return scored.orderBy(
+        F.col("aes_score").desc(), F.col(key_col)
+    ).limit(k)
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str = "source",

@@ -885,3 +885,55 @@ def q197(spark, sf_dir):
             F.count_distinct(F.col("raw_url")).alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES), q198.
+# ---------------------------------------------------------------------------
+from .operators.sampling import (  # noqa: E402
+    aes_score,
+    sql_aes_score,
+    weighted_hash_topk,
+)
+
+#: weight class per document: sources carry a quality tier in their
+#: numeric suffix; tier = suffix % 4 → weights 1/2/4/8 (power-of-two
+#: classes — see aes_score for why classes, not continuous weights).
+_W_LOG2_SQL = "(CAST(substr(source, 4, 10) AS INT) % 4)"
+
+
+@query(
+    "q198_weighted_sample",
+    f"""WITH scored AS (
+          SELECT doc_id, lang, source,
+                 {_W_LOG2_SQL} AS weight_log2,
+                 {sql_aes_score('doc_id', _W_LOG2_SQL)} AS aes_score
+          FROM documents WHERE doc_id IS NOT NULL)
+        SELECT doc_id, lang, source, weight_log2, aes_score, sample_rank
+        FROM (SELECT *, row_number() OVER (
+                          PARTITION BY lang
+                          ORDER BY aes_score DESC, doc_id) AS sample_rank
+              FROM scored)
+        WHERE sample_rank <= 10""",
+)
+def q198(spark, sf_dir):
+    """Weighted sampling without replacement, engine-exact: keep the 10
+    highest Efraimidis–Spirakis scores u^(1/w) per language, where u is
+    the md5₆₀ content-hash uniform and w ∈ {1,2,4,8} is the source's
+    quality-tier weight class. Every score is j iterated ``sqrt``s
+    (correctly-rounded in IEEE 754, unlike ``pow``), so the sample —
+    and this gate's value hash — is bit-identical across Spark and
+    DuckDB. Scale shape: one window shuffle on ``lang``; rank predicate
+    keeps only winners past the filter (same shape as q97's quota cap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    j = (F.substring("source", 4, 10).cast("int") % 4).alias("weight_log2")
+    return weighted_hash_topk(
+        docs.select("doc_id", "lang", "source", j),
+        k=10,
+        key_col="doc_id",
+        weight_log2_col="weight_log2",
+        group_cols=["lang"],
+    ).select(
+        "doc_id", "lang", "source", "weight_log2", "aes_score", "sample_rank"
+    )

@@ -183,3 +183,61 @@ def test_crosscorpus_lm_differs_from_selftrained_and_is_total(spark):
         .filter(F.col("a") != F.col("b"))
     )
     assert diff.count() > 0
+
+
+# --- weighted A-ES sampling (q198) -----------------------------------------
+
+
+def _py_aes_score(key: str, j: int) -> float:
+    """Driver-side reference: same md5₆₀ uniform, same iterated sqrt."""
+    import hashlib
+    import math
+
+    m = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    u = (m + 1) / float(1 << 60)
+    for _ in range(max(0, min(j, sampling._MAX_WEIGHT_LOG2))):
+        u = math.sqrt(u)
+    return u
+
+
+def test_aes_score_matches_python_reference_bitwise(spark):
+    rows = [(f"k{i}", i % 5) for i in range(64)]
+    df = spark.createDataFrame(rows, "key string, j int").withColumn(
+        "s", sampling.aes_score(F.col("key"), F.col("j"))
+    )
+    for r in df.collect():
+        assert r["s"] == _py_aes_score(r["key"], r["j"]), r["key"]
+
+
+def test_weighted_topk_favors_heavy_class(spark):
+    # 500 keys in class 0 (w=1) vs 500 in class 3 (w=8): among the top
+    # 100 A-ES winners the heavy class must dominate (E[share] = 8/9).
+    rows = [(f"d{i}", 0 if i < 500 else 3) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, j int")
+    top = sampling.weighted_hash_topk(df, 100, "key", "j").collect()
+    heavy = sum(1 for r in top if r["j"] == 3)
+    assert heavy > 70, heavy
+
+
+def test_weighted_topk_global_plan_is_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", i % 4) for i in range(100)], "key string, j int"
+    )
+    plan = sampling.weighted_hash_topk(df, 10, "key", "j")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_topk_excludes_null_keys_and_clamps(spark):
+    df = spark.createDataFrame(
+        [(None, 2), ("a", None), ("b", 99), ("c", -5)],
+        "key string, j int",
+    )
+    out = sampling.weighted_hash_topk(df, 10, "key", "j").collect()
+    keys = {r["key"] for r in out}
+    assert keys == {"a", "b", "c"}  # NULL key dropped, others kept
+    by_key = {r["key"]: r["aes_score"] for r in out}
+    # j=99 clamps to the max class; j=-5 behaves as weight 1; NULL j
+    # falls to the max-class ELSE arm (CASE semantics, both engines)
+    assert by_key["b"] == _py_aes_score("b", sampling._MAX_WEIGHT_LOG2)
+    assert by_key["c"] == _py_aes_score("c", 0)
+    assert by_key["a"] == _py_aes_score("a", sampling._MAX_WEIGHT_LOG2)
