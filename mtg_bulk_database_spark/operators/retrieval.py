@@ -150,6 +150,91 @@ def sql_bm25_scores(
         FROM _j WHERE round({score}, 6) > 0"""
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document characteristic terms: top-k tokens by tf·idf —
+    the corpus-inspection primitive (domain tagging, cluster naming,
+    index-term selection) BM25's query-at-a-time shape doesn't cover.
+
+    tf is the raw in-document count; idf is the smoothed
+    ``ln((N+1)/(df_t+1)) + 1`` (never negative, defined for df_t = N),
+    rounded to 6 decimals — the module's ln-portability rule. The
+    score is one double product of an exact integer and the rounded
+    idf, so it is bit-identical across engines; ties break on the term.
+
+    Scale shape: explode → partial-aggregated ``groupBy(doc, term)``
+    for tf, ``groupBy(term)`` over that (already-reduced) table for
+    document frequency, an equi-join back on ``term`` (AQE broadcasts
+    it when the vocabulary is small; at 100 TB it is a plain shuffle
+    join on the term — never a driver collect), and one window on the
+    doc id whose rank predicate keeps only the k winners.
+    """
+    toks = tokens(text_col)
+    tok = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("_df_t"))
+    n = df.agg(F.count("*").alias("_n"))
+    idf = F.round(
+        F.log(
+            (F.col("_n").cast("double") + F.lit(1.0))
+            / (F.col("_df_t").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0),
+        6,
+    )
+    scored = (
+        tf.join(dfq, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (F.col("_tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("kw_rank", F.row_number().over(w)).filter(
+        F.col("kw_rank") <= k
+    )
+
+
+def sql_tfidf_keywords(
+    k: int = 5,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`tfidf_keywords` — same expression tree."""
+    toks = sql_tokens(text_expr)
+    return f"""
+        WITH _tok AS (SELECT {id_col}, unnest({toks}) AS term
+                      FROM {table}),
+        _tf AS (SELECT {id_col}, term, count(*) AS _tf
+                FROM _tok GROUP BY {id_col}, term),
+        _dfq AS (SELECT term, count(*) AS _df_t FROM _tf GROUP BY term),
+        _n AS (SELECT count(*) AS _n FROM {table}),
+        _scored AS (
+          SELECT _tf.{id_col}, _tf.term,
+                 CAST(_tf._tf AS DOUBLE) *
+                 round(ln((CAST(_n._n AS DOUBLE) + 1.0)
+                          / (CAST(_dfq._df_t AS DOUBLE) + 1.0)) + 1.0, 6)
+                     AS tfidf
+          FROM _tf JOIN _dfq USING (term), _n)
+        SELECT {id_col}, term, tfidf, kw_rank
+        FROM (SELECT *, row_number() OVER (
+                          PARTITION BY {id_col}
+                          ORDER BY tfidf DESC, term) AS kw_rank
+              FROM _scored)
+        WHERE kw_rank <= {k}"""
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -339,3 +339,23 @@ def q92(spark, sf_dir):
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# per-document characteristic terms: TF-IDF keyword extraction (q199)
+# ---------------------------------------------------------------------------
+@query(
+    "q199_tfidf_keywords",
+    retrieval.sql_tfidf_keywords(k=3),
+)
+def q199(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf·idf — the
+    corpus-inspection primitive (domain tagging, cluster naming) the
+    query-at-a-time BM25 shape doesn't cover. Both engines run the
+    same expression tree (smoothed idf rounded to 6 dp, exact-integer
+    tf, one double product), so values hash-match bitwise; see
+    ``operators/retrieval.py:tfidf_keywords`` for the two-shuffle +
+    windowed-rank scale shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.tfidf_keywords(docs, k=3)

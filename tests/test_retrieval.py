@@ -106,3 +106,46 @@ def test_rrf_deterministic_under_score_ties(spark):
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     ranks = {r["doc_id"]: r["rrf"] for r in out1}
     assert ranks[2] > ranks[7] > ranks[10]
+
+
+# --- TF-IDF keyword extraction (q199) ---------------------------------------
+
+
+def test_tfidf_distinctive_term_outranks_common(spark):
+    # "zebra" appears only in doc 1; "the" appears everywhere. Even at
+    # equal in-doc counts the rarer term must rank first.
+    rows = [
+        (1, "the the zebra zebra cat"),
+        (2, "the the dog"),
+        (3, "the the bird"),
+        (4, "the the fish"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = retrieval.tfidf_keywords(df, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["kw_rank"] == 1}
+    assert top[1] == "zebra"
+    # idf("the") = round(ln(5/5)+1, 6) = 1.0 exactly; tf=2 → score 2.0
+    the_scores = {r["term"]: r["tfidf"] for r in out if r["doc_id"] == 2}
+    assert the_scores["the"] == 2.0
+
+
+def test_tfidf_rank_bounded_and_tiebreak_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "z y x w v u t s")], "doc_id int, text string"
+    )
+    out = retrieval.tfidf_keywords(df, k=3)
+    rows = out.collect()
+    assert all(1 <= r["kw_rank"] <= 3 for r in rows)
+    d1 = sorted(
+        (r["kw_rank"], r["term"]) for r in rows if r["doc_id"] == 1
+    )
+    # all three terms tie on score (same tf, same idf) → term order
+    assert d1 == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_tfidf_empty_and_null_text_yield_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "word")], "doc_id int, text string"
+    )
+    out = retrieval.tfidf_keywords(df, k=5).collect()
+    assert {r["doc_id"] for r in out} == {3}
