@@ -937,3 +937,43 @@ def q198(spark, sf_dir):
     ).select(
         "doc_id", "lang", "source", "weight_log2", "aes_score", "sample_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate: distributed logistic regression, q200.
+# ---------------------------------------------------------------------------
+@query("q200_quality_classifier")  # iterative training: rows-only by design
+def q200(spark, sf_dir):
+    """CCNet/DCLM-style learned quality gate, end to end ON the engine:
+    columnar features (log-token count, alpha ratio, stopword ratio) →
+    full-batch logistic-regression training (one decimal-summed
+    aggregate job per iteration, weights broadcast back as literals) →
+    codegen'd sigmoid scoring. The weak label is the composite
+    ``quality_score ≥ 0.5`` rule — a capped/nonlinear function of the
+    features, so the fit is honest but learnable, and the trained model
+    is bit-deterministic under any partitioning (decimal gradient
+    sums). Iterative training has no SQL twin — invariants (loss
+    decreases, accuracy ≥ 0.9, partitioning-independence) are pinned in
+    tests/test_classifier.py.
+    """
+    from .operators import classifier, text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_analysis.with_language_id(
+        text_analysis.with_quality_score(docs)
+    ).select(
+        "doc_id",
+        F.log1p(F.col("n_tokens").cast("double")).alias("f_logtok"),
+        "alpha_ratio",
+        "stopword_ratio",
+        (F.col("quality_score") >= 0.5).cast("int").alias("label"),
+    )
+    fcols = ["f_logtok", "alpha_ratio", "stopword_ratio"]
+    w = classifier.train_logreg(feats, fcols, "label", lr=2.0, iters=25)
+    scored = classifier.score_logreg(feats, fcols, w)
+    return scored.select(
+        "doc_id",
+        "label",
+        (F.col("quality_p") >= 0.5).cast("int").alias("pred"),
+        F.floor(F.col("quality_p") * 10).cast("int").alias("p_bucket"),
+    )
