@@ -289,12 +289,17 @@ def scale_exact_percentile_plan(spark, li):
     # ONE multi-column call: the histogram and count passes over the
     # lineitem scan are shared between the two value columns (r4 ran
     # the whole recipe twice — 6 jobs where 4 suffice).
+    # histogram="uniform": boundaries from one min/max aggregate — the
+    # r5 profile showed the sampled approxQuantile pass-1 costing as
+    # much as the count pass; quantity/price are near-flat, so uniform
+    # boundaries keep balance and drop the sketch entirely.
     pct = scale_exact_percentiles_multi(
         li,
         "l_returnflag",
         {"l_quantity": [0.25, 0.50, 0.75], "l_extendedprice": [0.9]},
         buckets=32,
         sample_fraction=0.05,
+        histogram="uniform",
     )
     qty, price = pct["l_quantity"], pct["l_extendedprice"]
     rows = [

@@ -454,3 +454,37 @@ def test_q170_scale_plan_matches_builtin_bitwise(spark):
         for r in q170_scale_plan(spark, ev).collect()
     }
     assert scale == builtin  # exact float equality
+
+
+def test_uniform_histogram_mode_bit_equal_and_edge_cases(spark):
+    # histogram="uniform" must change NOTHING about the result —
+    # boundaries shape balance only. Compare bit-for-bit against the
+    # sampled mode on the real table, then pin the builder's edge
+    # cases (all-NULL column → no bounds; constant column → no bounds).
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators.scalewin import (
+        scale_exact_percentiles_multi,
+        uniform_bucket_histograms,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    vq = {"l_quantity": [0.25, 0.5, 0.75], "l_extendedprice": [0.9]}
+    a = scale_exact_percentiles_multi(
+        li, "l_returnflag", vq, buckets=8, histogram="uniform"
+    )
+    b = scale_exact_percentiles_multi(
+        li, "l_returnflag", vq, buckets=8, histogram="sample"
+    )
+    assert a == b
+
+    df = spark.createDataFrame(
+        [(None, 5.0), (None, 5.0), (None, 5.0)], "x double, y double"
+    )
+    h = uniform_bucket_histograms(df, ["x", "y"], buckets=4)
+    assert h["x"] == [] and h["y"] == []
+    df2 = spark.createDataFrame([(0.0,), (8.0,)], "x double")
+    assert uniform_bucket_histograms(df2, ["x"], buckets=4)["x"] == [
+        2.0,
+        4.0,
+        6.0,
+    ]
