@@ -235,6 +235,163 @@ def sql_tfidf_keywords(
         WHERE kw_rank <= {k}"""
 
 
+def hard_negative_pairs(
+    docs: DataFrame,
+    emb: DataFrame,
+    k_top: int = 20,
+    jaccard_min: float = 0.02,
+    cosine_max: float = 0.0,
+    shingle_df_cap: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training: document pairs that
+    are LEXICALLY close (word-k-gram Jaccard ≥ ``jaccard_min``) but
+    SEMANTICALLY far (embedding cosine ≤ ``cosine_max``) — the
+    "looks relevant, isn't" pairs contrastive training needs most.
+
+    Pipeline: shingle posting lists → **stop-shingle cap** (shingles
+    appearing in more than ``shingle_df_cap`` documents are dropped
+    from the posting join — the standard bound that keeps the
+    candidate-pair fanout linear in corpus size at mining-level
+    thresholds, where AllPairs prefix filtering has no bite) → pair
+    common counts → Jaccard against the FULL per-doc shingle sizes
+    (so the cap only ever shrinks `common`, never inflates a score) →
+    embedding join on both sides (zero-norm vectors excluded) → score
+    ``jaccard − cosine`` descending, deterministic (id_a, id_b)
+    tiebreak, TakeOrderedAndProject top-k.
+
+    Every arithmetic step is engine-exact (integer-ratio Jaccard;
+    cosine rounded to 6 dp per the module's portability rule), so the
+    gate oracle hash-matches bitwise.
+    """
+    from ..functions.vectors import cosine_similarity, indexable_vector
+    from .dedup import with_shingles
+
+    sh = with_shingles(docs, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("_n")
+    )
+    ex = sh.select(
+        F.col(id_col), F.explode_outer("shingles").alias("s")
+    ).filter(F.col("s").isNotNull())
+    kept = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("_df_s"))
+        .filter(F.col("_df_s") <= shingle_df_cap)
+        .select("s")
+    )
+    ex = ex.join(kept, on="s")  # stop-shingle bound
+    a = ex.select(F.col(id_col).alias("id_a"), "s")
+    b = ex.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    jac = (
+        common.join(
+            sizes.withColumnRenamed("_id", "id_a").withColumnRenamed(
+                "_n", "_na"
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                "_n", "_nb"
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= jaccard_min)
+    )
+    ea = emb.filter(indexable_vector(F.col(emb_col))).select(
+        F.col(vec_id_col).alias("id_a"), F.col(emb_col).alias("_ea")
+    )
+    eb = emb.filter(indexable_vector(F.col(emb_col))).select(
+        F.col(vec_id_col).alias("id_b"), F.col(emb_col).alias("_eb")
+    )
+    scored = (
+        jac.join(ea, on="id_a")
+        .join(eb, on="id_b")
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("_ea"), F.col("_eb")), 6),
+        )
+        .filter(F.col("cosine") <= cosine_max)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            "cosine",
+            F.round(F.col("jaccard") - F.col("cosine"), 6).alias(
+                "hn_score"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("hn_score").desc(), "id_a", "id_b"
+    ).limit(k_top)
+
+
+def sql_hard_negative_pairs(
+    toks_sql: str,
+    k_top: int = 20,
+    jaccard_min: float = 0.02,
+    cosine_max: float = 0.0,
+    shingle_df_cap: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`hard_negative_pairs` (k=3 shingles)."""
+    from ..functions.vectors import sql_cosine, sql_indexable
+
+    cos = sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks_sql} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(t)-1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      AS shingles
+           FROM toks WHERE len(t) >= 3),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM ex0 GROUP BY s
+             HAVING count(*) <= {shingle_df_cap}),
+    ex AS (SELECT ex0.* FROM ex0 JOIN kept USING (s)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS _common
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jac AS (SELECT id_a, id_b,
+                   _common::DOUBLE / (sa.n + sb.n - _common) AS jaccard
+            FROM pairs
+            JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa
+                 ON sa.doc_id = id_a
+            JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb
+                 ON sb.doc_id = id_b
+            WHERE _common::DOUBLE / (sa.n + sb.n - _common)
+                  >= {jaccard_min!r}),
+    scored AS (SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+                      round({cos}, 6) AS cosine,
+                      round(jaccard - round({cos}, 6), 6) AS hn_score
+               FROM jac
+               JOIN embeddings ea ON ea.vec_id = id_a
+                    AND {sql_indexable('ea.embedding')}
+               JOIN embeddings eb ON eb.vec_id = id_b
+                    AND {sql_indexable('eb.embedding')}
+               WHERE round({cos}, 6) <= {cosine_max!r})
+    SELECT * FROM scored
+    ORDER BY hn_score DESC, id_a, id_b LIMIT {k_top}"""
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

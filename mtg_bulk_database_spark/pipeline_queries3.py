@@ -359,3 +359,25 @@ def q199(spark, sf_dir):
     """
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.tfidf_keywords(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: lexically close, semantically far (q201)
+# ---------------------------------------------------------------------------
+@query(
+    "q201_hard_negatives",
+    retrieval.sql_hard_negative_pairs(_TOKS, k_top=20),
+)
+def q201(spark, sf_dir):
+    """Contrastive-training hard negatives: top-20 document pairs with
+    word-3-gram Jaccard ≥ 0.02 but embedding cosine ≤ 0 — "looks
+    relevant, isn't". The posting join is bounded by the stop-shingle
+    document-frequency cap (mining thresholds are too low for AllPairs
+    prefix filtering to bite); Jaccard divides by the FULL shingle
+    sizes so the cap can only shrink scores. See
+    ``operators/retrieval.py:hard_negative_pairs`` for the scale shape.
+    doc_id ≡ vec_id in the synthetic corpus (as q94).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.hard_negative_pairs(docs, emb, k_top=20)

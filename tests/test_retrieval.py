@@ -149,3 +149,61 @@ def test_tfidf_empty_and_null_text_yield_no_rows(spark):
     )
     out = retrieval.tfidf_keywords(df, k=5).collect()
     assert {r["doc_id"] for r in out} == {3}
+
+
+# --- hard-negative mining (q201) --------------------------------------------
+
+
+def test_hard_negatives_rank_lexical_overlap_semantic_distance(spark):
+    # doc 1/2: same text (jaccard 1.0) but OPPOSITE embeddings → the
+    # canonical hard negative. doc 1/3: same text AND same embedding →
+    # excluded by cosine_max. doc 4 shares nothing → no pair.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma delta epsilon"),
+            (4, "unrelated words entirely here now"),
+        ],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [-1.0, 0.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = retrieval.hard_negative_pairs(
+        docs, emb, k_top=10, jaccard_min=0.5, cosine_max=0.0
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(1, 2), (2, 3)}
+    top = out[0]
+    assert top["hn_score"] == pytest.approx(2.0)  # jaccard 1 − cos −1
+
+
+def test_hard_negatives_stop_shingle_cap_bounds_fanout(spark):
+    # every doc shares one ubiquitous shingle; with the cap below the
+    # corpus size that shingle leaves the posting join, so no pair
+    # reaches jaccard_min — the fanout bound is observable in results.
+    docs = spark.createDataFrame(
+        [(i, f"common shingle here tail{i} tail{i}x") for i in range(8)],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 else [-1.0, 0.0]) for i in range(8)],
+        "vec_id int, embedding array<float>",
+    )
+    capped = retrieval.hard_negative_pairs(
+        docs, emb, k_top=100, jaccard_min=0.1, cosine_max=1.0,
+        shingle_df_cap=4,
+    )
+    uncapped = retrieval.hard_negative_pairs(
+        docs, emb, k_top=100, jaccard_min=0.1, cosine_max=1.0,
+        shingle_df_cap=1000,
+    )
+    assert capped.count() == 0
+    assert uncapped.count() == 28  # all C(8,2) pairs share the shingle
