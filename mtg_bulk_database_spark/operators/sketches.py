@@ -218,3 +218,106 @@ def sql_hll_portable(
       FROM (SELECT {group_col}, np,
                    {c} / (sp + ({m} - np) * {scale})::DOUBLE AS raw
             FROM hagg)"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic hash-sample + exact selection.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: float,
+) -> DataFrame:
+    """The sketch's state: a CONTENT-HASH Bernoulli sample at ``rate``
+    (md5 bucket of the concatenated row key, the ``sampling`` module's
+    lottery). Because membership is a pure row-local function, the
+    sketch is mergeable BY CONSTRUCTION: sample(A ∪ B) literally equals
+    sample(A) ∪ sample(B) — no compactor, no merge procedure, no
+    randomness to reconcile across executors or engines. That trade
+    buys determinism and cross-engine replays at the cost of a
+    Θ(rate·n) state size where a KLL compactor holds O(1/ε·log n);
+    pick ``rate ≈ target_state / n`` (the estimator's rank error is
+    O(1/√(rate·n)), pinned in tests)."""
+    from .sampling import fraction_threshold, sample_bucket
+
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(sample_bucket(key) < fraction_threshold(rate))
+
+
+def quantile_sketch_estimate(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    quantiles: list[float],
+    rate: float = 0.05,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Single-pass approximate quantiles: exact linear-interpolation
+    selection (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, parity
+    pinned by the q57 family) over the deterministic hash sample, plus
+    the EXACT population count ridden along in the same aggregate.
+    Output: one row per group with ``q_<pct>`` estimate columns,
+    ``sample_n``, and exact ``n``.
+
+    Scale shape: one scan; the only state is the per-group sample
+    inside the percentile buffer — O(rate · group size), so rate is
+    the knob that keeps the buffer task-sized (the exact-percentile
+    buffer trap this sketch exists to avoid). Unlike scalewin's
+    two-pass exact recipe this is ONE job and mergeable across
+    batches — the matview/streaming path; use scalewin when the answer
+    must be exact."""
+    from .sampling import fraction_threshold, sample_bucket
+
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    in_sample = (sample_bucket(key) < fraction_threshold(rate)).cast(
+        "int"
+    )
+    sampled_val = F.when(
+        (in_sample == 1) & F.col(value_col).isNotNull(),
+        F.col(value_col).cast("double"),
+    )
+    aggs = [
+        F.percentile(sampled_val, F.lit(q)).alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    aggs.append(F.count(sampled_val).alias("sample_n"))
+    aggs.append(
+        F.count(F.when(F.col(value_col).isNotNull(), 1)).alias("n")
+    )
+    if group_col is None:
+        return df.agg(*aggs)
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def sql_quantile_sketch_estimate(
+    value_col: str,
+    key_concat_sql: str,
+    quantiles: list[float],
+    rate: float,
+    group_col: str,
+    table: str,
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch_estimate` — identical
+    sample membership (md5-prefix lottery) and identical interpolation
+    (quantile_cont over the same sampled values)."""
+    from .sampling import fraction_threshold
+
+    thr = fraction_threshold(rate)
+    sv = (
+        f"CASE WHEN substr(md5({key_concat_sql}), 1, 4) < '{thr}' "
+        f"THEN {value_col}::DOUBLE END"
+    )
+    qcols = ",\n           ".join(
+        f"quantile_cont({sv}, {q!r}) AS q_{str(q).replace('.', '_')}"
+        for q in quantiles
+    )
+    return f"""
+    SELECT {group_col},
+           {qcols},
+           count({sv}) AS sample_n,
+           count(CASE WHEN {value_col} IS NOT NULL THEN 1 END) AS n
+    FROM {table} GROUP BY {group_col}"""

@@ -977,3 +977,47 @@ def q200(spark, sf_dir):
         (F.col("quality_p") >= 0.5).cast("int").alias("pred"),
         F.floor(F.col("quality_p") * 10).cast("int").alias("p_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: one-pass mergeable approximate percentiles (q202).
+# ---------------------------------------------------------------------------
+from .operators.sketches import (  # noqa: E402
+    quantile_sketch_estimate,
+    sql_quantile_sketch_estimate,
+)
+
+_QSK_KEY_SQL = (
+    "concat_ws(chr(31), l_orderkey::VARCHAR, l_linenumber::VARCHAR)"
+)
+
+
+@query(
+    "q202_quantile_sketch",
+    sql_quantile_sketch_estimate(
+        "l_extendedprice",
+        _QSK_KEY_SQL,
+        [0.5, 0.9],
+        rate=0.05,
+        group_col="l_returnflag",
+        table="lineitem",
+    ),
+)
+def q202(spark, sf_dir):
+    """One-pass approximate percentiles: exact interpolation over a
+    deterministic md5-lottery sample (rate 5%), exact population count
+    in the same aggregate — the mergeable single-job complement to
+    q176's two-pass exact recipe (state O(rate·group), merge = union
+    by construction). Sample membership and interpolation are engine-
+    identical, so this 'approximate' operator still value-hash matches
+    its DuckDB twin; accuracy vs the exact answer is pinned separately
+    in tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_sketch_estimate(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        [0.5, 0.9],
+        rate=0.05,
+        group_col="l_returnflag",
+    )

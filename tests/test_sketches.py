@@ -145,3 +145,70 @@ def test_hll_portable_merge_via_register_max(spark):
         "est_distinct"
     ]
     assert merged == whole
+
+
+# --- quantile sketch (q202) --------------------------------------------------
+
+
+def test_quantile_sketch_error_bound_vs_exact(spark):
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators.sketches import (
+        quantile_sketch_estimate,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    est = {
+        r["l_returnflag"]: r
+        for r in quantile_sketch_estimate(
+            li,
+            "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+            [0.5],
+            rate=0.10,
+            group_col="l_returnflag",
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["p50"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .collect()
+    }
+    import math
+
+    for g, r in est.items():
+        # Bernoulli-sample estimator: rank error ~ N(0, sqrt(q(1-q)m));
+        # allow 4 sigma in RANK space, converted via the empirical CDF
+        m = r["sample_n"]
+        assert m > 50  # the sample actually materialized
+        tol_rank = 4.0 * math.sqrt(0.25 * m) / m  # 4σ quantile deviation
+        lo, hi = 0.5 - tol_rank, 0.5 + tol_rank
+        band = (
+            li.where(F.col("l_returnflag") == g)
+            .agg(
+                F.expr(
+                    f"percentile(l_extendedprice, array({lo}, {hi}))"
+                ).alias("b")
+            )
+            .first()["b"]
+        )
+        assert band[0] <= r["q_0_5"] <= band[1], (g, r["q_0_5"], band)
+
+
+def test_quantile_sketch_merge_is_union_by_construction(spark):
+    from mtg_bulk_database_spark.operators.sketches import (
+        quantile_sketch_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "k int, v double"
+    )
+    a = df.where(F.col("k") < 1000)
+    b = df.where(F.col("k") >= 1000)
+    whole = quantile_sketch_sample(df, ["k"], 0.1)
+    parts = quantile_sketch_sample(a, ["k"], 0.1).unionAll(
+        quantile_sketch_sample(b, ["k"], 0.1)
+    )
+    assert sorted(r["k"] for r in whole.collect()) == sorted(
+        r["k"] for r in parts.collect()
+    )
