@@ -187,3 +187,107 @@ def stream_fold_cms(
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_fold_quantile_sample(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    key_cols: list,
+    group_col: str,
+    quantiles: list,
+    rate: float = 0.05,
+    schema=None,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming leg of the quantile sketch (q202): because the
+    sketch's state is a content-hash sample, the streaming fold is a
+    STATELESS filter — each micro-batch appends its own sample rows
+    and its per-group exact counts under ``batch=<id>`` (overwrite,
+    the same at-least-once replay rule as :func:`stream_fold_cms`;
+    a replayed batch replaces itself instead of double-counting).
+    No state store, no watermark, no compactor: the sample union IS
+    the merge.
+
+    Returns the estimate over the merged state — schema-identical to
+    ``sketches.quantile_sketch_estimate`` on the whole corpus, and
+    (because sample membership is row-local) VALUE-identical to it,
+    however the input was micro-batched; pinned in
+    tests/test_streaming.py.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import fraction_threshold, sample_bucket
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]
+    )
+    thr = fraction_threshold(rate)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.filter(
+            (sample_bucket(key) < thr) & F.col(value_col).isNotNull()
+        ).select(group_col, F.col(value_col).cast("double")).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/samples/batch={batch_id}")
+        batch_df.groupBy(group_col).agg(
+            F.count(
+                F.when(F.col(value_col).isNotNull(), 1)
+            ).alias("n")
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/counts/batch={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_quantile_sample did not drain within "
+            f"{timeout_s}s (src_dir={src_dir!r})"
+        )
+
+    qcols = [
+        F.percentile(F.col(value_col), F.lit(qv)).alias(
+            f"q_{str(qv).replace('.', '_')}"
+        )
+        for qv in quantiles
+    ]
+    if not os.path.isdir(f"{state_dir}/samples"):
+        empty_cols = ", ".join(
+            f"q_{str(qv).replace('.', '_')} double" for qv in quantiles
+        )
+        return spark.createDataFrame(
+            [], f"{group_col} string, {empty_cols}, sample_n long, n long"
+        )
+    samples = spark.read.parquet(f"{state_dir}/samples").drop("batch")
+    counts = spark.read.parquet(f"{state_dir}/counts").drop("batch")
+    est = samples.groupBy(group_col).agg(
+        *qcols, F.count(value_col).alias("sample_n")
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("n").alias("n"))
+    # full outer: a group can be all-unsampled (counts only) — emit it
+    # with NULL estimates rather than dropping it, matching the batch
+    # op's NULL percentile over an empty sample.
+    return est.join(totals, on=group_col, how="full").select(
+        group_col,
+        *[
+            F.col(f"q_{str(qv).replace('.', '_')}")
+            for qv in quantiles
+        ],
+        F.coalesce("sample_n", F.lit(0)).alias("sample_n"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )

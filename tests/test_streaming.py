@@ -1020,3 +1020,46 @@ def test_reorder_buffer_survives_dst_transition_non_utc(spark, tmp_path):
         assert out == {i: ts for i, ts, *_ in rows}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stream_quantile_sample_fold_matches_batch(spark, tmp_path):
+    """The quantile sketch's streaming leg: micro-batched sample+count
+    folds must reproduce the batch estimate EXACTLY (sample membership
+    is row-local, so batching cannot change it) — the mergeable-state
+    property, through the real foreachBatch sink."""
+    from mtg_bulk_database_spark.operators.sketches import (
+        quantile_sketch_estimate,
+    )
+    from mtg_bulk_database_spark.streaming.ingest import (
+        stream_fold_quantile_sample,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    src = str(tmp_path / "li_src")
+    li.repartition(4).write.parquet(src)
+
+    streamed = stream_fold_quantile_sample(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        "l_returnflag",
+        [0.5, 0.9],
+        rate=0.10,
+        schema=li.schema,
+    )
+    batch = quantile_sketch_estimate(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        [0.5, 0.9],
+        rate=0.10,
+        group_col="l_returnflag",
+    )
+    s = {r["l_returnflag"]: r.asDict() for r in streamed.collect()}
+    b = {r["l_returnflag"]: r.asDict() for r in batch.collect()}
+    assert s == b
