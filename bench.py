@@ -98,6 +98,10 @@ HEADLINE = [
     "q183_forecast_revenue",
     "q184_national_market_share",
     "q186_returned_item_customers",
+    "q198_weighted_sample",
+    "q199_tfidf_keywords",
+    "q201_hard_negatives",
+    "q202_quantile_sketch",
 ]
 
 
