@@ -363,3 +363,76 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected edge list — the coarser, density-
+    seeking sibling of :func:`connected_components`: CC answers "what
+    is transitively linked", LPA answers "what forms a tightly-linked
+    neighborhood", which is the right grouping when dup clusters are
+    bridged by a single spurious pair.
+
+    Determinism (no RNG, unlike the textbook formulation): a node's
+    next label is the most frequent label among its neighbors PLUS
+    ITSELF (the self-vote damps the 2-coloring oscillation synchronous
+    LPA is known for), ties broken by SMALLEST label. Every step is
+    relational: one |E| join (labels onto edges), one groupBy count,
+    one per-node argmax window — the Pregel superstep shape, same as
+    pagerank. Early exit via a 1-row changed-label probe; iterations
+    localCheckpoint to cut lineage. Returns ``node, label`` where
+    label = min node id of the community's seed.
+    """
+    from pyspark.sql import Window
+
+    fwd = edges.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    sym = (
+        fwd.unionByName(
+            fwd.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    argmax = Window.partitionBy("node").orderBy(
+        F.col("_votes").desc(), F.col("label").asc()
+    )
+    for _ in range(max_iter):
+        neighbor_votes = sym.join(
+            labels.withColumnRenamed("node", "src"), on="src"
+        ).select(F.col("dst").alias("node"), "label")
+        votes = neighbor_votes.unionByName(labels)  # self-vote
+        new_labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count("*").alias("_votes"))
+            .withColumn("_rn", F.row_number().over(argmax))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, on="node")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

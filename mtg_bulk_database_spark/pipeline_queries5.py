@@ -757,3 +757,33 @@ def q124(spark, sf_dir):
     return multimodal.extract_audio_features(
         multimodal.as_media_table(docs)
     ).orderBy("doc_id")
+
+
+@query("q203_dup_communities")
+def q203(spark, sf_dir):
+    """Community detection over the near-duplicate graph (rows-only:
+    iterative label fixpoint): label-propagation communities at a
+    LOWER pair threshold than the dup clusters use — where q61's
+    connected components answer "transitively linked at ≥0.8", LPA
+    groups the densely-linked template families that survive even when
+    a single spurious bridge pair would have glued two CC clusters.
+    Returns (community label, size, min/max member) — stable summary
+    columns rather than per-node rows."""
+    from .operators import graph
+    from .pipeline_queries import shingle_prebuilt_table
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.6,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
+    )
+    lab = graph.label_propagation(pairs)
+    return (
+        lab.groupBy("label")
+        .agg(
+            F.count("*").alias("community_size"),
+            F.min("node").alias("min_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("label")
+    )

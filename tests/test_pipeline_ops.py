@@ -1023,3 +1023,47 @@ def test_unindexable_vectors_drop_from_similarity(spark):
     near = dedup.embedding_near_dup_lsh(df, threshold=-1.0).collect()
     ids = {i for r in near for i in (r["id_a"], r["id_b"])}
     assert 1 not in ids and 2 not in ids
+
+
+def test_label_propagation_matches_cc_on_disjoint_cliques(spark):
+    from mtg_bulk_database_spark.operators import graph
+
+    # three disjoint cliques: LPA communities == connected components
+    edges = []
+    for base in (0, 10, 20):
+        nodes = [base + i for i in range(4)]
+        edges += [(a, b) for a in nodes for b in nodes if a < b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    lpa = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df).collect()
+    }
+    cc = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(df).collect()
+    }
+    by_lpa = {}
+    for n, l in lpa.items():
+        by_lpa.setdefault(l, set()).add(n)
+    by_cc = {}
+    for n, c in cc.items():
+        by_cc.setdefault(c, set()).add(n)
+    assert sorted(by_lpa.values(), key=min) == sorted(
+        by_cc.values(), key=min
+    )
+
+
+def test_label_propagation_deterministic_and_converges(spark):
+    from mtg_bulk_database_spark.operators import graph
+
+    # barbell: two triangles bridged by one edge — LPA must keep two
+    # communities (the bridge is outvoted), CC would merge them
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(graph.label_propagation(df).collect())
+    b = sorted(graph.label_propagation(df.repartition(7)).collect())
+    assert a == b  # partitioning-independent
+    labels = {r["node"]: r["label"] for r in a}
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
