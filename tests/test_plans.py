@@ -509,3 +509,39 @@ def test_tpch_completion_plan_contracts(spark):
             assert name in (
                 "q187_important_parts", "q194_dormant_rich_customers",
             ), name
+
+
+def test_runtime_bloom_filter_engages_on_selective_fact_join(spark):
+    """Scale proof for the runtime-filter path: Spark 4's
+    InjectRuntimeFilter (on by default in this engine's session) adds a
+    bloom semi-filter to the FACT side of a shuffle join against a
+    selectively-filtered build side — the mechanism that prunes fact
+    rows before the shuffle at production scan sizes. Its application
+    threshold is 10 GB of scanned fact (never reached at test SF), so
+    this pin lowers the thresholds to prove the optimizer WOULD inject
+    at scale, then restores them — documenting the plan, not tuning it."""
+    from pyspark.sql import functions as F
+
+    from mtg_bulk_database_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders")
+        sel = orders.where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan  # filter applied to the fact scan
+        assert "bloom_filter_agg" in plan  # built from the selective side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
