@@ -152,6 +152,18 @@ def hll_portable(
     frame (group, idx, M) is the ingest artifact, this returns the
     scalar per-group estimate ``(group_col, est_distinct)``.
     """
+    regs = hll_portable_registers(df, group_col, col, p)
+    return hll_estimate_from_registers(regs, group_col, p)
+
+
+def hll_portable_registers(
+    df: DataFrame, group_col: str, col: str, p: int = HLL_P
+) -> DataFrame:
+    """The sketch STATE: per-(group, register) max-rho rows — the
+    mergeable half of :func:`hll_portable` (merge = MAX per register,
+    associative/commutative/idempotent, so batch boundaries and replays
+    cannot change the union sketch). This is the frame to persist as an
+    ingest artifact or fold from a stream."""
     from .dedup import md5_60
 
     m, w_bits, alpha, scale = _hll_consts(p)
@@ -161,11 +173,19 @@ def hll_portable(
     rho = F.lit(w_bits + 1)  # w == 0: all bits zero
     for r in range(w_bits, 0, -1):  # w >= 2^(w_bits-r) → rho = r
         rho = F.when(w >= (1 << (w_bits - r)), F.lit(r)).otherwise(rho)
-    regs = (
+    return (
         df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
         .groupBy(group_col, "idx")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Scalar per-group estimate from the register frame — the exact
+    arithmetic documented on :func:`hll_portable`."""
+    m, w_bits, alpha, scale = _hll_consts(p)
     agg = regs.groupBy(group_col).agg(
         F.sum(
             F.expr(f"shiftleft(cast(1 as bigint), {w_bits + 1} - M)")

@@ -291,3 +291,66 @@ def stream_fold_quantile_sample(
         F.coalesce("sample_n", F.lit(0)).alias("sample_n"),
         F.coalesce("n", F.lit(0)).alias("n"),
     )
+
+
+def stream_fold_hll(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    col: str,
+    schema=None,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming distinct-count sketch: each micro-batch writes its own
+    HLL register frame (``sketches.hll_portable_registers`` — at most
+    groups × 2^p rows per batch) under ``batch=<id>`` with OVERWRITE
+    (the at-least-once replay rule shared by every fold here); the
+    union sketch is MAX per register, which is associative, commutative
+    AND idempotent — the strongest merge in the sketch family (even a
+    double-written batch could not perturb it). Returns the per-group
+    estimate over the merged registers, bit-identical to the batch
+    sketch over the whole corpus (pinned in tests)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import (
+        hll_estimate_from_registers,
+        hll_portable_registers,
+    )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_portable_registers(batch_df, group_col, col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch={batch_id}")
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_hll did not drain within {timeout_s}s "
+            f"(src_dir={src_dir!r})"
+        )
+    if not os.path.isdir(state_dir):
+        return spark.createDataFrame(
+            [], f"{group_col} string, est_distinct double"
+        )
+    regs = (
+        spark.read.parquet(state_dir)
+        .drop("batch")
+        .groupBy(group_col, "idx")
+        .agg(F.max("M").alias("M"))
+    )
+    return hll_estimate_from_registers(regs, group_col)

@@ -1063,3 +1063,29 @@ def test_stream_quantile_sample_fold_matches_batch(spark, tmp_path):
     s = {r["l_returnflag"]: r.asDict() for r in streamed.collect()}
     b = {r["l_returnflag"]: r.asDict() for r in batch.collect()}
     assert s == b
+
+
+def test_stream_hll_fold_matches_batch_sketch(spark, tmp_path):
+    """Per-micro-batch HLL register frames max-merge to EXACTLY the
+    whole-corpus sketch (register max is associative, commutative and
+    idempotent), through the real foreachBatch sink."""
+    from mtg_bulk_database_spark.operators.sketches import hll_portable
+    from mtg_bulk_database_spark.streaming.ingest import stream_fold_hll
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text")
+    src = str(tmp_path / "hll_src")
+    docs.repartition(4).write.parquet(src)
+
+    streamed = stream_fold_hll(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        "source",
+        "text",
+        schema=docs.schema,
+    )
+    batch = hll_portable(docs, "source", "text")
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
