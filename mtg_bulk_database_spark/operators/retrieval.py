@@ -247,6 +247,7 @@ def hard_negative_pairs(
     vec_id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retrieval training: document pairs that
     are LEXICALLY close (word-k-gram Jaccard ≥ ``jaccard_min``) but
@@ -271,8 +272,15 @@ def hard_negative_pairs(
     from ..functions.vectors import cosine_similarity, indexable_vector
     from .dedup import with_shingles
 
-    sh = with_shingles(docs, text_col, id_col, k).localCheckpoint(
-        eager=False
+    # ``shingles_df``: the prebuilt/persisted posting table shared
+    # across the dedup family (an ingest artifact); built per-query
+    # only when absent — same contract as ngram_jaccard_pairs.
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else with_shingles(docs, text_col, id_col, k).localCheckpoint(
+            eager=False
+        )
     )
     sizes = sh.select(
         F.col(id_col).alias("_id"), F.size("shingles").alias("_n")

@@ -378,6 +378,16 @@ def q201(spark, sf_dir):
     ``operators/retrieval.py:hard_negative_pairs`` for the scale shape.
     doc_id ≡ vec_id in the synthetic corpus (as q94).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    return retrieval.hard_negative_pairs(docs, emb, k_top=20)
+    # fan_out: shingling is per-row CPU-heavy and a single-file scan
+    # would serialize it on one core (r5 profile: a 1.7 s one-task
+    # stage) — same rule as the other dedup gates
+    from .pipeline_queries import shingle_prebuilt_table
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return retrieval.hard_negative_pairs(
+        docs,
+        emb,
+        k_top=20,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
+    )
