@@ -1021,3 +1021,37 @@ def q202(spark, sf_dir):
         rate=0.05,
         group_col="l_returnflag",
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest drift monitor: PSI / null-rate / count drift (q204).
+# ---------------------------------------------------------------------------
+from .operators.drift import drift_report, sql_drift_report  # noqa: E402
+
+_DRIFT_BOUNDS = [100.0, 200.0, 400.0, 800.0]
+
+
+@query(
+    "q204_ingest_drift",
+    sql_drift_report(
+        "SELECT * FROM documents WHERE doc_id % 2 = 0",
+        "SELECT * FROM documents WHERE doc_id % 2 = 1",
+        "source",
+        "n_chars",
+        _DRIFT_BOUNDS,
+    ),
+)
+def q204(spark, sf_dir):
+    """Drift triad between two ingest snapshots (simulated as the
+    even/odd doc_id halves of the corpus — the oracle splits
+    identically): per-source count ratio, null-rate movement, and a
+    +1-smoothed PSI over a fixed n_chars bucketing. All metrics are
+    conditional counts in ONE aggregate row per (snapshot, source)
+    with the PSI folded within-row in fixed bucket order — no
+    cross-row float accumulation anywhere, so the gate hash-matches
+    bitwise. See operators/drift.py for the scale shape (nothing wider
+    than |groups × buckets| ever moves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return drift_report(a, b, "source", "n_chars", _DRIFT_BOUNDS)
