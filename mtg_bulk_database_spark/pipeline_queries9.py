@@ -1055,3 +1055,58 @@ def q204(spark, sf_dir):
     a = docs.where(F.col("doc_id") % 2 == 0)
     b = docs.where(F.col("doc_id") % 2 == 1)
     return drift_report(a, b, "source", "n_chars", _DRIFT_BOUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured VARIANT path (Spark 4), q205.
+# ---------------------------------------------------------------------------
+@query(
+    "q205_variant_extract",
+    """WITH j AS (
+         SELECT doc_id,
+                to_json(struct_pack(
+                  id := doc_id,
+                  meta := struct_pack(lang := lang, n := n_chars),
+                  tags := [source, lang])) AS js
+         FROM documents)
+       SELECT doc_id,
+              js ->> '$.meta.lang' AS v_lang,
+              TRY_CAST(js ->> '$.meta.n' AS BIGINT) AS v_n,
+              js ->> '$.tags[1]' AS v_tag1,
+              TRY_CAST(js ->> '$.absent.path' AS INTEGER) AS v_missing
+       FROM j""",
+)
+def q205(spark, sf_dir):
+    """Schemaless ingestion via Spark 4's VARIANT type — the modern
+    answer to the reference's JSONB columns (init.sql:102: opaque
+    binary JSON, path-extracted at query time, no declared schema):
+    each document's metadata is serialized to JSON, `parse_json`
+    shreds it to a VARIANT, and typed `variant_get` paths (nested
+    field, array index, missing path via the try_ variant) extract
+    query columns. Unlike q43's from_json, no schema is declared
+    anywhere — the VARIANT binary carries its own structure, which is
+    exactly the JSONB storage/access model. The oracle extracts the
+    same paths from the same JSON text with DuckDB's JSON operators;
+    extraction depends on values only, so serialization differences
+    (Spark omits null fields, DuckDB writes them) cannot diverge the
+    gate. Columnar end to end; one projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.struct(
+                F.col("lang"), F.col("n_chars").alias("n")
+            ).alias("meta"),
+            F.array(F.col("source"), F.col("lang")).alias("tags"),
+        )
+    )
+    v = docs.select("doc_id", F.parse_json(j).alias("v"))
+    return v.select(
+        "doc_id",
+        F.variant_get("v", "$.meta.lang", "string").alias("v_lang"),
+        F.variant_get("v", "$.meta.n", "bigint").alias("v_n"),
+        F.variant_get("v", "$.tags[1]", "string").alias("v_tag1"),
+        F.try_variant_get("v", "$.absent.path", "int").alias(
+            "v_missing"
+        ),
+    )
