@@ -593,6 +593,21 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def gradient_hash64(thumb) -> int:
+    """The repo's 64-bit perceptual hash over an 8×8 grayscale
+    thumbnail: bit i = thumb[i] > thumb[(i*37+11) % 64] — pairwise
+    comparisons across a fixed far-cell bijection (gcd(37,64)=1), so a
+    single changed cell flips ≤2 bits and there is no tie-fragile
+    global statistic. See :func:`with_image_ahash` for the full design
+    rationale; shared by the image and video hashing paths. Returns a
+    signed int64."""
+    bits = 0
+    for i in range(64):
+        if thumb[i] > thumb[(i * 37 + 11) % 64]:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def with_image_ahash(media: DataFrame) -> DataFrame:
     """Perceptual gradient-hash over REAL decoded pixels: PNG (full
     decode), JPEG, BMP, or GIF (first decodable frame) → integer
@@ -670,14 +685,8 @@ def with_image_ahash(media: DataFrame) -> DataFrame:
             (pseudo,) = _struct.unpack(">q", digest[:8])
             return pseudo, False
         w, h, gray = g
-        # 64 cells; bit i compares cell i to a far cell via a fixed
-        # bijection (gcd(37,64)=1) — see docstring for why
         thumb = resize_nearest(w, h, 1, gray, 8, 8)
-        bits = 0
-        for i in range(64):
-            if thumb[i] > thumb[(i * 37 + 11) % 64]:
-                bits |= 1 << i
-        return (bits - (1 << 64) if bits >= (1 << 63) else bits), True
+        return gradient_hash64(thumb), True
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -819,3 +828,214 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Cross-video near-duplicate detection (frame-hash signatures).
+# ---------------------------------------------------------------------------
+
+#: frame-hash rows: one per SAMPLED decodable frame of a video payload
+VIDEO_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+#: composite frame id = doc_id·_FID_BASE + frame_idx — keeps the
+#: pigeonhole join's single orderable id column; frame counts are far
+#: below the base by construction (containers cap n_frames well under
+#: it), so the encoding is collision-free.
+_FID_BASE = 1 << 20
+
+
+def video_frame_hashes(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for AVI/MJPEG payloads: the
+    container walk touches ONLY every ``every_n``-th frame's JPEG bytes
+    (same sampling economics as sample_mjpeg_frames), each decoded
+    frame is thumbnailed to 8×8 and hashed with the shared
+    :func:`gradient_hash64`. Non-video / non-decodable payloads emit
+    no rows — a video signature is the SET of its frame hashes."""
+    import pandas as pd
+
+    from .imagecodec import build_codec
+    from .jpegcodec import build_jpeg_codec
+    from .videocodec import build_video_codec
+
+    avi_parse = build_video_codec().avi_parse
+    jpeg_decode = build_jpeg_codec().jpeg_decode
+    resize_nearest = build_codec().resize_nearest
+
+    def hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                parsed = avi_parse(bytes(payload))
+                if parsed is None:
+                    continue
+                _w, _h, _n, _uspf, frames = parsed
+                for idx in range(0, len(frames), every_n):
+                    dec = jpeg_decode(frames[idx])
+                    if dec is None:
+                        continue
+                    fw, fh, ch, px = dec
+                    if ch >= 3:
+                        px = bytes(
+                            (px[i] + px[i + 1] + px[i + 2]) // 3
+                            for i in range(0, len(px), ch)
+                        )
+                    thumb = resize_nearest(fw, fh, 1, px, 8, 8)
+                    rows.append(
+                        (int(doc_id), idx, gradient_hash64(thumb))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_hash"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    "frame_hash": "int64",
+                }
+            )
+
+    return media.mapInPandas(hashes, schema=VIDEO_FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    every_n: int = 2,
+    max_hamming: int = 3,
+    min_match_frac: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate VIDEOS: two payloads pair when enough of their
+    sampled frames match perceptually — the re-encode/trim-robust
+    signature (same frames at different fps/container, or a shared
+    body with differing intro/outro, still pair; wholly different
+    footage cannot).
+
+    Scale shape: frame hashes (Python decode stage, checkpointed once)
+    → the SAME pigeonhole 8×8-bit band equi-join the image/SimHash
+    paths use, over composite frame ids — candidates are
+    hash-bucketed, never all-pairs → per-video-pair aggregation
+    counting DISTINCT matched frames on each side → keep pairs where
+    both videos match on ≥ ``min_match_frac`` of their sampled frames.
+    Returns (id_a, id_b, n_match_a, n_match_b, n_a, n_b, match_frac)
+    with match_frac = the smaller side's matched fraction.
+    """
+    from .dedup import hamming64_near_pairs
+
+    fh = video_frame_hashes(media, every_n).localCheckpoint(eager=False)
+    fh = fh.withColumn(
+        "fid",
+        F.col("doc_id") * F.lit(_FID_BASE) + F.col("frame_idx"),
+    )
+    sizes = fh.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    fpairs = hamming64_near_pairs(fh, "frame_hash", "fid", max_hamming)
+    vid = lambda c: (F.col(c) / _FID_BASE).cast("long")  # noqa: E731
+    cross = (
+        fpairs.select(
+            vid("id_a").alias("vid_a"),
+            vid("id_b").alias("vid_b"),
+            F.col("id_a").alias("fid_a"),
+            F.col("id_b").alias("fid_b"),
+        )
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(
+            F.count_distinct("fid_a").alias("n_match_a"),
+            F.count_distinct("fid_b").alias("n_match_b"),
+        )
+    )
+    out = (
+        cross.join(
+            sizes.select(
+                F.col("doc_id").alias("vid_a"),
+                F.col("n_frames").alias("n_a"),
+            ),
+            on="vid_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("vid_b"),
+                F.col("n_frames").alias("n_b"),
+            ),
+            on="vid_b",
+        )
+        .withColumn(
+            "match_frac",
+            F.least(
+                F.col("n_match_a").cast("double") / F.col("n_a"),
+                F.col("n_match_b").cast("double") / F.col("n_b"),
+            ),
+        )
+        .filter(F.col("match_frac") >= min_match_frac)
+    )
+    return out.select(
+        F.col("vid_a").alias("id_a"),
+        F.col("vid_b").alias("id_b"),
+        "n_match_a",
+        "n_match_b",
+        "n_a",
+        "n_b",
+        F.round("match_frac", 6).alias("match_frac"),
+    )
+
+
+def synthetic_avi_dup_corpus(
+    docs: DataFrame,
+    group_mod: int = 25,
+    n_shared: int = 4,
+    size: int = 16,
+    fps: int = 10,
+) -> DataFrame:
+    """AVI corpus with PLANTED cross-video duplication: all docs in a
+    ``doc_id % group_mod`` group share the same ``n_shared`` body
+    frames (bitwise — DCT-aligned even-level blocks survive JPEG
+    quantization exactly, as in synthetic_avi_corpus), and each doc
+    appends ``doc_id % 3`` unique trailer frames — the trimmed-
+    intro/outro near-dup case. Pure function of doc_id."""
+    import hashlib
+
+    import pandas as pd
+
+    from .jpegcodec import build_jpeg_codec
+    from .videocodec import build_video_codec
+
+    jpeg_encode = build_jpeg_codec().jpeg_encode
+    avi_encode = build_video_codec().avi_encode_mjpeg
+    grid = size // 8
+
+    def pixels(seed_txt: str) -> bytes:
+        seed = hashlib.md5(seed_txt.encode()).digest()
+        return bytes(
+            (seed[((i // size) // 8) * grid + ((i % size) // 8)]) & 0xFE
+            for i in range(size * size)
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                g = d % group_mod
+                frames = [
+                    jpeg_encode(size, size, 1, pixels(f"dup:{g}:{i}"))
+                    for i in range(n_shared)
+                ]
+                frames += [
+                    jpeg_encode(size, size, 1, pixels(f"tail:{d}:{i}"))
+                    for i in range(d % 3)
+                ]
+                payload = avi_encode(size, size, frames, fps=fps)
+                rows.append(
+                    (d, payload, "video/x-msvideo",
+                     (source, len(payload)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "media_type", "meta"]
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )

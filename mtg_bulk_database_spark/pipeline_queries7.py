@@ -846,3 +846,31 @@ def q149(spark, sf_dir):
         "doc_id", "frame_idx", "n_frames", "width", "height",
         "delay_cs", "mean_intensity", "decoded",
     )
+
+
+@query("q206_video_near_dup")  # rows-only: perceptual codec pipeline
+def q206(spark, sf_dir):
+    """Cross-VIDEO near-duplicate detection: a planted-dup AVI/MJPEG
+    corpus (doc_id%25 groups share 4 bitwise-identical body frames;
+    each doc appends 0-2 unique trailer frames — the trimmed-outro
+    case) through frame-hash signatures: sampled-frame JPEG decode →
+    shared gradient_hash64 → the SAME pigeonhole Hamming band join the
+    image path uses, over composite frame ids → per-video-pair
+    distinct-matched-frame fractions. every_n=1 so trailer frames
+    count against match_frac. Emits the per-pair match evidence;
+    pair-set correctness (same-group pairing, trailer dilution, no
+    cross-group pairs) is pinned in tests/test_video_image.py."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # 40 videos in 8 groups: C(5,2)·8 = 80 pairs — plan-shaped like the
+    # image gate (q132) while keeping the Python decode stage bounded
+    # size=32 (16 DCT blocks/frame): enough thumbnail entropy that
+    # unrelated 4-value block patterns cannot collide at small radii —
+    # the 16x16 variant produced cross-group false pairs at Hamming 3
+    media = multimodal.synthetic_avi_dup_corpus(
+        docs.where(F.col("doc_id") < 40), group_mod=8, size=32
+    )
+    return multimodal.video_near_dup_pairs(
+        media, every_n=1, max_hamming=1, min_match_frac=0.5
+    )

@@ -281,3 +281,16 @@ def test_dhash_single_cell_noise_bounded(thumb, cell, delta):
     mutated[cell] = max(0, min(255, mutated[cell] + delta))
     b = bytes(mutated)
     assert bin(_dhash_bits(a) ^ _dhash_bits(b)).count("1") <= 2
+
+
+def test_q206_video_near_dup_pairs_exact_group_structure(spark):
+    """Planted-dup AVI corpus: 40 videos in 8 groups of 5 sharing 4
+    bitwise-identical body frames, 0-2 unique trailers each → exactly
+    C(5,2)·8 = 80 pairs, all in-group, every match_frac ≥ 4/6 (the
+    worst 2-trailer dilution), and no cross-group pair survives."""
+    rows = QUERIES["q206_video_near_dup"](spark, SF_DIR).collect()
+    assert len(rows) == 80
+    for r in rows:
+        assert r["id_a"] % 8 == r["id_b"] % 8, (r["id_a"], r["id_b"])
+        assert r["match_frac"] >= 4.0 / 6.0 - 1e-9
+        assert r["n_match_a"] >= 4 and r["n_match_b"] >= 4
