@@ -1110,3 +1110,145 @@ def q205(spark, sf_dir):
             "v_missing"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped multi-touch attribution (q207).
+# ---------------------------------------------------------------------------
+_MTA_LOOKBACK_DAYS = 7
+
+
+@query(
+    "q207_multitouch_attribution",
+    f"""WITH ev AS (
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND event_type IN ('click', 'purchase')),
+    tagged AS (
+      SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+      FROM ev),
+    nxt AS (
+      SELECT *,
+        first_value(CASE WHEN k = 1 THEN event_id END IGNORE NULLS)
+          OVER w AS conv_id,
+        first_value(CASE WHEN k = 1 THEN ts END IGNORE NULLS)
+          OVER w AS conv_ts,
+        first_value(CASE WHEN k = 1 THEN value END IGNORE NULLS)
+          OVER w AS conv_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, k, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    touches AS (
+      SELECT user_id, event_id AS touch_id, ts, conv_id, conv_value
+      FROM nxt
+      WHERE k = 0 AND conv_id IS NOT NULL
+        AND conv_ts <= ts + INTERVAL {_MTA_LOOKBACK_DAYS} DAY),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, conv_id
+                           ORDER BY ts, touch_id) AS touch_rank,
+        count(*) OVER (PARTITION BY user_id, conv_id) AS n_touches
+      FROM touches)
+    SELECT user_id, conv_id, touch_id,
+           CAST(touch_rank AS BIGINT) AS touch_rank,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           round(CASE WHEN n_touches = 1 THEN 1.0
+                      WHEN n_touches = 2 THEN 0.5
+                      WHEN touch_rank = 1 OR touch_rank = n_touches
+                           THEN 0.4
+                      ELSE 0.2 / (n_touches - 2) END, 6) AS credit,
+           round((CASE WHEN n_touches = 1 THEN 1.0
+                       WHEN n_touches = 2 THEN 0.5
+                       WHEN touch_rank = 1 OR touch_rank = n_touches
+                            THEN 0.4
+                       ELSE 0.2 / (n_touches - 2) END) * conv_value, 6)
+               AS credited_value
+    FROM ranked""",
+)
+def q207(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution: every click
+    is attributed to the user's NEXT purchase within a 7-day lookback
+    (same-timestamp click counts — the tagged union orders touches
+    before conversions at equal ts), and each conversion's credit
+    splits 40/20/40: first and last touch get 0.4 each, the middle
+    splits 0.2 evenly (single touch 1.0, two touches 0.5/0.5).
+
+    Plan shape: ONE shuffle on user_id for the forward-scan window
+    (first_value IGNORE NULLS over [current, ∞) — the "next
+    conversion" as-of in pure window algebra, no join), then the
+    per-conversion rank/count windows on (user, conv) — fine-grained
+    keys, no skew. Credits are exact rational doubles; same expression
+    both engines. NULL user/ts/event_id rows excluded up front (the
+    engines order NULLs differently in window sorts)."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("k"),
+        )
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "k", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv_of = lambda c: F.first(  # noqa: E731
+        F.when(F.col("k") == 1, F.col(c)), ignorenulls=True
+    ).over(fwd)
+    nxt = ev.select(
+        "*",
+        conv_of("event_id").alias("conv_id"),
+        conv_of("ts").alias("conv_ts"),
+        conv_of("value").alias("conv_value"),
+    )
+    touches = nxt.where(
+        (F.col("k") == 0)
+        & F.col("conv_id").isNotNull()
+        & (
+            F.col("conv_ts")
+            <= F.col("ts") + F.expr(f"INTERVAL {_MTA_LOOKBACK_DAYS} DAYS")
+        )
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "ts",
+        "conv_id",
+        "conv_value",
+    )
+    per_conv = Window.partitionBy("user_id", "conv_id")
+    ranked = touches.select(
+        "*",
+        F.row_number()
+        .over(per_conv.orderBy("ts", "touch_id"))
+        .alias("touch_rank"),
+        F.count("*").over(per_conv).alias("n_touches"),
+    )
+    n, r = F.col("n_touches"), F.col("touch_rank")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((r == 1) | (r == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return ranked.select(
+        "user_id",
+        "conv_id",
+        "touch_id",
+        r.cast("long").alias("touch_rank"),
+        n.cast("long").alias("n_touches"),
+        F.round(credit, 6).alias("credit"),
+        F.round(credit * F.col("conv_value"), 6).alias("credited_value"),
+    )

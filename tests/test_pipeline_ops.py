@@ -1067,3 +1067,20 @@ def test_label_propagation_deterministic_and_converges(spark):
     assert labels[0] == labels[1] == labels[2]
     assert labels[3] == labels[4] == labels[5]
     assert labels[0] != labels[3]
+
+
+def test_multitouch_credits_sum_to_one_per_conversion(spark):
+    from mtg_bulk_database_spark.registry import load_registry
+
+    q, _ = load_registry()
+    out = q["q207_multitouch_attribution"](spark, "/root/testdata/sf0.01")
+    sums = (
+        out.groupBy("user_id", "conv_id")
+        .agg(F.sum("credit").alias("s"), F.max("n_touches").alias("n"))
+        .collect()
+    )
+    assert sums
+    for row in sums:
+        # 40/20/40 split: exact for n<=2; rounding each middle share to
+        # 6dp bounds the drift by 5e-7 per middle touch
+        assert abs(row["s"] - 1.0) <= 5e-7 * max(row["n"] - 2, 0) + 1e-9, row
