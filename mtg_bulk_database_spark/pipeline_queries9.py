@@ -1252,3 +1252,134 @@ def q207(spark, sf_dir):
         F.round(credit, 6).alias("credit"),
         F.round(credit * F.col("conv_value"), 6).alias("credited_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival curve (q208).
+# ---------------------------------------------------------------------------
+@query(
+    "q208_kaplan_meier",
+    """WITH ev AS (
+      SELECT user_id, FLOOR(epoch(ts))::BIGINT AS sec, event_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    per_user AS (
+      SELECT user_id, min(sec) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS tp,
+             max(sec) AS tmax
+      FROM ev GROUP BY user_id),
+    dur AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                  THEN (tp - t0) // 86400
+                  ELSE (tmax - t0) // 86400 END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM per_user),
+    km0 AS (
+      SELECT t,
+             count(CASE WHEN e = 1 THEN 1 END) AS d,
+             count(CASE WHEN e = 0 THEN 1 END) AS c
+      FROM dur GROUP BY t),
+    km1 AS (
+      SELECT t, d, c,
+             sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_at_risk
+      FROM km0),
+    km2 AS (
+      SELECT *,
+        (n_at_risk - d)::DOUBLE / n_at_risk AS factor
+      FROM km1)
+    SELECT t, d, c, n_at_risk,
+           CASE WHEN max(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(round(ln(
+                         CASE WHEN factor > 0 THEN factor
+                              ELSE 1.0 END), 6))
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)), 6) END AS s
+    FROM km2""",
+)
+def q208(spark, sf_dir):
+    """Kaplan–Meier survival estimate of time-to-first-purchase, with
+    users who never purchase right-censored at their last observed
+    event — the churn/retention curve every activation analysis needs.
+
+    Shape: per-user min/max aggregate (one shuffle) → duration rows →
+    per-day life table (groupBy) → the risk set and the survival
+    product as RUNNING window aggregates over the POST-AGGREGATE life
+    table (distinct duration days — calendar-bounded rows, the
+    accepted global-window case). The cumulative product is
+    exp(Σ ln·) with each ln rounded to 6 dp (the house transcendental
+    rule) summed over an ORDERED prefix frame — frame order is total
+    (t is the key), so the running sum is the same fold in both
+    engines; a zero factor (risk set exhausted by events) forces
+    S = 0 from that row on rather than NULL-poisoning Spark's ln."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.floor(
+                F.col("ts").cast("double")
+            ).cast("long").alias("sec"),
+            "event_type",
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("sec").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("sec"))
+        ).alias("tp"),
+        F.max("sec").alias("tmax"),
+    )
+    dur = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.floor((F.col("tp") - F.col("t0")) / 86400),
+        )
+        .otherwise(F.floor((F.col("tmax") - F.col("t0")) / 86400))
+        .cast("long")
+        .alias("t"),
+        F.col("tp").isNotNull().cast("int").alias("e"),
+    )
+    km0 = dur.groupBy("t").agg(
+        F.count(F.when(F.col("e") == 1, 1)).alias("d"),
+        F.count(F.when(F.col("e") == 0, 1)).alias("c"),
+    )
+    whole = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dc = F.col("d") + F.col("c")
+    km1 = km0.select(
+        "*",
+        (
+            F.sum(dc).over(whole)
+            - F.coalesce(F.sum(dc).over(prior), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    factor = (F.col("n_at_risk") - F.col("d")).cast("double") / F.col(
+        "n_at_risk"
+    )
+    km2 = km1.withColumn("factor", factor)
+    dead = (
+        F.max((F.col("factor") <= 0).cast("int")).over(prefix) == 1
+    )
+    # guard the ln argument: DuckDB ERRORS on ln(0) and Spark returns
+    # NULL (which would null the running sum) — dead rows contribute
+    # ln(1)=0 and the `dead` flag already forces S=0 from there on
+    safe = F.when(F.col("factor") > 0, F.col("factor")).otherwise(
+        F.lit(1.0)
+    )
+    s = F.when(dead, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(F.round(F.log(safe), 6)).over(prefix)), 6)
+    )
+    return km2.select("t", "d", "c", "n_at_risk", s.alias("s"))

@@ -1084,3 +1084,24 @@ def test_multitouch_credits_sum_to_one_per_conversion(spark):
         # 40/20/40 split: exact for n<=2; rounding each middle share to
         # 6dp bounds the drift by 5e-7 per middle touch
         assert abs(row["s"] - 1.0) <= 5e-7 * max(row["n"] - 2, 0) + 1e-9, row
+
+
+def test_kaplan_meier_invariants(spark):
+    from mtg_bulk_database_spark.registry import load_registry
+
+    q, _ = load_registry()
+    rows = sorted(
+        q["q208_kaplan_meier"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows
+    # S is a non-increasing step function in [0, 1]
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r["s"] <= prev + 5e-7, (r["t"], r["s"], prev)
+        prev = r["s"]
+    # risk sets telescope: n_{i+1} = n_i - d_i - c_i
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_at_risk"] == a["n_at_risk"] - a["d"] - a["c"]
+    # first risk set = all subjects
+    assert rows[0]["n_at_risk"] == sum(r["d"] + r["c"] for r in rows)
