@@ -102,6 +102,10 @@ HEADLINE = [
     "q199_tfidf_keywords",
     "q201_hard_negatives",
     "q202_quantile_sketch",
+    "q204_ingest_drift",
+    "q205_variant_extract",
+    "q207_multitouch_attribution",
+    "q208_kaplan_meier",
 ]
 
 
