@@ -944,7 +944,10 @@ def q198(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("q200_quality_classifier")  # iterative training: rows-only by design
 def q200(spark, sf_dir):
-    """CCNet/DCLM-style learned quality gate, end to end ON the engine:
+    """CCNet/DCLM-style learned quality gate, end to end ON the engine
+    (q121 is this model's other half: INFERENCE with fixed deployed
+    weights as one codegen'd scan pass; this gate closes the loop by
+    TRAINING on the cluster):
     columnar features (log-token count, alpha ratio, stopword ratio) →
     full-batch logistic-regression training (one decimal-summed
     aggregate job per iteration, weights broadcast back as literals) →
