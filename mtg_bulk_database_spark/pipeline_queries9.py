@@ -1386,3 +1386,140 @@ def q208(spark, sf_dir):
         F.round(F.exp(F.sum(F.round(F.log(safe), 6)).over(prefix)), 6)
     )
     return km2.select("t", "d", "c", "n_at_risk", s.alias("s"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend via exact sufficient statistics (q209).
+# ---------------------------------------------------------------------------
+@query(
+    "q209_revenue_trend_ols",
+    """WITH monthly AS (
+      SELECT n.n_name,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))::BIGINT
+                 AS x,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS y
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT n_name,
+             count(*)::BIGINT AS n_months,
+             sum(x) AS sx,
+             sum(x * x) AS sxx,
+             sum(CAST(y AS DECIMAL(28,6))) AS sy,
+             sum(CAST(x AS DECIMAL(10,0)) * CAST(y AS DECIMAL(26,6)))
+                 AS sxy,
+             sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                 AS syy
+      FROM monthly GROUP BY n_name)
+    SELECT n_name, n_months,
+      CASE WHEN n_months * sxx - sx * sx > 0 THEN
+        round((n_months * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) END
+          AS slope,
+      CASE WHEN n_months * sxx - sx * sx > 0 THEN
+        round((CAST(sy AS DOUBLE)
+               - round((n_months * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
+                 * CAST(sx AS DOUBLE))
+              / n_months, 6) END AS intercept,
+      CASE WHEN n_months * sxx - sx * sx > 0
+                AND n_months * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        round(((n_months * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (n_months * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+              / (CAST(n_months * sxx - sx * sx AS DOUBLE)
+                 * (n_months * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      END AS r2
+    FROM stats""",
+)
+def q209(spark, sf_dir):
+    """Per-nation revenue trend: OLS slope/intercept/R² of monthly
+    revenue on the month index, computed from EXACT sufficient
+    statistics — Σx/Σx² are integer sums, Σy/Σxy/Σy² are decimal sums
+    (the monthly y is itself the decimal-exact revenue aggregate), so
+    the only float math is the final fixed-order slope/R² algebra,
+    identical in both engines. This is the distributed-regression
+    recipe at any scale: one partial-aggregable groupBy produces five
+    numbers per group, nothing else moves. Degenerate groups (one
+    month, or zero x/y variance) yield NULL rather than a division
+    blow-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("y")
+        )
+    )
+    stats = monthly.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(10,0)")
+            * F.col("y").cast("decimal(26,6)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(19,6)")
+            * F.col("y").cast("decimal(19,6)")
+        ).alias("syy"),
+    )
+    n = F.col("n_months")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    slope = cov / dx
+    has_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")) > 0
+    return stats.select(
+        "n_name",
+        "n_months",
+        F.when(has_x, F.round(slope, 6)).alias("slope"),
+        # intercept from the 6dp-ROUNDED slope on BOTH sides: the raw
+        # slope can differ by an ulp across engines (decimal→double
+        # cast paths), and sx (~1e6 at sf0.01) amplifies that past the
+        # 6dp output rounding; the rounded slope is the identical
+        # double everywhere, so the cancellation is reproducible
+        F.when(
+            has_x,
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - F.round(slope, 6) * F.col("sx").cast("double")
+                )
+                / n,
+                6,
+            ),
+        ).alias("intercept"),
+        F.when(
+            has_x & (dy > 0), F.round((cov * cov) / (dx * dy), 6)
+        ).alias("r2"),
+    )
