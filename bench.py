@@ -106,6 +106,7 @@ HEADLINE = [
     "q205_variant_extract",
     "q207_multitouch_attribution",
     "q208_kaplan_meier",
+    "q209_revenue_trend_ols",
 ]
 
 
