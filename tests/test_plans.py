@@ -545,3 +545,22 @@ def test_runtime_bloom_filter_engages_on_selective_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_round5_new_gates_plan_shapes(spark):
+    """q207/q208/q209: no nested loops anywhere; q209's nation dim
+    broadcasts; q207 resolves next-conversion with windows, not a
+    join (exactly one Exchange for the user_id window partition)."""
+    plan = executed_plan(QUERIES["q209_revenue_trend_ols"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = executed_plan(
+        QUERIES["q207_multitouch_attribution"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure window algebra, no join operator
+
+    plan = executed_plan(QUERIES["q208_kaplan_meier"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
