@@ -787,3 +787,117 @@ def q203(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration / lift table (q210) — the eval third of the
+# quality-model triangle: q200 TRAINS on the engine, q121 INFERS with
+# deployed weights, this gate EVALUATES the deployed model against the
+# weak label, per fixed probability decile.
+# ---------------------------------------------------------------------------
+from .pipeline_queries3 import _SQL_QUALITY  # noqa: E402
+
+_Q121_FEATS_CTE = f"""
+          SELECT doc_id,
+                 len({_TOKS}) AS n_words,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(array_to_string({_TOKS}, ''))
+                                AS DOUBLE) / len({_TOKS})
+                      ELSE 0.0 END AS mean_word_len,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST(len(list_filter({_TOKS},
+                                x -> regexp_matches(x, '[a-z]')))
+                                AS DOUBLE) / len({_TOKS})
+                      ELSE 0.0 END AS alpha_frac,
+                 CASE WHEN len({_TOKS}) > 0
+                      THEN CAST({sql_stopword_hits(_TOKS)} AS DOUBLE)
+                           / len({_TOKS})
+                      ELSE 0.0 END AS stop_frac
+          FROM documents"""
+
+
+@query(
+    "q210_classifier_calibration",
+    f"""WITH feats AS ({_Q121_FEATS_CTE}),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(1000000.0 / (1.0 + exp(-{_QCLF}))) AS BIGINT)
+                 AS p_micro
+      FROM feats),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_QUALITY} >= 0.5 THEN 1 ELSE 0 END AS label
+      FROM documents),
+    joined AS (
+      SELECT least(s.p_micro // 100000, 9)::INT AS decile,
+             s.p_micro, l.label
+      FROM scored s JOIN lab l USING (doc_id))
+    SELECT decile,
+           count(*) AS n,
+           round(CAST(sum(p_micro) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS mean_p,
+           round(CAST(count(CASE WHEN label = 1 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS pos_rate,
+           round(abs(round(CAST(sum(p_micro) AS DOUBLE)
+                           / (count(*) * 1000000.0), 6)
+                     - round(CAST(count(CASE WHEN label = 1 THEN 1 END)
+                                  AS DOUBLE) / count(*), 6)), 6)
+               AS calib_gap
+    FROM joined GROUP BY decile""",
+)
+def q210(spark, sf_dir):
+    """Calibration table for the deployed quality model: FIXED
+    probability deciles (floor(p·10), never an ntile window — no
+    global sort, columnar bucket + one groupBy) with per-decile count,
+    mean predicted probability, observed weak-label rate, and the
+    calibration gap. The micro-floored probability (q121's trick)
+    makes Σp an exact integer sum, so mean_p is one engine-identical
+    division; the gap is computed from the two ROUNDED 6dp values so
+    it is exact by construction."""
+    from .operators.text_analysis import (
+        with_gopher_quality,
+        with_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = with_gopher_quality(docs)
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.01) * F.col("n_words")
+        + F.lit(0.5) * F.col("alpha_frac")
+        + F.lit(2.0) * F.col("stop_frac")
+        - F.lit(0.1) * F.col("mean_word_len")
+    )
+    scored = feats.select(
+        "doc_id",
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
+        .cast("long")
+        .alias("p_micro"),
+    )
+    lab = with_quality_score(docs).select(
+        "doc_id",
+        (F.col("quality_score") >= 0.5).cast("int").alias("label"),
+    )
+    joined = scored.join(lab, on="doc_id").select(
+        F.least(F.floor(F.col("p_micro") / 100000), F.lit(9))
+        .cast("int")
+        .alias("decile"),
+        "p_micro",
+        "label",
+    )
+    mean_p = F.round(
+        F.sum("p_micro").cast("double")
+        / (F.count("*") * F.lit(1000000.0)),
+        6,
+    )
+    pos_rate = F.round(
+        F.count(F.when(F.col("label") == 1, 1)).cast("double")
+        / F.count("*"),
+        6,
+    )
+    return joined.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        mean_p.alias("mean_p"),
+        pos_rate.alias("pos_rate"),
+        F.round(F.abs(mean_p - pos_rate), 6).alias("calib_gap"),
+    )
