@@ -107,6 +107,7 @@ HEADLINE = [
     "q207_multitouch_attribution",
     "q208_kaplan_meier",
     "q209_revenue_trend_ols",
+    "q210_classifier_calibration",
 ]
 
 
