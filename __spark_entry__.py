@@ -66,11 +66,22 @@ _EXTERNALLY_VERIFIED = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
-    def _rank(name: str) -> tuple[int, str]:
+    def _qnum(name: str) -> int:
+        digits = "".join(c for c in name[1:4] if c.isdigit())
+        return int(digits) if digits else 0
+
+    def _rank(name: str) -> tuple[int, int, str]:
         fresh = name not in _EXTERNALLY_VERIFIED
         oracled = name in ORACLE_SQL
-        # fresh+oracled < fresh rows-only < already-verified
-        return (0 if fresh and oracled else 1 if fresh else 2, name)
+        # fresh+oracled < fresh rows-only < already-verified; within
+        # the fresh-oracled block, NEWEST first (highest query number)
+        # so each round's additions land inside the driver's sample
+        # prefix while the older never-sampled block follows
+        return (
+            0 if fresh and oracled else 1 if fresh else 2,
+            -_qnum(name) if fresh and oracled else _qnum(name),
+            name,
+        )
 
     return {n: QUERIES[n] for n in sorted(QUERIES, key=_rank)}
 

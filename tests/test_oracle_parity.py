@@ -135,7 +135,11 @@ def test_driver_facing_order_surfaces_fresh_oracled_first():
         if n in oracles and n not in mod._EXTERNALLY_VERIFIED
     ]
     head = names[: len(fresh_oracled)]
-    assert head == sorted(fresh_oracled), (
+    assert set(head) == set(fresh_oracled), (
         "queries() must lead with every never-sampled oracled query "
-        "(sorted) so the driver's prefix sample rotates onto them"
+        "so the driver's prefix sample rotates onto them"
     )
+    # within the fresh block: NEWEST first, so each round's additions
+    # land inside the sample prefix even when the block exceeds it
+    nums = [int("".join(c for c in n[1:4] if c.isdigit())) for n in head]
+    assert nums == sorted(nums, reverse=True), nums
