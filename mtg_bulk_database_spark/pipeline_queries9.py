@@ -1523,3 +1523,108 @@ def q209(spark, sf_dir):
             has_x & (dy > 0), F.round((cov * cov) / (dx * dy), 6)
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: two-proportion z-statistic (q211).
+# ---------------------------------------------------------------------------
+@query(
+    "q211_ab_test_zstat",
+    """WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+                              1, 4) < '8000'
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase'
+                           AND value >= 150.0 THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY 1, 2),
+    arms AS (
+      SELECT arm, count(*)::BIGINT AS n,
+             sum(converted)::BIGINT AS conv
+      FROM assigned GROUP BY arm),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+      FROM arms)
+    SELECT n_a, conv_a, n_b, conv_b,
+      round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+      round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+      CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+      round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+            / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_stat
+    FROM wide""",
+)
+def q211(spark, sf_dir):
+    """Two-proportion z-test over a HASH-ASSIGNED experiment: arm
+    membership is the md5 lottery on the user id (the deterministic
+    assignment a real experimentation system uses — stable across
+    sessions, engines, and re-runs; no assignment table to store), the
+    outcome is per-user HIGH-VALUE conversion (a purchase of value
+    >= 150 — plain any-purchase saturates at 100% on this corpus), and the pooled-variance
+    z-statistic is fixed-order double algebra over four exact integers
+    (sqrt is correctly-rounded, so the gate hash-matches bitwise; the
+    normal-CDF p-value needs erf, which the engines implement
+    differently — callers threshold |z| instead, e.g. 1.96). One
+    groupBy on user, one tiny arm aggregate; nothing else moves."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+            1,
+            4,
+        )
+        < "8000",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assigned = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150.0)
+            ).cast("int")
+        ).alias("converted")
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    # degenerate pooled rates (0% or 100% conversion) have zero pooled
+    # variance: the z-stat is undefined — NULL, never a DIVIDE_BY_ZERO
+    # (ANSI Spark errors, IEEE DuckDB returns inf: both wrong)
+    tot = F.col("conv_a") + F.col("conv_b")
+    defined = (tot > 0) & (tot < F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when(defined, F.round(z, 6)).alias("z_stat"),
+    )
