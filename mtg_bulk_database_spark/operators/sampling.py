@@ -272,3 +272,50 @@ def temperature_mix(
         .filter(F.col("mix_rank") <= F.col("source_target"))
         .select(id_col, source_col, "mix_rank", "source_target")
     )
+
+
+#: cumulative Poisson(1) CDF thresholds for k = 0..6 (computed once
+#: with python floats; the literals are what both engines compare
+#: against, so the inverse-CDF ladder is identical everywhere).
+#: Tail mass beyond k=7 is < 1e-4 — the ladder clamps there.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+
+def poisson1_weight(key: Column, salt: str) -> Column:
+    """Deterministic Poisson(1) bootstrap weight: the md5₆₀ uniform of
+    ``key`` salted by the replicate id, pushed through the inverse-CDF
+    CASE ladder. This is the Poisson bootstrap (the resampling scheme
+    that needs no global count — each row draws its own multiplicity
+    independently), made engine-replayable: the same row gets the same
+    weight in the same replicate on any cluster or engine."""
+    from .dedup import md5_60
+
+    u = (
+        md5_60(F.concat(key.cast("string"), F.lit(":" + salt))) + F.lit(1)
+    ).cast("double") / F.lit(_TWO_60)
+    w: Column = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def sql_poisson1_weight(key_sql: str, salt: str) -> str:
+    """DuckDB twin of :func:`poisson1_weight` — same literals, same
+    ladder order."""
+    u = (
+        f"((('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{salt}'),"
+        f" 1, 15))::BIGINT + 1)::DOUBLE / {int(_TWO_60)}.0)"
+    )
+    arms = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"(CASE {arms} ELSE {len(_POISSON1_CDF)} END)"

@@ -1628,3 +1628,133 @@ def q211(spark, sf_dir):
         F.round(rb, 6).alias("rate_b"),
         F.when(defined, F.round(z, 6)).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence interval (q212).
+# ---------------------------------------------------------------------------
+from .operators.sampling import (  # noqa: E402
+    poisson1_weight,
+    sql_poisson1_weight,
+)
+
+_BOOT_B = 32  # replicates
+_BOOT_LO = 0.025 * (_BOOT_B - 1)  # fractional positions into the
+_BOOT_HI = 0.975 * (_BOOT_B - 1)  # sorted replicate means
+
+
+def _sql_boot_ci() -> str:
+    key = "concat_ws(chr(31), l_orderkey::VARCHAR, l_linenumber::VARCHAR)"
+    sums = []
+    means = []
+    for b in range(_BOOT_B):
+        w = sql_poisson1_weight(key, str(b))
+        wg = (
+            f"(CASE WHEN l_extendedprice IS NULL THEN 0 ELSE {w} END)"
+        )
+        sums.append(
+            f"sum(CAST({wg} AS DECIMAL(10,0))"
+            f" * CAST(l_extendedprice AS DECIMAL(18,6))) AS s{b}"
+        )
+        sums.append(f"sum({wg}) AS w{b}")
+        means.append(
+            f"CASE WHEN w{b} > 0"
+            f" THEN CAST(s{b} AS DOUBLE) / CAST(w{b} AS DOUBLE) END"
+        )
+    arr = "list_sort(list_filter([" + ", ".join(means) + "], x -> x IS NOT NULL))"
+
+    def interp(pos: float) -> str:
+        import math
+
+        lo, hi, d = math.floor(pos), math.ceil(pos), pos - math.floor(pos)
+        return (
+            f"round(_m[{lo + 1}] * (1.0 - {d!r})"
+            f" + _m[{hi + 1}] * {d!r}, 6)"
+        )
+
+    return f"""WITH agg AS (
+      SELECT l_returnflag,
+             count(l_extendedprice) AS n,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(l_extendedprice), 6)
+                 AS mean_price,
+             {",             ".join(sums)}
+      FROM lineitem GROUP BY l_returnflag),
+    arrs AS (SELECT l_returnflag, n, mean_price, {arr} AS _m FROM agg)
+    SELECT l_returnflag, n, mean_price,
+           CASE WHEN len(_m) = {_BOOT_B} THEN {interp(_BOOT_LO)} END
+               AS ci_lo,
+           CASE WHEN len(_m) = {_BOOT_B} THEN {interp(_BOOT_HI)} END
+               AS ci_hi
+    FROM arrs"""
+
+
+@query("q212_bootstrap_ci", _sql_boot_ci())
+def q212(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the per-flag mean price, fully
+    deterministic and engine-replayable: each of the 32 replicates
+    weights every row by an inverse-CDF Poisson(1) draw from the
+    md5-salted row key (``sampling.poisson1_weight``), so the
+    "resamples" are pure columnar expressions — ONE scan computes all
+    64 weighted sums map-side, no data movement, no RNG state. The CI
+    is linear interpolation into the sorted replicate means (within-
+    row array ops); NULL prices take weight 0 in every replicate so
+    Σw matches Σwx's population. The conventional B for production is
+    a few hundred — the same plan, just wider aggregates; the CI
+    degrades gracefully (NULL) if any replicate's weights all landed 0
+    (impossible at real group sizes, possible on fuzz minicorpora)."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "\x1f",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    x = F.col("l_extendedprice")
+    aggs = [
+        F.count(x).alias("n"),
+        F.round(
+            F.sum(x.cast("decimal(18,6)")).cast("double") / F.count(x), 6
+        ).alias("mean_price"),
+    ]
+    for b in range(_BOOT_B):
+        w = F.when(x.isNull(), F.lit(0)).otherwise(
+            poisson1_weight(key, str(b))
+        )
+        aggs.append(
+            F.sum(
+                w.cast("decimal(10,0)") * x.cast("decimal(18,6)")
+            ).alias(f"s{b}")
+        )
+        aggs.append(F.sum(w).alias(f"w{b}"))
+    agg = li.groupBy("l_returnflag").agg(*aggs)
+    means = [
+        F.when(
+            F.col(f"w{b}") > 0,
+            F.col(f"s{b}").cast("double")
+            / F.col(f"w{b}").cast("double"),
+        )
+        for b in range(_BOOT_B)
+    ]
+    arr = F.array_sort(
+        F.filter(F.array(*means), lambda m: m.isNotNull())
+    )
+
+    def interp(a, pos: float):
+        lo, hi, d = math.floor(pos), math.ceil(pos), pos - math.floor(pos)
+        return F.round(
+            F.element_at(a, lo + 1) * F.lit(1.0 - d)
+            + F.element_at(a, hi + 1) * F.lit(d),
+            6,
+        )
+
+    withm = agg.withColumn("_m", arr)
+    full = F.size("_m") == _BOOT_B
+    return withm.select(
+        "l_returnflag",
+        "n",
+        "mean_price",
+        F.when(full, interp(F.col("_m"), _BOOT_LO)).alias("ci_lo"),
+        F.when(full, interp(F.col("_m"), _BOOT_HI)).alias("ci_hi"),
+    )

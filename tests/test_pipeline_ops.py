@@ -1105,3 +1105,15 @@ def test_kaplan_meier_invariants(spark):
         assert b["n_at_risk"] == a["n_at_risk"] - a["d"] - a["c"]
     # first risk set = all subjects
     assert rows[0]["n_at_risk"] == sum(r["d"] + r["c"] for r in rows)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from mtg_bulk_database_spark.registry import load_registry
+
+    q, _ = load_registry()
+    rows = q["q212_bootstrap_ci"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo"] is not None and r["ci_lo"] < r["ci_hi"]
+        # the bootstrap distribution centers on the sample mean
+        assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"], r
