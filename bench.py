@@ -108,6 +108,8 @@ HEADLINE = [
     "q208_kaplan_meier",
     "q209_revenue_trend_ols",
     "q210_classifier_calibration",
+    "q211_ab_test_zstat",
+    "q212_bootstrap_ci",
 ]
 
 
