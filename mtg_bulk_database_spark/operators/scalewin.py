@@ -133,6 +133,65 @@ def uniform_bucket_histograms(
     return out
 
 
+def footer_bucket_histograms(
+    df: DataFrame, col_map: dict, buckets: int = 64
+) -> Optional[dict]:
+    """Pass-1 boundaries from PARQUET FOOTER STATISTICS — no Spark job
+    at all: the global min/max of each SOURCE column comes from the
+    row-group metadata every parquet writer already stored (the same
+    stats that drive file skipping), and uniform boundaries span that
+    range. ``col_map`` maps the df's range-column alias → the raw file
+    column carrying the stats.
+
+    Returns None (caller falls back to a scan-based builder) when the
+    frame isn't a plain file scan, a file lacks stats for a column, or
+    pyarrow can't read a footer — correctness never depends on this
+    path, it only removes a data pass. At 100 TB this is the design:
+    pass-1 cost is O(files) driver-side metadata, not O(rows)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    k = max(int(buckets), 1)
+    mins: dict = {c: None for c in col_map}
+    maxs: dict = {c: None for c in col_map}
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        schema_names = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for alias, src in col_map.items():
+            if src not in schema_names:
+                return None
+            ci = schema_names[src]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo, hi = float(st.min), float(st.max)
+                if mins[alias] is None or lo < mins[alias]:
+                    mins[alias] = lo
+                if maxs[alias] is None or hi > maxs[alias]:
+                    maxs[alias] = hi
+    out = {}
+    for alias in col_map:
+        mn, mx = mins[alias], maxs[alias]
+        if mn is None or mx is None or not mx > mn or k < 2:
+            out[alias] = []
+        else:
+            step = (mx - mn) / k
+            out[alias] = sorted({mn + j * step for j in range(1, k)})
+    return out
+
+
 def global_running(
     df: DataFrame,
     order_exprs: Sequence[Column],
@@ -387,13 +446,22 @@ def scale_exact_percentiles_multi(
         *[F.col(c).cast("double").alias(rng[c]) for c in cols],
     )
     # ``histogram="uniform"`` swaps the sampled approxQuantile pass-1
-    # for a min/max aggregate (see uniform_bucket_histograms) — same
-    # exactness contract, cheapest when the values are roughly flat.
-    if histogram == "uniform":
+    # for a min/max aggregate (see uniform_bucket_histograms);
+    # ``histogram="footer"`` goes further and reads the min/max from
+    # parquet row-group statistics — ZERO data passes for pass-1, with
+    # a silent fallback to the aggregate when the input isn't a plain
+    # file scan or lacks stats. Same exactness contract in all modes:
+    # boundaries shape balance only.
+    bounds = None
+    if histogram == "footer":
+        bounds = footer_bucket_histograms(
+            df, {rng[c]: c for c in cols}, buckets
+        )
+    if bounds is None and histogram in ("uniform", "footer"):
         bounds = uniform_bucket_histograms(
             base, [rng[c] for c in cols], buckets
         )
-    else:
+    if bounds is None:
         bounds = bucket_histograms(
             base, [rng[c] for c in cols], buckets, sample_fraction
         )

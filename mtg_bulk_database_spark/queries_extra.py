@@ -299,7 +299,7 @@ def scale_exact_percentile_plan(spark, li):
         {"l_quantity": [0.25, 0.50, 0.75], "l_extendedprice": [0.9]},
         buckets=32,
         sample_fraction=0.05,
-        histogram="uniform",
+        histogram="footer",  # pass-1 from parquet row-group stats
     )
     qty, price = pct["l_quantity"], pct["l_extendedprice"]
     rows = [

@@ -488,3 +488,40 @@ def test_uniform_histogram_mode_bit_equal_and_edge_cases(spark):
         4.0,
         6.0,
     ]
+
+
+def test_footer_histogram_matches_aggregate_and_falls_back(spark):
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.operators.scalewin import (
+        footer_bucket_histograms,
+        scale_exact_percentiles_multi,
+        uniform_bucket_histograms,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    # footer min/max == aggregate min/max on a real file scan, so the
+    # boundary lists are identical
+    fb = footer_bucket_histograms(
+        li, {"_r": "l_quantity"}, buckets=8
+    )
+    ub = uniform_bucket_histograms(
+        li.select(F.col("l_quantity").cast("double").alias("_r")),
+        ["_r"],
+        buckets=8,
+    )
+    assert fb is not None and fb["_r"] == ub["_r"]
+
+    # non-file input: no footer to read — builder declines, never lies
+    mem = spark.createDataFrame([(1.0,)], "x double")
+    assert footer_bucket_histograms(mem, {"x": "x"}, 8) is None
+
+    # end to end: footer mode bit-equal to the aggregate mode (and the
+    # in-memory fallback path still resolves through the aggregate)
+    vq = {"l_quantity": [0.5]}
+    a = scale_exact_percentiles_multi(
+        li, "l_returnflag", vq, buckets=8, histogram="footer"
+    )
+    b = scale_exact_percentiles_multi(
+        li, "l_returnflag", vq, buckets=8, histogram="uniform"
+    )
+    assert a == b
