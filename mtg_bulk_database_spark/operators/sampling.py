@@ -289,30 +289,41 @@ _POISSON1_CDF = (
 )
 
 
-def poisson1_weight(key: Column, salt: str) -> Column:
-    """Deterministic Poisson(1) bootstrap weight: the md5₆₀ uniform of
-    ``key`` salted by the replicate id, pushed through the inverse-CDF
-    CASE ladder. This is the Poisson bootstrap (the resampling scheme
-    that needs no global count — each row draws its own multiplicity
-    independently), made engine-replayable: the same row gets the same
-    weight in the same replicate on any cluster or engine."""
-    from .dedup import md5_60
+#: replicates carved from ONE md5: 32 hex chars = 8 slices of 4 hex
+#: = 8 independent 16-bit uniforms. Resolution 1/65536 quantizes the
+#: Poisson probabilities by < 1.6e-5 each (immaterial for a bootstrap)
+#: and buys an 8x cheaper hash stage (B replicates cost ceil(B/8) md5
+#: calls per row, not B).
+_SLICES_PER_MD5 = 8
 
+
+def poisson1_weight(key: Column, salt: str, slice_idx: int = 0) -> Column:
+    """Deterministic Poisson(1) bootstrap weight: a 16-bit uniform cut
+    from hex slice ``slice_idx`` of md5(key ':' salt), pushed through
+    the inverse-CDF CASE ladder. This is the Poisson bootstrap (the
+    resampling scheme that needs no global count — each row draws its
+    own multiplicity independently), made engine-replayable: the same
+    row gets the same weight in the same replicate on any cluster or
+    engine, and eight replicates share one md5 evaluation."""
+    if not 0 <= slice_idx < _SLICES_PER_MD5:
+        raise ValueError(f"slice_idx must be in [0, 8), got {slice_idx}")
+    h = F.md5(F.concat(key.cast("string"), F.lit(":" + salt)))
     u = (
-        md5_60(F.concat(key.cast("string"), F.lit(":" + salt))) + F.lit(1)
-    ).cast("double") / F.lit(_TWO_60)
+        F.conv(F.substring(h, slice_idx * 4 + 1, 4), 16, 10).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(65536.0)
     w: Column = F.lit(len(_POISSON1_CDF))
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
     return w
 
 
-def sql_poisson1_weight(key_sql: str, salt: str) -> str:
+def sql_poisson1_weight(key_sql: str, salt: str, slice_idx: int = 0) -> str:
     """DuckDB twin of :func:`poisson1_weight` — same literals, same
-    ladder order."""
+    slice, same ladder order."""
     u = (
         f"((('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{salt}'),"
-        f" 1, 15))::BIGINT + 1)::DOUBLE / {int(_TWO_60)}.0)"
+        f" {slice_idx * 4 + 1}, 4))::BIGINT + 1)::DOUBLE / 65536.0)"
     )
     arms = " ".join(
         f"WHEN {u} < {c!r} THEN {k}"

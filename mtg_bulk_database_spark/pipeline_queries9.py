@@ -1648,7 +1648,7 @@ def _sql_boot_ci() -> str:
     sums = []
     means = []
     for b in range(_BOOT_B):
-        w = sql_poisson1_weight(key, str(b))
+        w = sql_poisson1_weight(key, str(b // 8), b % 8)
         wg = (
             f"(CASE WHEN l_extendedprice IS NULL THEN 0 ELSE {w} END)"
         )
@@ -1720,7 +1720,7 @@ def q212(spark, sf_dir):
     ]
     for b in range(_BOOT_B):
         w = F.when(x.isNull(), F.lit(0)).otherwise(
-            poisson1_weight(key, str(b))
+            poisson1_weight(key, str(b // 8), b % 8)
         )
         aggs.append(
             F.sum(
