@@ -358,6 +358,7 @@ def scale_exact_percentiles(
     buckets: int = 64,
     sample_fraction: Optional[float] = None,
     task_rows_limit: int = 5_000_000,
+    histogram: str = "sample",
 ) -> dict:
     """Single-column convenience wrapper over
     :func:`scale_exact_percentiles_multi` — returns
@@ -370,6 +371,7 @@ def scale_exact_percentiles(
         buckets=buckets,
         sample_fraction=sample_fraction,
         task_rows_limit=task_rows_limit,
+        histogram=histogram,
     )[value_col]
 
 

@@ -1360,7 +1360,8 @@ def q169_scale_plan(spark, docs):
     from .operators.scalewin import scale_exact_percentiles
 
     med = scale_exact_percentiles(
-        docs, "lang", "n_chars", [0.5], buckets=32, sample_fraction=0.05
+        docs, "lang", "n_chars", [0.5], buckets=32,
+        sample_fraction=0.05, histogram="footer",
     )
     med_df = spark.createDataFrame(
         [(g, m[0.5]) for g, m in sorted(med.items())],
@@ -1369,8 +1370,11 @@ def q169_scale_plan(spark, docs):
     dev = docs.join(F.broadcast(med_df), "lang").withColumn(
         "_dev", F.abs(F.col("n_chars") - F.col("m"))
     )
+    # _dev is a derived column with no footer stats: "footer" mode
+    # self-falls-back to the min/max aggregate — one cheap scan
     mad = scale_exact_percentiles(
-        dev, "lang", "_dev", [0.5], buckets=32, sample_fraction=0.05
+        dev, "lang", "_dev", [0.5], buckets=32,
+        sample_fraction=0.05, histogram="footer",
     )
     return spark.createDataFrame(
         [(g, med[g][0.5], mad[g][0.5]) for g in sorted(med)],
@@ -1428,7 +1432,7 @@ def q170_scale_plan(spark, ev):
 
     pct = scale_exact_percentiles(
         ev, "event_type", "value", [0.25, 0.75],
-        buckets=32, sample_fraction=0.05,
+        buckets=32, sample_fraction=0.05, histogram="footer",
     )
     q = ev.sparkSession.createDataFrame(
         [(g, d[0.25], d[0.75]) for g, d in sorted(pct.items())],
