@@ -59,6 +59,29 @@ _EXTERNALLY_VERIFIED = frozenset(
         "q86_length_outlier_filter", "q87_approx_quantiles",
         "q88_global_interval_join", "q95_ngram_jaccard_prefix",
         "q96_dup_clusters_star",
+        # r5 sample, green in CORRECTNESS_r05 (the 8 red rows stay
+        # OUT so the r6 sample re-checks their hardened oracles)
+        "q157_nearest_event_match", "q162_ewma_smoothing",
+        "q163_cusum_alerts", "q164_session_journeys",
+        "q167_weighted_median_price", "q168_revenue_gini",
+        "q169_mad_by_lang", "q171_mom_growth",
+        "q173_abc_classification", "q174_interarrival_histogram",
+        "q176_scale_exact_percentiles", "q177_minhash_lsh_portable",
+        "q178_hll_portable_distinct", "q179_cms_portable_heavy_hitters",
+        "q181_dedup_ensemble_portable", "q182_order_priority_check",
+        "q183_forecast_revenue", "q184_national_market_share",
+        "q185_product_profit", "q186_returned_item_customers",
+        "q187_important_parts", "q188_shipmode_priority",
+        "q189_customer_order_distribution", "q190_promo_revenue_share",
+        "q191_part_supplier_counts", "q192_disjunctive_revenue",
+        "q193_promotion_suppliers", "q194_dormant_rich_customers",
+        "q195_duplicate_substrings", "q196_duplicated_char_coverage",
+        "q197_url_canonical_dedup", "q198_weighted_sample",
+        "q199_tfidf_keywords", "q201_hard_negatives",
+        "q202_quantile_sketch", "q204_ingest_drift",
+        "q205_variant_extract", "q207_multitouch_attribution",
+        "q209_revenue_trend_ols", "q210_classifier_calibration",
+        "q211_ab_test_zstat", "q212_bootstrap_ci",
     }
 )
 

@@ -245,7 +245,7 @@ def q91(spark, sf_dir):
     "q93_source_mix_report",
     f"""SELECT source,
                count(*) AS n_docs,
-               SUM(len({_TOKS})) AS total_tokens,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
                round(CAST(SUM(CAST({_SQL_QUALITY} AS DECIMAL(18,6)))
                      AS DOUBLE) / count(*), 6) AS mean_quality,
                count(DISTINCT lang) AS n_langs,

@@ -69,8 +69,9 @@ def q97(spark, sf_dir):
         scored AS (
           SELECT tok.doc_id,
                  count(*) AS n_tokens,
-                 sum(n_t) AS sum_token_freq,
-                 sum(CASE WHEN n_t = 1 THEN 1 ELSE 0 END) AS n_hapax
+                 CAST(sum(n_t) AS BIGINT) AS sum_token_freq,
+                 CAST(sum(CASE WHEN n_t = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hapax
           FROM tok JOIN vocab USING (t)
           GROUP BY tok.doc_id)
         SELECT d.doc_id,
@@ -263,10 +264,10 @@ _PACK_SHARDS = 16
                       doc_id % {_PACK_SHARDS} AS shard
                FROM ch)
         SELECT doc_id, chunk_idx, shard, n_chunk_tokens,
-               coalesce(sum(n_chunk_tokens) OVER (
-                 PARTITION BY shard ORDER BY doc_id, chunk_idx
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 // {_PACK_BUDGET} AS seq_id
+               CAST(coalesce(sum(n_chunk_tokens) OVER (
+                      PARTITION BY shard ORDER BY doc_id, chunk_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {_PACK_BUDGET} AS BIGINT) AS seq_id
         FROM sh""",
 )
 def q102(spark, sf_dir):

@@ -227,10 +227,12 @@ def _q180_oracle() -> str:
         ON e.id_a = a.id_a AND e.id_b = a.id_b
     )
     SELECT count(ea) AS n_exact, count(aa) AS n_approx,
-           sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
-                    THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN aa IS NULL THEN 1 ELSE 0 END) AS fn,
-           sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END) AS fp,
+           CAST(sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN aa IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN ea IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
            CASE WHEN count(ea) > 0
                 THEN (sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
                                THEN 1 ELSE 0 END) * 1000000) / count(ea)
@@ -300,10 +302,11 @@ def q180(spark, sf_dir):
     """SELECT count(*) AS n_rows,
               count(DISTINCT lang) AS n_langs,
               count(DISTINCT source) AS n_sources,
-              sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+              CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_text,
               min(n_chars) AS min_chars,
               max(n_chars) AS max_chars,
-              sum(n_chars) AS total_chars
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
        FROM documents""",
 )
 def q138(spark, sf_dir):
@@ -379,16 +382,18 @@ def q139(spark, sf_dir):
 @query(
     "q140_constraint_report",
     """SELECT 'lineitem_pk_not_null' AS rule,
-              sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
-                       THEN 1 ELSE 0 END) AS n_violations FROM lineitem
+              CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+       FROM lineitem
        UNION ALL
        SELECT 'lineitem_qty_positive',
-              sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT)
        FROM lineitem
        UNION ALL
        SELECT 'lineitem_returnflag_domain',
-              sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
-                       THEN 1 ELSE 0 END) FROM lineitem
+              CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                            THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
        UNION ALL
        SELECT 'lineitem_line_unique',
               count(*) FILTER (l_orderkey IS NOT NULL

@@ -627,9 +627,9 @@ def q157(spark, sf_dir):
                   FROM lineitem GROUP BY l_orderkey),
          b AS (SELECT o_orderkey AS k, count(*) AS cb
                FROM orders GROUP BY o_orderkey)
-       SELECT SUM(ca * cb) AS join_rows,
-              SUM(ca) AS left_rows,
-              SUM(cb) AS right_rows,
+       SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+              CAST(SUM(ca) AS BIGINT) AS left_rows,
+              CAST(SUM(cb) AS BIGINT) AS right_rows,
               count(*) AS matching_keys
        FROM a JOIN b USING (k)""",
 )
@@ -667,10 +667,11 @@ def q158(spark, sf_dir):
                   FROM lineitem GROUP BY l_suppkey)
        SELECT count(*) AS n_keys,
               min(n) AS min_rows, max(n) AS max_rows,
-              SUM(n) AS total_rows,
-              CAST(max(n) AS DOUBLE) * count(*) / SUM(n) AS skew_factor,
-              SUM(CASE WHEN n * 100 >= (SELECT SUM(n) FROM c)
-                       THEN 1 ELSE 0 END) AS n_hot_keys
+              CAST(SUM(n) AS BIGINT) AS total_rows,
+              CAST(max(n) AS DOUBLE) * count(*)
+                / CAST(SUM(n) AS BIGINT) AS skew_factor,
+              CAST(SUM(CASE WHEN n * 100 >= (SELECT SUM(n) FROM c)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
        FROM c""",
 )
 def q159(spark, sf_dir):
@@ -715,8 +716,8 @@ _BAR = 900  # 15-minute bars
     "q160_ohlc_bars",
     f"""WITH t AS (
           SELECT user_id, ts, value, event_id,
-                 to_timestamp(CAST(floor(epoch(ts) / {_BAR}) AS BIGINT)
-                              * {_BAR}) AS bar_ts
+                 CAST(to_timestamp(CAST(floor(epoch(ts) / {_BAR}) AS BIGINT)
+                                   * {_BAR}) AS TIMESTAMP) AS bar_ts
           FROM events),
         w AS (
           SELECT *,
@@ -1394,9 +1395,9 @@ def q169_scale_plan(spark, docs):
          FROM events GROUP BY event_type)
        SELECT e.event_type,
               max(q.p25) AS p25, max(q.p75) AS p75,
-              SUM(CASE WHEN e.value < q.p25 - 1.5 * (q.p75 - q.p25)
-                        OR  e.value > q.p75 + 1.5 * (q.p75 - q.p25)
-                       THEN 1 ELSE 0 END) AS n_outliers,
+              CAST(SUM(CASE WHEN e.value < q.p25 - 1.5 * (q.p75 - q.p25)
+                             OR  e.value > q.p75 + 1.5 * (q.p75 - q.p25)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
               count(*) AS n_events
        FROM events e JOIN q ON e.event_type = q.event_type
        GROUP BY e.event_type""",
@@ -1514,7 +1515,8 @@ def q171(spark, sf_dir):
        per_day AS (
          SELECT d, count(*) AS n_new FROM first_seen GROUP BY d)
        SELECT d, n_new,
-              SUM(n_new) OVER (ORDER BY d) AS cumulative_users
+              CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT)
+                AS cumulative_users
        FROM per_day""",
 )
 def q172(spark, sf_dir):
@@ -1655,8 +1657,8 @@ _DORMANT_S = 7 * 86400  # a week of silence = dormancy
           FROM events),
         per_user AS (
           SELECT user_id,
-                 SUM(CASE WHEN gap_s > {_DORMANT_S} THEN 1 ELSE 0 END)
-                   AS n_reactivations
+                 CAST(SUM(CASE WHEN gap_s > {_DORMANT_S} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_reactivations
           FROM g GROUP BY user_id)
         SELECT n_reactivations, count(*) AS n_users
         FROM per_user GROUP BY n_reactivations""",

@@ -1283,9 +1283,9 @@ def q207(spark, sf_dir):
       FROM dur GROUP BY t),
     km1 AS (
       SELECT t, d, c,
-             sum(d + c) OVER () - coalesce(sum(d + c) OVER (
-               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) AS n_at_risk
+             CAST(sum(d + c) OVER () - coalesce(sum(d + c) OVER (
+                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
       FROM km0),
     km2 AS (
       SELECT *,
@@ -1757,4 +1757,101 @@ def q212(spark, sf_dir):
         "mean_price",
         F.when(full, interp(F.col("_m"), _BOOT_LO)).alias("ci_lo"),
         F.when(full, interp(F.col("_m"), _BOOT_HI)).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained-quality-gate scoring (q213) — the ORACLED half of q200.
+# ---------------------------------------------------------------------------
+from .functions.text import sql_tokens, tokens  # noqa: E402
+from .operators.text_analysis import _stopword_hits, sql_stopword_hits  # noqa: E402
+
+#: Deployed weight artifact: ``classifier.train_logreg`` on the q200
+#: feature frame at sf0.01 (lr=2.0, iters=25, decimal-exact gradients —
+#: bit-identical under any partitioning, tests/test_classifier.py), then
+#: frozen to 6 dp. q200 keeps the rows-only TRAINING loop; this query
+#: proves the deployed SCORING expression hash-exact against DuckDB.
+_Q213_W = (-1.829144, 3.689062, -1.558226, 0.060455)
+
+_Q213_TOKS = sql_tokens("text")
+
+
+def _q213_oracle() -> str:
+    w0, w1, w2, w3 = _Q213_W
+    return f"""WITH feats AS (
+      SELECT doc_id,
+             len({_Q213_TOKS}) AS n_tok,
+             round(ln(1.0 + len({_Q213_TOKS})), 6) AS f_logtok,
+             round(CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                        / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+             CASE WHEN len({_Q213_TOKS}) > 0
+                  THEN {sql_stopword_hits(_Q213_TOKS)}::DOUBLE
+                       / len({_Q213_TOKS})
+                  ELSE 0.0 END AS stopword_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(1000000.0 / (1.0 + exp(-(
+               {w0} + {w1} * f_logtok + {w2} * alpha_ratio
+                    + {w3} * stopword_ratio)))) AS BIGINT) AS p_micro
+      FROM feats)
+    SELECT doc_id,
+           p_micro / 1000000.0 AS quality_p,
+           CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS INT)
+             AS pred,
+           CAST(least(p_micro // 100000, 9) AS INT) AS p_bucket
+    FROM scored"""
+
+
+@query("q213_quality_gate_scoring", _q213_oracle())
+def q213(spark, sf_dir):
+    """The quality-model triangle's missing oracled edge (q200 TRAINS
+    rows-only by nature; q121 infers a HAND-fixed model; q210
+    calibrates): score every document with the TRAINED weight artifact
+    as one codegen'd scan pass and hash-match it against DuckDB.
+
+    Engine-exactness: the only transcendentals are ln (rounded to 6 dp
+    per the house rule, q208's discipline) and the final sigmoid's exp,
+    which is micro-FLOORED (q121's trick) so both engines emit the
+    identical scalar; every other term is integer-derived ratio algebra
+    on 6 dp-rounded doubles in an identical association order. One scan,
+    zero shuffles, whole-stage codegen end to end."""
+    w0, w1, w2, w3 = _Q213_W
+    tok = tokens("text")
+    n_tok = F.size(tok)
+    txt = F.col("text")
+    n_chars = F.length(txt)
+    n_alpha = n_chars - F.length(
+        F.translate(
+            txt, "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", ""
+        )
+    )
+    f_logtok = F.round(F.log(F.lit(1.0) + n_tok.cast("double")), 6)
+    alpha_ratio = F.round(
+        F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    stop_ratio = F.when(
+        n_tok > 0, _stopword_hits(tok).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    margin = (
+        F.lit(w0)
+        + F.lit(w1) * f_logtok
+        + F.lit(w2) * alpha_ratio
+        + F.lit(w3) * stop_ratio
+    )
+    p_micro = F.floor(
+        F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))
+    ).cast("bigint")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (p_micro / F.lit(1000000.0)).alias("quality_p"),
+        F.when(p_micro >= 500000, 1).otherwise(0).cast("int").alias("pred"),
+        F.least(
+            F.floor(p_micro / 100000).cast("int"), F.lit(9)
+        ).alias("p_bucket"),
     )

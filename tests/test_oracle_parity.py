@@ -143,3 +143,28 @@ def test_driver_facing_order_surfaces_fresh_oracled_first():
     # land inside the sample prefix even when the block exceeds it
     nums = [int("".join(c for c in n[1:4] if c.isdigit())) for n in head]
     assert nums == sorted(nums, reverse=True), nums
+
+
+# DuckDB logical types that the external driver's comparator renders
+# differently from Python-int / naive-datetime coercion.  Every r5 red
+# row traced to one of these leaking into an oracle OUTPUT column
+# (SUM over integers -> HUGEINT; to_timestamp -> TIMESTAMP WITH TIME
+# ZONE), so ban the whole class structurally.
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "TIME ZONE")
+
+
+def test_no_oracle_output_types_huge_or_tz(duck):
+    """No oracle may emit HUGEINT / UHUGEINT / TIMESTAMPTZ output
+    columns — cast integer SUMs to BIGINT and to_timestamp to plain
+    TIMESTAMP at the oracle's outermost SELECT (VERDICT r5 #1)."""
+    bad = {}
+    for name, sql in sorted(ORACLE_SQL.items()):
+        rel = duck.sql(sql)  # binds without executing
+        hits = [
+            f"{col}:{typ}"
+            for col, typ in zip(rel.columns, map(str, rel.types))
+            if any(b in str(typ).upper() for b in _BANNED_ORACLE_TYPES)
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracle outputs with driver-unsafe types: {bad}"

@@ -50,6 +50,18 @@ for name, fn in sorted(qs.items()):
     if name not in osql:
         print(f"  {name}: rows-only, {len(srows)} rows OK")
         continue
+    # the external comparator renders HUGEINT / TIMESTAMPTZ outputs
+    # differently from Python coercion (every r5 red row) — fail loud
+    # here instead of shipping a latent driver mismatch
+    rel = con.sql(osql[name])
+    badtypes = [
+        f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+        if any(b in str(t).upper() for b in ("HUGEINT", "UHUGEINT", "TIME ZONE"))
+    ]
+    if badtypes:
+        fail += 1
+        print(f"  {name}: ORACLE-TYPE driver-unsafe outputs {badtypes}")
+        continue
     res = con.execute(osql[name])
     dcols = sorted(d[0].lower() for d in res.description)
     dcols_orig = [d[0] for d in res.description]
