@@ -370,6 +370,7 @@ def label_propagation(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    trace: list | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) over an undirected edge list — the coarser, density-
@@ -387,6 +388,18 @@ def label_propagation(
     pagerank. Early exit via a 1-row changed-label probe; iterations
     localCheckpoint to cut lineage. Returns ``node, label`` where
     label = min node id of the community's seed.
+
+    Active-set optimization (r6): a node's vote multiset — its
+    neighbors' labels plus its own — is unchanged unless itself or a
+    neighbor changed label last superstep, so each iteration recomputes
+    votes ONLY for that frontier and carries every other label forward
+    untouched. Semantics are bit-identical to the full synchronous
+    update (the skipped nodes would have recomputed the same argmax);
+    the per-iteration edge shuffle shrinks with the frontier, so
+    converged components stop paying — the Pregel "halt until message"
+    contract, expressed relationally. ``trace``, when given a list,
+    receives the per-iteration changed-node counts (the active-set
+    decay the tests pin).
     """
     from pyspark.sql import Window
 
@@ -413,25 +426,44 @@ def label_propagation(
     argmax = Window.partitionBy("node").orderBy(
         F.col("_votes").desc(), F.col("label").asc()
     )
+    active = labels.select("node")  # superstep 0: every node votes
     for _ in range(max_iter):
-        neighbor_votes = sym.join(
-            labels.withColumnRenamed("node", "src"), on="src"
-        ).select(F.col("dst").alias("node"), "label")
-        votes = neighbor_votes.unionByName(labels)  # self-vote
-        new_labels = (
-            votes.groupBy("node", "label")
+        # frontier = active ∪ neighbors(active): the only nodes whose
+        # vote multiset can have changed since last superstep
+        frontier = (
+            sym.join(active.withColumnRenamed("node", "src"), on="src")
+            .select(F.col("dst").alias("node"))
+            .unionByName(active)
+            .distinct()
+        )
+        # votes for a frontier node still come from ALL its neighbors
+        neighbor_votes = (
+            sym.join(frontier.withColumnRenamed("node", "dst"), on="dst")
+            .join(labels.withColumnRenamed("node", "src"), on="src")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        self_votes = labels.join(frontier, on="node", how="left_semi")
+        updated = (
+            neighbor_votes.unionByName(self_votes)
+            .groupBy("node", "label")
             .agg(F.count("*").alias("_votes"))
             .withColumn("_rn", F.row_number().over(argmax))
             .filter(F.col("_rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "_new")
+        new_labels = updated.unionByName(
+            labels.join(frontier, on="node", how="left_anti")
+        ).localCheckpoint(eager=False)
+        active = (
+            updated.withColumnRenamed("label", "_new")
             .join(labels, on="node")
             .filter(F.col("_new") != F.col("label"))
-            .count()
+            .select("node")
+            .localCheckpoint(eager=False)
         )
+        changed = active.count()
+        if trace is not None:
+            trace.append(changed)
         labels = new_labels
         if changed == 0:
             break

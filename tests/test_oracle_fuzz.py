@@ -77,3 +77,84 @@ def test_fuzzed_rows_only_queries_run(spark, fuzz_env):
             continue
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_kaplan_meier_boundary_ln_corpus(spark, tmp_path):
+    """r6 hardening (VERDICT r5 #8): q208's survival product is
+    exp(Σ round(ln(factor), 6)) — a factor whose ln lands near a
+    5e-7 rounding boundary is where differing libm implementations
+    could round apart. Build a life table that GREEDILY forces every
+    step's factor as close to a boundary as integer (n_at_risk, d)
+    pairs allow, then require Spark and DuckDB to hash-match on it."""
+    import math
+
+    import pandas as pd
+
+    # greedy boundary-seeking life table: at each step pick the death
+    # count whose ln(factor) has fractional micro-part nearest .5
+    n = 400
+    steps = []  # (day, deaths, censored)
+    day = 1
+    while n > 60 and day <= 14:
+        best_d, best_gap = 1, 1.0
+        for d in range(1, min(40, n - 20)):
+            x = abs(
+                math.modf(1e6 * math.log((n - d) / n))[0].__abs__() - 0.5
+            )
+            if x < best_gap:
+                best_gap, best_d = x, d
+        c = 5
+        steps.append((day, best_d, c))
+        n -= best_d + c
+        day += 1
+
+    rows = []
+    uid, eid = 0, 0
+    base = pd.Timestamp("2024-01-01")
+
+    def add(day_off: int, etype: str):
+        nonlocal eid
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": base + pd.Timedelta(seconds=day_off * 86400 + 3600),
+                "user_id": uid,
+                "event_type": etype,
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        eid += 1
+
+    for day, deaths, censored in steps:
+        for _ in range(deaths):
+            add(0, "view"); add(day, "purchase"); uid += 1
+        for _ in range(censored):
+            add(0, "view"); add(day, "view"); uid += 1
+    for _ in range(n):  # remaining users censored past the table
+        add(0, "view"); add(20, "view"); uid += 1
+
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[ns]")  # driver corpus quirk
+    sf_dir = str(tmp_path)
+    df.to_parquet(os.path.join(sf_dir, "events.parquet"), index=False)
+
+    sdf = QUERIES["q208_kaplan_meier"](spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    res = con.execute(ORACLE_SQL["q208_kaplan_meier"])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert len(spark_rows) == len(duck_rows) >= len(steps)
+    cs, cd = _canon(spark_rows, spark_cols), _canon(duck_rows, duck_cols)
+    assert cs == cd, [
+        (a, b) for a, b in zip(cs, cd) if a != b
+    ][:3]

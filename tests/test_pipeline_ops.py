@@ -1117,3 +1117,29 @@ def test_bootstrap_ci_brackets_mean(spark):
         assert r["ci_lo"] is not None and r["ci_lo"] < r["ci_hi"]
         # the bootstrap distribution centers on the sample mean
         assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"], r
+
+
+def test_label_propagation_active_set_shrinks(spark):
+    """r6 active-set optimization: converged components stop voting.
+
+    The frontier recompute must change NO final label (checked against
+    the pinned barbell communities) while the per-iteration changed-
+    node counts decay to zero — the signal that later supersteps only
+    shuffle the still-moving frontier, not the whole edge list."""
+    from mtg_bulk_database_spark.operators import graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    trace: list = []
+    labels = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(df, trace=trace).collect()
+    }
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+    # active set decays monotonically after the first superstep and
+    # hits zero (early exit), never re-growing on a converged graph
+    assert trace[-1] == 0
+    assert trace == sorted(trace, reverse=True), trace
+    assert trace[0] > trace[-1]
