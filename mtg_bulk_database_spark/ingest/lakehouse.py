@@ -290,3 +290,73 @@ def _delta_merge_upsert(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def execute_merge_sql(
+    spark: SparkSession,
+    sql_text: str,
+    ident_paths: dict,
+    order_col: Optional[str] = None,
+) -> int:
+    """EXECUTE the exact ``MERGE INTO`` text the Iceberg binding emits
+    (``_iceberg_merge_sql``), against the path-addressed LEDGER backend
+    — the jarless container's execution twin for the SQL surface that
+    r5 could only parser-validate.
+
+    The statement is parsed by SPARK'S OWN SQL PARSER (never regexed):
+    the resulting ``MergeIntoTable`` plan must carry exactly the
+    binding's shape — an equi-join merge condition on one key,
+    ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN NOT MATCHED THEN
+    INSERT *``, nothing else — and its components drive the dispatch:
+    the target identifier resolves to a ledger root through
+    ``ident_paths`` (same strict identifier contract as
+    ``_iceberg_ident``), the source relation resolves through the
+    session catalog (the temp view the binding registers), and the key
+    comes from the merge condition's attribute.  Anything outside that
+    shape raises rather than silently approximating, so this twin can
+    only ever execute semantics the Iceberg leg would.
+
+    Returns the committed ledger version, like ``ledger_merge_upsert``.
+    """
+    parser = spark._jsparkSession.sessionState().sqlParser()  # noqa: SLF001
+    plan = parser.parsePlan(sql_text)
+    if plan.getClass().getSimpleName() != "MergeIntoTable":
+        raise ValueError(f"not a MERGE statement: {sql_text!r}")
+
+    def _ident(rel) -> str:
+        if rel.getClass().getSimpleName() == "SubqueryAlias":
+            rel = rel.child()
+        if rel.getClass().getSimpleName() != "UnresolvedRelation":
+            raise ValueError("MERGE relation is not a plain table/view")
+        return rel.multipartIdentifier().mkString(".")
+
+    target = _ident(plan.targetTable())
+    source_name = _ident(plan.sourceTable())
+    cond = plan.mergeCondition()
+    if cond.getClass().getSimpleName() != "EqualTo":
+        raise ValueError(f"unsupported merge condition: {cond.sql()}")
+    left = cond.left().nameParts()
+    right = cond.right().nameParts()
+    key_l = left.apply(left.size() - 1)
+    key_r = right.apply(right.size() - 1)
+    if key_l != key_r:
+        raise ValueError(
+            f"merge condition keys differ: {key_l!r} vs {key_r!r}"
+        )
+    ma, nma = plan.matchedActions(), plan.notMatchedActions()
+    if not (
+        ma.size() == 1
+        and ma.head().getClass().getSimpleName() == "UpdateStarAction"
+        and nma.size() == 1
+        and nma.head().getClass().getSimpleName() == "InsertStarAction"
+        and plan.notMatchedBySourceActions().size() == 0
+    ):
+        raise ValueError(
+            "only the binding's UPDATE SET * / INSERT * shape is executable"
+        )
+    if target not in ident_paths:
+        raise ValueError(f"no ledger path registered for {target!r}")
+    source = spark.table(source_name)
+    return ledger.ledger_merge_upsert(
+        spark, ident_paths[target], source, key=key_l, order_col=order_col
+    )
