@@ -110,6 +110,12 @@ HEADLINE = [
     "q210_classifier_calibration",
     "q211_ab_test_zstat",
     "q212_bootstrap_ci",
+    # r6 additions: trained-gate scoring, bigram-LM corpus perplexity,
+    # readability, HLL register set algebra
+    "q213_quality_gate_scoring",
+    "q214_lm_perplexity",
+    "q215_readability",
+    "q216_hll_set_algebra",
 ]
 
 

@@ -38,6 +38,7 @@ def load_registry():
         pipeline_queries7,
         pipeline_queries8,
         pipeline_queries9,
+        pipeline_queries10,
         queries,
         queries_extra,
     )
