@@ -116,6 +116,7 @@ HEADLINE = [
     "q214_lm_perplexity",
     "q215_readability",
     "q216_hll_set_algebra",
+    "q217_ivf_assign_portable",
 ]
 
 

@@ -302,3 +302,97 @@ def q216(spark, sf_dir):
             ).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer ASSIGNMENT with the frozen centroid artifact
+# (q217) — the q213 pattern applied to the ANN family: k-means TRAINING
+# is float-iterative (rows-only by nature, q75), but the deployed
+# quantizer's assignment pass is pure fixed-literal algebra, so the
+# serving half of IVF becomes a hash-checked gate.
+# ---------------------------------------------------------------------------
+from .functions.vectors import (  # noqa: E402
+    cosine_similarity,
+    indexable_vector,
+    sql_cosine,
+    sql_indexable,
+)
+
+#: Deployed coarse-quantizer artifact: ``similarity.ivf_index`` on the
+#: sf0.01 embedding pool (n_lists=8, seed 42, spherical k-means), each
+#: centroid frozen to 6 dp.  Cosine against these literals is pure
+#: mul/add/sqrt/divide — every op IEEE-exact, no transcendental — so
+#: the scores are BIT-identical across engines with no rounding
+#: discipline needed beyond the defensive final 6 dp.
+_Q217_CENTROIDS = (
+    (-0.077729, 0.000613, -0.022249, -0.031346, -0.065625, -0.027281, -0.01306, -0.024105, -0.056388, -0.058213, 0.037927, -0.043047, -0.035335, -0.005288, -0.028536, -0.078915, 0.024373, 0.079232, 0.006768, -0.026803, 0.044129, 0.045647, 0.055511, 0.024626, 0.047379, -0.067458, 0.024594, -0.01479, -0.012264, -0.006515, -0.00676, -0.023688, 0.085699, 0.012473, 0.015957, 0.004062, -0.041726, -0.038952, 0.042452, -0.002432, -0.001098, 0.026545, 0.005638, -0.060911, 0.048676, 0.00398, 0.039394, 0.020951, -0.013709, -0.056016, 0.011631, -0.013431, 0.044736, -0.035133, -0.010927, -0.04723, -0.087872, -0.052917, 0.017504, 0.000454, 0.017088, 0.044163, -0.012853, -0.04995),
+    (-0.028749, -0.052552, -0.063649, 0.034742, 0.038582, 0.022227, -0.037753, -0.010122, 0.025068, 0.014159, 0.035167, 0.007628, -0.029794, 0.025887, -0.003722, -0.009944, -0.03039, -0.047398, -0.036284, -0.018795, -0.03715, 0.028837, -0.001218, 0.003317, 0.038614, 0.077516, 0.012595, -0.001309, -0.026577, -0.000716, 0.027367, 0.005273, 0.038856, -0.048054, 0.000395, -0.021265, 0.007153, 0.01439, -0.058294, 0.045066, 0.045292, 0.008911, 0.033511, 0.029382, -0.032029, 0.008499, 0.019104, -0.025905, 0.040761, 0.06675, -0.016299, -0.005997, 0.064654, 0.009144, -0.037538, 0.017623, 0.008372, -0.00083, 0.001366, 0.029033, 0.021949, 0.041429, -0.016304, 0.00555),
+    (0.006969, 0.01189, -0.015741, -0.042739, 0.002153, 0.016276, 0.00927, -0.013579, -0.00058, -0.06959, -0.01506, -0.045794, -0.03287, 0.014215, -0.019316, 0.002047, 0.062008, 0.006583, 0.029074, 0.043362, 0.009481, -0.006041, 0.04828, -0.019527, -0.031275, -0.006724, -0.007716, 0.032046, 0.023208, 0.008608, -0.017016, 0.006399, -0.049185, -6.6e-05, 0.024261, 0.024875, -0.000759, 0.015202, 0.025088, 0.020275, -0.018381, 0.020712, 0.020875, -0.009496, -0.041281, 0.021358, -0.014017, -0.038378, -0.012092, 0.027974, -0.025311, -0.010463, -0.012935, -0.032555, 0.019773, -0.047775, 0.029738, -0.011994, -0.012939, -0.018872, -0.040692, 0.023509, 0.007005, -0.022163),
+    (-0.008152, 0.011199, 0.047988, 0.000178, 0.026236, -0.047446, 0.04683, -0.006881, 0.025152, -0.022347, -0.058308, 0.021628, 0.062466, 0.019645, 0.068487, -0.040318, -0.007682, -0.00192, -0.027591, 0.032256, 0.013564, -0.035227, -0.023519, -0.049224, 0.011254, 0.034101, -0.051985, -0.035664, -0.058455, 0.021986, 0.03972, -0.054928, 0.067352, 0.035608, 0.013487, 0.015702, 0.03885, 0.000203, -0.101167, -0.020161, 0.022672, -0.033123, -0.01755, 0.043722, 0.022636, 0.023665, -0.045344, 0.005739, -0.036323, -0.083343, -0.036008, 0.077574, 0.026789, -0.012495, 0.071319, -0.022576, 0.019833, -0.030623, 0.063543, 0.026139, 0.00155, -0.050652, 0.061162, -0.032034),
+    (-0.003742, -0.009924, 0.0102, -0.011084, 0.01533, 0.044474, -0.091717, 0.025378, 0.006677, 0.077806, -0.07259, 0.037998, 0.051009, -0.028151, 0.019246, 0.069954, 0.023183, -0.030952, 0.039284, -0.042813, 0.029457, 0.021265, -0.017934, -0.016462, -0.020942, 0.045149, -0.006752, -0.008335, -0.01191, -0.045639, -0.003695, -0.006798, -0.024017, -0.000337, 0.011667, -0.072792, -0.01172, -0.026305, 0.01874, -0.046788, -0.01456, -0.00709, 0.005286, -0.005432, 0.01472, -0.000836, -0.03207, 0.019499, -0.038001, -0.046973, 0.012253, -0.009679, -0.000313, 0.041647, -0.017108, 0.029373, 0.019551, 0.046087, 0.025027, -0.009323, -0.033994, -0.003284, 0.01503, -0.03845),
+    (0.039574, 0.041078, 0.039067, 0.016605, 0.03317, 0.060251, -0.037953, -0.002488, -0.033369, -0.033856, 0.063835, 0.031803, -0.026467, -0.015287, -0.002077, 0.033329, -0.042122, 0.018438, -0.006291, -0.0337, -0.001009, -0.022842, -0.021422, 0.02201, 0.012236, -0.005968, 0.035881, 0.022352, 0.04029, 0.036742, 0.010479, -0.01258, 0.018073, -0.014016, -0.010772, -0.00449, -0.008491, 0.056831, -0.00925, -0.002243, -0.026757, -0.072218, -0.013554, -0.011276, -0.019089, 0.0024, 0.037392, 0.00302, 0.035248, -0.030404, 0.056088, 0.003721, -0.044213, -0.016601, -0.016909, 0.01409, 0.034106, 0.038694, -0.032002, 0.008887, 0.058948, -0.049121, 0.005662, 0.054187),
+    (0.058356, -0.031186, 0.012924, 0.028765, -0.016309, -0.016235, 0.015167, 0.101596, -0.020379, 0.076782, 0.039677, 0.018428, -0.005724, 0.00621, -0.011618, 0.004316, -0.032413, 0.031523, -0.022415, 0.000471, -0.045489, -0.003148, -0.001984, -0.012555, -0.031315, 0.008672, -0.016275, 0.038789, 0.020338, -0.015336, 0.03386, 0.024057, 0.002277, 0.009259, 0.000506, 0.08099, -0.025142, -0.057737, 0.046938, -0.025404, -0.031119, -0.020528, -0.06063, -0.017584, -0.011756, -0.037199, -0.007535, 0.099877, -0.034982, -0.01883, 0.029119, -0.03619, -0.004774, 0.003186, 0.02047, 0.003466, -0.057086, -0.053151, -0.066395, -0.051297, -0.005883, 0.021924, -0.03981, -0.024143),
+    (-0.043453, -0.028158, 0.100705, -0.058704, 0.011311, -0.137549, 0.005293, -0.013477, 0.051751, 0.034413, 0.037265, 0.003598, 0.076742, -0.001581, -0.002491, -0.003523, 0.023352, 0.066254, -0.026833, 0.111049, -0.048357, 0.002216, -0.037273, -0.02983, 0.000369, -0.052943, -0.041111, 0.017788, -0.074532, -0.003033, -0.067523, -0.047617, 0.039266, -0.035864, -0.04717, -0.029122, -0.001083, -0.03508, 0.003861, 0.005106, 0.077801, -0.030826, 0.030678, 0.056546, -0.023114, 0.004502, 0.001879, -0.005354, 0.020767, -0.013816, 0.094346, 0.025511, 0.059924, 0.028314, 0.069704, 0.041246, 0.020718, 0.007811, 0.030701, -0.086704, 0.004982, 0.005655, -0.049228, -0.048529),
+)
+
+def _q217_oracle() -> str:
+    def sql_cent(c) -> str:
+        # parenthesized so the twin's subscript `{cent}[i]` parses
+        return "([" + ", ".join(repr(v) for v in c) + "]::DOUBLE[])"
+
+    score_cols = ",\n             ".join(
+        f"round({sql_cosine('embedding', sql_cent(c))}, 6) AS s{i}"
+        for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    arr = "[" + ", ".join(f"s{i}" for i in range(len(_Q217_CENTROIDS))) + "]"
+    return f"""WITH pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id <> 0 AND {sql_indexable('embedding')}),
+    scored AS (
+      SELECT vec_id,
+             {score_cols}
+      FROM pool),
+    arrd AS (
+      SELECT vec_id, {arr} AS sc FROM scored)
+    SELECT vec_id,
+           CAST(list_position(sc, list_aggregate(sc, 'max')) - 1 AS INT)
+             AS list_id,
+           list_aggregate(sc, 'max') AS affinity
+    FROM arrd"""
+
+
+@query("q217_ivf_assign_portable", _q217_oracle())
+def q217(spark, sf_dir):
+    """The IVF index's ASSIGNMENT pass with the deployed centroid
+    artifact, hash-checked against DuckDB: every indexable embedding
+    scores against all 8 frozen centroids (fixed-order zip_with fold —
+    the vectors module's cross-engine dot discipline) and lands in the
+    argmax list, first-index tiebreak.  This is exactly the map pass a
+    100 TB ingest runs to cluster-partition vectors before writing
+    (q75 probes the result); one codegen'd scan, zero shuffles, the
+    centroid table folded in as literals."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
+    )
+    scores = F.array(
+        *[
+            F.round(
+                cosine_similarity(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in c]),
+                ),
+                6,
+            )
+            for c in _Q217_CENTROIDS
+        ]
+    )
+    return emb.select(
+        "vec_id",
+        scores.alias("sc"),
+    ).select(
+        "vec_id",
+        (F.array_position("sc", F.array_max("sc")) - 1)
+        .cast("int")
+        .alias("list_id"),
+        F.array_max("sc").alias("affinity"),
+    )
