@@ -73,9 +73,20 @@ def drift_report(
     Groups present in only one snapshot appear with the other side's
     counts at 0 (full outer join) — appearance/disappearance IS drift.
     """
-    nb = len(bounds) + 1
     a = _bucket_counts(snap_a, group_col, value_col, bounds, "a")
     b = _bucket_counts(snap_b, group_col, value_col, bounds, "b")
+    return drift_report_from_counts(a, b, group_col, len(bounds) + 1)
+
+
+def drift_report_from_counts(
+    a: DataFrame, b: DataFrame, group_col: str, nb: int
+) -> DataFrame:
+    """The report's arithmetic over PREBUILT count frames (the
+    ``_bucket_counts`` shape, ``a_*``/``b_*`` prefixed) — split out so
+    the streaming fold's merged state feeds the identical expressions
+    as the batch path (``streaming.ingest.stream_fold_drift_counts``):
+    the count frame is the drift monitor's mergeable sketch, counts
+    being SUM-foldable across micro-batches by construction."""
     j = a.join(b, on=group_col, how="full")
 
     def cnt(p: str, i: int) -> Column:

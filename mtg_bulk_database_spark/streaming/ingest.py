@@ -354,3 +354,73 @@ def stream_fold_hll(
         .agg(F.max("M").alias("M"))
     )
     return hll_estimate_from_registers(regs, group_col)
+
+
+def stream_fold_drift_counts(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    bounds: list,
+    prefix: str = "b",
+    schema=None,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming leg of the drift monitor: each micro-batch folds to
+    its |groups|-row conditional-count frame (``drift._bucket_counts``
+    — the monitor's mergeable state: every column is a COUNT, so the
+    corpus state is the per-group SUM of batch states, associative and
+    replay-safe under the same ``batch=<id>`` overwrite contract as the
+    sketch folds). Feed the merged frame to
+    ``drift.drift_report_from_counts`` next to a reference side and the
+    report is EXPRESSION-IDENTICAL to the batch path — streamed ≡ batch
+    is pinned bitwise in tests/test_drift.py.
+
+    At 100 TB this is the shape drift monitoring wants anyway: the
+    state that persists per ingest run is groups × (buckets+2) integers
+    — metadata-scale — while the scan cost amortizes into the ingest
+    stream itself."""
+    from ..operators.drift import _bucket_counts
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _bucket_counts(
+            batch_df, group_col, value_col, bounds, prefix
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_drift_counts did not drain within {timeout_s}s "
+            f"(src_dir={src_dir!r})"
+        )
+    import os
+
+    from pyspark.sql import functions as F
+
+    cols = [f"{prefix}_n", f"{prefix}_nulls"] + [
+        f"{prefix}_b{i}" for i in range(len(bounds) + 1)
+    ]
+    if not os.path.isdir(state_dir):
+        schema_str = f"{group_col} string, " + ", ".join(
+            f"{c} long" for c in cols
+        )
+        return spark.createDataFrame([], schema_str)
+    return (
+        spark.read.parquet(state_dir)
+        .drop("batch")
+        .groupBy(group_col)
+        .agg(*[F.sum(c).alias(c) for c in cols])
+    )

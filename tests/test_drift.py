@@ -49,3 +49,52 @@ def test_null_values_counted_not_bucketed(spark):
     )
     r = drift_report(a, a, "g", "v", BOUNDS).collect()[0]
     assert r["null_rate_a"] == 0.5 and r["psi"] == 0.0
+
+
+def test_streamed_drift_counts_equal_batch(spark, tmp_path):
+    """r6: the drift monitor's streaming leg — per-micro-batch
+    conditional-count frames SUM-merged across batches must feed
+    drift_report_from_counts to the BITWISE-same report as the batch
+    drift_report over the whole snapshots (counts are the monitor's
+    mergeable sketch; batch=<id> overwrite keeps replays idempotent)."""
+    from mtg_bulk_database_spark.operators.drift import (
+        _bucket_counts,
+        drift_report_from_counts,
+    )
+    from mtg_bulk_database_spark.streaming.ingest import (
+        stream_fold_drift_counts,
+    )
+
+    rows_a = [("g1", float(i % 60)) for i in range(150)] + [
+        ("g2", None)
+    ] * 10 + [("g2", 25.0)] * 40
+    rows_b = [("g1", float((i * 7) % 80)) for i in range(120)] + [
+        ("g3", 5.0)
+    ] * 30
+    a = spark.createDataFrame(rows_a, "g string, v double")
+    b = spark.createDataFrame(rows_b, "g string, v double")
+
+    # new snapshot arrives as a STREAM in 3 files
+    src = tmp_path / "src"
+    b.repartition(3).write.parquet(str(src))
+
+    merged_b = stream_fold_drift_counts(
+        spark,
+        str(src),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        "g",
+        "v",
+        BOUNDS,
+        prefix="b",
+        schema="g string, v double",
+    )
+    ref_a = _bucket_counts(a, "g", "v", BOUNDS, "a")
+    streamed = sorted(
+        drift_report_from_counts(
+            ref_a, merged_b, "g", len(BOUNDS) + 1
+        ).collect()
+    )
+    batch = sorted(drift_report(a, b, "g", "v", BOUNDS).collect())
+    assert streamed == batch
+    assert {r["g"] for r in streamed} == {"g1", "g2", "g3"}
