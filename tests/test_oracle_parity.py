@@ -168,3 +168,24 @@ def test_no_oracle_output_types_huge_or_tz(duck):
         if hits:
             bad[name] = hits
     assert not bad, f"oracle outputs with driver-unsafe types: {bad}"
+
+
+def test_no_complex_output_columns(spark):
+    """The external driver canonicalizes result cells through pandas
+    hashing — array/struct/map cells throw `unhashable type` there
+    (verify-skill gotcha). Ban complex types structurally on every
+    ORACLED query's output schema (rows-only queries may return what
+    their tests consume)."""
+    bad = {}
+    for name in sorted(ORACLE_SQL):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        hits = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith(
+                ("array", "struct", "map")
+            )
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"complex-typed oracle outputs: {bad}"
