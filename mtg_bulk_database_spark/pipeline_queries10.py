@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.text import sql_tokens, tokens
 from .operators.sketches import (
-    HLL_P,
     hll_estimate_from_registers,
     hll_portable_registers,
     sql_hll_portable,
