@@ -117,6 +117,7 @@ HEADLINE = [
     "q215_readability",
     "q216_hll_set_algebra",
     "q217_ivf_assign_portable",
+    "q218_cohort_retention",
 ]
 
 

@@ -395,3 +395,89 @@ def q217(spark, sf_dir):
         .alias("list_id"),
         F.array_max("sc").alias("affinity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (q218) — the signup-week × weeks-since grid.
+# ---------------------------------------------------------------------------
+@query(
+    "q218_cohort_retention",
+    """WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_idx
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.ts IS NOT NULL),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM first_seen GROUP BY cohort_week),
+    grid AS (
+      SELECT cohort_week, week_idx, count(*) AS n_active
+      FROM activity GROUP BY cohort_week, week_idx)
+    SELECT g.cohort_week, g.week_idx, g.n_active, s.cohort_size,
+           round(CAST(g.n_active AS DOUBLE) / s.cohort_size, 6)
+             AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)""",
+)
+def q218(spark, sf_dir):
+    """The retention grid every growth dashboard draws: users bucket
+    into signup-week cohorts (ISO week of first event — both engines
+    truncate to Monday; CAST to DATE kills the engines' differing
+    date_trunc return types), activity collapses to distinct
+    (user, week) cells, and the matrix is one groupBy over
+    (cohort, weeks-since) with a cohort-size join. Week indices are
+    exact integer date arithmetic between two week-start dates —
+    never float duration division — and retention is one final double
+    division of two counts.
+
+    Scale: two shuffles on user (first-seen + the activity join — at
+    ingest the first-seen frame is the persisted artifact, making this
+    one shuffle), one on the cohort grid (|weeks|² cells, metadata);
+    the distinct is partial-aggregated. Complements q172 (cumulative
+    uniques) and q175 (reactivation census): this is the COHORTED
+    decay view of the same lag machinery."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_idx"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    grid = activity.groupBy("cohort_week", "week_idx").agg(
+        F.count("*").alias("n_active")
+    )
+    return grid.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_idx",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
