@@ -118,6 +118,7 @@ HEADLINE = [
     "q216_hll_set_algebra",
     "q217_ivf_assign_portable",
     "q218_cohort_retention",
+    "q219_retrieval_ndcg",
 ]
 
 

@@ -481,3 +481,128 @@ def q218(spark, sf_dir):
             F.col("n_active").cast("double") / F.col("cohort_size"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: nDCG@10 of the BM25 ranking (q219).
+# ---------------------------------------------------------------------------
+from .operators.retrieval import bm25_scores, sql_bm25_scores  # noqa: E402
+
+_Q219_TERMS = ("spark", "vector")
+_Q219_K = 10
+#: Per-rank discounts 1/log2(i+1), frozen as 6 dp PYTHON literals so
+#: both engines multiply integer gains by the IDENTICAL decimal — no
+#: runtime log2 ever runs (the transcendental is precomputed, the
+#: strongest form of the house ln rule).
+_Q219_DISC = (
+    "1.0", "0.63093", "0.5", "0.430677", "0.386853",
+    "0.356207", "0.333333", "0.315465", "0.30103", "0.289065",
+)
+
+
+def _q219_oracle() -> str:
+    t0, t1 = _Q219_TERMS
+    bm25 = sql_bm25_scores(_Q219_TERMS)
+    disc = "[" + ", ".join(_Q219_DISC) + "]::DECIMAL(8,6)[]"
+    return f"""WITH scored AS ({bm25}),
+    rels AS (
+      SELECT doc_id,
+             CAST(list_contains({_TOKS}, '{t0}') AS INT)
+             + CAST(list_contains({_TOKS}, '{t1}') AS INT) AS rel
+      FROM documents),
+    top AS (
+      SELECT s.doc_id, r.rel,
+             row_number() OVER (ORDER BY s.bm25 DESC, s.doc_id) AS rk
+      FROM scored s JOIN rels r USING (doc_id)
+      ORDER BY s.bm25 DESC, s.doc_id LIMIT {_Q219_K}),
+    dcg AS (
+      SELECT sum(((1 << rel) - 1) * ({disc})[rk]) AS dcg FROM top),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rk
+      FROM rels ORDER BY rel DESC, doc_id LIMIT {_Q219_K}),
+    idcg AS (
+      SELECT sum(((1 << rel) - 1) * ({disc})[rk]) AS idcg FROM ideal),
+    nrel AS (
+      SELECT count(CASE WHEN rel > 0 THEN 1 END) AS n_relevant FROM rels)
+    SELECT CAST(nrel.n_relevant AS BIGINT) AS n_relevant,
+           round(CAST(dcg.dcg AS DOUBLE), 6) AS dcg,
+           round(CAST(idcg.idcg AS DOUBLE), 6) AS idcg,
+           CASE WHEN idcg.idcg > 0
+                THEN round(CAST(dcg.dcg AS DOUBLE)
+                           / CAST(idcg.idcg AS DOUBLE), 6) END AS ndcg
+    FROM dcg, idcg, nrel"""
+
+
+@query("q219_retrieval_ndcg", _q219_oracle())
+def q219(spark, sf_dir):
+    """The retrieval family's EVAL gate (the q180 discipline applied to
+    ranking): nDCG@10 of the BM25 ranking against a graded relevance
+    oracle (how many distinct query terms the document contains —
+    deterministic, so the metric is hash-checkable end to end, which a
+    human-judged qrel set never is).
+
+    Engine-exactness: gains ``2^rel − 1`` are integers, the per-rank
+    discounts ``1/log2(i+1)`` are PRE-FROZEN 6 dp decimal literals (no
+    runtime transcendental at all), so DCG/IDCG are exact DECIMAL sums
+    and nDCG is one final double division. Scale: the only global sort
+    is a top-10 (TakeOrdered shape, never a full-table window); the
+    relevance column is a codegen'd projection; corpus stats come from
+    bm25_scores' single broadcast stats row."""
+    from pyspark.sql import Window
+
+    t0, t1 = _Q219_TERMS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    rels = docs.select(
+        "doc_id",
+        (
+            F.array_contains(toks, t0).cast("int")
+            + F.array_contains(toks, t1).cast("int")
+        ).alias("rel"),
+    )
+    disc = F.array(
+        *[F.lit(d).cast("decimal(8,6)") for d in _Q219_DISC]
+    )
+    gain = F.expr("shiftleft(1, rel) - 1")  # 2^rel − 1, integer
+
+    def decimal_dcg(ranked, out: str):
+        return ranked.agg(
+            F.sum(gain * F.element_at(disc, F.col("rk"))).alias(out)
+        )
+
+    w_score = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    top = (
+        bm25_scores(docs, list(_Q219_TERMS))
+        .join(rels, "doc_id")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_Q219_K)
+        .withColumn("rk", F.row_number().over(w_score))
+    )
+    w_rel = Window.orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        rels.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_Q219_K)
+        .withColumn("rk", F.row_number().over(w_rel))
+    )
+    dcg = decimal_dcg(top, "dcg")
+    idcg = decimal_dcg(ideal, "idcg")
+    nrel = rels.agg(
+        F.count(F.when(F.col("rel") > 0, 1)).alias("n_relevant")
+    )
+    return (
+        nrel.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_relevant",
+            F.round(F.col("dcg").cast("double"), 6).alias("dcg"),
+            F.round(F.col("idcg").cast("double"), 6).alias("idcg"),
+            F.when(
+                F.col("idcg") > 0,
+                F.round(
+                    F.col("dcg").cast("double")
+                    / F.col("idcg").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg"),
+        )
+    )
