@@ -84,12 +84,15 @@ def test_projection_prunes_wide_scan(spark):
 
 def test_q63_tokenizes_once(spark):
     # the repetition metrics reference the token array 6+ times; the
-    # materialized-projection pattern must keep exactly ONE split()
-    # in the physical plan (inline re-evaluation was the measured
-    # 10-30x trap documented in dedup.py)
+    # materialized-projection pattern must keep exactly ONE tokenizer
+    # expression in the physical plan (inline re-evaluation was the
+    # measured 10-30x trap documented in dedup.py). r6: the fused
+    # tokenizer is regexp_extract_all over the translate fold, so pin
+    # on that — and pin that the old 3-pass split form stays gone.
     df = QUERIES["q63_repetition_metrics"](spark, SF_DIR)
     plan = executed_plan(df)
-    assert plan.count("split(") == 1, "token array re-evaluated"
+    assert plan.count("regexp_extract_all(") == 1, "token array re-evaluated"
+    assert plan.count("split(") == 0, "3-pass tokenizer resurfaced"
     assert read_schema_columns(df) == {"doc_id", "text"}
 
 
