@@ -110,10 +110,11 @@ HEADLINE = [
     "q210_classifier_calibration",
     "q211_ab_test_zstat",
     "q212_bootstrap_ci",
-    # r6 additions: trained-gate scoring, bigram-LM corpus perplexity,
-    # readability, HLL register set algebra
+    # r6 additions: trained-gate scoring, per-source KL divergence,
+    # readability, HLL register set algebra, IVF assignment, cohort
+    # retention, retrieval nDCG
     "q213_quality_gate_scoring",
-    "q214_lm_perplexity",
+    "q214_source_token_kl",
     "q215_readability",
     "q216_hll_set_algebra",
     "q217_ivf_assign_portable",

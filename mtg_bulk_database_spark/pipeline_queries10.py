@@ -33,114 +33,108 @@ _BG_SEP = "\x1f"
 
 
 # ---------------------------------------------------------------------------
-# Bigram language-model perplexity scoring (q214).
+# Per-source token-distribution divergence vs the corpus (q214).
 # ---------------------------------------------------------------------------
 def _q214_oracle() -> str:
-    return f"""WITH toks AS (
-      SELECT doc_id, {_TOKS} AS t FROM documents),
-    uni0 AS (
-      SELECT unnest(t) AS w FROM toks),
-    uni AS (
-      SELECT w, count(*) AS cu FROM uni0 GROUP BY w),
-    v AS (SELECT count(*) AS vsz FROM uni),
-    bgs AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(t)),
-                    i -> t[i] || chr(31) || t[i + 1])) AS bg
-      FROM toks WHERE len(t) >= 2),
-    bi AS (
-      SELECT bg, count(*) AS cb FROM bgs GROUP BY bg),
-    scored AS (
-      SELECT b.doc_id,
-             count(*) AS nb,
-             sum(CAST(round(ln((bi.cb + 1.0)
-                             / (uni.cu + v.vsz)), 6)
-                      AS DECIMAL(18,6))) AS lp
-      FROM bgs b
-      JOIN bi USING (bg)
-      JOIN uni ON uni.w = string_split(b.bg, chr(31))[1]
-      CROSS JOIN v
-      GROUP BY b.doc_id)
-    SELECT d.doc_id,
-           CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
-           CASE WHEN s.nb > 0
-                THEN round(CAST(s.lp AS DOUBLE) / s.nb, 6) END AS avg_logp
-    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id"""
+    return f"""WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS w FROM documents),
+    src_c AS (
+      SELECT source, w, count(*) AS cs FROM tok GROUP BY source, w),
+    corp_c AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w),
+    v AS (SELECT count(*) AS vsz FROM corp_c),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    src_n AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ns FROM tok
+      GROUP BY source),
+    terms AS (
+      SELECT t.source,
+             sum(CAST(round(ln((corp_c.c + 1.0) / (tot.n + v.vsz)), 6)
+                      AS DECIMAL(18,6))) AS s_corp,
+             sum(CAST(round(ln((src_c.cs + 1.0) / (src_n.ns + v.vsz)), 6)
+                      AS DECIMAL(18,6))) AS s_self
+      FROM tok t
+      JOIN corp_c USING (w)
+      JOIN src_c ON src_c.source = t.source AND src_c.w = t.w
+      JOIN src_n ON src_n.source = t.source
+      CROSS JOIN v CROSS JOIN tot
+      GROUP BY t.source)
+    SELECT s.source, n.ns AS n_tokens,
+           round(-CAST(t.s_corp AS DOUBLE) / n.ns, 6) AS cross_entropy,
+           round(-CAST(t.s_self AS DOUBLE) / n.ns, 6) AS entropy,
+           round((-CAST(t.s_corp AS DOUBLE) / n.ns)
+                 - (-CAST(t.s_self AS DOUBLE) / n.ns), 6) AS kl
+    FROM src_n n JOIN terms t ON t.source = n.source
+    JOIN (SELECT DISTINCT source FROM documents) s
+      ON s.source = n.source"""
 
 
-@query("q214_lm_perplexity", _q214_oracle())
+@query("q214_source_token_kl", _q214_oracle())
 def q214(spark, sf_dir):
-    """CCNet-style statistical-LM quality gate, trained and scored ON
-    the corpus in one lineage: corpus bigram/unigram tables (two
-    shuffles) feed an add-one-smoothed conditional log-probability
-    ``ln((c(w1,w2)+1)/(c(w1)+V))`` per bigram, averaged per document —
-    documents whose token SEQUENCES are unusual for the corpus (not
-    just their token bag, q98's signal) score low. The LM "training" is
-    exactly the count tables, so there is no float iteration and the
-    whole estimator is SQL-expressible.
+    """Domain-divergence scoring per SOURCE — the DoReMi-shaped signal
+    a corpus mixer weighs sources by: for each source, the empirical
+    cross-entropy of its tokens under the CORPUS unigram distribution,
+    its own entropy, and their difference KL(source ‖ corpus). An
+    out-of-distribution source (boilerplate dump, wrong language,
+    machine noise) shows a large KL; near-zero means the source looks
+    like the corpus. Distinct from q110/q120 (per-DOCUMENT fluency
+    under a bigram LM) and q93 (volume/quality mix): this is the
+    source-level distribution-shift lens over the same token machinery.
 
-    Engine-exactness: counts and V are integers; each ln is rounded to
-    6 dp (house transcendental rule) and summed as DECIMAL(18,6) so
-    partial-aggregation order cannot perturb the mean; ONE final double
-    division per document.
-
-    Scale: bigram arrays are built POSITIONALLY from the token array
-    (no self-join, no window); the vocab and bigram tables are real
-    distributed tables (never collected); the scoring joins key on the
-    bigram/unigram — Zipf-skewed heads are the AQE skew-join case, and
-    |bi| is bounded by total corpus tokens. V folds in as a 1-row
-    broadcast."""
+    Both sums run over the source's OWN tokens (never a vocab x source
+    expansion): H(s, corpus) = −(1/n_s)·Σ_tokens ln p(w) needs only a
+    token→corpus-count join, so cost is linear in corpus tokens — one
+    explode, two count tables, Zipf-head joins under AQE skew handling.
+    Add-one smoothing over the corpus vocab keeps every ln finite;
+    each ln is 6 dp-rounded and DECIMAL-summed (house rules), two final
+    double divisions per source."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("t"))
-    bgs = (
-        toks.where(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.concat(
-                        F.element_at("t", i),
-                        F.lit(_BG_SEP),
-                        F.element_at("t", i + 1),
-                    ),
-                )
-            ).alias("bg"),
-        )
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("w")
     )
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cu"))
+    src_c = tok.groupBy("source", "w").agg(F.count("*").alias("cs"))
+    corp_c = tok.groupBy("w").agg(F.count("*").alias("c"))
+    v = corp_c.agg(F.count("*").alias("vsz"))
+    tot = tok.agg(F.count("*").cast("bigint").alias("n"))
+    src_n = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("ns")
     )
-    v = uni.agg(F.count("*").alias("vsz"))
-    bi = bgs.groupBy("bg").agg(F.count("*").alias("cb"))
-    scored = (
-        bgs.join(bi, "bg")
-        .withColumn("w1", F.split("bg", _BG_SEP).getItem(0))
-        .join(uni, F.col("w1") == F.col("w"))
+    terms = (
+        tok.join(corp_c, "w")
+        .join(src_c, ["source", "w"])
+        .join(src_n, "source")
         .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
         .agg(
-            F.count("*").alias("nb"),
             F.sum(
                 F.round(
                     F.log(
-                        (F.col("cb") + F.lit(1.0))
-                        / (F.col("cu") + F.col("vsz"))
+                        (F.col("c") + F.lit(1.0))
+                        / (F.col("n") + F.col("vsz"))
                     ),
                     6,
                 ).cast("decimal(18,6)")
-            ).alias("lp"),
+            ).alias("s_corp"),
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.col("cs") + F.lit(1.0))
+                        / (F.col("ns") + F.col("vsz"))
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ).alias("s_self"),
         )
     )
-    return docs.select("doc_id").join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_bigrams"),
-        F.when(
-            F.col("nb") > 0,
-            F.round(F.col("lp").cast("double") / F.col("nb"), 6),
-        ).alias("avg_logp"),
+    ce = -F.col("s_corp").cast("double") / F.col("ns")
+    h = -F.col("s_self").cast("double") / F.col("ns")
+    return src_n.join(terms, "source").select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(h, 6).alias("entropy"),
+        F.round(ce - h, 6).alias("kl"),
     )
 
 
