@@ -40,3 +40,11 @@ def test_bench_json_line_stays_parseable():
 def test_bench_short_keys_unique():
     short = [n.split("_", 1)[0] for n in HEADLINE]
     assert len(set(short)) == len(short), "qNN key collision in HEADLINE"
+
+
+def test_bench_headline_names_all_registered():
+    from mtg_bulk_database_spark.registry import load_registry
+
+    queries, _ = load_registry()
+    missing = [n for n in HEADLINE if n not in queries]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
