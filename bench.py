@@ -120,6 +120,7 @@ HEADLINE = [
     "q217_ivf_assign_portable",
     "q218_cohort_retention",
     "q219_retrieval_ndcg",
+    "q220_packing_efficiency",
 ]
 
 

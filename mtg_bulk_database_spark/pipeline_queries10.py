@@ -600,3 +600,60 @@ def q219(spark, sf_dir):
             ).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency report (q220) — the fill-rate audit over
+# q102's packed training sequences.
+# ---------------------------------------------------------------------------
+def _q220_oracle() -> str:
+    from .pipeline_queries4 import _PACK_BUDGET
+    from .registry import ORACLE_SQL
+
+    # layered ON the registered q102 oracle text, so the two gates can
+    # never drift apart: the efficiency report audits exactly the
+    # packing the packing gate verifies
+    return f"""WITH packed AS ({ORACLE_SQL["q102_pack_sequences"]}),
+    per_seq AS (
+      SELECT shard, seq_id,
+             CAST(sum(n_chunk_tokens) AS BIGINT) AS toks
+      FROM packed GROUP BY shard, seq_id)
+    SELECT shard,
+           count(*) AS n_seqs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(toks) AS BIGINT)::DOUBLE
+                 / (count(*) * {_PACK_BUDGET}), 6) AS avg_fill,
+           count(CASE WHEN toks > {_PACK_BUDGET} THEN 1 END)
+             AS n_overflow
+    FROM per_seq GROUP BY shard"""
+
+
+@query("q220_packing_efficiency", _q220_oracle())
+def q220(spark, sf_dir):
+    """The packing audit a training-data team reads before shipping
+    batches: per shard, how many fixed-budget sequences the packer
+    produced, the mean fill rate (wasted budget = padding tokens the
+    trainer pays for), and how many sequences overflowed the budget
+    (q102's approximate packing allows ≤1 chunk of overflow — this
+    gate COUNTS it instead of assuming it). Layered on q102's own
+    output, so the report and the packing share one lineage; two
+    narrow integer aggregates on top of the packing plan, one final
+    division per shard."""
+    from .pipeline_queries4 import _PACK_BUDGET, q102
+
+    packed = q102(spark, sf_dir)
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_chunk_tokens").cast("bigint").alias("toks")
+    )
+    return per_seq.groupBy("shard").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("toks").cast("double")
+            / (F.count("*") * F.lit(_PACK_BUDGET)),
+            6,
+        ).alias("avg_fill"),
+        F.count(
+            F.when(F.col("toks") > _PACK_BUDGET, 1)
+        ).alias("n_overflow"),
+    )
