@@ -121,6 +121,7 @@ HEADLINE = [
     "q218_cohort_retention",
     "q219_retrieval_ndcg",
     "q220_packing_efficiency",
+    "q221_ivf_probe_portable",
 ]
 
 

@@ -657,3 +657,140 @@ def q220(spark, sf_dir):
             F.when(F.col("toks") > _PACK_BUDGET, 1)
         ).alias("n_overflow"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe with the frozen quantizer (q221) — completes the ANN
+# serving loop as an oracled gate: q217 proved the ASSIGNMENT pass;
+# this proves the PROBE (list selection + pruned exact re-rank).
+# ---------------------------------------------------------------------------
+_Q221_NPROBE = 4
+_Q221_K = 10
+
+
+def _cos_total(a, b):
+    """Cosine that yields NULL instead of an ANSI error on zero-norm
+    input. q221's list_id feeds a JOIN KEY, and Catalyst pushes the
+    key's isnotnull check BELOW the indexable filter — so the division
+    can execute on rows the filter would drop (fuzz corpora carry
+    zero-norm vectors). try_divide makes the expression total; values
+    on indexable rows are bit-identical to cosine_similarity."""
+    from .functions.vectors import dot, l2_norm
+
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def _sql_cent(c) -> str:
+    # parenthesized so a subscript `{cent}[i]` parses
+    return "([" + ", ".join(repr(v) for v in c) + "]::DOUBLE[])"
+
+
+def _q221_oracle() -> str:
+    cent_rows = ",\n        ".join(
+        f"({i}, {_sql_cent(c)})" for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    score_cols = ",\n             ".join(
+        f"round({sql_cosine('embedding', _sql_cent(c))}, 6) AS s{i}"
+        for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    arr = "[" + ", ".join(f"s{i}" for i in range(len(_Q217_CENTROIDS))) + "]"
+    return f"""WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents(idx, cent) AS (VALUES
+        {cent_rows}),
+    qs AS (
+      SELECT idx, round({sql_cosine('cent', 'qv')}, 6) AS qscore
+      FROM cents, q),
+    probe AS (
+      SELECT idx FROM qs ORDER BY qscore DESC, idx LIMIT {_Q221_NPROBE}),
+    pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id <> 0 AND {sql_indexable('embedding')}),
+    scored AS (
+      SELECT vec_id, embedding,
+             {score_cols}
+      FROM pool),
+    assigned AS (
+      SELECT vec_id, embedding,
+             CAST(list_position({arr}, list_aggregate({arr}, 'max')) - 1
+                  AS INT) AS list_id
+      FROM scored)
+    SELECT a.vec_id,
+           round({sql_cosine('a.embedding', 'q.qv')}, 4) AS cosine
+    FROM assigned a JOIN probe p ON a.list_id = p.idx, q
+    ORDER BY cosine DESC, a.vec_id LIMIT {_Q221_K}"""
+
+
+@query("q221_ivf_probe_portable", _q221_oracle())
+def q221(spark, sf_dir):
+    """The IVF probe as a hash-checked gate, completing the family's
+    serving loop (q217 = assignment, this = query time): the query
+    vector (vec_id 0, read from the table in BOTH engines — no
+    driver-side literal) ranks the 8 frozen centroids, the top
+    ``n_probe`` lists are selected, and the exact cosine re-rank runs
+    ONLY over vectors assigned to those lists — the probe-pruned scan
+    that makes IVF sublinear at 100 TB (the assigned table is written
+    list-partitioned at ingest, so the probe reads ~n_probe/n_lists of
+    the files; here assignment is recomputed inline since the gate
+    must be self-contained). Every score is pure mul/add/sqrt/divide
+    (bit-identical), probe ties break on centroid index, rank ties on
+    vec_id; q75 keeps the data-adaptive trained path, recall-pinned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(_Q217_CENTROIDS)],
+        "idx int, cent array<double>",
+    )
+    from pyspark.sql import Window
+
+    qs = cents.crossJoin(F.broadcast(qrow)).select(
+        "idx",
+        F.round(
+            _cos_total(F.col("cent"), F.col("qv")), 6
+        ).alias("qscore"),
+    )
+    probe = (
+        qs.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("qscore").desc(), "idx")
+            ),
+        )
+        .where(F.col("rk") <= _Q221_NPROBE)
+        .select(F.col("idx").alias("list_id"))
+    )
+    pool = emb.where(
+        (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
+    )
+    scores = F.array(
+        *[
+            F.round(
+                _cos_total(
+                    F.col("embedding"), F.array(*[F.lit(v) for v in c])
+                ),
+                6,
+            )
+            for c in _Q217_CENTROIDS
+        ]
+    )
+    assigned = pool.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+    return (
+        assigned.join(F.broadcast(probe), "list_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(
+                _cos_total(F.col("embedding"), F.col("qv")), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_Q221_K)
+    )
