@@ -26,10 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names already exercised by an external driver round (union of the
-# CORRECTNESS_r01..r04 samples, all green).  The driver checks the
+# CORRECTNESS_r01..r06 samples, all green).  The driver checks the
 # FIRST ~50 entries of ``queries()``, so surface queries it has never
 # seen — oracled ones first, so fresh hash-checked evidence accrues —
 # and demote the already-proven block to the tail.
+#
+# q34/q37/q45 are deliberately ABSENT: they were sampled r1–r4 as
+# ``no_oracle`` rows-only checks, gained SQL twins in r5, and those
+# oracles have never been driver hash-checked — they must surface in
+# the r7 sample prefix (VERDICT r6 directive #1).
 _EXTERNALLY_VERIFIED = frozenset(
     {
         "q01_pk_point_lookup", "q02_secondary_equality",
@@ -42,11 +47,11 @@ _EXTERNALLY_VERIFIED = frozenset(
         "q22_revenue_by_nation", "q23_tumbling_window", "q24_sessionize",
         "q30_dedup_exact", "q31_dedup_fingerprint",
         "q32_ngram_jaccard_pairs", "q33_minhash_lsh_pairs",
-        "q34_simhash_near_pairs", "q35_embedding_top_pairs",
-        "q36_cosine_topk", "q37_lsh_ann_topk", "q38_language_id",
+        "q35_embedding_top_pairs",
+        "q36_cosine_topk", "q38_language_id",
         "q39_token_counts", "q40_quality_score", "q41_multimodal_metadata",
         "q42_multimodal_decode", "q43_json_extract",
-        "q44_udaf_weighted_quality", "q45_embedding_near_dup_lsh",
+        "q44_udaf_weighted_quality",
         "q50_correlated_subquery", "q51_in_subquery", "q52_grouping_sets",
         "q53_string_functions", "q54_date_functions",
         "q55_conditional_expr", "q56_asof_join", "q57_percentiles",
@@ -82,6 +87,32 @@ _EXTERNALLY_VERIFIED = frozenset(
         "q205_variant_extract", "q207_multitouch_attribution",
         "q209_revenue_trend_ols", "q210_classifier_calibration",
         "q211_ab_test_zstat", "q212_bootstrap_ci",
+        # r6 sample, all 50 green in CORRECTNESS_r06
+        "q114_large_qty_orders", "q118_remove_boilerplate",
+        "q119_soft_dedup_weights", "q120_crosscorpus_lm_score",
+        "q121_quality_classifier", "q122_gapfill_locf",
+        "q123_weighted_moving_avg", "q125_table_checksum",
+        "q126_nfc_normalize", "q127_cheapest_supplier",
+        "q128_waiting_suppliers", "q129_top_supplier",
+        "q131_length_histogram", "q133_session_window",
+        "q134_argmax_longest_doc", "q135_url_extraction",
+        "q138_table_profile", "q139_time_range_window",
+        "q140_constraint_report", "q141_funnel_counts",
+        "q142_unpivot_measures", "q143_order_reconciliation",
+        "q144_supplier_triangles", "q145_grouped_percentiles",
+        "q146_fuzzy_name_match", "q147_cohort_retention",
+        "q150_market_basket", "q151_rfm_scores",
+        "q152_first_digit_profile", "q153_outlier_events",
+        "q154_revenue_share", "q155_event_transitions",
+        "q156_spatial_neighbor_join", "q158_join_cardinality",
+        "q159_key_skew_report", "q160_ohlc_bars",
+        "q170_iqr_outliers", "q172_cumulative_uniques",
+        "q175_reactivation_census", "q180_minhash_eval_portable",
+        "q208_kaplan_meier", "q213_quality_gate_scoring",
+        "q214_source_token_kl", "q215_readability",
+        "q216_hll_set_algebra", "q217_ivf_assign_portable",
+        "q218_cohort_retention", "q219_retrieval_ndcg",
+        "q220_packing_efficiency", "q221_ivf_probe_portable",
     }
 )
 
