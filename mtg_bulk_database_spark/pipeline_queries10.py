@@ -92,8 +92,27 @@ def q214(spark, sf_dir):
     tok = docs.select(
         "source", F.explode(tokens("text")).alias("w")
     )
-    src_c = tok.groupBy("source", "w").agg(F.count("*").alias("cs"))
-    corp_c = tok.groupBy("w").agg(F.count("*").alias("c"))
+    # The count tables are VOCAB-sized (tiny next to the token stream)
+    # but their final-aggregate sits directly above their shuffle, and
+    # AQE's OptimizeSkewedJoin only pattern-matches a plain
+    # Sort+ShuffleRead under each SMJ child — so without a barrier the
+    # Zipf-head token key could NEVER split, however skewed (verified:
+    # tests/test_plans.py::test_q214_zipf_head_skew_join_splits).  The
+    # checkpoint materializes the vocab-sized table once and lets the
+    # join introduce its own ENSURE_REQUIREMENTS exchange, which AQE
+    # may split/replicate.  (At bench scale the 31-row count tables
+    # broadcast instead — the barrier only matters where vocab exceeds
+    # the broadcast threshold, exactly where the head is hottest.)
+    src_c = (
+        tok.groupBy("source", "w")
+        .agg(F.count("*").alias("cs"))
+        .localCheckpoint(eager=True)
+    )
+    corp_c = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     v = corp_c.agg(F.count("*").alias("vsz"))
     tot = tok.agg(F.count("*").cast("bigint").alias("n"))
     src_n = tok.groupBy("source").agg(
@@ -564,7 +583,13 @@ def q219(spark, sf_dir):
             F.sum(gain * F.element_at(disc, F.col("rk"))).alias(out)
         )
 
-    w_score = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    # the ranked frames are post-limit(10) — a constant partition key
+    # keeps the single-partition plan identical but silences the
+    # "No Partition Defined" warning that would otherwise splatter the
+    # driver's bounded bench-output tail
+    w_score = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
     top = (
         bm25_scores(docs, list(_Q219_TERMS))
         .join(rels, "doc_id")
@@ -572,7 +597,9 @@ def q219(spark, sf_dir):
         .limit(_Q219_K)
         .withColumn("rk", F.row_number().over(w_score))
     )
-    w_rel = Window.orderBy(F.col("rel").desc(), "doc_id")
+    w_rel = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("rel").desc(), "doc_id"
+    )
     ideal = (
         rels.orderBy(F.col("rel").desc(), "doc_id")
         .limit(_Q219_K)
@@ -754,8 +781,12 @@ def q221(spark, sf_dir):
     probe = (
         qs.withColumn(
             "rk",
+            # 8-row centroid frame; constant partition key = same
+            # plan, no "No Partition Defined" warning in bench output
             F.row_number().over(
-                Window.orderBy(F.col("qscore").desc(), "idx")
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.col("qscore").desc(), "idx"
+                )
             ),
         )
         .where(F.col("rk") <= _Q221_NPROBE)
