@@ -431,3 +431,233 @@ def rrf_fuse(
         id_col,
         F.round(contrib("_ra") + contrib("_rb"), 6).alias("rrf"),
     )
+
+
+#: Per-rank nDCG discounts ``1/log2(rank+1)`` for k=10, frozen as 6 dp
+#: literals so neither engine evaluates a transcendental at runtime
+#: (the house ln rule in its strongest form — the constant is
+#: precomputed once, offline).
+NDCG_DISC_10 = (
+    "1.0", "0.63093", "0.5", "0.430677", "0.386853",
+    "0.356207", "0.333333", "0.315465", "0.30103", "0.289065",
+)
+
+
+def grouped_bm25_ndcg(
+    docs: DataFrame,
+    query_terms: Sequence[Sequence[str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-query nDCG@k of the BM25 ranking over a QUERY RELATION —
+    the grouped generalization of the single-query eval (q219 stays
+    the frozen oracle anchor; this is the operator a retrieval team
+    actually runs: one row of ``(query_id, n_relevant, dcg, idcg,
+    ndcg)`` per query).
+
+    Relevance is graded and deterministic: ``rel`` = number of the
+    query's terms the document contains (so the metric is
+    hash-checkable end to end); gain is ``2^rel − 1``; discounts are
+    the PRE-FROZEN ``NDCG_DISC_10`` decimal literals.
+
+    Engine-exactness: each per-term BM25 contribution is the same
+    within-row double tree as :func:`bm25_scores`; the per-query score
+    is a within-row sum over that query's FIXED term list (never a
+    cross-row float accumulation), rounded to 6 dp; DCG/IDCG are
+    DECIMAL sums of integer-gain × frozen-decimal-discount products.
+
+    Scale shape: ONE corpus scan projects per-term tfs; the corpus
+    stats (N, Σdl, per-term df) reduce to a single broadcast row; the
+    per-query (score, rel) rows come from exploding a CONSTANT-width
+    array of structs (|queries| entries — linear, codegen'd, no join);
+    the two ``row_number() <= k`` filters over
+    ``Window.partitionBy(query_id)`` compile to WindowGroupLimit
+    (partial per-partition top-k BEFORE the shuffle, pinned in
+    tests/test_plans.py), so at 100 TB each executor forwards at most
+    k rows per query rather than sorting the full matched set.
+    """
+    all_terms = sorted({t for terms in query_terms for t in terms})
+    toks_col = tokens(text_col)
+    base = docs.select(F.col(id_col), toks_col.alias("_toks"))
+    dl = F.size("_toks")
+
+    stat_aggs = [
+        F.count("*").alias("_n"),
+        F.sum(dl.cast("long")).alias("_sumdl"),
+    ]
+    for i, t in enumerate(all_terms):
+        stat_aggs.append(
+            F.sum((_tf(F.col("_toks"), t) > 0).cast("long")).alias(f"_df{i}")
+        )
+    stats = base.agg(*stat_aggs)
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+
+    def contrib(t: str):
+        i = all_terms.index(t)
+        tf = _tf(F.col("_toks"), t).cast("double")
+        dfreq = F.col(f"_df{i}").cast("double")
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n").cast("double") - dfreq + F.lit(0.5))
+                / (dfreq + F.lit(0.5))
+            ),
+            6,
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * (dl.cast("double") / avgdl)
+        )
+        return idf * ((tf * F.lit(k1 + 1.0)) / denom)
+
+    per_q = []
+    for terms in query_terms:
+        qid = " ".join(terms)
+        score = contrib(terms[0])
+        rel = (_tf(F.col("_toks"), terms[0]) > 0).cast("int")
+        for t in terms[1:]:
+            score = score + contrib(t)
+            rel = rel + (_tf(F.col("_toks"), t) > 0).cast("int")
+        per_q.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(score, 6).alias("bm25"),
+                rel.alias("rel"),
+            )
+        )
+    scored = (
+        j.select(F.col(id_col), F.explode(F.array(*per_q)).alias("_s"))
+        .select(id_col, "_s.*")
+        # integer predicate (no float-rounding edge): a doc is in a
+        # query's stream iff it contains ≥1 of that query's terms
+        .where(F.col("rel") > 0)
+    )
+
+    disc = F.array(*[F.lit(d).cast("decimal(8,6)") for d in NDCG_DISC_10[:k]])
+    gain = F.expr("shiftleft(1, rel) - 1")
+    w_score = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), id_col
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), id_col
+    )
+    dcg = (
+        scored.withColumn("rk", F.row_number().over(w_score))
+        .where(F.col("rk") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(gain * F.element_at(disc, F.col("rk"))).alias("_dcg"))
+    )
+    idcg = (
+        scored.withColumn("rk", F.row_number().over(w_rel))
+        .where(F.col("rk") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(gain * F.element_at(disc, F.col("rk"))).alias("_idcg"))
+    )
+    nrel = scored.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    return (
+        nrel.join(dcg, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_relevant",
+            F.round(F.col("_dcg").cast("double"), 6).alias("dcg"),
+            F.round(F.col("_idcg").cast("double"), 6).alias("idcg"),
+            F.when(
+                F.col("_idcg") > 0,
+                F.round(
+                    F.col("_dcg").cast("double")
+                    / F.col("_idcg").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg"),
+        )
+    )
+
+
+def sql_grouped_bm25_ndcg(
+    query_terms: Sequence[Sequence[str]],
+    k: int = 10,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`grouped_bm25_ndcg` — identical expression
+    trees (within-row double arithmetic, frozen decimal discounts)."""
+    toks = sql_tokens(text_expr)
+    all_terms = sorted({t for terms in query_terms for t in terms})
+    tf = lambda t: f"len(list_filter(_toks, x -> x = '{t}'))"  # noqa: E731
+    df_cols = ",\n               ".join(
+        f"SUM(CASE WHEN {tf(t)} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i, t in enumerate(all_terms)
+    )
+
+    def contrib(t: str) -> str:
+        i = all_terms.index(t)
+        idf = (
+            f"round(ln(1.0 + (CAST(_n AS DOUBLE) - CAST(_df{i} AS DOUBLE)"
+            f" + 0.5) / (CAST(_df{i} AS DOUBLE) + 0.5)), 6)"
+        )
+        tfd = f"CAST({tf(t)} AS DOUBLE)"
+        denom = (
+            f"({tfd} + {k1!r} * (1.0 - {b!r} + {b!r} *"
+            f" (CAST(len(_toks) AS DOUBLE) / _avgdl)))"
+        )
+        return f"{idf} * (({tfd} * {k1 + 1.0!r}) / {denom})"
+
+    branches = []
+    for terms in query_terms:
+        qid = " ".join(terms)
+        score = " + ".join(contrib(t) for t in terms)
+        rel = " + ".join(
+            f"CAST({tf(t)} > 0 AS INT)" for t in terms
+        )
+        branches.append(
+            f"SELECT '{qid}' AS query_id, {id_col},"
+            f" round({score}, 6) AS bm25, {rel} AS rel FROM _j"
+        )
+    union = "\n      UNION ALL ".join(branches)
+    disc = (
+        "[" + ", ".join(NDCG_DISC_10[:k]) + "]::DECIMAL(8,6)[]"
+    )
+    return f"""
+    WITH _b AS (SELECT {id_col}, {toks} AS _toks FROM {table}),
+    _s AS (SELECT COUNT(*) AS _n, SUM(len(_toks)) AS _sumdl,
+           {df_cols}
+           FROM _b),
+    _j AS (SELECT _b.*, _s.*,
+                  CAST(_sumdl AS DOUBLE) / CAST(_n AS DOUBLE) AS _avgdl
+           FROM _b, _s),
+    scored0 AS ({union}),
+    scored AS (SELECT * FROM scored0 WHERE rel > 0),
+    ranked AS (SELECT query_id, rel,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY bm25 DESC, {id_col}) AS rk
+               FROM scored),
+    ideal AS (SELECT query_id, rel,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, {id_col}) AS rk
+              FROM scored),
+    dcg AS (SELECT query_id,
+                   sum(((1 << rel) - 1) * ({disc})[rk]) AS _dcg
+            FROM ranked WHERE rk <= {k} GROUP BY query_id),
+    idcg AS (SELECT query_id,
+                    sum(((1 << rel) - 1) * ({disc})[rk]) AS _idcg
+             FROM ideal WHERE rk <= {k} GROUP BY query_id),
+    nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+             FROM scored GROUP BY query_id)
+    SELECT query_id, n_relevant,
+           round(CAST(_dcg AS DOUBLE), 6) AS dcg,
+           round(CAST(_idcg AS DOUBLE), 6) AS idcg,
+           CASE WHEN _idcg > 0
+                THEN round(CAST(_dcg AS DOUBLE)
+                           / CAST(_idcg AS DOUBLE), 6) END AS ndcg
+    FROM nrel JOIN dcg USING (query_id) JOIN idcg USING (query_id)"""

@@ -1,0 +1,414 @@
+"""Registry entries, round 7: grouped retrieval evaluation (per-query
+nDCG over a query relation — the operational generalization of q219's
+single-query anchor) and the PQ asymmetric-distance serving probe with
+FROZEN codebooks (the q217/q221 deployed-artifact discipline applied to
+product quantization, closing q104's serving half).
+
+House discipline throughout: integer-derived grades, transcendentals
+frozen to 6 dp literals offline, DECIMAL-summed accumulations with one
+final double division, every output column BIGINT/DOUBLE/VARCHAR so no
+DuckDB HUGEINT/TIMESTAMPTZ reaches the driver comparator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.vectors import (
+    indexable_vector,
+    l2_norm,
+    sql_cosine,
+    sql_indexable,
+    sql_l2_norm,
+)
+from .operators.retrieval import (
+    grouped_bm25_ndcg,
+    sql_grouped_bm25_ndcg,
+)
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Grouped retrieval eval: per-query nDCG@10 of BM25 (q222).
+# ---------------------------------------------------------------------------
+#: The frozen eval-query relation: four two-term probes over the corpus
+#: vocabulary. ("spark", "vector") is q219's anchor query, kept so the
+#: grouped metric is directly comparable to the single-query gate.
+_Q222_QUERIES = (
+    ("spark", "vector"),
+    ("hash", "merge"),
+    ("stream", "window"),
+    ("customer", "query"),
+)
+_Q222_K = 10
+
+
+@query(
+    "q222_grouped_ndcg",
+    sql_grouped_bm25_ndcg(_Q222_QUERIES, k=_Q222_K),
+)
+def q222(spark, sf_dir):
+    """Per-query nDCG@10 over a query RELATION — what a retrieval team
+    actually monitors (one metric row per eval query), generalizing
+    q219's single-query gate.  All ranking windows are partitioned BY
+    query_id and their ``row_number() <= k`` filters compile to
+    WindowGroupLimit (partial top-k before the shuffle — pinned in
+    tests/test_plans.py), so no unpartitioned window and no full
+    per-query sort exists anywhere in the retrieval family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_bm25_ndcg(docs, _Q222_QUERIES, k=_Q222_K)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance probe with the frozen codebook (q223) —
+# closes q104's serving half as an oracled gate.
+# ---------------------------------------------------------------------------
+#: Deployed PQ codebook artifact: ``similarity.pq_train`` on the
+#: sf0.01 embedding pool (m=8 subspaces x k=16 centroids x
+#: sub_dim=8, seed 42), every component frozen to 6 dp.  With the
+#: codebook as literals, both the ENCODE argmin and the ADC probe
+#: are pure mul/add/sqrt algebra - bit-identical across engines.
+_Q223_BOOKS = (
+    (
+        (-0.04984, 0.018558, 0.073122, -0.052407, -0.201494, 0.066155, -0.037087, 0.012789),
+        (0.025528, 0.12874, -0.104211, -0.093385, 0.000383, 0.051367, -0.015586, 0.156516),
+        (-0.0138, -0.103218, -0.099677, 0.030692, -0.111634, -0.093353, 0.121762, -0.010504),
+        (-0.092024, -0.012886, -0.107051, -0.060154, 0.102319, 0.117761, 0.155045, -0.052829),
+        (0.151454, -0.023255, 0.076406, -0.073936, -0.054254, -0.052652, 0.011777, -0.04865),
+        (0.044377, -0.058369, -0.051984, 0.01557, 0.09414, -0.164031, -0.080415, 0.099278),
+        (0.094315, -0.107541, 0.027516, 0.069669, 0.037035, 0.124041, -0.154173, 0.017217),
+        (-0.063773, 0.044409, 0.144032, -0.040816, 0.026001, -0.134049, 0.078613, 0.139411),
+        (-0.045817, -0.027096, 0.063054, -0.043542, 0.125369, -0.043018, -0.13337, -0.0991),
+        (0.059835, 0.060347, -0.14114, -0.00798, -0.120534, 0.047334, -0.078426, -0.046677),
+        (-0.137695, -0.083948, -0.044819, -0.027184, 0.01965, 0.046249, -0.113896, 0.062335),
+        (-0.039763, -0.022118, 0.056366, 0.158728, -0.033053, 0.012765, 0.062586, 0.060017),
+        (-0.023216, 0.197566, 0.070946, 0.027503, 0.013544, 0.096645, -0.075763, -0.063979),
+        (0.065405, 0.003438, -0.116575, 0.135497, 0.065109, 0.073251, 0.03809, -0.149544),
+        (-0.12116, -8.2e-05, 0.099526, -0.088895, 0.044254, -0.05251, 0.075572, -0.095389),
+        (0.178267, 0.010684, 0.03634, -0.009041, 0.103899, 0.019294, 0.030519, 0.143968),
+    ),
+    (
+        (0.179204, 0.021573, -0.129851, 0.084293, -0.095682, 0.050494, 0.019406, -0.026513),
+        (-0.038067, -0.156906, 0.025255, 0.082178, 0.086531, 0.090471, -0.003261, -0.001443),
+        (-0.108141, 0.105416, -0.029801, -0.057785, 0.037824, 0.192967, 0.018646, 0.085389),
+        (0.085093, -0.015817, -0.073341, 0.044856, 0.039527, -0.142959, 0.153336, 0.000515),
+        (-0.031602, 0.064208, 0.016208, 0.179764, -0.086058, -0.025136, -0.157393, 0.038104),
+        (-0.00457, -0.034653, -0.105649, 0.014367, 0.031683, 0.026306, -0.052316, 0.18661),
+        (-0.095809, -0.166728, -0.112833, -0.04331, -0.02516, 0.059439, 0.054398, -0.1578),
+        (0.088275, 0.01707, 0.079452, -0.054007, 0.074428, 0.09368, 0.137527, 0.078174),
+        (0.060663, -0.092011, 0.205447, 0.15665, -0.011936, -0.006846, -0.024051, 0.037731),
+        (-0.076865, 0.146992, -0.062744, 0.044649, 0.119191, -0.042047, 0.017127, -0.048593),
+        (0.033906, 0.182471, 0.11708, 0.021217, -0.098053, 0.051019, 0.022226, -0.062809),
+        (-0.059747, -0.064547, -0.015342, -0.086172, -0.094846, 0.019501, -0.152603, -0.114879),
+        (-0.111884, -0.042896, 0.066787, -0.019903, -0.143723, 0.019021, 0.117623, -0.010474),
+        (-0.052346, 0.033739, 0.133028, -0.006687, 0.055814, -0.18538, -0.033734, 0.047392),
+        (0.05584, -0.025014, 0.087419, -0.174396, 0.018141, -0.024493, -0.11145, 0.09092),
+        (0.028575, -0.067489, 0.028536, -0.087694, -0.02396, -0.124253, 0.002542, -0.114129),
+    ),
+    (
+        (-0.046121, 0.197855, -0.01736, 0.013218, -0.069242, 0.089569, 0.082384, -0.099682),
+        (0.063281, -0.088005, 0.047057, 0.069485, 0.035186, -0.081084, 0.119183, -0.062347),
+        (-0.025391, -0.148452, -0.015273, 0.010046, 0.014401, -0.090971, -0.081698, 0.077032),
+        (0.072453, 0.086416, 0.06953, -0.086411, -0.084063, 0.030446, 0.026775, 0.17446),
+        (-0.060839, 0.057198, -0.132943, -0.060452, 0.0694, 0.01158, -0.086207, 0.014866),
+        (0.162932, 0.047494, 0.034387, -0.073075, -0.055785, 0.040755, 0.035457, -0.179245),
+        (0.019425, 0.063215, -0.071003, 0.087072, -0.116537, -0.06643, -0.059674, -0.066068),
+        (0.198044, -0.028793, -0.02842, 0.127857, 0.016449, 0.03343, -0.081987, 0.081479),
+        (-0.147781, -0.054388, -0.075233, 0.087146, -0.100856, -0.08156, 0.097996, 0.10324),
+        (-0.019568, -0.140996, -0.111511, -0.083183, -0.044377, 0.021312, -0.01053, -0.103025),
+        (-0.053808, 0.046398, 0.029396, -0.146191, 0.11815, 0.023688, 0.126108, -0.212248),
+        (-0.062006, 0.104628, 0.136489, -0.066486, -0.058169, -0.141961, -0.002679, -0.036419),
+        (-0.003304, -0.040496, 0.135755, 0.028786, 0.077168, 0.001008, -0.152822, -0.014571),
+        (-0.104148, -0.036331, 0.110604, -0.019129, -0.058089, 0.169862, -0.0108, 0.06476),
+        (-0.022621, 0.092055, 0.025262, 0.088725, 0.099826, 0.040773, 0.040963, 0.004463),
+        (0.078461, -0.080478, -0.133394, -0.004447, 0.054867, 0.069243, 0.096489, 0.109369),
+    ),
+    (
+        (0.004842, -0.031402, -0.003423, 0.092956, 0.136953, -0.049488, -0.008872, 0.045842),
+        (-0.151779, 0.063823, 0.122418, 0.069296, -0.04078, 0.166154, -0.037342, 0.01245),
+        (0.103042, 0.015937, -0.041447, 0.047856, 0.017962, 0.158744, 0.083707, -0.103569),
+        (0.088313, 0.197661, 0.095845, -0.036993, 0.012758, -0.04196, -0.001149, 0.116837),
+        (0.108, 0.096711, -0.028148, 0.145203, -0.093791, 0.016527, -0.046357, 0.063143),
+        (0.041879, -0.145268, 0.021782, 0.058449, -0.073551, -0.108317, 0.071398, -0.108292),
+        (-0.022499, 0.140983, -0.041729, 0.003493, -0.061032, -0.121092, 0.122847, -0.071729),
+        (-0.154003, -0.018924, -0.053005, -0.118409, 0.124154, -0.017921, -0.034454, -0.128791),
+        (0.018878, -0.080996, 0.115305, 0.034159, -0.028597, -0.083029, -0.026659, 0.189687),
+        (-0.025086, 0.0026, -0.090099, 0.16527, -0.013263, -0.029131, -0.073628, -0.147908),
+        (-0.07417, 0.095891, -0.141149, -0.031143, 0.02432, 0.060493, -0.03944, 0.08428),
+        (-0.058461, 0.007824, 0.058033, -0.099154, -0.044691, -0.131494, -0.098166, 0.01733),
+        (0.09631, -0.114959, -0.093438, 0.000728, -0.055838, 0.051668, 0.098166, 0.099452),
+        (0.080648, 0.01801, 0.184516, -0.045476, 0.051396, 0.090851, -0.032508, -0.108619),
+        (-0.054405, -0.084576, -0.001194, -0.063842, 0.072668, 0.013288, 0.149719, -0.021131),
+        (-0.025438, -0.058256, -0.065542, -0.022063, -0.122667, 0.052511, -0.170305, -0.012093),
+    ),
+    (
+        (-0.007441, -0.043497, 0.054395, 0.053253, -0.199475, -0.056132, 0.124009, 0.022564),
+        (0.007393, 0.044001, 0.037843, 0.037243, -0.040908, -2.7e-05, -0.089939, -0.21495),
+        (0.172989, -0.087383, 0.037318, -0.030405, 0.064086, 0.082257, -0.007385, 0.033419),
+        (-0.014451, -0.07849, -0.0598, -0.132315, 0.044917, -0.139364, -0.066178, 0.110439),
+        (0.130754, 0.146258, -0.092931, 0.026765, 0.020647, -0.003031, 0.087903, 0.033121),
+        (-0.041734, -0.058422, -0.044299, 0.134295, 0.151547, 0.048071, 0.030161, -0.009193),
+        (0.037242, 0.071038, -0.079117, -0.016386, -0.094633, 0.14597, -0.074102, 0.008562),
+        (-0.021601, -0.172888, -0.108084, -0.000336, -0.021898, -0.007626, -0.087243, -0.053193),
+        (-0.087196, -0.082453, 0.169195, 0.012058, 0.053668, -0.033421, -0.00586, 0.006079),
+        (-0.023948, -0.028416, 0.015522, 0.069016, -0.026513, 0.076284, 0.033336, 0.219033),
+        (0.089886, 0.128012, 0.036729, 0.005089, 0.076531, -0.089769, -0.185433, 0.008436),
+        (-0.071934, 0.022207, -0.016729, -0.071004, 0.032872, 0.09768, 0.118251, -0.075312),
+        (0.08324, -0.055615, 0.040961, -0.185658, -0.053616, -0.087616, 0.072042, -0.058496),
+        (0.001745, 0.041871, -0.037558, 0.144038, -0.002946, -0.162094, 0.02337, -0.074724),
+        (-0.165619, 0.006797, 0.009448, -0.128547, -0.096016, 0.07969, -0.104014, -0.067417),
+        (0.054881, 0.141557, 0.172487, 0.033629, -0.015417, 0.029697, 0.069172, -0.005706),
+    ),
+    (
+        (-0.061893, 0.077928, 0.131, -0.028626, -0.023992, -0.18889, -0.079019, -0.040493),
+        (0.155055, -0.143784, 0.022612, -0.077846, 0.021977, -0.0251, 0.01821, -0.024305),
+        (-0.019216, -0.119575, -0.04001, 0.064744, 0.108383, 0.116925, 0.017603, 0.023801),
+        (-0.123408, 0.032439, -0.072911, -0.003892, -0.054127, 0.056294, -0.040244, -0.113888),
+        (0.088354, 0.146414, -0.098889, -0.096136, -0.065524, -0.008121, 0.023771, 0.057886),
+        (0.015387, -0.016386, -0.069354, -0.046882, -0.064102, 0.039116, -0.165661, 0.035961),
+        (0.106644, -0.028679, 0.041734, 0.163654, -0.110446, 0.081104, -0.047333, 0.044574),
+        (0.053339, 0.042116, -0.02775, 0.134055, 0.06138, -0.114919, -0.017463, 0.068183),
+        (0.060992, -0.031638, 0.206136, -0.096383, 0.089503, 0.029517, 0.068898, -0.002665),
+        (-0.053881, -0.079369, -0.084389, -0.000737, -0.032871, -0.141258, 0.075549, -0.101572),
+        (-0.075637, 0.200384, -8.1e-05, -0.005562, 0.109716, 0.039767, 0.058869, 0.087973),
+        (0.061615, 0.091599, 0.049057, 0.044888, -0.093703, 0.079759, 0.111956, -0.159452),
+        (-0.015971, -0.048702, 0.21454, 0.008308, -0.11076, 0.074506, -0.093513, -0.120035),
+        (-0.037815, -0.011648, -0.086684, -0.175439, 0.070768, -0.071684, -0.069538, 0.062784),
+        (-0.173722, -0.070441, 0.07859, 0.078208, -0.02817, -0.011419, 0.033136, 0.092334),
+        (-0.007919, -0.074384, -0.060518, -0.010729, -0.10764, 0.023364, 0.083695, 0.14107),
+    ),
+    (
+        (-0.052757, -0.100057, -0.007114, -0.03898, 0.140603, -0.010986, -0.097346, 0.022224),
+        (-0.103927, 0.084404, -0.024753, 0.164254, -0.151945, 0.031912, 0.092737, -0.086754),
+        (-0.204582, -0.076055, -0.015302, 0.087801, -0.046041, -0.00394, -0.017011, 0.104179),
+        (-0.035766, -0.011875, 0.090525, 0.035276, -0.047405, 0.080993, -0.114702, -0.182744),
+        (-0.129948, 0.057105, -0.03097, 0.031701, 0.133095, -0.069085, 0.055481, 0.022403),
+        (-0.051048, 0.054316, 0.103088, 0.010272, 0.071534, 0.14766, 0.057004, 0.001745),
+        (0.053777, 0.051486, -0.102946, -0.121131, -0.021693, 0.031099, 0.115249, -0.051017),
+        (-0.017789, -0.103702, -0.15679, -0.113576, 0.001269, 0.023513, -0.060873, -0.051596),
+        (0.061994, 0.127671, 0.083733, -0.018429, 0.056028, -0.07652, -0.060218, -0.059345),
+        (0.163371, -0.213633, 0.066562, 0.009887, -0.045927, 0.015003, -0.045471, 0.055513),
+        (0.046629, -0.025029, -0.072383, 0.084323, -0.023984, 0.088239, 0.023296, 0.105552),
+        (0.092401, 0.056161, -0.083805, 0.12008, -0.038402, -0.180977, -0.101817, 0.067725),
+        (-0.012013, -0.139451, 0.022575, 0.092014, 0.027825, -0.123549, 0.064412, -0.098816),
+        (-0.061807, -0.041858, 0.03079, -0.074153, -0.175938, -0.00375, 0.058069, 0.037626),
+        (0.071554, 0.016812, 0.10968, -0.011278, 0.115896, -0.065825, 0.121076, 0.112328),
+        (0.098442, 0.028636, 0.109529, -0.154013, -0.04627, -0.004577, -0.115536, -0.045647),
+    ),
+    (
+        (-0.067671, 0.078903, 0.14403, -0.059891, -0.108497, 0.042251, -0.065768, 0.089077),
+        (0.160561, 0.102431, 0.013246, 0.015806, 0.157031, -0.026954, -0.066567, 0.035749),
+        (-0.01535, -0.101114, 0.061867, -0.102484, 0.131075, 0.055529, -0.056727, -0.006569),
+        (0.112316, -0.068605, 0.052443, 0.121479, -0.062189, -0.099172, -0.027589, -0.051343),
+        (0.098721, -0.093875, -0.027852, -0.020955, 0.011555, 0.10028, 0.126828, 0.084478),
+        (-0.042998, -0.146386, -0.054223, -0.116337, -0.073082, -0.007167, 0.048172, -0.001092),
+        (-0.063814, 0.030895, 0.067517, -0.026462, 0.012702, -0.08168, 0.161708, -0.06206),
+        (-0.030278, -0.035384, 0.19182, 0.033771, -0.085115, 0.013253, -0.033738, -0.171072),
+        (0.04654, 0.120013, -0.007104, -0.1428, -0.057551, 0.059177, -0.013642, -0.076547),
+        (0.06405, 0.01035, 0.145636, 0.094264, 0.061787, 0.173014, 0.001475, -0.025337),
+        (-0.021152, 0.039633, -0.077379, 0.175568, -0.032559, -0.026414, 0.117115, 0.011478),
+        (0.041142, -0.005945, -0.195216, -0.072425, 0.075952, -0.130549, 0.016157, -0.053784),
+        (-0.095699, -0.030712, -0.064911, 0.038202, 0.037713, 0.024151, -0.0949, -0.137949),
+        (-0.062988, 0.05015, -0.01615, -0.064645, -0.073125, -0.1825, -0.06386, 0.0982),
+        (-0.106769, 0.081493, -0.075009, 0.021443, 0.092211, 0.003348, -0.049998, 0.176541),
+        (0.004448, -0.018867, -0.097776, 0.044613, -0.103185, 0.136011, -0.0519, -0.017657),
+    ),
+)
+
+#: ||centroid||^2 per (subspace, code) — computed ONCE here from the
+#: frozen 6 dp codebook and embedded as the SAME Python float literal
+#: in both expression trees, so the encode argmin
+#: ``argmin_c (||c||^2 - 2<x_j, c>)`` (the monotone form of the
+#: subspace L2 distance for a fixed x_j) never re-derives it.
+_Q223_C2 = tuple(
+    tuple(sum(v * v for v in cent) for cent in book)
+    for book in _Q223_BOOKS
+)
+_Q223_M = 8
+_Q223_SUB = 8
+_Q223_NC = 16
+_Q223_K = 10
+_Q223_REFINE = 5
+
+
+def _q223_oracle() -> str:
+    nrm = sql_l2_norm("embedding")
+
+    def dotsub(vec: str, j: int, cent) -> str:
+        # <vec[8j+1 .. 8j+8], cent> with the SAME left-to-right term
+        # order the Spark zip_with fold uses
+        off = j * _Q223_SUB
+        terms = " + ".join(
+            f"{vec}[{off + i + 1}] * {cent[i]!r}"
+            for i in range(_Q223_SUB)
+        )
+        return f"({terms})"
+
+    code_cols = []
+    for j in range(_Q223_M):
+        scores = ", ".join(
+            f"round({_Q223_C2[j][c]!r} - 2.0 * "
+            f"{dotsub('xn', j, _Q223_BOOKS[j][c])}, 6)"
+            for c in range(_Q223_NC)
+        )
+        code_cols.append(
+            f"CAST(list_position([{scores}],"
+            f" list_aggregate([{scores}], 'min')) AS INT) AS code{j}"
+        )
+    codes_sql = ",\n             ".join(code_cols)
+    lut_cols = ", ".join(
+        "["
+        + ", ".join(
+            f"round({dotsub('qn', j, _Q223_BOOKS[j][c])}, 6)"
+            for c in range(_Q223_NC)
+        )
+        + f"] AS lut{j}"
+        for j in range(_Q223_M)
+    )
+    adc = " + ".join(f"lut{j}[code{j}]" for j in range(_Q223_M))
+    cos = sql_cosine("p.embedding", "q.qv")
+    return f"""WITH pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id <> 0 AND {sql_indexable('embedding')}),
+    pn AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE / {nrm}) AS xn
+      FROM pool),
+    q AS (
+      SELECT embedding AS qv,
+             list_transform(embedding,
+                 x -> x::DOUBLE / {nrm}) AS qn
+      FROM embeddings WHERE vec_id = 0),
+    codes AS (
+      SELECT vec_id,
+             {codes_sql}
+      FROM pn),
+    lut AS (SELECT {lut_cols} FROM q),
+    scored AS (
+      SELECT vec_id, round({adc}, 6) AS adc
+      FROM codes, lut),
+    coarse AS (
+      SELECT vec_id, adc FROM scored
+      ORDER BY adc DESC, vec_id LIMIT {_Q223_K * _Q223_REFINE})
+    SELECT p.vec_id, c.adc, round({cos}, 6) AS cosine
+    FROM coarse c
+    JOIN pool p USING (vec_id), q
+    ORDER BY cosine DESC, p.vec_id LIMIT {_Q223_K}"""
+
+
+@query("q223_pq_adc_probe_portable", _q223_oracle())
+def q223(spark, sf_dir):
+    """The PQ serving loop with the DEPLOYED codebook artifact,
+    hash-checked end to end (the q217/q221 discipline applied to
+    product quantization — q104's k-means TRAINING stays rows-only by
+    nature; its probe half is now an oracled gate):
+
+    1. ENCODE: every indexable vector L2-normalizes and takes, per
+       subspace j, ``argmin_c round(||C_jc||^2 - 2<x_j, C_jc>, 6)``
+       (the monotone form of the subspace L2 distance — ||x_j||^2 is
+       constant within a row), first-index tiebreak.  Pure literal
+       algebra in one codegen'd scan — the map pass a 100 TB ingest
+       runs to write the m*4-bit code column.
+    2. ADC PROBE: the query row builds its 8x16 inner-product LUT once
+       on a ONE-ROW frame (broadcast — never recomputed per scanned
+       row); each row's approximate cosine is 8 array picks summed
+       within the row; top k*refine by ADC, vec_id tiebreak.
+    3. EXACT REFINE: only the <=50 survivors rejoin their full-width
+       vectors (broadcast semi-side) for the exact-cosine top-k.
+
+    At 100 TB the ranking scan carries only (vec_id, 8 codes) — m*4
+    bits of payload per row in the real layout; the wide embedding
+    column moves for <=k*refine rows.  Every arithmetic step is a
+    fixed-order IEEE tree shared with the DuckDB twin (reference probe
+    semantics: Jegou et al., PQ ANN; cf. operators/similarity.py
+    pq_topk for the parameterized operator this gate freezes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = emb.where(
+        (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
+    )
+
+    def dotsub(arr, j: int, cent):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(arr, j * _Q223_SUB + 1, _Q223_SUB),
+                F.array(*[F.lit(v) for v in cent]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # norm materialized once per row (not re-folded per element), then
+    # the normalized array feeds all 8 subspace argmins in one select
+    pn = pool.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_e"),
+        l2_norm(F.col("embedding")).alias("_nrm"),
+    ).select(
+        "vec_id",
+        F.transform(F.col("_e"), lambda x: x / F.col("_nrm")).alias("xn"),
+    )
+    code_cols = []
+    for j in range(_Q223_M):
+        sc = F.array(
+            *[
+                F.round(
+                    F.lit(_Q223_C2[j][c])
+                    - F.lit(2.0)
+                    * dotsub(F.col("xn"), j, _Q223_BOOKS[j][c]),
+                    6,
+                )
+                for c in range(_Q223_NC)
+            ]
+        )
+        code_cols.append(
+            F.array_position(sc, F.array_min(sc))
+            .cast("int")
+            .alias(f"code{j}")
+        )
+    codes = pn.select("vec_id", *code_cols)
+
+    qrow = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.col("embedding").cast("array<double>").alias("_e"),
+        l2_norm(F.col("embedding")).alias("_nrm"),
+    ).select(
+        "qv",
+        F.transform(F.col("_e"), lambda x: x / F.col("_nrm")).alias("qn"),
+    )
+    lut = qrow.select(
+        *[
+            F.array(
+                *[
+                    F.round(dotsub(F.col("qn"), j, _Q223_BOOKS[j][c]), 6)
+                    for c in range(_Q223_NC)
+                ]
+            ).alias(f"lut{j}")
+            for j in range(_Q223_M)
+        ]
+    )
+    adc = F.element_at(F.col("lut0"), F.col("code0"))
+    for j in range(1, _Q223_M):
+        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"code{j}"))
+    coarse = (
+        codes.crossJoin(F.broadcast(lut))
+        .select("vec_id", F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(_Q223_K * _Q223_REFINE)
+    )
+
+    from .pipeline_queries10 import _cos_total
+
+    return (
+        pool.join(F.broadcast(coarse), "vec_id")
+        .crossJoin(F.broadcast(qrow.select("qv")))
+        .select(
+            "vec_id",
+            "adc",
+            F.round(
+                _cos_total(F.col("embedding"), F.col("qv")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_Q223_K)
+    )

@@ -39,6 +39,7 @@ def load_registry():
         pipeline_queries8,
         pipeline_queries9,
         pipeline_queries10,
+        pipeline_queries11,
         queries,
         queries_extra,
     )
