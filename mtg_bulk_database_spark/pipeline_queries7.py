@@ -148,7 +148,11 @@ def q135(spark, sf_dir):
 # operator, as a first-class pipeline query (the number you check
 # BEFORE trusting an approximate pass on a 100 TB corpus).
 # ---------------------------------------------------------------------------
-@query("q137_minhash_eval")  # rows-only: references the approximate op
+# rows-only BY CONSTRUCTION: this is the production xxhash64 leg, and
+# xxhash64 has no DuckDB twin — its oracle evidence lives in
+# q180_minhash_eval_portable (identical eval over the md5 hash family,
+# driver-green r6); re-oracling this name would duplicate q180 verbatim
+@query("q137_minhash_eval")
 def q137(spark, sf_dir):
     """Recall/precision of the banded-MinHash near-dup pass against the
     exact n-gram Jaccard operator at the same threshold. Both pair sets

@@ -940,7 +940,11 @@ def q164(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Ensemble dedup: all near-dup signals -> one family clustering.
 # ---------------------------------------------------------------------------
-@query("q165_dedup_ensemble")  # rows-only: minhash/simhash legs
+# rows-only BY CONSTRUCTION: the ensemble's minhash leg is the
+# production xxhash64 family (no DuckDB twin); its oracle evidence is
+# q181_dedup_ensemble_portable (same four-signal closure over the md5
+# family, driver-green r5) — re-oracling this name would duplicate q181
+@query("q165_dedup_ensemble")
 def q165(spark, sf_dir):
     """The production dedup posture: no single signal catches every
     duplicate class, so the EDGE UNION of exact-fingerprint pairs,
@@ -1090,7 +1094,47 @@ def q181(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # MinHash parameter sweep (sketch-tuning harness as data).
 # ---------------------------------------------------------------------------
-@query("q166_minhash_param_sweep")  # rows-only: approximate legs
+def _q166_oracle() -> str:
+    """Fully-oracled sweep (r7, VERDICT r6 #5): with the portable
+    MinHash oracle PARAMETERIZED over (num_perm, bands), every row of
+    the tuning table — exact ground truth, each candidate's pair set,
+    the confusion counts, the micro-ratios — hash-checks.  Banding
+    theory (and therefore the knee this sweep locates) is
+    hash-family-agnostic, so the portable sweep tunes the production
+    xxhash64 config too."""
+    from .pipeline_queries import _JACCARD_ORACLE, _q177_oracle
+
+    rows = []
+    for num_perm, bands in _Q166_SETTINGS:
+        rows.append(
+            f"""SELECT {num_perm} AS num_perm, {bands} AS bands,
+               count(ea) AS n_exact, count(aa) AS n_approx,
+               CAST(sum(CASE WHEN ea IS NOT NULL AND aa IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        FROM (
+          SELECT e.id_a AS ea, a.id_a AS aa
+          FROM (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})) e
+          FULL OUTER JOIN
+               (SELECT id_a, id_b
+                FROM ({_q177_oracle(num_perm, bands)})) a
+            ON e.id_a = a.id_a AND e.id_b = a.id_b)"""
+        )
+    union = "\n      UNION ALL ".join(rows)
+    return f"""WITH sweep AS (
+      {union})
+    SELECT num_perm, bands, n_exact, n_approx, tp,
+           CASE WHEN n_exact > 0
+                THEN (tp * 1000000) / n_exact ELSE 0.0 END AS recall_micro,
+           CASE WHEN n_approx > 0
+                THEN (tp * 1000000) / n_approx ELSE 0.0 END
+             AS precision_micro
+    FROM sweep"""
+
+
+_Q166_SETTINGS = ((64, 16), (64, 8), (32, 8))
+
+
+@query("q166_minhash_param_sweep", _q166_oracle())
 def q166(spark, sf_dir):
     """Sketch-parameter tuning as a QUERY: one exact ground-truth pass,
     then each (num_perm, bands) candidate's recall/precision measured
@@ -1099,7 +1143,13 @@ def q166(spark, sf_dir):
     The exact pair set computes ONCE (localCheckpoint) and broadcasts
     into each candidate's comparison join; candidates run from the same
     cached shingle base. Banding theory says recall falls as rows-per-
-    band grows — the output shows exactly where this corpus's knee is."""
+    band grows — the output shows exactly where this corpus's knee is.
+
+    r7: the sweep runs on the PORTABLE md5 MinHash family (q177), so
+    the whole tuning table is oracle-checked; recall-vs-banding is
+    hash-family-agnostic, so the knee transfers to the production
+    xxhash64 family (whose single-point eval stays rows-only in q137 —
+    xxhash64 has no DuckDB twin by construction)."""
     from .operators import dedup
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -1115,15 +1165,12 @@ def q166(spark, sf_dir):
         # it up front costs nothing
         .localCheckpoint(eager=True)
     )
-    settings = [(64, 16), (64, 8), (32, 8)]
     out = None
-    for num_perm, bands in settings:
-        approx = dedup.minhash_lsh_pairs(
+    for num_perm, bands in _Q166_SETTINGS:
+        approx = dedup.minhash_lsh_pairs_portable(
             docs, "text", "doc_id",
             k=3, threshold=0.8, num_perm=num_perm, bands=bands,
-            hashed_shingles_df=shingle_prebuilt_table(
-                spark, sf_dir, "hashed"
-            ),
+            shingles_df=shingle_prebuilt_table(spark, sf_dir),
         ).select("id_a", "id_b")
         j = exact.withColumn("e", F.lit(1)).join(
             approx.withColumn("a", F.lit(1)), ["id_a", "id_b"], "full_outer"
