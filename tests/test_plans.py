@@ -644,3 +644,85 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
     assert rows == exact
+
+
+def test_q222_grouped_ndcg_windows_are_group_limited(spark):
+    """The retrieval family's scale contract (VERDICT r6 #3): every
+    ranking window is partitioned BY query_id and its row_number<=k
+    filter compiles to WindowGroupLimit with a PARTIAL stage — each
+    map task forwards at most k rows per query into the shuffle
+    instead of sorting the full matched set."""
+    df = QUERIES["q222_grouped_ndcg"](spark, SF_DIR)
+    plan = executed_plan(df)
+    # both ranking windows (bm25 and ideal-rel), each with a
+    # partial + final group-limit pair
+    assert plan.count("WindowGroupLimit") >= 4, plan[:2000]
+    assert "Partial" in plan and "Final" in plan
+    # no unpartitioned window anywhere in the retrieval plan: every
+    # WindowGroupLimit names the query_id partition key
+    import re
+
+    for m in re.finditer(r"WindowGroupLimit \[(\w+)", plan):
+        assert m.group(1).startswith("query_id"), m.group(0)
+
+
+def test_q214_zipf_head_skew_join_splits(spark):
+    """q214's token→corpus-count join puts every occurrence of the
+    most common token on one shuffle key (VERDICT r6 #6).  AQE's
+    OptimizeSkewedJoin only matches a plain Sort+ShuffleRead under
+    each SMJ child — a final aggregate above the count table's
+    shuffle silently disables it (and a user repartition() is a
+    REPARTITION_BY_COL origin AQE must honor, so that doesn't unblock
+    it either).  q214 therefore checkpoint-barriers its vocab-sized
+    count tables; this test reproduces the q214 join shape on a
+    deliberately Zipf-headed token stream (the sf0.01 corpus's 31-word
+    vocabulary is near-uniform) with production-logic thresholds
+    scaled to fixture bytes, and pins that the head key actually
+    SPLITS — and that the result is identical to the unsplit run."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def q214_shape():
+        tok = spark.range(220_000).select(
+            (F.col("id") % 20).cast("string").alias("source"),
+            F.when(F.col("id") < 200_000, F.lit("the"))
+            .otherwise(
+                F.concat(F.lit("w"), (F.col("id") % 97).cast("string"))
+            )
+            .alias("w"),
+        )
+        corp_c = (
+            tok.groupBy("w")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)  # the q214 barrier
+        )
+        return (
+            tok.join(corp_c, "w")
+            .groupBy("source")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+
+    baseline = {(r["source"], r["s"]) for r in q214_shape().collect()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q214_shape()
+        split_rows = {(r["source"], r["s"]) for r in df.collect()}
+        plan = executed_plan(df)
+        assert "skew=true" in plan, plan[:3000]
+        assert "skewed" in plan, plan[:3000]  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert split_rows == baseline
