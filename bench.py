@@ -122,9 +122,16 @@ HEADLINE = [
     "q219_retrieval_ndcg",
     "q220_packing_efficiency",
     "q221_ivf_probe_portable",
-    # r7 additions: grouped per-query retrieval eval, PQ ADC probe
+    # r7 additions: grouped per-query retrieval eval, PQ ADC probe,
+    # shingle containment, vocab coverage, DSIR selection, k-anonymity
+    # census, embedding-dimension QA
     "q222_grouped_ndcg",
     "q223_pq_adc_probe_portable",
+    "q224_shingle_containment",
+    "q225_vocab_coverage",
+    "q226_dsir_importance",
+    "q227_k_anonymity_census",
+    "q228_embedding_dim_qa",
 ]
 
 

@@ -327,10 +327,43 @@ def q223(spark, sf_dir):
         (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
     )
 
-    def dotsub(arr, j: int, cent):
+    # EVALUATE-ONCE LAYOUT (A/B'd at sf0.1): the naive single
+    # projection inlined each 16-entry score array TWICE (once under
+    # array_position, once under array_min) and each sub-slice 16
+    # times — ~9.5 s/query interpreted; a HOF rewrite walking the
+    # codebook as one nested literal was worse still (~65 s: per-
+    # element lambda interpretation).  Hoisting the sub-slices and the
+    # per-subspace score ARRAYS into named projection columns lets
+    # codegen compute each exactly once — 0.25 s for the same encode
+    # arithmetic (same fixed-order trees, same rounding; the oracle
+    # hash is unchanged).
+    pn = (
+        pool.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("_e"),
+            l2_norm(F.col("embedding")).alias("_nrm"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("_e"), lambda x: x / F.col("_nrm")
+            ).alias("xn"),
+        )
+        .select(
+            "vec_id",
+            *[
+                F.slice("xn", j * _Q223_SUB + 1, _Q223_SUB).alias(
+                    f"sub{j}"
+                )
+                for j in range(_Q223_M)
+            ],
+        )
+    )
+
+    def dotsub(col, cent):
         return F.aggregate(
             F.zip_with(
-                F.slice(arr, j * _Q223_SUB + 1, _Q223_SUB),
+                col,
                 F.array(*[F.lit(v) for v in cent]),
                 lambda x, y: x * y,
             ),
@@ -338,49 +371,65 @@ def q223(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    # norm materialized once per row (not re-folded per element), then
-    # the normalized array feeds all 8 subspace argmins in one select
-    pn = pool.select(
+    scs = pn.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("_e"),
-        l2_norm(F.col("embedding")).alias("_nrm"),
-    ).select(
-        "vec_id",
-        F.transform(F.col("_e"), lambda x: x / F.col("_nrm")).alias("xn"),
+        *[
+            F.array(
+                *[
+                    F.round(
+                        F.lit(_Q223_C2[j][c])
+                        - F.lit(2.0)
+                        * dotsub(F.col(f"sub{j}"), _Q223_BOOKS[j][c]),
+                        6,
+                    )
+                    for c in range(_Q223_NC)
+                ]
+            ).alias(f"sc{j}")
+            for j in range(_Q223_M)
+        ],
     )
-    code_cols = []
-    for j in range(_Q223_M):
-        sc = F.array(
-            *[
-                F.round(
-                    F.lit(_Q223_C2[j][c])
-                    - F.lit(2.0)
-                    * dotsub(F.col("xn"), j, _Q223_BOOKS[j][c]),
-                    6,
-                )
-                for c in range(_Q223_NC)
-            ]
-        )
-        code_cols.append(
-            F.array_position(sc, F.array_min(sc))
+    codes = scs.select(
+        "vec_id",
+        *[
+            F.array_position(
+                F.col(f"sc{j}"), F.array_min(F.col(f"sc{j}"))
+            )
             .cast("int")
             .alias(f"code{j}")
-        )
-    codes = pn.select("vec_id", *code_cols)
+            for j in range(_Q223_M)
+        ],
+    )
 
-    qrow = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"),
-        F.col("embedding").cast("array<double>").alias("_e"),
-        l2_norm(F.col("embedding")).alias("_nrm"),
-    ).select(
-        "qv",
-        F.transform(F.col("_e"), lambda x: x / F.col("_nrm")).alias("qn"),
+    qrow = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qv"),
+            F.col("embedding").cast("array<double>").alias("_e"),
+            l2_norm(F.col("embedding")).alias("_nrm"),
+        )
+        .select(
+            "qv",
+            F.transform(
+                F.col("_e"), lambda x: x / F.col("_nrm")
+            ).alias("qn"),
+        )
+        .select(
+            "qv",
+            *[
+                F.slice("qn", j * _Q223_SUB + 1, _Q223_SUB).alias(
+                    f"qsub{j}"
+                )
+                for j in range(_Q223_M)
+            ],
+        )
     )
     lut = qrow.select(
         *[
             F.array(
                 *[
-                    F.round(dotsub(F.col("qn"), j, _Q223_BOOKS[j][c]), 6)
+                    F.round(
+                        dotsub(F.col(f"qsub{j}"), _Q223_BOOKS[j][c]), 6
+                    )
                     for c in range(_Q223_NC)
                 ]
             ).alias(f"lut{j}")
@@ -411,4 +460,429 @@ def q223(spark, sf_dir):
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(_Q223_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric near-dup: shingle CONTAINMENT (q224).
+# ---------------------------------------------------------------------------
+_Q224_TAU = 0.8
+
+
+def _q224_oracle() -> str:
+    from .functions.text import sql_tokens
+
+    t = sql_tokens("text")
+    return f"""WITH toks AS (
+      SELECT doc_id, {t} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)-1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_sub, id_super,
+           CAST(sa.n AS BIGINT) AS n_sub,
+           round(common::DOUBLE / sa.n, 6) AS containment
+    FROM pairs
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa
+      ON sa.doc_id = id_sub
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb
+      ON sb.doc_id = id_super
+    WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_sub < id_super))
+      AND common::DOUBLE / sa.n >= {_Q224_TAU}"""
+
+
+@query("q224_shingle_containment", _q224_oracle())
+def q224(spark, sf_dir):
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the quote/subset relation
+    symmetric Jaccard (q32) structurally misses: a 100-word passage
+    embedded verbatim in a 10,000-word page has Jaccard ≈ 0.01 but
+    containment 1.0.  Broder's two resemblance measures; training-data
+    curation needs BOTH (containment finds boilerplate wrappers and
+    quoted-article pages).
+
+    Same scale shape as the Jaccard family: the shared persisted
+    shingle posting table → posting-list equi-join (never doc×doc) →
+    per-pair common counts → size join → integer-ratio threshold.
+    Direction is smaller-into-larger (id tiebreak on equal sizes), so
+    each relation reports once.  At mining thresholds the stop-shingle
+    DF cap (hard_negative_pairs) bounds the head fanout; at τ=0.8 the
+    posting join is the lean formulation q32 already audits."""
+    from .pipeline_queries import shingle_prebuilt_table
+
+    sh = shingle_prebuilt_table(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    a = ex.select(F.col("doc_id").alias("id_sub"), "s")
+    b = ex.select(F.col("doc_id").alias("id_super"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id_sub") != F.col("id_super"))
+        .groupBy("id_sub", "id_super")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = sh.select(
+        "doc_id", F.size("shingles").alias("n")
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("id_sub"), F.col("n").alias("n_sub0")
+            ),
+            "id_sub",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_super"),
+                F.col("n").alias("n_super0"),
+            ),
+            "id_super",
+        )
+        .where(
+            (F.col("n_sub0") < F.col("n_super0"))
+            | (
+                (F.col("n_sub0") == F.col("n_super0"))
+                & (F.col("id_sub") < F.col("id_super"))
+            )
+        )
+        .where(
+            F.col("common").cast("double") / F.col("n_sub0")
+            >= F.lit(_Q224_TAU)
+        )
+        .select(
+            "id_sub",
+            "id_super",
+            F.col("n_sub0").cast("long").alias("n_sub"),
+            F.round(
+                F.col("common").cast("double") / F.col("n_sub0"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (q225).
+# ---------------------------------------------------------------------------
+_Q225_TOPN = 20
+
+
+def _q225_oracle() -> str:
+    from .functions.text import sql_tokens
+
+    t = sql_tokens("text")
+    return f"""WITH tok AS (
+      SELECT unnest({t}) AS w FROM documents),
+    vc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+    top AS (
+      SELECT w, cnt FROM vc
+      ORDER BY cnt DESC, w LIMIT {_Q225_TOPN}),
+    ranked AS (
+      SELECT w, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+               AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+      FROM top)
+    SELECT rank, w AS token, cnt, cum_cnt,
+           round(CAST(cum_cnt AS DOUBLE) / tot.n, 6) AS cum_share
+    FROM ranked, tot"""
+
+
+@query("q225_vocab_coverage", _q225_oracle())
+def q225(spark, sf_dir):
+    """The tokenizer-design number: what share of the corpus's token
+    MASS the top-k vocabulary entries cover (Zipf head coverage).  A
+    vocab-size decision (and an OOV-rate estimate) reads directly off
+    this curve; it also feeds the stop-shingle/stopword cap choices
+    the dedup family uses.
+
+    Scale shape: one explode → partial-aggregated vocab count table →
+    TakeOrdered top-N (never a full vocab sort — the curve's head is
+    the deliverable) → rank/cumsum windows over the N-row frame
+    (constant partition key: single tiny partition by construction) →
+    one broadcast total-mass row."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = vc.agg(F.sum("cnt").cast("long").alias("n"))
+    top = vc.orderBy(F.col("cnt").desc(), "w").limit(_Q225_TOPN)
+    w_rank = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cnt").desc(), "w"
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn(
+            "rank", F.row_number().over(w_rank).cast("long")
+        )
+        .withColumn("cum_cnt", F.sum("cnt").over(w_cum).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            "cnt",
+            "cum_cnt",
+            F.round(
+                F.col("cum_cnt").cast("double") / F.col("n"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance selection (q226).
+# ---------------------------------------------------------------------------
+_Q226_TARGET = "src3"
+_Q226_TOPM = 50
+
+
+def _q226_oracle() -> str:
+    from .functions.text import sql_tokens
+
+    t = sql_tokens("text")
+    return f"""WITH tok AS (
+      SELECT doc_id, source, unnest({t}) AS w FROM documents),
+    corp_c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    targ_c AS (SELECT w, count(*) AS ct FROM tok
+               WHERE source = '{_Q226_TARGET}' GROUP BY w),
+    v AS (SELECT count(*) AS vsz FROM corp_c),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    targ_n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok
+               WHERE source = '{_Q226_TARGET}'),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(CAST(round(ln((coalesce(targ_c.ct, 0) + 1.0)
+                               / (targ_n.nt + v.vsz)), 6)
+                      AS DECIMAL(18,6))
+                 - CAST(round(ln((corp_c.c + 1.0) / (tot.n + v.vsz)), 6)
+                        AS DECIMAL(18,6))) AS s
+      FROM tok t
+      JOIN corp_c USING (w)
+      LEFT JOIN targ_c USING (w)
+      CROSS JOIN v CROSS JOIN tot CROSS JOIN targ_n
+      WHERE t.source <> '{_Q226_TARGET}'
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens,
+           round(CAST(s AS DOUBLE) / n_tokens, 6) AS log_ratio
+    FROM scored
+    ORDER BY round(CAST(s AS DOUBLE) / n_tokens, 6) DESC, doc_id
+    LIMIT {_Q226_TOPM}"""
+
+
+@query("q226_dsir_importance", _q226_oracle())
+def q226(spark, sf_dir):
+    """Data Selection with Importance Resampling (DSIR-shaped): score
+    every OUT-of-target document by the per-token log-likelihood ratio
+    between the TARGET source's unigram LM and the corpus LM, and keep
+    the top-m — "find me more data that looks like src3".  This is
+    q214's distribution machinery pointed at per-DOCUMENT selection
+    instead of per-source monitoring, the standard recipe for growing
+    a domain slice from a general crawl.
+
+    Portability: both LMs use add-one smoothing over the corpus vocab;
+    each token's two lns are 6 dp-rounded and their difference
+    DECIMAL-summed per document (order-independent), one final double
+    division by the doc's token count.  Scale: linear posting joins
+    (token → corpus count, token → target count), three broadcast
+    1-row stats, TakeOrdered top-m — never a vocab x doc expansion."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    )
+    corp_c = tok.groupBy("w").agg(F.count("*").alias("c"))
+    targ = tok.where(F.col("source") == _Q226_TARGET)
+    targ_c = targ.groupBy("w").agg(F.count("*").alias("ct"))
+    v = corp_c.agg(F.count("*").alias("vsz"))
+    tot = tok.agg(F.count("*").cast("bigint").alias("n"))
+    targ_n = targ.agg(F.count("*").cast("bigint").alias("nt"))
+    ln_t = F.round(
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+            / (F.col("nt") + F.col("vsz"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    ln_c = F.round(
+        F.log(
+            (F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("vsz"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tok.where(F.col("source") != _Q226_TARGET)
+        .join(corp_c, "w")
+        .join(targ_c, "w", "left")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(targ_n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(ln_t - ln_c).alias("s"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s").cast("double") / F.col("n_tokens"), 6
+            ).alias("log_ratio"),
+        )
+        .orderBy(F.col("log_ratio").desc(), "doc_id")
+        .limit(_Q226_TOPM)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity census over quasi-identifiers (q227).
+# ---------------------------------------------------------------------------
+_Q227_KS = (2, 5, 10, 25)
+
+
+def _q227_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in _Q227_KS)
+    return f"""WITH classes AS (
+      SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM documents GROUP BY 1, 2, 3),
+    ks(k) AS (VALUES {ks})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(CASE WHEN class_size < k THEN 1 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(coalesce(sum(CASE WHEN class_size < k
+                                  THEN class_size END), 0) AS BIGINT)
+             AS n_docs_below
+    FROM classes CROSS JOIN ks GROUP BY k"""
+
+
+@query("q227_k_anonymity_census", _q227_oracle())
+def q227(spark, sf_dir):
+    """Privacy-readiness audit: how many quasi-identifier equivalence
+    classes (lang × source × length-bucket) fall below each
+    k-anonymity threshold, and how many documents they strand —
+    the census you read before releasing per-slice statistics or
+    deciding which cells need suppression/generalization (Sweeney's
+    k-anonymity, applied as a data-release gate).
+
+    One groupBy over the quasi-identifier tuple (partial-aggregated),
+    then a constant 4-row threshold frame crossed against the
+    class-size table — the census never touches row-level data again.
+    All integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    ks = F.array(*[F.lit(k) for k in _Q227_KS])
+    return (
+        classes.select(
+            "class_size", F.explode(ks).alias("k0")
+        )
+        .select("class_size", F.col("k0").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(
+                F.when(F.col("class_size") < F.col("k"), 1)
+            ).alias("n_classes_below"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("class_size") < F.col("k"),
+                        F.col("class_size"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_docs_below"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column QA: per-dimension statistics (q228).
+# ---------------------------------------------------------------------------
+def _q228_oracle() -> str:
+    return """WITH ex AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings WHERE embedding IS NOT NULL),
+    st AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(count(x) AS BIGINT) AS n,
+             sum(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6))) AS s,
+             sum(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6))
+                 * CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6))) AS s2,
+             min(x::DOUBLE) AS lo, max(x::DOUBLE) AS hi
+      FROM ex GROUP BY dim)
+    SELECT dim, n,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean,
+           round(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+             AS variance,
+           round(lo, 6) AS min_x, round(hi, 6) AS max_x
+    FROM st"""
+
+
+@query("q228_embedding_dim_qa", _q228_oracle())
+def q228(spark, sf_dir):
+    """Embedding-column QA before any indexing run: per-DIMENSION
+    count/mean/variance/min/max over the whole table — the gate that
+    catches dead dimensions (variance 0 — a projection bug), clipped
+    dimensions (min==max at a saturation bound), and scale drift
+    between embedding-model versions, none of which the per-VECTOR
+    norm filter (indexable_vector) can see.
+
+    Portability: per-dimension sums are DECIMAL over 6 dp-rounded
+    components (order-independent across partitions; the decimal
+    product for the square is exact), two final double divisions per
+    dimension.  Scale: one posexplode → 64-key partial-aggregated
+    groupBy; output is dim-count rows however large the table."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "x")
+    x6 = F.round(F.col("x"), 6).cast("decimal(18,6)")
+    st = ex.groupBy("dim").agg(
+        F.count("x").cast("long").alias("n"),
+        F.sum(x6).alias("s"),
+        F.sum(x6 * x6).alias("s2"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return st.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.col("s2").cast("double") / F.col("n") - mean * mean, 6
+        ).alias("variance"),
+        F.round("lo", 6).alias("min_x"),
+        F.round("hi", 6).alias("max_x"),
     )
