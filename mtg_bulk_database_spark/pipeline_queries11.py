@@ -1,8 +1,11 @@
 """Registry entries, round 7: grouped retrieval evaluation (per-query
 nDCG over a query relation — the operational generalization of q219's
-single-query anchor) and the PQ asymmetric-distance serving probe with
+single-query anchor), the PQ asymmetric-distance serving probe with
 FROZEN codebooks (the q217/q221 deployed-artifact discipline applied to
-product quantization, closing q104's serving half).
+product quantization, closing q104's serving half), and five
+curation-pipeline gates: shingle CONTAINMENT (asymmetric near-dup),
+the vocabulary coverage curve, DSIR-shaped importance selection,
+a k-anonymity census, and per-dimension embedding QA.
 
 House discipline throughout: integer-derived grades, transcendentals
 frozen to 6 dp literals offline, DECIMAL-summed accumulations with one

@@ -726,3 +726,45 @@ def test_q214_zipf_head_skew_join_splits(spark):
             else:
                 spark.conf.set(k, v)
     assert split_rows == baseline
+
+
+def test_q226_dsir_is_linear_posting_joins(spark):
+    """The DSIR scorer must stay linear in corpus tokens: count-table
+    equi-joins plus broadcast 1-row stats frames and a TakeOrdered
+    top-m — never a vocab x document expansion or a full sort."""
+    df = QUERIES["q226_dsir_importance"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the three 1-row stats frames ride broadcast nested loops; the
+    # token->count joins are hash joins on the token key
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Sort ") <= plan.count("SortMergeJoin") * 2 + 1, (
+        plan[:2000]
+    )
+
+
+def test_q228_embedding_qa_is_one_scan_partial_agg(spark):
+    """Per-dimension stats must be one scan + a 64-key partially
+    aggregated groupBy — a single exchange, no join anywhere."""
+    df = QUERIES["q228_embedding_dim_qa"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "partial" in plan.lower(), plan[:2000]
+
+
+def test_q224_containment_is_posting_equi_join(spark):
+    """Containment candidates must come from the shingle posting-list
+    equi-join (never doc x doc): every join in the plan is an
+    equi-join (hash or sort-merge), no nested-loop pair enumeration."""
+    df = QUERIES["q224_shingle_containment"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
