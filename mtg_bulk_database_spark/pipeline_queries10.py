@@ -583,10 +583,10 @@ def q219(spark, sf_dir):
             F.sum(gain * F.element_at(disc, F.col("rk"))).alias(out)
         )
 
-    # the ranked frames are post-limit(10) — a constant partition key
-    # keeps the single-partition plan identical but silences the
-    # "No Partition Defined" warning that would otherwise splatter the
-    # driver's bounded bench-output tail
+    # the ranked frames are post-limit(10), so the single-partition
+    # window is 10 rows by construction (the constant partition key is
+    # documentation of that intent — the optimizer prunes foldable
+    # keys, and a 10-row frame never triggers the WindowExec warning)
     w_score = Window.partitionBy(F.lit(0)).orderBy(
         F.col("bm25").desc(), "doc_id"
     )
@@ -778,18 +778,15 @@ def q221(spark, sf_dir):
             _cos_total(F.col("cent"), F.col("qv")), 6
         ).alias("qscore"),
     )
+    # top-n_probe of the 8-row centroid frame via TakeOrdered — no
+    # window at all (a constant partitionBy(lit(0)) key is ELIMINATED
+    # by the optimizer's foldable-partition pruning, so the rank-window
+    # form still emitted 'No Partition Defined' warnings into the
+    # driver's bounded bench tail); same deterministic selection as
+    # the oracle's row_number <= n_probe
     probe = (
-        qs.withColumn(
-            "rk",
-            # 8-row centroid frame; constant partition key = same
-            # plan, no "No Partition Defined" warning in bench output
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(
-                    F.col("qscore").desc(), "idx"
-                )
-            ),
-        )
-        .where(F.col("rk") <= _Q221_NPROBE)
+        qs.orderBy(F.col("qscore").desc(), "idx")
+        .limit(_Q221_NPROBE)
         .select(F.col("idx").alias("list_id"))
     )
     pool = emb.where(

@@ -363,42 +363,39 @@ def q223(spark, sf_dir):
         )
     )
 
-    def dotsub(col, cent):
-        return F.aggregate(
-            F.zip_with(
-                col,
-                F.array(*[F.lit(v) for v in cent]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The per-centroid score trees are built as SQL STRINGS parsed
+    # JVM-side in one call per projection: composing the same trees
+    # through the Python Column DSL costs thousands of py4j round
+    # trips — ~7.7 s of pure DataFrame CONSTRUCTION per query build
+    # (measured; analysis 0.45 s, execution ~2 s).  The parsed
+    # expressions are the identical Catalyst nodes (same HOF folds,
+    # same D-suffixed double literals), so values and the oracle hash
+    # are unchanged.
+    def sql_dotsub(col: str, cent) -> str:
+        arr = "array(" + ", ".join(f"{v!r}D" for v in cent) + ")"
+        return (
+            f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
 
-    scs = pn.select(
+    scs = pn.selectExpr(
         "vec_id",
         *[
-            F.array(
-                *[
-                    F.round(
-                        F.lit(_Q223_C2[j][c])
-                        - F.lit(2.0)
-                        * dotsub(F.col(f"sub{j}"), _Q223_BOOKS[j][c]),
-                        6,
-                    )
-                    for c in range(_Q223_NC)
-                ]
-            ).alias(f"sc{j}")
+            "array("
+            + ", ".join(
+                f"round({_Q223_C2[j][c]!r}D - 2.0D * "
+                f"{sql_dotsub(f'sub{j}', _Q223_BOOKS[j][c])}, 6)"
+                for c in range(_Q223_NC)
+            )
+            + f") AS sc{j}"
             for j in range(_Q223_M)
         ],
     )
-    codes = scs.select(
+    codes = scs.selectExpr(
         "vec_id",
         *[
-            F.array_position(
-                F.col(f"sc{j}"), F.array_min(F.col(f"sc{j}"))
-            )
-            .cast("int")
-            .alias(f"code{j}")
+            f"CAST(array_position(sc{j}, array_min(sc{j})) AS INT)"
+            f" AS code{j}"
             for j in range(_Q223_M)
         ],
     )
@@ -426,25 +423,23 @@ def q223(spark, sf_dir):
             ],
         )
     )
-    lut = qrow.select(
+    lut = qrow.selectExpr(
         *[
-            F.array(
-                *[
-                    F.round(
-                        dotsub(F.col(f"qsub{j}"), _Q223_BOOKS[j][c]), 6
-                    )
-                    for c in range(_Q223_NC)
-                ]
-            ).alias(f"lut{j}")
+            "array("
+            + ", ".join(
+                f"round({sql_dotsub(f'qsub{j}', _Q223_BOOKS[j][c])}, 6)"
+                for c in range(_Q223_NC)
+            )
+            + f") AS lut{j}"
             for j in range(_Q223_M)
         ]
     )
-    adc = F.element_at(F.col("lut0"), F.col("code0"))
-    for j in range(1, _Q223_M):
-        adc = adc + F.element_at(F.col(f"lut{j}"), F.col(f"code{j}"))
+    adc = " + ".join(
+        f"element_at(lut{j}, code{j})" for j in range(_Q223_M)
+    )
     coarse = (
         codes.crossJoin(F.broadcast(lut))
-        .select("vec_id", F.round(adc, 6).alias("adc"))
+        .selectExpr("vec_id", f"round({adc}, 6) AS adc")
         .orderBy(F.col("adc").desc(), "vec_id")
         .limit(_Q223_K * _Q223_REFINE)
     )
