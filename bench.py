@@ -132,6 +132,7 @@ HEADLINE = [
     "q226_dsir_importance",
     "q227_k_anonymity_census",
     "q228_embedding_dim_qa",
+    "q229_classifier_auc",
 ]
 
 

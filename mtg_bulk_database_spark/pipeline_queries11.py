@@ -5,7 +5,8 @@ FROZEN codebooks (the q217/q221 deployed-artifact discipline applied to
 product quantization, closing q104's serving half), and five
 curation-pipeline gates: shingle CONTAINMENT (asymmetric near-dup),
 the vocabulary coverage curve, DSIR-shaped importance selection,
-a k-anonymity census, and per-dimension embedding QA.
+a k-anonymity census, per-dimension embedding QA, and the exact
+tie-corrected ROC-AUC of the deployed quality model.
 
 House discipline throughout: integer-derived grades, transcendentals
 frozen to 6 dp literals offline, DECIMAL-summed accumulations with one
@@ -883,4 +884,145 @@ def q228(spark, sf_dir):
         ).alias("variance"),
         F.round("lo", 6).alias("min_x"),
         F.round("hi", 6).alias("max_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact tie-corrected ROC-AUC of the deployed quality model (q229).
+# ---------------------------------------------------------------------------
+def _q229_oracle() -> str:
+    from .pipeline_queries3 import _SQL_QUALITY
+    from .pipeline_queries5 import _Q121_FEATS_CTE, _QCLF
+
+    return f"""WITH feats AS ({_Q121_FEATS_CTE}),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(1000000.0 / (1.0 + exp(-{_QCLF}))) AS BIGINT)
+                 AS p_micro
+      FROM feats),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_QUALITY} >= 0.5 THEN 1 ELSE 0 END AS label
+      FROM documents),
+    per_s AS (
+      SELECT s.p_micro,
+             CAST(count(CASE WHEN l.label = 1 THEN 1 END) AS BIGINT)
+                 AS pos_s,
+             CAST(count(CASE WHEN l.label = 0 THEN 1 END) AS BIGINT)
+                 AS neg_s
+      FROM scored s JOIN lab l USING (doc_id)
+      WHERE s.p_micro IS NOT NULL
+      GROUP BY s.p_micro),
+    ranked AS (
+      SELECT pos_s, neg_s,
+             CAST(coalesce(sum(neg_s) OVER (ORDER BY p_micro
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_neg_below
+      FROM per_s),
+    agg AS (
+      SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS n_scores,
+             CAST(sum(pos_s * (2 * cum_neg_below + neg_s)) AS BIGINT)
+                 AS u2
+      FROM ranked)
+    SELECT n_pos, n_neg, n_scores,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(CAST(u2 AS DOUBLE)
+                           / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM agg"""
+
+
+@query("q229_classifier_auc", _q229_oracle())
+def q229(spark, sf_dir):
+    """Threshold-free ranking quality of the deployed quality model:
+    EXACT tie-corrected ROC-AUC against the weak label, via the
+    Mann–Whitney rank-sum identity — the eval q210's calibration table
+    (threshold buckets) cannot express. INTEGER-exact throughout: with
+    per-score positive/negative counts, ``2·U = Σ_s pos_s·(2·cum_neg_<s
+    + neg_s)`` is a sum of integers (the ½-tie credit absorbed by the
+    doubling), and AUC is ONE final double division.
+
+    Scale shape: one scan scores + labels, one groupBy on the
+    micro-floored score — whose cardinality is bounded at 1,000,001 by
+    CONSTRUCTION, so the cumulative window runs over a bounded frame
+    at any data scale (the scalewin aggregate-table argument; at
+    petabyte row counts the integer products route through
+    DECIMAL(38,0) before the division — here BIGINT holds them with
+    room to spare)."""
+    from pyspark.sql import Window
+
+    from .operators.text_analysis import (
+        with_gopher_quality,
+        with_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = with_gopher_quality(docs)
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.01) * F.col("n_words")
+        + F.lit(0.5) * F.col("alpha_frac")
+        + F.lit(2.0) * F.col("stop_frac")
+        - F.lit(0.1) * F.col("mean_word_len")
+    )
+    scored = feats.select(
+        "doc_id",
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
+        .cast("long")
+        .alias("p_micro"),
+    )
+    lab = with_quality_score(docs).select(
+        "doc_id",
+        (F.col("quality_score") >= 0.5).cast("int").alias("label"),
+    )
+    per_s = (
+        scored.join(lab, "doc_id")
+        # NULL-text rows score NULL; the eval ranks SCORED docs only —
+        # and NULL keys sort NULLS FIRST in Spark vs NULLS LAST in
+        # DuckDB, so leaving them in flips the cumulative sum
+        .where(F.col("p_micro").isNotNull())
+        .groupBy("p_micro")
+        .agg(
+            F.count(F.when(F.col("label") == 1, 1))
+            .cast("long")
+            .alias("pos_s"),
+            F.count(F.when(F.col("label") == 0, 1))
+            .cast("long")
+            .alias("neg_s"),
+        )
+    )
+    w = Window.orderBy("p_micro").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_s.select(
+        "pos_s",
+        "neg_s",
+        F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_neg_below"),
+    )
+    agg = ranked.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum("neg_s").cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_scores"),
+        F.sum(
+            F.col("pos_s")
+            * (F.lit(2) * F.col("cum_neg_below") + F.col("neg_s"))
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
     )
