@@ -309,3 +309,100 @@ def test_q218_week_boundary_first_events(spark, tmp_path):
 
     cohorts = {r[cols.index("cohort_week")] for r in rows_out}
     assert dt.date(2024, 1, 1) in cohorts and dt.date(2024, 1, 8) in cohorts
+
+
+def test_q224_full_containment_and_jaccard_blindspot(spark, tmp_path):
+    """r7 targeted corpus: a short passage embedded VERBATIM in a much
+    longer page — containment must be exactly 1.0 while the pair sits
+    far below any Jaccard threshold (the asymmetric operator's reason
+    to exist).  Differential-checked, then the invariants asserted."""
+    import pandas as pd
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(400))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [passage, passage + " " + filler, "unrelated text here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(passage), len(passage) + 1 + len(filler), 19],
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q224_shingle_containment", ["documents"]
+    )
+    rec = {tuple(r[cols.index(c)] for c in ("id_sub", "id_super")): r
+           for r in rows}
+    assert (1, 2) in rec, rows
+    cont = rec[(1, 2)][cols.index("containment")]
+    assert cont == 1.0, rows
+    # the same pair is INVISIBLE to the symmetric Jaccard gate at 0.8
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(str(tmp_path), 'documents.parquet')}')"
+    )
+    jac = con.execute(ORACLE_SQL["q32_ngram_jaccard_pairs"]).fetchall()
+    con.close()
+    assert not any(r[0] == 1 and r[1] == 2 for r in jac), jac
+
+
+def test_q222_query_with_absent_terms(spark, tmp_path):
+    """r7 targeted corpus: one eval query's terms appear NOWHERE, so
+    its matched stream is empty — the per-query metric row must be
+    absent from BOTH engines (not NULL-filled, not zero-filled)."""
+    import pandas as pd
+
+    texts = (["spark vector table row"] * 10
+             + ["hash merge sort scan"] * 10
+             + ["stream window batch agg"] * 10)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q222_grouped_ndcg", ["documents"]
+    )
+    qids = {r[cols.index("query_id")] for r in rows}
+    # ("customer", "query") never occurs -> no row for it
+    assert "customer query" not in qids, qids
+    assert {"spark vector", "hash merge", "stream window"} <= qids
+
+
+def test_q229_degenerate_label_populations(spark, tmp_path):
+    """r7 targeted corpus: corpora whose weak label is single-class
+    (all docs pass, or all fail, the quality rule) — AUC must be NULL
+    on both engines (the n_pos>0 AND n_neg>0 guard), never a division
+    error or a 0/1 fabrication."""
+    import pandas as pd
+
+    # long stopword-rich texts -> all label 1
+    good = "the and is of to in that it was for " * 30
+    df = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [good] * 20,
+            "lang": ["en"] * 20,
+            "source": ["s"] * 20,
+            "n_chars": [len(good)] * 20,
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q229_classifier_auc", ["documents"]
+    )
+    assert len(rows) == 1
+    rec = dict(zip(cols, rows[0]))
+    assert rec["auc"] is None, rec
+    assert rec["n_pos"] == 0 or rec["n_neg"] == 0, rec
