@@ -768,3 +768,25 @@ def test_q224_containment_is_posting_equi_join(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_q225_vocab_head_is_take_ordered(spark):
+    """The coverage curve's head must come from TakeOrderedAndProject
+    (distributed partial top-N), never a full vocab sort — the
+    rank/cumsum windows then run over the N-row frame only."""
+    df = QUERIES["q225_vocab_coverage"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # no global Sort node outside the TakeOrdered operator
+    assert "Sort " not in plan, plan[:2000]
+
+
+def test_q227_census_is_one_scan_two_exchanges(spark):
+    """The k-anonymity census touches row-level data exactly once:
+    one scan, the quasi-identifier groupBy exchange, and the 4-row
+    threshold regroup — no join, no sort."""
+    df = QUERIES["q227_k_anonymity_census"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 2, plan[:2000]
