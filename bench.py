@@ -133,6 +133,7 @@ HEADLINE = [
     "q227_k_anonymity_census",
     "q228_embedding_dim_qa",
     "q229_classifier_auc",
+    "q230_cluster_balanced_sample",
 ]
 
 

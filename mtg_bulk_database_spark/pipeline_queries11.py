@@ -1026,3 +1026,106 @@ def q229(spark, sf_dir):
             ),
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced subsampling with the deployed quantizer (q230).
+# ---------------------------------------------------------------------------
+_Q230_QUOTA = 20
+
+
+def _q230_oracle() -> str:
+    from .pipeline_queries10 import _Q217_CENTROIDS
+    from .functions.vectors import sql_cosine, sql_indexable
+
+    def sql_cent(c) -> str:
+        return "([" + ", ".join(repr(v) for v in c) + "]::DOUBLE[])"
+
+    score_cols = ",\n             ".join(
+        f"round({sql_cosine('embedding', sql_cent(c))}, 6) AS s{i}"
+        for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    arr = "[" + ", ".join(
+        f"s{i}" for i in range(len(_Q217_CENTROIDS))
+    ) + "]"
+    return f"""WITH pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id <> 0 AND {sql_indexable('embedding')}),
+    scored AS (
+      SELECT vec_id,
+             {score_cols}
+      FROM pool),
+    assigned AS (
+      SELECT vec_id,
+             CAST(list_position({arr},
+                 list_aggregate({arr}, 'max')) - 1 AS INT) AS list_id
+      FROM scored),
+    ranked AS (
+      SELECT vec_id, list_id,
+             CAST(row_number() OVER (
+                 PARTITION BY list_id
+                 ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                          1, 15))::BIGINT,
+                          vec_id) AS BIGINT) AS smp_rank
+      FROM assigned)
+    SELECT vec_id, list_id, smp_rank
+    FROM ranked WHERE smp_rank <= {_Q230_QUOTA}"""
+
+
+@query("q230_cluster_balanced_sample", _q230_oracle())
+def q230(spark, sf_dir):
+    """Topic-BALANCED subsampling (the SemDeDup/DoReMi-adjacent corpus
+    recipe): every vector lands in its deployed-quantizer cluster
+    (q217's frozen centroid artifact — the assignment pass a 100 TB
+    ingest has already run), and each cluster contributes at most a
+    fixed quota of rows chosen by a DETERMINISTIC hash order (md5 of
+    the id, the engine-portable rank the sampling family uses) — so an
+    over-represented topic cannot flood the sample the way q97's
+    metadata quota can't see.
+
+    Scale shape: one codegen'd scan computes the 8 frozen-centroid
+    scores; one shuffle on list_id; the quota filter compiles to
+    partial+final WindowGroupLimit (each map task forwards at most
+    QUOTA rows per cluster — pinned in tests/test_plans.py).  The
+    hash order makes the sample reproducible row-for-row across runs,
+    partitionings, and engines — no RNG anywhere."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import md5_60
+    from .pipeline_queries10 import _Q217_CENTROIDS
+    from .functions.vectors import cosine_similarity, indexable_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
+    )
+    scores = F.array(
+        *[
+            F.round(
+                cosine_similarity(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in c]),
+                ),
+                6,
+            )
+            for c in _Q217_CENTROIDS
+        ]
+    )
+    assigned = emb.select(
+        "vec_id",
+        scores.alias("sc"),
+    ).select(
+        "vec_id",
+        (F.array_position("sc", F.array_max("sc")) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        md5_60(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn(
+            "smp_rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("smp_rank") <= _Q230_QUOTA)
+        .select("vec_id", "list_id", "smp_rank")
+    )

@@ -790,3 +790,13 @@ def test_q227_census_is_one_scan_two_exchanges(spark):
     assert plan.count("FileScan") == 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+def test_q230_quota_is_window_group_limited(spark):
+    """The per-cluster quota must compile to partial+final
+    WindowGroupLimit on list_id — each map task forwards at most QUOTA
+    rows per cluster into the shuffle."""
+    df = QUERIES["q230_cluster_balanced_sample"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+    assert "Partial" in plan and "Final" in plan, plan[:2000]
