@@ -5,8 +5,9 @@ FROZEN codebooks (the q217/q221 deployed-artifact discipline applied to
 product quantization, closing q104's serving half), and five
 curation-pipeline gates: shingle CONTAINMENT (asymmetric near-dup),
 the vocabulary coverage curve, DSIR-shaped importance selection,
-a k-anonymity census, per-dimension embedding QA, and the exact
-tie-corrected ROC-AUC of the deployed quality model.
+a k-anonymity census, per-dimension embedding QA, the exact
+tie-corrected ROC-AUC of the deployed quality model, and
+cluster-balanced subsampling with the deployed quantizer.
 
 House discipline throughout: integer-derived grades, transcendentals
 frozen to 6 dp literals offline, DECIMAL-summed accumulations with one
