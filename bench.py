@@ -134,6 +134,7 @@ HEADLINE = [
     "q228_embedding_dim_qa",
     "q229_classifier_auc",
     "q230_cluster_balanced_sample",
+    "q231_source_token_fingerprint",
 ]
 
 

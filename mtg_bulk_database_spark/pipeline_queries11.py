@@ -1130,3 +1130,76 @@ def q230(spark, sf_dir):
         .where(F.col("smp_rank") <= _Q230_QUOTA)
         .select("vec_id", "list_id", "smp_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token fingerprint: grouped top-k by share (q231).
+# ---------------------------------------------------------------------------
+_Q231_K = 5
+
+
+def _q231_oracle() -> str:
+    from .functions.text import sql_tokens
+
+    t = sql_tokens("text")
+    return f"""WITH tok AS (
+      SELECT source, unnest({t}) AS w FROM documents
+      WHERE source IS NOT NULL),
+    vc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY source, w),
+    tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+            FROM vc GROUP BY source),
+    ranked AS (
+      SELECT source, w, cnt,
+             CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY cnt DESC, w) AS BIGINT) AS rank
+      FROM vc)
+    SELECT r.source, r.rank, r.w AS token, r.cnt,
+           round(CAST(r.cnt AS DOUBLE) / t.n, 6) AS share
+    FROM ranked r JOIN tot t USING (source)
+    WHERE r.rank <= {_Q231_K}"""
+
+
+@query("q231_source_token_fingerprint", _q231_oracle())
+def q231(spark, sf_dir):
+    """Per-SOURCE vocabulary fingerprint: each source's top-k tokens by
+    count with their share of that source's token mass — the grouped
+    twin of q225's global coverage head, and the table you scan to
+    spot a source whose head vocabulary doesn't look like prose
+    (boilerplate dumps, machine noise) before q214's KL number tells
+    you something is off.
+
+    Scale shape: one explode → partial-aggregated (source, token)
+    count table → the rank's ``row_number() <= k`` filter compiles to
+    partial+final WindowGroupLimit on source (each map task forwards
+    at most k rows per source) → per-source totals join (source-count
+    sized, broadcast at any realistic source cardinality).  Integer
+    counts, one final double division."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    vc = (
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = vc.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "w")
+    return (
+        vc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _Q231_K)
+        .join(tot, "source")
+        .select(
+            "source",
+            "rank",
+            F.col("w").alias("token"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+    )
