@@ -424,3 +424,123 @@ def stream_fold_drift_counts(
         .groupBy(group_col)
         .agg(*[F.sum(c).alias(c) for c in cols])
     )
+
+
+def stream_fold_retention_states(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+    schema=None,
+):
+    """Streaming leg of the cohort-retention matrix (q218): each
+    micro-batch folds the event stream into the two PERSISTED
+    ARTIFACTS the batch query's docstring names — the per-user
+    first-seen table (MIN-mergeable: the corpus first-seen is the min
+    over batch minima, so an out-of-order batch that reveals an
+    EARLIER first event re-bases the user's cohort correctly — the
+    case a naive incremental grid gets wrong) and the distinct
+    (user, activity-week) cell table (UNION-mergeable).  Both folds
+    write under the same replay-safe ``batch=<id>`` overwrite contract
+    as the sketch/drift folds.
+
+    Returns ``(first_seen, activity_weeks)`` merged across all drained
+    batches; feed them to :func:`retention_from_states` for a report
+    row-identical to the batch ``q218`` over the same events — pinned
+    in tests/test_streaming_retention.py, including a user whose
+    earliest event arrives in the LAST file.
+
+    At 100 TB these states are exactly what an ingest pipeline
+    persists anyway (first-seen ~ |users| rows, activity ~ |user,week|
+    rows); each micro-batch contributes a pre-aggregated frame, so the
+    stream never reshuffles history — the merge is one groupBy over
+    the state directory."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ev = batch_df.where(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        ev.groupBy("user_id").agg(
+            F.min("ts").alias("first_ts")
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/first/batch={batch_id}"
+        )
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        ).distinct().write.mode("overwrite").parquet(
+            f"{state_dir}/weeks/batch={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_retention_states did not drain within "
+            f"{timeout_s}s (src_dir={src_dir!r})"
+        )
+    first = (
+        spark.read.parquet(f"{state_dir}/first")
+        .drop("batch")
+        .groupBy("user_id")
+        .agg(F.min("first_ts").alias("first_ts"))
+    )
+    weeks = (
+        spark.read.parquet(f"{state_dir}/weeks")
+        .drop("batch")
+        .distinct()
+    )
+    return first, weeks
+
+
+def retention_from_states(first: DataFrame, weeks: DataFrame) -> DataFrame:
+    """The q218 report tail over the MERGED streaming states — the
+    same expression tree as the batch query (DATE-cast week
+    truncation, integer week arithmetic, one final division), so
+    streamed ≡ batch is row-exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    first_seen = first.select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts"))
+        .cast("date")
+        .alias("cohort_week"),
+    )
+    activity = (
+        weeks.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_idx"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    grid = activity.groupBy("cohort_week", "week_idx").agg(
+        F.count("*").alias("n_active")
+    )
+    return grid.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_idx",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
