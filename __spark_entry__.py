@@ -26,15 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names already exercised by an external driver round (union of the
-# CORRECTNESS_r01..r06 samples, all green).  The driver checks the
-# FIRST ~50 entries of ``queries()``, so surface queries it has never
-# seen — oracled ones first, so fresh hash-checked evidence accrues —
-# and demote the already-proven block to the tail.
+# CORRECTNESS_r01..r07 samples — every oracled row green, rows-only
+# rows executed with rows returned).  The driver checks the FIRST ~50
+# entries of ``queries()``, so surface queries it has never seen —
+# oracled ones first, so fresh hash-checked evidence accrues — and
+# demote the already-proven block to the tail.
 #
-# q34/q37/q45 are deliberately ABSENT: they were sampled r1–r4 as
-# ``no_oracle`` rows-only checks, gained SQL twins in r5, and those
-# oracles have never been driver hash-checked — they must surface in
-# the r7 sample prefix (VERDICT r6 directive #1).
+# r8 prefix by construction: the newly-oracled q137/q165 plus this
+# round's new gates (fresh+oracled, newest first), then the 10
+# never-externally-run rows-only names (q117, q124, q130, q132, q148,
+# q149, q161, q200, q203, q206 — VERDICT r7 directive #2).
 _EXTERNALLY_VERIFIED = frozenset(
     {
         "q01_pk_point_lookup", "q02_secondary_equality",
@@ -113,6 +114,32 @@ _EXTERNALLY_VERIFIED = frozenset(
         "q216_hll_set_algebra", "q217_ivf_assign_portable",
         "q218_cohort_retention", "q219_retrieval_ndcg",
         "q220_packing_efficiency", "q221_ivf_probe_portable",
+        # r7 sample: 44 hash-green + 6 rows-only names that ran
+        # externally with rows returned (CORRECTNESS_r07)
+        "q34_simhash_near_pairs", "q37_lsh_ann_topk",
+        "q45_embedding_near_dup_lsh", "q60_moving_sum",
+        "q66_token_doc_frequency", "q67_array_agg", "q68_stats_agg",
+        "q69_distribution_ranks", "q70_string_agg",
+        "q73_shipping_priority", "q74_returned_item_ranking",
+        "q76_sliding_window", "q77_multiset_ops", "q89_bm25_topk",
+        "q90_cluster_canonical", "q91_label_centroids",
+        "q92_volume_shipping", "q93_source_mix_report",
+        "q94_hybrid_search", "q97_source_quota_cap",
+        "q98_token_commonness", "q99_repeated_passages",
+        "q100_heavy_hitter_tokens", "q101_cross_corpus_near_dup",
+        "q102_pack_sequences", "q103_sq_refine_topk",
+        "q105_incremental_matview", "q106_gopher_quality_rules",
+        "q109_leakage_safe_split", "q110_bigram_lm_score",
+        "q111_temperature_mix", "q112_novel_against_corpus",
+        "q113_small_qty_revenue", "q166_minhash_param_sweep",
+        "q222_grouped_ndcg", "q223_pq_adc_probe_portable",
+        "q224_shingle_containment", "q225_vocab_coverage",
+        "q226_dsir_importance", "q227_k_anonymity_census",
+        "q228_embedding_dim_qa", "q229_classifier_auc",
+        "q230_cluster_balanced_sample", "q231_source_token_fingerprint",
+        "q72_approx_distinct", "q104_pq_ann_topk", "q107_bpe_tokenize",
+        "q108_semantic_dedup", "q115_hll_distinct_tokens",
+        "q116_cms_heavy_hitters",
     }
 )
 

