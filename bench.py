@@ -141,6 +141,35 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # The driver keeps a bounded MERGED stdout+stderr tail, and the JVM's
+    # log4j console appender writes to the fd-2 this process holds when
+    # the gateway launches — so any late WARN (r6: WindowExec; r7: a
+    # benign DAGScheduler accumulator-update trace + a 1 MiB
+    # task-binary notice from q223's inline codebook literals) lands in
+    # the tail ABOVE the JSON metric line and every reviewer has to
+    # re-derive its innocence from a truncated trace.  Fix at the fd
+    # level: point fd 2 at a file artifact BEFORE the JVM starts (the
+    # child inherits the redirected fd), so the full JVM stderr is
+    # preserved in BENCH_STDERR.log for audit and the driver tail
+    # carries ONLY the metric line.  Python tracebacks are restored to
+    # the real stderr on failure so a crashed run still shows its error.
+    stderr_log = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STDERR.log"
+    )
+    real_stderr = os.dup(2)
+    log_fd = os.open(stderr_log, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    os.dup2(log_fd, 2)
+    os.close(log_fd)
+    try:
+        _run(sf_dir, sf)
+    except BaseException:
+        os.dup2(real_stderr, 2)  # crash diagnostics go to the real stderr
+        raise
+    finally:
+        os.close(real_stderr)
+
+
+def _run(sf_dir: str, sf: float) -> None:
     # keep STDOUT clean for the driver's JSON-line parse: Spark's
     # console progress bar interleaves carriage-return frames into the
     # captured output tail
@@ -148,6 +177,12 @@ def main() -> None:
         app_name="mtg-spark-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # Benign-but-noisy WARNs (cleaned-accumulator updates from
+    # localCheckpoint lineages, >1 MiB task-binary notices from
+    # literal-heavy frozen-artifact gates) are audit noise in a bench
+    # run; the full pre-ERROR detail still lands in BENCH_STDERR.log
+    # via the fd redirect above if anything genuinely fails.
+    spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM/IO path once with the cheapest query so the first
@@ -186,15 +221,19 @@ def main() -> None:
     # passes is the standard noise-floor estimator; the full 2× run
     # still fits the driver's window (~2×96 s + 12 s artifacts).
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
+    # per_pass[name] = [pass1_sec, pass2_sec, ...]: pass 1 is the cold
+    # number comparable to pre-r7 single-pass rounds (pass 2 runs with
+    # warmed shingle caches / JIT / page cache), so round-over-round
+    # deltas stay interpretable even though the driver line reports the
+    # min (the noise-floor estimator adopted in r7).
+    per_pass: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(max(1, passes)):
         for name in names:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.count()
-            elapsed = round(time.perf_counter() - t0, 4)
-            prev = timings.get(name)
-            timings[name] = elapsed if prev is None else min(prev, elapsed)
+            per_pass[name].append(round(time.perf_counter() - t0, 4))
+    timings = {n: min(ts) for n, ts in per_pass.items()}
 
     # Full-name timings for local analysis (not driver-parsed).
     with open(
@@ -204,6 +243,7 @@ def main() -> None:
         json.dump(
             {
                 "queries": timings,
+                "per_pass": per_pass,
                 "sf": sf,
                 # untimed-per-query prebuilt work, reported so the
                 # artifact cost is visible rather than hidden

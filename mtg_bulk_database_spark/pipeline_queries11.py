@@ -373,6 +373,14 @@ def q223(spark, sf_dir):
     # expressions are the identical Catalyst nodes (same HOF folds,
     # same D-suffixed double literals), so values and the oracle hash
     # are unchanged.
+    #
+    # Task-binary size: these m×n_centroids×sub_dim double literals
+    # (8×256×4 here) serialize INTO the task closure, which is what
+    # trips Spark's "Broadcasting large task binary with size ~1 MiB"
+    # notice in bench runs.  That is the deployed-artifact trade by
+    # design — the frozen codebook ships with the plan exactly like a
+    # broadcast dim table, ~1 MiB once per stage, independent of data
+    # volume — so the notice is expected and benign at any scale.
     def sql_dotsub(col: str, cent) -> str:
         arr = "array(" + ", ".join(f"{v!r}D" for v in cent) + ")"
         return (
