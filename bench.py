@@ -135,6 +135,11 @@ HEADLINE = [
     "q229_classifier_auc",
     "q230_cluster_balanced_sample",
     "q231_source_token_fingerprint",
+    # r8 additions: SemDeDup serving screen, unrolled PageRank,
+    # frozen-merge BPE encode
+    "q232_semdedup_serving_portable",
+    "q233_pagerank_unrolled",
+    "q234_bpe_encode_frozen",
 ]
 
 

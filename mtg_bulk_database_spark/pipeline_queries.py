@@ -58,7 +58,10 @@ def q31(spark, sf_dir):
     )
 
 
-_JACCARD_ORACLE = f"""
+def _jaccard_oracle(threshold: float = 0.8) -> str:
+    """Exact n-gram-Jaccard pair oracle, threshold-parameterized (r8:
+    q233's unrolled-PageRank twin reuses the q117 graph at 0.6)."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), sh AS (
@@ -78,8 +81,11 @@ _JACCARD_ORACLE = f"""
     FROM pairs
     JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
     JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
-    WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+    WHERE common::DOUBLE / (sa.n + sb.n - common) >= {threshold}
 """
+
+
+_JACCARD_ORACLE = _jaccard_oracle()
 
 
 #: (applicationId, sf_dir) → estimated lean-formulation pair rows for

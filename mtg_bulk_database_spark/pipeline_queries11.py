@@ -475,6 +475,17 @@ def q223(spark, sf_dir):
 # Asymmetric near-dup: shingle CONTAINMENT (q224).
 # ---------------------------------------------------------------------------
 _Q224_TAU = 0.8
+#: stop-shingle document-frequency cap (hard_negative_pairs' bound,
+#: exposed per VERDICT r7 #6): shingles appearing in more than this
+#: many documents leave the posting join, bounding the hot-key fanout
+#: at cap² rows per shingle instead of quadratic-in-the-Zipf-head.
+#: The cap only ever SHRINKS `common` (the denominator n_sub stays the
+#: full shingle count), so a capped run under-reports containment —
+#: conservative for dedup (may miss), never a false positive.  At
+#: τ=0.8 and DF≤1000 nothing drops on the test corpora; mining runs on
+#: boilerplate-heavy corpora tighten it (the q150 observable-cap
+#: pattern; fanout bound pinned in tests/test_pipeline_ops.py).
+_Q224_DF_CAP = 1000
 
 
 def _q224_oracle() -> str:
@@ -488,7 +499,10 @@ def _q224_oracle() -> str:
              list_distinct(list_transform(range(1, len(t)-1),
                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
       FROM toks WHERE len(t) >= 3),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    kept AS (SELECT s FROM ex0 GROUP BY s
+             HAVING count(*) <= {_Q224_DF_CAP}),
+    ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN kept ON ex0.s = kept.s),
     pairs AS (
       SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
              count(*) AS common
@@ -517,18 +531,34 @@ def q224(spark, sf_dir):
     quoted-article pages).
 
     Same scale shape as the Jaccard family: the shared persisted
-    shingle posting table → posting-list equi-join (never doc×doc) →
-    per-pair common counts → size join → integer-ratio threshold.
-    Direction is smaller-into-larger (id tiebreak on equal sizes), so
-    each relation reports once.  At mining thresholds the stop-shingle
-    DF cap (hard_negative_pairs) bounds the head fanout; at τ=0.8 the
-    posting join is the lean formulation q32 already audits."""
+    shingle posting table → stop-shingle DF cap (r8: exposed and
+    threaded exactly like hard_negative_pairs' — see _Q224_DF_CAP) →
+    posting-list equi-join (never doc×doc) → per-pair common counts →
+    size join → integer-ratio threshold.  Direction is
+    smaller-into-larger (id tiebreak on equal sizes), so each relation
+    reports once."""
     from .pipeline_queries import shingle_prebuilt_table
 
     sh = shingle_prebuilt_table(spark, sf_dir)
+    return shingle_containment_pairs(sh)
+
+
+def shingle_containment_pairs(
+    sh, tau: float = _Q224_TAU, shingle_df_cap: int = _Q224_DF_CAP
+):
+    """q224's pair computation over a prebuilt shingle table, with the
+    stop-shingle DF cap as a real parameter (tests pin the fanout
+    bound by driving it low on a boilerplate-heavy corpus)."""
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     )
+    kept = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("_df_s"))
+        .filter(F.col("_df_s") <= shingle_df_cap)
+        .select("s")
+    )
+    ex = ex.join(kept, on="s")  # stop-shingle bound
     a = ex.select(F.col("doc_id").alias("id_sub"), "s")
     b = ex.select(F.col("doc_id").alias("id_super"), "s")
     pairs = (
@@ -563,7 +593,7 @@ def q224(spark, sf_dir):
         )
         .where(
             F.col("common").cast("double") / F.col("n_sub0")
-            >= F.lit(_Q224_TAU)
+            >= F.lit(tau)
         )
         .select(
             "id_sub",
@@ -968,13 +998,9 @@ def q229(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     feats = with_gopher_quality(docs)
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.01) * F.col("n_words")
-        + F.lit(0.5) * F.col("alpha_frac")
-        + F.lit(2.0) * F.col("stop_frac")
-        - F.lit(0.1) * F.col("mean_word_len")
-    )
+    from .pipeline_queries5 import qclf_z
+
+    z = qclf_z()
     scored = feats.select(
         "doc_id",
         F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))

@@ -544,7 +544,28 @@ def q120(spark, sf_dir):
 # sigmoid is floored to micro-units so both engines emit the identical
 # scalar despite exp() being the only non-algebraic op involved.
 # ---------------------------------------------------------------------------
-_QCLF = "(-2.0 + 0.01 * n_words + 0.5 * alpha_frac + 2.0 * stop_frac - 0.1 * mean_word_len)"
+# Single source of truth for the deployed coefficients (bias, n_words,
+# alpha_frac, stop_frac, mean_word_len): the SQL twin string AND every
+# Spark body (q121, q210, q229) derive from this tuple, so a weight
+# change can never desync an engine side from its oracle (ADVICE r7).
+QCLF_W = (-2.0, 0.01, 0.5, 2.0, -0.1)
+_QCLF = (
+    f"({QCLF_W[0]} + {QCLF_W[1]} * n_words + {QCLF_W[2]} * alpha_frac"
+    f" + {QCLF_W[3]} * stop_frac + {QCLF_W[4]} * mean_word_len)"
+)
+
+
+def qclf_z():
+    """The classifier's logit as a Spark column over the Gopher
+    feature columns — the one Spark-side rendering of ``QCLF_W``."""
+    b, wn, wa, ws, wm = QCLF_W
+    return (
+        F.lit(b)
+        + F.lit(wn) * F.col("n_words")
+        + F.lit(wa) * F.col("alpha_frac")
+        + F.lit(ws) * F.col("stop_frac")
+        + F.lit(wm) * F.col("mean_word_len")
+    )
 
 
 @query(
@@ -580,13 +601,7 @@ def q121(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     feats = with_gopher_quality(docs)
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.01) * F.col("n_words")
-        + F.lit(0.5) * F.col("alpha_frac")
-        + F.lit(2.0) * F.col("stop_frac")
-        - F.lit(0.1) * F.col("mean_word_len")
-    )
+    z = qclf_z()
     prob = (
         F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
         / F.lit(1000000.0)
@@ -861,13 +876,7 @@ def q210(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     feats = with_gopher_quality(docs)
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.01) * F.col("n_words")
-        + F.lit(0.5) * F.col("alpha_frac")
-        + F.lit(2.0) * F.col("stop_frac")
-        - F.lit(0.1) * F.col("mean_word_len")
-    )
+    z = qclf_z()
     scored = feats.select(
         "doc_id",
         F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))

@@ -40,6 +40,7 @@ def load_registry():
         pipeline_queries9,
         pipeline_queries10,
         pipeline_queries11,
+        pipeline_queries12,
         queries,
         queries_extra,
     )

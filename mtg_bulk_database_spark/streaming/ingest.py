@@ -455,8 +455,28 @@ def stream_fold_retention_states(
     persists anyway (first-seen ~ |users| rows, activity ~ |user,week|
     rows); each micro-batch contributes a pre-aggregated frame, so the
     stream never reshuffles history — the merge is one groupBy over
-    the state directory."""
+    the state directory.
+
+    State/checkpoint pairing (ADVICE r7): a FRESH checkpoint dir with
+    a reused state_dir would silently merge stale ``batch=<id>``
+    directories from the prior run (the per-batch overwrite only
+    replaces colliding ids), so a fresh checkpoint clears the state
+    subdirs first; and an empty source (zero drained batches) returns
+    empty frames with the fold's exact schemas instead of throwing
+    PATH_NOT_FOUND on the state read."""
+    import os
+    import shutil
+
     from pyspark.sql import functions as F
+
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        # fresh run: any batch=<id> state on disk is from a PRIOR run
+        # (a resumed run always has its checkpoint); drop it so the
+        # merge below sees only this run's folds
+        for sub in ("first", "weeks"):
+            p = os.path.join(state_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     reader = spark.readStream
     if schema is not None:
@@ -490,6 +510,17 @@ def stream_fold_retention_states(
         raise TimeoutError(
             f"stream_fold_retention_states did not drain within "
             f"{timeout_s}s (src_dir={src_dir!r})"
+        )
+    if not os.path.isdir(os.path.join(state_dir, "first")):
+        # zero drained batches: run the fold expressions over an empty
+        # frame so the returned schemas match the merged-state shapes
+        empty = spark.createDataFrame([], src.schema)
+        return (
+            empty.groupBy("user_id").agg(F.min("ts").alias("first_ts")),
+            empty.select(
+                "user_id",
+                F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            ).distinct(),
         )
     first = (
         spark.read.parquet(f"{state_dir}/first")

@@ -406,3 +406,91 @@ def test_q229_degenerate_label_populations(spark, tmp_path):
     rec = dict(zip(cols, rows[0]))
     assert rec["auc"] is None, rec
     assert rec["n_pos"] == 0 or rec["n_neg"] == 0, rec
+
+
+def test_q226_empty_target_source(spark, tmp_path):
+    """r8 targeted corpus (VERDICT r7 #8): the DSIR target source has
+    ZERO documents — the target LM degenerates to the uniform
+    add-one-smoothed 1/(0+V) distribution (targ_n=0, targ_c empty).
+    Both engines must agree exactly (no NULL/empty-join divergence:
+    Spark's empty targ_c left-join and DuckDB's empty CTE take
+    different code paths to the same coalesce(ct,0)) and every scored
+    doc must carry a finite log_ratio."""
+    import math
+
+    import pandas as pd
+
+    texts = [
+        " ".join(f"tok{(i * 7 + j) % 23}" for j in range(12))
+        for i in range(40)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": texts,
+            "lang": ["en"] * 40,
+            # only 'a'/'b' — the frozen target 'src3' never occurs
+            "source": ["a", "b"] * 20,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q226_dsir_importance", ["documents"]
+    )
+    assert len(rows) == 40  # all docs are out-of-target; 40 < top-m
+    lr = cols.index("log_ratio")
+    assert all(r[lr] is not None and math.isfinite(r[lr]) for r in rows)
+
+
+def test_q230_cluster_below_quota(spark, tmp_path):
+    """r8 targeted corpus (VERDICT r7 #8): one cluster's population is
+    BELOW the per-cluster quota — every member must be kept (ranks are
+    a permutation of 1..n), while an over-quota cluster caps at
+    exactly QUOTA rows.  Vectors are the frozen centroids themselves
+    (positively scaled, so cosine-to-own-centroid stays 1.0 and the
+    assignment is unambiguous); a vec_id=0 row and a NULL embedding
+    exercise the pool filter on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mtg_bulk_database_spark.pipeline_queries10 import _Q217_CENTROIDS
+    from mtg_bulk_database_spark.pipeline_queries11 import _Q230_QUOTA
+
+    over = [
+        [x * (1.0 + 0.01 * i) for x in _Q217_CENTROIDS[2]]
+        for i in range(_Q230_QUOTA + 5)
+    ]
+    under = [
+        [x * (1.0 + 0.01 * i) for x in _Q217_CENTROIDS[5]]
+        for i in range(3)
+    ]
+    vecs = [list(_Q217_CENTROIDS[0])] + over + under + [None]
+    ids = list(range(len(vecs)))  # id 0 is excluded by the pool filter
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [
+                    None if v is None
+                    else [float(x) for x in v]
+                    for v in vecs
+                ],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q230_cluster_balanced_sample", ["embeddings"]
+    )
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r[cols.index("list_id")], []).append(
+            r[cols.index("smp_rank")]
+        )
+    assert sorted(by_cluster[5]) == [1, 2, 3]  # under quota: all kept
+    assert sorted(by_cluster[2]) == list(range(1, _Q230_QUOTA + 1))
+    assert set(by_cluster) == {2, 5}  # id 0 and the NULL row filtered

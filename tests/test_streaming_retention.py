@@ -117,3 +117,70 @@ def test_streamed_retention_equals_batch(spark, tmp_path):
         if r[0] == dt.date(2024, 1, 1) and r[1] == 2
     ]
     assert cell and cell[0][2] == 1, streamed
+
+
+def test_empty_source_returns_empty_states(spark, tmp_path):
+    """r8 (ADVICE r7): zero drained batches must yield EMPTY state
+    frames with the fold's schemas — not a PATH_NOT_FOUND throw on the
+    state-directory read."""
+    src = tmp_path / "src"
+    os.makedirs(src)  # no files at all
+    first, weeks = stream_fold_retention_states(
+        spark,
+        str(src),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        schema=(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        ),
+    )
+    assert first.columns == ["user_id", "first_ts"]
+    assert weeks.columns == ["user_id", "week"]
+    assert first.count() == 0 and weeks.count() == 0
+    assert retention_from_states(first, weeks).count() == 0
+
+
+def test_fresh_checkpoint_clears_stale_state(spark, tmp_path):
+    """r8 (ADVICE r7): reusing a state_dir with a FRESH checkpoint
+    must not merge the prior run's batch directories — the second run
+    sees only its own events."""
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+    def write_events(d, uids):
+        rows = pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": pd.Timestamp("2024-01-02 10:00:00"),
+                    "user_id": u,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, u in enumerate(uids)
+            ]
+        )
+        rows["ts"] = rows["ts"].astype("datetime64[us]")
+        os.makedirs(d)
+        rows.to_parquet(os.path.join(d, "part-0.parquet"), index=False)
+
+    state = str(tmp_path / "state")
+    write_events(str(tmp_path / "src1"), [1, 2, 3])
+    first1, _ = stream_fold_retention_states(
+        spark, str(tmp_path / "src1"), state,
+        str(tmp_path / "ckpt1"), schema=schema,
+    )
+    assert first1.count() == 3
+
+    # second run: DIFFERENT source, FRESH checkpoint, SAME state dir
+    write_events(str(tmp_path / "src2"), [7])
+    first2, weeks2 = stream_fold_retention_states(
+        spark, str(tmp_path / "src2"), state,
+        str(tmp_path / "ckpt2"), schema=schema,
+    )
+    assert {r["user_id"] for r in first2.collect()} == {7}
+    assert {r["user_id"] for r in weeks2.collect()} == {7}
