@@ -136,10 +136,12 @@ HEADLINE = [
     "q230_cluster_balanced_sample",
     "q231_source_token_fingerprint",
     # r8 additions: SemDeDup serving screen, unrolled PageRank,
-    # frozen-merge BPE encode
+    # frozen-merge BPE encode, one-step k-means / logreg training twins
     "q232_semdedup_serving_portable",
     "q233_pagerank_unrolled",
     "q234_bpe_encode_frozen",
+    "q235_kmeans_step_portable",
+    "q236_logreg_step_portable",
 ]
 
 

@@ -339,3 +339,217 @@ def q234(spark, sf_dir):
             F.countDistinct("word").cast("long").alias("n_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — ONE Lloyd step of the coarse quantizer, from the frozen
+# centroids: the training-side twin of q217's serving assignment.
+# ---------------------------------------------------------------------------
+def _q235_oracle() -> str:
+    from .pipeline_queries10 import _q217_oracle
+
+    return f"""
+    WITH assign AS ({_q217_oracle()}),
+    j AS (
+      SELECT a.list_id, e.embedding
+      FROM assign a JOIN embeddings e USING (vec_id)),
+    ex AS (
+      SELECT list_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS x
+      FROM j)
+    SELECT CAST(list_id AS INT) AS list_id,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_x
+    FROM ex GROUP BY list_id, dim"""
+
+
+@query("q235_kmeans_step_portable", _q235_oracle())
+def q235(spark, sf_dir):
+    """ONE Lloyd iteration of the coarse quantizer, hash-checked: the
+    frozen-centroid assignment (q217's literal algebra) followed by
+    the per-(cluster, dimension) member MEAN — the exact update step
+    q108's k-means training loops over, unrolled once from the
+    deployed artifact.  For SPHERICAL k-means the unnormalized mean IS
+    the full step: cosine is invariant to positive scaling, so the
+    next assignment induced by these means is identical whether or not
+    they are re-normalized (normalization is a deploy-time cosmetic).
+    With q232 (serving screen) and q217 (assignment), only the
+    multi-iteration LOOP of the family remains rows-only (q108).
+
+    Portability: q228's per-dimension recipe — components 6 dp-rounded
+    then DECIMAL-summed (order-independent), ONE final double division
+    per (cluster, dim).  Scale: one codegen'd scan assigns (centroid
+    literals, zero shuffles), posexplode fans out 64 dims, and the
+    groupBy is partial-aggregated on ≤ 8·64 keys — output is
+    centroid-table-sized however large the corpus."""
+    from .functions.vectors import cosine_similarity, indexable_vector
+    from .pipeline_queries10 import _Q217_CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
+    )
+    scores = F.array(
+        *[
+            F.round(
+                cosine_similarity(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in c]),
+                ),
+                6,
+            )
+            for c in _Q217_CENTROIDS
+        ]
+    )
+    assigned = emb.select(
+        F.col("embedding").cast("array<double>").alias("e"),
+        scores.alias("sc"),
+    ).select(
+        (F.array_position("sc", F.array_max("sc")) - 1)
+        .cast("int")
+        .alias("list_id"),
+        "e",
+    )
+    ex = assigned.select(
+        "list_id", F.posexplode("e").alias("pos", "x")
+    ).select("list_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return ex.groupBy("list_id", "dim").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — ONE gradient-descent step of the quality classifier, from the
+# frozen deployed weights: the training-side twin of q213's scoring.
+# ---------------------------------------------------------------------------
+_Q236_FEATURES = ("n_words", "alpha_frac", "stop_frac", "mean_word_len")
+_Q236_LR = 2.0  # classifier.train_logreg's default step size
+
+
+def _q236_oracle() -> str:
+    from .pipeline_queries3 import _SQL_QUALITY
+    from .pipeline_queries5 import _Q121_FEATS_CTE, _QCLF, QCLF_W
+
+    # widths: 24,6 × 14,6 → 38,12 — forces DuckDB onto the int128
+    # decimal path (18,6 × 18,6 overflows its int64 multiply on real
+    # micro-residual × n_words products) while Spark promotes the same
+    # product to DECIMAL(38,12); the values are identical integers
+    # either way
+    r = "CAST(p_micro - label * 1000000 AS DECIMAL(24,6))"
+    gsums = ",\n        ".join(
+        [f"sum({r}) AS g0"]
+        + [
+            f"sum({r} * CAST(round({f}::DOUBLE, 6) AS DECIMAL(14,6)))"
+            f" AS g{i + 1}"
+            for i, f in enumerate(_Q236_FEATURES)
+        ]
+    )
+    legs = "\n      UNION ALL ".join(
+        # CAST: a bare -2.0 literal is DECIMAL in DuckDB, DOUBLE in
+        # Spark — the union would carry the decimal type to the output
+        f"SELECT '{name}' AS feature, CAST({w} AS DOUBLE) AS w_old,"
+        f" CAST(g{i} AS DOUBLE) / (n * 1000000.0) AS graw FROM g"
+        for i, (name, w) in enumerate(
+            zip(("bias",) + _Q236_FEATURES, QCLF_W)
+        )
+    )
+    return f"""
+    WITH feats AS ({_Q121_FEATS_CTE}),
+    scored AS (
+      SELECT doc_id, n_words, alpha_frac, stop_frac, mean_word_len,
+             CAST(floor(1000000.0 / (1.0 + exp(-{_QCLF}))) AS BIGINT)
+                 AS p_micro
+      FROM feats),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_QUALITY} >= 0.5 THEN 1 ELSE 0 END AS label
+      FROM documents),
+    j AS (
+      SELECT s.*, l.label FROM scored s JOIN lab l USING (doc_id)
+      WHERE s.p_micro IS NOT NULL),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        {gsums}
+      FROM j)
+    SELECT feature, w_old, round(graw, 6) AS grad,
+           round(w_old - {_Q236_LR} * graw, 6) AS w_new
+    FROM ({legs}) t"""
+
+
+@query("q236_logreg_step_portable", _q236_oracle())
+def q236(spark, sf_dir):
+    """ONE full-batch gradient-descent step of the quality classifier
+    from the DEPLOYED weights, hash-checked: the mean-log-loss
+    gradient (1/n)·Σ(σ(w·x) − y)·x — exactly classifier.train_logreg's
+    iteration body — evaluated once at QCLF_W with the trainer's
+    default step size.  With q213 (scoring), q229 (eval) and this,
+    only the multi-iteration GD LOOP of the family remains rows-only
+    (q200).  The continual-pretraining story: an ingest round folds
+    new weak labels into the deployed model by exactly this step, and
+    the gate proves both engines would take the IDENTICAL step.
+
+    Portability: the residual is p_micro − y·10⁶ (the q121
+    micro-floored sigmoid — already integer-exact), each feature
+    6 dp-rounded; their DECIMAL products sum order-independently, and
+    the gradient is ONE double division per weight, rounded 6 dp after
+    the weight update.  Scale: one scan, one 5-column aggregate (the
+    same shape the trainer runs per iteration — |features|+1 partial
+    sums, no shuffle wider than one row)."""
+    from .operators.text_analysis import (
+        with_gopher_quality,
+        with_quality_score,
+    )
+    from .pipeline_queries5 import QCLF_W, qclf_z
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = with_gopher_quality(docs)
+    scored = feats.select(
+        "doc_id",
+        *_Q236_FEATURES,
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-qclf_z())))
+        .cast("long")
+        .alias("p_micro"),
+    )
+    lab = with_quality_score(docs).select(
+        "doc_id",
+        F.when(F.col("quality_score") >= 0.5, 1).otherwise(0).alias("label"),
+    )
+    j = scored.join(lab, "doc_id").where(F.col("p_micro").isNotNull())
+    r = (F.col("p_micro") - F.col("label") * 1_000_000).cast(
+        "decimal(24,6)"
+    )
+    g = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(r).alias("g0"),
+        *[
+            F.sum(
+                r * F.round(F.col(f).cast("double"), 6).cast("decimal(14,6)")
+            ).alias(f"g{i + 1}")
+            for i, f in enumerate(_Q236_FEATURES)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', CAST({w!r} AS DOUBLE),"
+        f" CAST(g{i} AS DOUBLE) / (n * 1000000.0)"
+        for i, (name, w) in enumerate(
+            zip(("bias",) + _Q236_FEATURES, QCLF_W)
+        )
+    )
+    return g.selectExpr(
+        f"stack(5, {stack_args}) AS (feature, w_old, graw)"
+    ).select(
+        "feature",
+        "w_old",
+        F.round("graw", 6).alias("grad"),
+        F.round(
+            F.col("w_old") - F.lit(_Q236_LR) * F.col("graw"), 6
+        ).alias("w_new"),
+    )

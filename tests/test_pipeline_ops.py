@@ -1212,3 +1212,136 @@ def test_q224_stop_shingle_cap_bounds_head_fanout(spark):
     assert sum(1 for k in uncapped if k[0] < 100) == 15
     # capped: the DF-6 head is out of the join; the DF-2 passage stays
     assert capped == {(100, 101): 1.0}
+
+
+def test_q233_micro_recurrence_tracks_float_pagerank(spark):
+    """r8 semantic tie: the unrolled INTEGER recurrence (q233) is the
+    serving twin of graph.pagerank — on the same sf0.01 dup graph the
+    micro-quantized 3-step ranks must order the head the same way the
+    float fixpoint does (every floor loses < 1e-6·deg per node per
+    step, far below the rank gaps that decide the top-20)."""
+    from mtg_bulk_database_spark.operators import graph
+    from mtg_bulk_database_spark.pipeline_queries import (
+        shingle_prebuilt_table,
+    )
+    from mtg_bulk_database_spark.registry import load_registry
+
+    queries, _ = load_registry()
+    unrolled = queries["q233_pagerank_unrolled"](spark, SF_DIR).collect()
+    assert unrolled
+
+    docs = load_table(spark, SF_DIR, "documents", fan_out=True)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.6,
+        shingles_df=shingle_prebuilt_table(spark, SF_DIR),
+    ).select("id_a", "id_b")
+    fl = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(pairs, max_iter=3, tol=0.0).collect()
+    }
+    for r in unrolled:
+        # micro-rank/1e6 within 1e-3 of the float 3-step rank: the
+        # only divergence sources are the per-step floors
+        assert abs(r["rank"] - fl[r["doc_id"]]) < 1e-3, (
+            r, fl[r["doc_id"]],
+        )
+
+
+def test_q236_step_matches_float_gradient(spark):
+    """r8 semantic tie: q236's micro-quantized gradient must agree
+    with the un-quantized float gradient of classifier.train_logreg's
+    iteration body at the same weights to within the quantization
+    bound (sigmoid floored at 1e-6, features rounded at 1e-6 →
+    per-doc term error < (1e-6·|x| + |resid|·1e-6), mean < 2e-2 on
+    n_words-scaled features)."""
+    from mtg_bulk_database_spark.operators.classifier import (
+        _margin,
+        sigmoid,
+    )
+    from mtg_bulk_database_spark.operators.text_analysis import (
+        with_gopher_quality,
+        with_quality_score,
+    )
+    from mtg_bulk_database_spark.pipeline_queries5 import QCLF_W
+    from mtg_bulk_database_spark.registry import load_registry
+
+    queries, _ = load_registry()
+    got = {
+        r["feature"]: r
+        for r in queries["q236_logreg_step_portable"](
+            spark, SF_DIR
+        ).collect()
+    }
+
+    feats = ("n_words", "alpha_frac", "stop_frac", "mean_word_len")
+    docs = load_table(spark, SF_DIR, "documents")
+    base = with_gopher_quality(docs).join(
+        with_quality_score(docs).select(
+            "doc_id",
+            F.when(F.col("quality_score") >= 0.5, 1.0)
+            .otherwise(0.0)
+            .alias("_y"),
+        ),
+        "doc_id",
+    )
+    resid = sigmoid(_margin(list(feats), list(QCLF_W))) - F.col("_y")
+    row = base.agg(
+        F.count("*").alias("n"),
+        F.avg(resid).alias("g_bias"),
+        *[
+            F.avg(resid * F.col(f).cast("double")).alias(f"g_{f}")
+            for f in feats
+        ],
+    ).collect()[0]
+    assert abs(got["bias"]["grad"] - row["g_bias"]) < 2e-2
+    for f in feats:
+        assert abs(got[f]["grad"] - row[f"g_{f}"]) < 2e-2, f
+        # and the update direction is the trainer's
+        w = dict(zip(("bias",) + feats, QCLF_W))[f]
+        assert abs(
+            got[f]["w_new"] - (w - 2.0 * got[f]["grad"])
+        ) < 2e-5, f
+
+
+def test_q235_step_matches_float_means(spark, emb):
+    """r8 semantic tie: q235's decimal-summed per-(cluster, dim) means
+    must match a float recomputation of the same Lloyd step (pandas
+    side) to within the 6 dp rounding bound."""
+    import numpy as np
+
+    from mtg_bulk_database_spark.pipeline_queries10 import (
+        _Q217_CENTROIDS,
+    )
+    from mtg_bulk_database_spark.registry import load_registry
+
+    queries, _ = load_registry()
+    got = {
+        (r["list_id"], r["dim"]): (r["n_members"], r["mean_x"])
+        for r in queries["q235_kmeans_step_portable"](
+            spark, SF_DIR
+        ).collect()
+    }
+
+    pdf = emb.toPandas()
+    cents = np.array(_Q217_CENTROIDS)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for _, row in pdf.iterrows():
+        v = row["embedding"]
+        if row["vec_id"] == 0 or v is None:
+            continue
+        x = np.asarray(v, dtype=np.float64)
+        nx = np.linalg.norm(x)
+        if nx == 0:
+            continue
+        scores = np.round(cn @ (x / nx), 6)
+        lid = int(np.argmax(scores))  # first-max tiebreak, same as SQL
+        sums[lid] = sums.get(lid, np.zeros(len(x))) + x
+        counts[lid] = counts.get(lid, 0) + 1
+    for lid, s in sums.items():
+        m = s / counts[lid]
+        for d in range(len(m)):
+            n_got, mean_got = got[(lid, d + 1)]
+            assert n_got == counts[lid], (lid, d)
+            assert abs(mean_got - m[d]) < 2e-6, (lid, d)
