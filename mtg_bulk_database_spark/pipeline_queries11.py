@@ -552,13 +552,19 @@ def shingle_containment_pairs(
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     )
-    kept = (
+    # the cap is enforced as a broadcast ANTI-join against the HOT set
+    # (DF > cap) rather than an equi-join against the kept set: kept is
+    # posting-table-sized (a full shuffle join — the first cut cost
+    # 2.7 s vs the uncapped 1.5 s at sf0.1), while Zipf guarantees the
+    # over-cap head is a handful of shingles at any sane cap — the
+    # anti-join is map-side and the only added cost is the DF count
+    hot = (
         ex.groupBy("s")
         .agg(F.count("*").alias("_df_s"))
-        .filter(F.col("_df_s") <= shingle_df_cap)
+        .filter(F.col("_df_s") > shingle_df_cap)
         .select("s")
     )
-    ex = ex.join(kept, on="s")  # stop-shingle bound
+    ex = ex.join(F.broadcast(hot), on="s", how="left_anti")
     a = ex.select(F.col("doc_id").alias("id_sub"), "s")
     b = ex.select(F.col("doc_id").alias("id_super"), "s")
     pairs = (

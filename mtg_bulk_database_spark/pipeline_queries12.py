@@ -163,8 +163,10 @@ def _q233_oracle() -> str:
     return f"""
     WITH pairs AS (SELECT id_a, id_b FROM ({_jaccard_oracle(0.6)})),
     sym AS (
+      -- UNION ALL: pairs are unique with id_a < id_b, so the
+      -- symmetrized edges are duplicate-free by construction
       SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
+      UNION ALL
       SELECT id_b, id_a FROM pairs),
     deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
             FROM sym GROUP BY src),
@@ -205,14 +207,18 @@ def q233(spark, sf_dir):
         F.col("id_a").cast("long").alias("src"),
         F.col("id_b").cast("long").alias("dst"),
     )
+    # pair output is unique (id_a < id_b, grouped) so the symmetrized
+    # union is duplicate-free BY CONSTRUCTION — no distinct.  Checkpoint
+    # the edge list EAGERLY: both the degree table and the rank init
+    # hang off it, and an uncached lineage re-runs the whole posting
+    # join once per consumer (measured 7.7 s → the pair join's 3.1 s
+    # exactly once after the barrier).  Pair-scale rows, cheap to pin.
     sym = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    # degrees are loop-invariant — pre-join once (graph.pagerank's
-    # shape) and cut the lineage so 3 unrolled stages don't recompute
-    # the pair join per action
-    edges_w = sym.join(deg, on="src").localCheckpoint(eager=False)
+    # degrees are loop-invariant — pre-join once (graph.pagerank's shape)
+    edges_w = sym.join(deg, on="src")
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
