@@ -288,13 +288,18 @@ def hard_negative_pairs(
     ex = sh.select(
         F.col(id_col), F.explode_outer("shingles").alias("s")
     ).filter(F.col("s").isNotNull())
-    kept = (
+    # stop-shingle bound as a broadcast ANTI-join against the HOT set
+    # (DF > cap): the kept set is posting-table-sized (equi-joining it
+    # shuffles the whole posting table — the r8 q224 A/B measured the
+    # difference at ~0.7 s on sf0.1), while Zipf keeps the over-cap
+    # head to a handful of shingles at any sane cap
+    hot = (
         ex.groupBy("s")
         .agg(F.count("*").alias("_df_s"))
-        .filter(F.col("_df_s") <= shingle_df_cap)
+        .filter(F.col("_df_s") > shingle_df_cap)
         .select("s")
     )
-    ex = ex.join(kept, on="s")  # stop-shingle bound
+    ex = ex.join(F.broadcast(hot), on="s", how="left_anti")
     a = ex.select(F.col(id_col).alias("id_a"), "s")
     b = ex.select(F.col(id_col).alias("id_b"), "s")
     common = (
