@@ -184,11 +184,16 @@ def _run(sf_dir: str, sf: float) -> None:
         app_name="mtg-spark-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # Benign-but-noisy WARNs (cleaned-accumulator updates from
-    # localCheckpoint lineages, >1 MiB task-binary notices from
-    # literal-heavy frozen-artifact gates) are audit noise in a bench
-    # run; the full pre-ERROR detail still lands in BENCH_STDERR.log
-    # via the fd redirect above if anything genuinely fails.
+    # Benign-but-noisy log lines (>1 MiB task-binary notices from
+    # literal-heavy frozen-artifact gates, WindowExec hints) are audit
+    # noise in a bench run.  NOTE: the known "Failed to update
+    # accumulator N ... attempted to access non-existent accumulator"
+    # DAGScheduler trace (a straggler task completing after the
+    # ContextCleaner released a localCheckpoint lineage's accumulators
+    # — harmless, results unaffected) logs at ERROR level, so this
+    # call does NOT hide it; it lands in BENCH_STDERR.log where it
+    # belongs, identified once here instead of re-derived from a
+    # truncated tail every round.
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]

@@ -54,3 +54,46 @@ def test_bpe_encode_roundtrip_and_monotone(spark):
     for r in zero:
         words = [w.lower() for w in re.split(TOKEN_SPLIT_RE, r["text"]) if w]
         assert r["n0"] == sum(len(w) + 1 for w in words)
+
+
+def test_frozen_fold_agrees_with_iterative_encoder(spark):
+    """r8: q234's fixed-order single-pass fold vs the iterative
+    best-rank encoder (`_encode_word`), over the sf0.01 vocabulary
+    with the SAME frozen 24-merge table.  The two differ only on
+    words where applying a later rule re-enables an earlier one —
+    rare by construction on a rank-ordered table — so agreement must
+    be near-total, and BOTH must reconstruct every word exactly
+    (losslessness holds regardless of merge order)."""
+    from pyspark.sql import functions as F
+
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.functions.text import tokens
+    from mtg_bulk_database_spark.operators.bpe import WORD_END, _encode_word
+    from mtg_bulk_database_spark.pipeline_queries12 import (
+        _Q234_MERGES,
+        _q234_merge_chain,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    chain = _q234_merge_chain(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
+    )
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .distinct()
+        .selectExpr("word", f"trim({chain}) AS folded")
+        .collect()
+    )
+    assert len(vocab) > 10
+    ranks = {pair: i for i, pair in enumerate(_Q234_MERGES)}
+    memo: dict[str, tuple[str, ...]] = {}
+    agree = 0
+    for r in vocab:
+        fold = tuple(r["folded"].split(" "))
+        iterative = _encode_word(r["word"], ranks, memo)
+        # losslessness: both reconstruct the word
+        assert "".join(fold).replace(WORD_END, "") == r["word"]
+        assert "".join(iterative).replace(WORD_END, "") == r["word"]
+        if fold == iterative:
+            agree += 1
+    assert agree / len(vocab) >= 0.9, (agree, len(vocab))
