@@ -363,13 +363,24 @@ def _q235_oracle() -> str:
       SELECT list_id,
              unnest(range(1, len(embedding) + 1)) AS dim,
              unnest(embedding) AS x
-      FROM j)
-    SELECT CAST(list_id AS INT) AS list_id,
-           CAST(dim AS BIGINT) AS dim,
-           CAST(count(*) AS BIGINT) AS n_members,
-           round(CAST(sum(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 6) AS mean_x
-    FROM ex GROUP BY list_id, dim"""
+      FROM j),
+    st AS (
+      SELECT CAST(list_id AS INT) AS list_id,
+             CAST(dim AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n_members,
+             -- exact micro-integer sum of the 6dp-rounded components
+             CAST(sum(CAST(round(x::DOUBLE, 6) AS DECIMAL(18,6)))
+                  * 1000000 AS BIGINT) AS s_micro
+      FROM ex GROUP BY list_id, dim)
+    SELECT list_id, dim, n_members,
+           -- floor-at-1e-6 mean via INTEGER division; the +1e7 shift
+           -- keeps the numerator positive so truncating and flooring
+           -- division agree (round(double,6) after the division is
+           -- engine-divergent when a small-n mean lands exactly on a
+           -- half-micro — caught by the single-member edge corpus)
+           CAST((s_micro + n_members * 10000000) // n_members
+                - 10000000 AS DOUBLE) / 1000000.0 AS mean_x
+    FROM st"""
 
 
 @query("q235_kmeans_step_portable", _q235_oracle())
@@ -421,13 +432,25 @@ def q235(spark, sf_dir):
     ex = assigned.select(
         "list_id", F.posexplode("e").alias("pos", "x")
     ).select("list_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
-    return ex.groupBy("list_id", "dim").agg(
+    st = ex.groupBy("list_id", "dim").agg(
         F.count("*").cast("long").alias("n_members"),
-        F.round(
-            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)"))
-            .cast("double")
-            / F.count("*"),
-            6,
+        (F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")) * 1_000_000)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    # floor-at-1e-6 mean via integer division (positive-shifted so
+    # truncation == floor) — see the oracle's comment; the decimal sum
+    # times 1e6 is an exact integral value, so the cast is lossless
+    return st.select(
+        "list_id",
+        "dim",
+        "n_members",
+        (
+            F.expr(
+                "(s_micro + n_members * 10000000) DIV n_members"
+                " - 10000000"
+            ).cast("double")
+            / 1_000_000.0
         ).alias("mean_x"),
     )
 

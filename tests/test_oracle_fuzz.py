@@ -494,3 +494,206 @@ def test_q230_cluster_below_quota(spark, tmp_path):
     assert sorted(by_cluster[5]) == [1, 2, 3]  # under quota: all kept
     assert sorted(by_cluster[2]) == list(range(1, _Q230_QUOTA + 1))
     assert set(by_cluster) == {2, 5}  # id 0 and the NULL row filtered
+
+
+def test_q232_plateau_edges(spark, tmp_path):
+    """r8 targeted corpus: one cluster whose members ALL sit at
+    cosine exactly 1.0 (scaled copies of the centroid — a single
+    plateau: exactly one keeper, the min vec_id), and one cluster
+    whose members are angularly spread far beyond eps (every row its
+    own plateau: all kept).  The screen's two extremes, invisible on
+    the smooth fixed corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mtg_bulk_database_spark.pipeline_queries10 import _Q217_CENTROIDS
+
+    c2 = _Q217_CENTROIDS[2]
+    c5 = _Q217_CENTROIDS[5]
+    copies = [
+        [x * (1.0 + 0.5 * i) for x in c2] for i in range(5)
+    ]  # cosine-to-c2 exactly 1.0 for all five
+    spread = [
+        [a + w * b for a, b in zip(c5, c2)]
+        for w in (0.0, 0.02, 0.05, 0.09)
+    ]  # distinct angles to c5 -> affinity gaps >> eps
+    vecs = [list(c2)] + copies + spread
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q232_semdedup_serving_portable",
+        ["embeddings"],
+    )
+    rec = {r[cols.index("vec_id")]: dict(zip(cols, r)) for r in rows}
+    plateau_c2 = [r for r in rec.values() if r["cluster_id"] == 2]
+    assert len(plateau_c2) == 5
+    assert {r["plateau_id"] for r in plateau_c2} == {1}  # ONE plateau
+    keepers = [r["vec_id"] for r in plateau_c2 if r["keep"] == 1]
+    assert keepers == [min(r["vec_id"] for r in plateau_c2)]
+    spread_c5 = [r for r in rec.values() if r["cluster_id"] == 5]
+    assert len(spread_c5) == 4
+    assert all(r["keep"] == 1 for r in spread_c5)  # all own-plateau
+
+
+def test_q233_fixed_point_and_empty_graph(spark, tmp_path):
+    """r8 targeted corpus: (a) no near-dup pair at 0.6 — the unrolled
+    recurrence must return ZERO rows on both engines (not a NULL-rank
+    fabrication); (b) one isolated dup pair — a symmetric 2-node graph
+    is a FIXED POINT of the recurrence (deg 1 both sides: rank =
+    150000 + 85% of 1e6 = exactly 1e6 every step), so both rows must
+    report rank_micro exactly 1_000_000."""
+    import pandas as pd
+
+    uniq = [
+        " ".join(f"w{i}x{j}" for j in range(12)) for i in range(8)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": uniq,
+            "lang": ["en"] * 8,
+            "source": ["s"] * 8,
+            "n_chars": [len(t) for t in uniq],
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, _ = _diff_check(
+        spark, str(tmp_path), "q233_pagerank_unrolled", ["documents"]
+    )
+    assert rows == []
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [dup, dup, uniq[0]],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(dup), len(dup), len(uniq[0])],
+        }
+    )
+    d2 = tmp_path / "two"
+    os.makedirs(d2)
+    df2.to_parquet(os.path.join(str(d2), "documents.parquet"),
+                   index=False)
+    rows, cols = _diff_check(
+        spark, str(d2), "q233_pagerank_unrolled", ["documents"]
+    )
+    got = {r[cols.index("doc_id")]: r[cols.index("rank_micro")]
+           for r in rows}
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_q234_merge_chain_and_inert_word(spark, tmp_path):
+    """r8 targeted corpus: 'hash' exercises a three-deep merge chain
+    ((a,s) -> (as,h</w>) -> (h,ash</w>)) and must collapse to the
+    single subword 'hash</w>'; a word containing none of the frozen
+    pairs must stay fully char-split.  Both differential-checked."""
+    import pandas as pd
+
+    texts = ["hash hash qzqv"] * 4
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q234_bpe_encode_frozen", ["documents"]
+    )
+    rec = {r[cols.index("subword")]: r[cols.index("n_tokens")]
+           for r in rows}
+    assert rec.get("hash</w>") == 8  # 2 per doc x 4 docs, one subword
+    # 'qzqv': no frozen pair applies -> q z q v </w> stay separate
+    assert rec.get("q") == 8 and rec.get("z") == 4 and rec.get("v") == 4
+    assert rec.get("</w>") == 4
+    assert "qzqv</w>" not in rec
+
+
+def test_q235_single_member_cluster_mean_is_the_vector(spark, tmp_path):
+    """r8 targeted corpus: a cluster with exactly ONE member — the
+    Lloyd-step mean must equal that vector's own components at 6 dp,
+    and clusters with no members must be absent (never zero-filled)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mtg_bulk_database_spark.pipeline_queries10 import _Q217_CENTROIDS
+
+    lone = [x * 3.0 for x in _Q217_CENTROIDS[7]]
+    crowd = [
+        [x * (1.0 + 0.01 * i) for x in _Q217_CENTROIDS[1]]
+        for i in range(4)
+    ]
+    vecs = [list(_Q217_CENTROIDS[0]), lone] + crowd
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q235_kmeans_step_portable", ["embeddings"]
+    )
+    by = {(r[cols.index("list_id")], r[cols.index("dim")]): r
+          for r in rows}
+    clusters = {k[0] for k in by}
+    assert clusters == {7, 1}  # vec_id 0 filtered; 6 clusters absent
+    import numpy as np
+
+    lone32 = np.asarray(lone, dtype=np.float32)
+    for d in range(64):
+        r = by[(7, d + 1)]
+        assert r[cols.index("n_members")] == 1
+        assert abs(r[cols.index("mean_x")] - float(lone32[d])) < 1e-6
+
+
+def test_q236_single_class_gradient_direction(spark, tmp_path):
+    """r8 targeted corpus: every document carries label 1, so every
+    residual sigma(z)-1 is NEGATIVE — the gradient must be <= 0 for
+    every non-negative feature and the update must move each such
+    weight UP (w_new >= w_old).  Differential-checked, then the
+    direction asserted."""
+    import pandas as pd
+
+    good = "the and is of to in that it was for " * 30
+    df = pd.DataFrame(
+        {
+            "doc_id": range(15),
+            "text": [good] * 15,
+            "lang": ["en"] * 15,
+            "source": ["s"] * 15,
+            "n_chars": [len(good)] * 15,
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q236_logreg_step_portable", ["documents"]
+    )
+    rec = {r[cols.index("feature")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {
+        "bias", "n_words", "alpha_frac", "stop_frac", "mean_word_len"
+    }
+    for f, r in rec.items():
+        assert r["grad"] <= 0, r  # all features non-negative here
+        assert r["w_new"] >= r["w_old"], r
