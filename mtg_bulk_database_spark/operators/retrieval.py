@@ -550,6 +550,12 @@ def grouped_bm25_ndcg(
         # integer predicate (no float-rounding edge): a doc is in a
         # query's stream iff it contains ≥1 of that query's terms
         .where(F.col("rel") > 0)
+        # three consumers (dcg, idcg, n_relevant) hang off this node
+        # and each re-runs the tokenize+score scan — DELIBERATELY not
+        # checkpointed: the matched set is corpus-scale here (common
+        # terms match most docs), and an r8 A/B measured materializing
+        # it SLOWER than the re-scans (2.35 s → 3.13 s at sf0.1) —
+        # the opposite economics of q233's 256-row edge list
     )
 
     disc = F.array(*[F.lit(d).cast("decimal(8,6)") for d in NDCG_DISC_10[:k]])
