@@ -207,6 +207,7 @@ def _run(sf_dir: str, sf: float) -> None:
     # loop measures query cost over prepared tables, the same thing the
     # reference's Postgres measures over its prebuilt indexes.
     from mtg_bulk_database_spark.pipeline_queries import (
+        hot_shingles_prebuilt,
         ivf_prebuilt_index,
         jaccard_lean_pair_estimate,
     )
@@ -221,9 +222,11 @@ def _run(sf_dir: str, sf: float) -> None:
     asof_click_depth(spark, sf_dir)
     jaccard_lean_pair_estimate(spark, sf_dir)
     # the shingle posting tables the dedup family shares (the
-    # reference's trigram GIN analog, init.sql:137-138)
+    # reference's trigram GIN analog, init.sql:137-138) and the
+    # over-cap stop-shingle head (the ANALYZE-statistic analog)
     shingle_prebuilt_table(spark, sf_dir, "string")
     shingle_prebuilt_table(spark, sf_dir, "hashed")
+    hot_shingles_prebuilt(spark, sf_dir)
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's

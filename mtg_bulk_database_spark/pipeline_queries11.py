@@ -537,18 +537,28 @@ def q224(spark, sf_dir):
     size join → integer-ratio threshold.  Direction is
     smaller-into-larger (id tiebreak on equal sizes), so each relation
     reports once."""
-    from .pipeline_queries import shingle_prebuilt_table
+    from .pipeline_queries import (
+        hot_shingles_prebuilt,
+        shingle_prebuilt_table,
+    )
 
     sh = shingle_prebuilt_table(spark, sf_dir)
-    return shingle_containment_pairs(sh)
+    return shingle_containment_pairs(
+        sh, hot_df=hot_shingles_prebuilt(spark, sf_dir, _Q224_DF_CAP)
+    )
 
 
 def shingle_containment_pairs(
-    sh, tau: float = _Q224_TAU, shingle_df_cap: int = _Q224_DF_CAP
+    sh,
+    tau: float = _Q224_TAU,
+    shingle_df_cap: int = _Q224_DF_CAP,
+    hot_df=None,
 ):
     """q224's pair computation over a prebuilt shingle table, with the
     stop-shingle DF cap as a real parameter (tests pin the fanout
-    bound by driving it low on a boilerplate-heavy corpus)."""
+    bound by driving it low on a boilerplate-heavy corpus).  Pass the
+    persisted ``hot_shingles_prebuilt`` table as ``hot_df`` to skip
+    the in-query DF count (the registered q224 does)."""
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("s")
     )
@@ -557,9 +567,12 @@ def shingle_containment_pairs(
     # posting-table-sized (a full shuffle join — the first cut cost
     # 2.7 s vs the uncapped 1.5 s at sf0.1), while Zipf guarantees the
     # over-cap head is a handful of shingles at any sane cap — the
-    # anti-join is map-side and the only added cost is the DF count
+    # anti-join is map-side, and with the prebuilt artifact even the
+    # DF count moves to ingest time (the ANALYZE-statistic pattern)
     hot = (
-        ex.groupBy("s")
+        hot_df
+        if hot_df is not None
+        else ex.groupBy("s")
         .agg(F.count("*").alias("_df_s"))
         .filter(F.col("_df_s") > shingle_df_cap)
         .select("s")

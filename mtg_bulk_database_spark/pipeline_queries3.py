@@ -381,7 +381,10 @@ def q201(spark, sf_dir):
     # fan_out: shingling is per-row CPU-heavy and a single-file scan
     # would serialize it on one core (r5 profile: a 1.7 s one-task
     # stage) — same rule as the other dedup gates
-    from .pipeline_queries import shingle_prebuilt_table
+    from .pipeline_queries import (
+        hot_shingles_prebuilt,
+        shingle_prebuilt_table,
+    )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -390,4 +393,5 @@ def q201(spark, sf_dir):
         emb,
         k_top=20,
         shingles_df=shingle_prebuilt_table(spark, sf_dir),
+        hot_df=hot_shingles_prebuilt(spark, sf_dir),
     )
