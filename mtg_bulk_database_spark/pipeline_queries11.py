@@ -1016,22 +1016,21 @@ def q229(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = with_gopher_quality(docs)
     from .pipeline_queries5 import qclf_z
 
+    # both operators are withColumn-style over the same scan — compose
+    # them into ONE projection instead of a scored⋈label self-join
+    # (r8: halves the document scans; identical expressions, same rows)
+    both = with_quality_score(with_gopher_quality(docs))
     z = qclf_z()
-    scored = feats.select(
-        "doc_id",
+    scored = both.select(
         F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
         .cast("long")
         .alias("p_micro"),
-    )
-    lab = with_quality_score(docs).select(
-        "doc_id",
         (F.col("quality_score") >= 0.5).cast("int").alias("label"),
     )
     per_s = (
-        scored.join(lab, "doc_id")
+        scored
         # NULL-text rows score NULL; the eval ranks SCORED docs only —
         # and NULL keys sort NULLS FIRST in Spark vs NULLS LAST in
         # DuckDB, so leaving them in flips the cumulative sum

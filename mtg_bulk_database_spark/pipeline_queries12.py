@@ -539,19 +539,16 @@ def q236(spark, sf_dir):
     from .pipeline_queries5 import QCLF_W, qclf_z
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = with_gopher_quality(docs)
-    scored = feats.select(
-        "doc_id",
+    # one fused projection over one scan (r8) — both operators are
+    # withColumn-style, so features, score and weak label need no join
+    both = with_quality_score(with_gopher_quality(docs))
+    j = both.select(
         *_Q236_FEATURES,
         F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-qclf_z())))
         .cast("long")
         .alias("p_micro"),
-    )
-    lab = with_quality_score(docs).select(
-        "doc_id",
         F.when(F.col("quality_score") >= 0.5, 1).otherwise(0).alias("label"),
-    )
-    j = scored.join(lab, "doc_id").where(F.col("p_micro").isNotNull())
+    ).where(F.col("p_micro").isNotNull())
     r = (F.col("p_micro") - F.col("label") * 1_000_000).cast(
         "decimal(24,6)"
     )

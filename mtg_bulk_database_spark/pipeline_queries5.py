@@ -875,19 +875,16 @@ def q210(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = with_gopher_quality(docs)
+    # one fused projection over one scan (r8) — both operators are
+    # withColumn-style, so score and weak label need no self-join
+    both = with_quality_score(with_gopher_quality(docs))
     z = qclf_z()
-    scored = feats.select(
-        "doc_id",
+    joined = both.select(
         F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)))
         .cast("long")
         .alias("p_micro"),
-    )
-    lab = with_quality_score(docs).select(
-        "doc_id",
         (F.col("quality_score") >= 0.5).cast("int").alias("label"),
-    )
-    joined = scored.join(lab, on="doc_id").select(
+    ).select(
         F.least(F.floor(F.col("p_micro") / 100000), F.lit(9))
         .cast("int")
         .alias("decile"),
