@@ -32,10 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracled ones first, so fresh hash-checked evidence accrues — and
 # demote the already-proven block to the tail.
 #
-# r8 prefix by construction: the newly-oracled q137/q165 plus this
-# round's new gates (fresh+oracled, newest first), then the 10
-# never-externally-run rows-only names (q117, q124, q130, q132, q148,
-# q149, q161, q200, q203, q206 — VERDICT r7 directive #2).
+# r8 prefix by construction: this round's new gates (fresh+oracled,
+# newest first — the q237-q241 curation-planning gates, then the
+# q232-q236 serving-half gates) plus the newly-oracled q137/q165,
+# then the 10 never-externally-run rows-only names (q117, q124,
+# q130, q132, q148, q149, q161, q200, q203, q206 — VERDICT r7
+# directive #2).
 _EXTERNALLY_VERIFIED = frozenset(
     {
         "q01_pk_point_lookup", "q02_secondary_equality",

@@ -142,6 +142,12 @@ HEADLINE = [
     "q234_bpe_encode_frozen",
     "q235_kmeans_step_portable",
     "q236_logreg_step_portable",
+    # r8 curation-planning gates
+    "q237_source_overlap_minhash",
+    "q238_tokenizer_fertility",
+    "q239_domain_reweight_eg",
+    "q240_epoch_capped_allocation",
+    "q241_ivf_nprobe_sweep",
 ]
 
 

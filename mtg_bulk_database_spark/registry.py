@@ -41,6 +41,7 @@ def load_registry():
         pipeline_queries10,
         pipeline_queries11,
         pipeline_queries12,
+        pipeline_queries13,
         queries,
         queries_extra,
     )

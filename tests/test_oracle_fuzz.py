@@ -697,3 +697,175 @@ def test_q236_single_class_gradient_direction(spark, tmp_path):
     for f, r in rec.items():
         assert r["grad"] <= 0, r  # all features non-negative here
         assert r["w_new"] >= r["w_old"], r
+
+
+def _docs_parquet(tmp_path, rows):
+    """Write a documents.parquet from (doc_id, text, source) triples."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": [r[2] for r in rows],
+            "n_chars": [len(r[1] or "") for r in rows],
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"),
+                  index=False)
+
+
+def test_q237_identical_disjoint_and_short_sources(spark, tmp_path):
+    """r8 targeted corpus: two sources with IDENTICAL shingle sets
+    must estimate Jaccard exactly 1.0 (all 64 merged-signature slots
+    equal — the mergeable-min property, not a sampling statement); a
+    token-disjoint source must not reach 1.0; and a source whose docs
+    all have < 3 tokens contributes no shingles, so it is absent from
+    the matrix on BOTH engines."""
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "eta theta iota kappa lambda mu nu"
+    t3 = "uno dos tres cuatro cinco seis siete ocho"
+    _docs_parquet(
+        tmp_path,
+        [
+            (1, t1, "a"), (2, t2, "a"),
+            (3, t1, "b"), (4, t2, "b"),  # same shingle set as 'a'
+            (5, t3, "c"),                # disjoint tokens
+            (6, "xy zz", "d"),           # < 3 tokens: no shingles
+        ],
+    )
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q237_source_overlap_minhash", ["documents"]
+    )
+    rec = {
+        (r[cols.index("source_a")], r[cols.index("source_b")]):
+            dict(zip(cols, r))
+        for r in rows
+    }
+    assert set(rec) == {("a", "b"), ("a", "c"), ("b", "c")}  # 'd' absent
+    assert rec[("a", "b")]["n_match"] == 64
+    assert rec[("a", "b")]["est_jaccard"] == 1.0
+    assert rec[("a", "c")]["n_match"] < 64
+    assert rec[("b", "c")]["n_match"] == rec[("a", "c")]["n_match"]
+
+
+def test_q238_fertility_exact_endpoints(spark, tmp_path):
+    """r8 targeted corpus: a word no frozen merge touches ('zzzz')
+    encodes to 5 pieces (z z z z </w>) — fertility exactly 5.0; 'er'
+    fully merges through (e,r) then (er,</w>) into ONE piece —
+    fertility exactly 1.0; an empty-text source has no words and is
+    absent from the census."""
+    _docs_parquet(
+        tmp_path,
+        [
+            (1, "zzzz zzzz zzzz", "z"),
+            (2, "zzzz", "z"),
+            (3, "er er er", "w"),
+            (4, "", "e"),
+        ],
+    )
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q238_tokenizer_fertility", ["documents"]
+    )
+    rec = {r[cols.index("source")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {"z", "w"}
+    assert rec["z"]["n_words"] == 4 and rec["z"]["fertility"] == 5.0
+    assert rec["z"]["n_distinct_words"] == 1
+    assert rec["w"]["n_words"] == 3 and rec["w"]["fertility"] == 1.0
+    assert rec["w"]["n_subwords"] == 3
+
+
+def test_q239_uniform_mixes_stay_uniform(spark, tmp_path):
+    """r8 targeted corpus: with ONE source the excess loss is zero by
+    identity — (-s)//n == (-s_tot)//n_tot — so exp(0) = 1 exactly (no
+    transcendental seam on the edge path) and the mixture is the whole
+    budget: w_new == 1.0.  With two sources of IDENTICAL content both
+    excesses are zero (floor of the same rational) and each gets
+    exactly 0.5."""
+    docs = ["aa bb cc dd", "bb cc dd ee", "cc dd ee ff"]
+    _docs_parquet(
+        tmp_path, [(i, t, "solo") for i, t in enumerate(docs)]
+    )
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q239_domain_reweight_eg", ["documents"]
+    )
+    assert len(rows) == 1
+    rec = dict(zip(cols, rows[0]))
+    assert rec["excess_micro"] == 0 and rec["w_new"] == 1.0
+
+    both = [(i, t, "a") for i, t in enumerate(docs)] + [
+        (i + 10, t, "b") for i, t in enumerate(docs)
+    ]
+    _docs_parquet(tmp_path, both)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q239_domain_reweight_eg", ["documents"]
+    )
+    rec = {r[cols.index("source")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {"a", "b"}
+    for r in rec.values():
+        assert r["excess_micro"] == 0 and r["w_new"] == 0.5
+
+
+def test_q240_skew_zero_token_and_empty_corpus(spark, tmp_path):
+    """r8 targeted corpus: a zero-token source caps trivially at
+    alloc 0 / epochs 0 (no division error on either engine); tiny
+    sources cap at exactly 2 epochs; the one giant source absorbs the
+    entire remainder so the allocation sums EXACTLY to the budget.
+    Then an all-empty corpus (total = 0, budget = 0): every
+    allocation is 0 and the uncapped branch is never evaluated."""
+    big = " ".join(f"w{i}" for i in range(1000))
+    tiny = "aa bb cc dd ee ff gg hh ii jj"
+    _docs_parquet(
+        tmp_path,
+        [
+            (1, big, "big"),
+            (2, tiny, "t1"), (3, tiny, "t2"), (4, tiny, "t3"),
+            (5, "", "zero"),
+        ],
+    )
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q240_epoch_capped_allocation", ["documents"]
+    )
+    rec = {r[cols.index("source")]: dict(zip(cols, r)) for r in rows}
+    total = sum(r["n_tokens"] for r in rec.values())
+    budget = (39 * total) // 20
+    assert sum(r["alloc_tokens"] for r in rec.values()) == budget
+    assert rec["zero"]["alloc_tokens"] == 0
+    assert rec["zero"]["epochs"] == 0.0 and rec["zero"]["capped"] == 1
+    for s in ("t1", "t2", "t3"):
+        assert rec[s]["capped"] == 1
+        assert rec[s]["alloc_tokens"] == 2 * rec[s]["n_tokens"]
+        assert rec[s]["epochs"] == 2.0
+    assert rec["big"]["capped"] == 0
+    assert rec["big"]["epochs"] < 2.0
+
+    _docs_parquet(tmp_path, [(1, "", "a"), (2, None, "b")])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q240_epoch_capped_allocation", ["documents"]
+    )
+    rec = {r[cols.index("source")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {"a", "b"}
+    assert all(
+        r["alloc_tokens"] == 0 and r["epochs"] == 0.0
+        for r in rec.values()
+    )
+
+
+def test_q241_recall_monotone_and_full_probe_exact(spark):
+    """The sweep's two structural invariants, on the shipped corpus:
+    probe pools NEST (crank<=1 ⊂ <=2 ⊂ <=4 ⊂ <=8), and every exact-
+    top-10 member present in a pool outranks all non-members there, so
+    recall is non-decreasing in nprobe; at nprobe = 8 (= n_lists) the
+    pool IS the brute-force pool, so recall must be exactly 1.0."""
+    rows, cols = _diff_check(
+        spark, "/root/testdata/sf0.01", "q241_ivf_nprobe_sweep",
+        ["embeddings"],
+    )
+    by_n = sorted(
+        (r[cols.index("nprobe")], r[cols.index("recall")]) for r in rows
+    )
+    assert [n for n, _ in by_n] == [1, 2, 4, 8]
+    recalls = [r for _, r in by_n]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0

@@ -862,3 +862,30 @@ def test_q234_bpe_fold_is_single_projection(spark):
         f"replace(replace(trim({chain}), ' ', ''), '</w>', '') AS rt",
     )
     assert all(r["word"] == r["rt"] for r in words.collect())
+
+
+def test_q237_signature_agg_combines_map_side_and_broadcasts_pairs(spark):
+    """r8: the source-signature build is ONE partial-aggregated min
+    (map tasks reduce every partition to <= |sources| rows x 64 slots
+    before the shuffle — the mergeable-sketch contract), and the
+    |sources|^2 matrix join is a broadcast, never a sort-merge."""
+    df = QUERIES["q237_source_overlap_minhash"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "partial_min" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q241_sweep_never_rescans_vectors(spark):
+    """r8: the five sweep consumers (exact top-10 + four probe
+    points) all read the checkpointed three-scalar-column frame — the
+    wide embedding column is scanned exactly once, at checkpoint
+    build, and the executed sweep plan contains NO parquet scan at
+    all (TakeOrdered tops, no ranking window)."""
+    df = QUERIES["q241_ivf_nprobe_sweep"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
