@@ -458,44 +458,30 @@ def _q240_oracle() -> str:
     FROM alloc"""
 
 
-@query("q240_epoch_capped_allocation", _q240_oracle())
-def q240(spark, sf_dir):
-    """UniMax-style epoch-capped token-budget allocation, closed-form:
-    given per-source token counts, a total budget of 1.95× the corpus
-    and a 2-epoch repeat cap, give every source a uniform share except
-    where the cap binds — the waterfilling solution, computed without
-    iteration.  Sorted ascending by size, a source caps iff giving it
-    and every larger source the cap-level share still fits the
-    remaining budget (cap·n_i·(N−i+1) ≤ B − cum_{i−1}); the predicate
-    is prefix-closed under that order, so the waterline m is one MAX
-    and uncapped sources split (B − cum_m) by integer division, the
-    remainder going one token each to the smallest uncapped sources —
-    total allocation equals the budget EXACTLY, in pure BIGINT algebra
-    (no floats anywhere; epochs_micro is one positive integer
-    division).
-
-    100 TB shape: the corpus-wide work is ONE map-side-combinable
-    groupBy to count tokens per source; everything after is
-    |sources|-row algebra — the running-sum window is over the source
-    relation (bounded by source cardinality, NOT data volume; the q229
-    bounded-frame argument), behind two 1-row broadcasts.  NULL-source
-    rows are excluded up front: an allocation row for "no source" is
-    meaningless, and NULL orders differently across engines (the q229
-    NULLS FIRST/LAST seam)."""
-    from pyspark.sql import Window
-
-    c = _Q240_CAP_EPOCHS
-    docs = load_table(spark, sf_dir, "documents").where(
-        F.col("source").isNotNull()
-    )
-    counts = (
-        docs.select(
+def source_token_counts(docs) -> "DataFrame":  # noqa: F821
+    """Per-source whitespace-token totals — q240's corpus-wide input,
+    and the SUM-mergeable state the streaming fold persists (see
+    streaming.ingest.stream_fold_source_token_counts): per-batch
+    partial sums merge to the corpus total by one more SUM."""
+    return (
+        docs.where(F.col("source").isNotNull())
+        .select(
             "source",
             F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
         )
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
     )
+
+
+def epoch_capped_allocation(counts) -> "DataFrame":  # noqa: F821
+    """The q240 waterfilling tail over an already-built (source,
+    n_tokens) relation — shared verbatim by the batch gate and the
+    streamed-state leg so streamed ≡ batch is the same expression
+    tree, not a reimplementation."""
+    from pyspark.sql import Window
+
+    c = _Q240_CAP_EPOCHS
     tot = counts.agg(
         F.sum("n_tokens").cast("long").alias("total"),
         F.count("*").cast("long").alias("n_src"),
@@ -558,6 +544,35 @@ def q240(spark, sf_dir):
         epochs_micro.alias("epochs_micro"),
         (epochs_micro.cast("double") / F.lit(1000000.0)).alias("epochs"),
     )
+
+
+@query("q240_epoch_capped_allocation", _q240_oracle())
+def q240(spark, sf_dir):
+    """UniMax-style epoch-capped token-budget allocation, closed-form:
+    given per-source token counts, a total budget of 1.95× the corpus
+    and a 2-epoch repeat cap, give every source a uniform share except
+    where the cap binds — the waterfilling solution, computed without
+    iteration.  Sorted ascending by size, a source caps iff giving it
+    and every larger source the cap-level share still fits the
+    remaining budget (cap·n_i·(N−i+1) ≤ B − cum_{i−1}); the predicate
+    is prefix-closed under that order, so the waterline m is one MAX
+    and uncapped sources split (B − cum_m) by integer division, the
+    remainder going one token each to the smallest uncapped sources —
+    total allocation equals the budget EXACTLY, in pure BIGINT algebra
+    (no floats anywhere; epochs_micro is one positive integer
+    division).
+
+    100 TB shape: the corpus-wide work is ONE map-side-combinable
+    groupBy to count tokens per source (a SUM-mergeable ingest
+    artifact — the streaming fold persists exactly this state);
+    everything after is |sources|-row algebra — the running-sum window
+    is over the source relation (bounded by source cardinality, NOT
+    data volume; the q229 bounded-frame argument), behind two 1-row
+    broadcasts.  NULL-source rows are excluded up front: an allocation
+    row for "no source" is meaningless, and NULL orders differently
+    across engines (the q229 NULLS FIRST/LAST seam)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_capped_allocation(source_token_counts(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -575,3 +575,74 @@ def retention_from_states(first: DataFrame, weeks: DataFrame) -> DataFrame:
             F.col("n_active").cast("double") / F.col("cohort_size"), 6
         ).alias("retention"),
     )
+
+
+def stream_fold_source_token_counts(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+    schema=None,
+):
+    """Streaming leg of the token-budget planner (q240): each
+    micro-batch of the document stream folds into the per-source token
+    count — the simplest mergeable state in the family (per-batch
+    partial SUMs; the corpus total is one more SUM over batch rows),
+    persisted under the same replay-safe ``batch=<id>`` overwrite
+    contract as the sketch/retention folds, with the same fresh-
+    checkpoint state clearing and empty-source schema guard.
+
+    Returns the MERGED (source, n_tokens) relation; feed it to
+    ``pipeline_queries13.epoch_capped_allocation`` for an allocation
+    row-identical to the batch q240 over the same documents — pinned
+    in tests/test_streaming_allocation.py, including a source whose
+    documents are split across micro-batches.
+
+    At 100 TB this state is what an ingest pipeline keeps anyway
+    (|sources| rows per batch); the stream never reshuffles history —
+    each batch contributes a pre-aggregated frame and the merge is one
+    |sources|-key groupBy over the state directory."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..pipeline_queries13 import source_token_counts
+
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        p = os.path.join(state_dir, "tokcounts")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        source_token_counts(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/tokcounts/batch={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_source_token_counts did not drain within "
+            f"{timeout_s}s (src_dir={src_dir!r})"
+        )
+    if not os.path.isdir(os.path.join(state_dir, "tokcounts")):
+        empty = spark.createDataFrame([], src.schema)
+        return source_token_counts(empty)
+    return (
+        spark.read.parquet(f"{state_dir}/tokcounts")
+        .drop("batch")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
