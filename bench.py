@@ -148,6 +148,7 @@ HEADLINE = [
     "q239_domain_reweight_eg",
     "q240_epoch_capped_allocation",
     "q241_ivf_nprobe_sweep",
+    "q242_dedup_adjusted_mix",
 ]
 
 

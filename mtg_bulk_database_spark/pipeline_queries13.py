@@ -756,3 +756,97 @@ def q241(spark, sf_dir):
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q242 — dedup-adjusted source mix: the token share each source would
+# actually contribute under soft dedup (duplicate clusters count once).
+# ---------------------------------------------------------------------------
+def _q242_oracle() -> str:
+    from .functions.text import sql_ts_tokens
+
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             coalesce(len({_TOKS}), 0) AS nt,
+             md5(coalesce(
+               array_to_string(list_sort({sql_ts_tokens('text')}), ' '),
+               '')) AS fingerprint
+      FROM documents),
+    wtd AS (
+      SELECT source, nt,
+             (nt * 1000000)
+               // count(*) OVER (PARTITION BY fingerprint) AS eff_micro
+      FROM fp),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(eff_micro) AS BIGINT) AS eff_tokens_micro
+      FROM wtd GROUP BY source),
+    tot AS (SELECT CAST(sum(eff_tokens_micro) AS BIGINT) AS te FROM g)
+    SELECT source, n_docs, n_tokens, eff_tokens_micro,
+           CASE WHEN te > 0
+                THEN CAST(eff_tokens_micro AS DOUBLE) / CAST(te AS DOUBLE)
+           END AS eff_share
+    FROM g CROSS JOIN tot"""
+
+
+@query("q242_dedup_adjusted_mix", _q242_oracle())
+def q242(spark, sf_dir):
+    """The source-mix table the planner should actually read: per
+    source, the token mass that survives SOFT dedup — every document
+    down-weighted by 1/n_copies of its canonical content fingerprint
+    (q119's gradient-equivalence weights), with copies counted ACROSS
+    sources, so a mirror site's tokens are split with its original
+    rather than double-counted.  q93's raw mix over-feeds duplicated
+    sources; q237 tells you WHICH sources overlap; this gate prices
+    the overlap into the mix — the input q239/q240 would consume in a
+    dedup-aware plan.
+
+    Exactness: the per-doc discount is (n_tokens·10⁶) DIV n_copies —
+    positive integer division (truncation = floor in both engines) —
+    summed as BIGINT per source; the share is ONE guarded double
+    division (NULL on an all-empty corpus rather than an engine-
+    specific 0/0).
+
+    100 TB shape: one window shuffle keyed by the uniform md5
+    fingerprint (skew-free by construction — q119's audited shape),
+    one |sources|-key partial agg, one 1-row broadcast.  NULL sources
+    form their own group (no ordering anywhere, so no NULLS seam)."""
+    from pyspark.sql import Window
+
+    from .operators.text_analysis import with_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = with_fingerprint(docs).select(
+        "source",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+        "fingerprint",
+    )
+    n_copies = F.count("*").over(Window.partitionBy("fingerprint"))
+    wtd = fp.select(
+        "source",
+        "nt",
+        F.expr("nt * 1000000").alias("_ntm"),
+        n_copies.alias("_nc"),
+    ).select(
+        "source", "nt", F.expr("_ntm DIV _nc").alias("eff_micro")
+    )
+    g = wtd.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("eff_micro").cast("long").alias("eff_tokens_micro"),
+    )
+    tot = g.agg(F.sum("eff_tokens_micro").cast("long").alias("te"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "eff_tokens_micro",
+        F.when(
+            F.col("te") > 0,
+            F.col("eff_tokens_micro").cast("double")
+            / F.col("te").cast("double"),
+        ).alias("eff_share"),
+    )

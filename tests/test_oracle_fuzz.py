@@ -869,3 +869,33 @@ def test_q241_recall_monotone_and_full_probe_exact(spark):
     recalls = [r for _, r in by_n]
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
+
+
+def test_q242_cross_source_copies_split_their_mass(spark, tmp_path):
+    """r8 targeted corpus: a document duplicated across two sources
+    splits its token mass 50/50 between them (cross-source soft-dedup
+    accounting — the q93 raw mix would double-count it), a unique
+    document keeps full weight, and an all-empty corpus yields NULL
+    shares on both engines (the guarded division), never 0/0."""
+    dup = "alpha beta gamma delta"        # 4 tokens, copied a <-> b
+    uniq = "uno dos tres cuatro"          # 4 tokens, only in c
+    _docs_parquet(
+        tmp_path,
+        [(1, dup, "a"), (2, dup, "b"), (3, uniq, "c")],
+    )
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q242_dedup_adjusted_mix", ["documents"]
+    )
+    rec = {r[cols.index("source")]: dict(zip(cols, r)) for r in rows}
+    assert rec["a"]["eff_tokens_micro"] == 2_000_000  # 4e6 DIV 2
+    assert rec["b"]["eff_tokens_micro"] == 2_000_000
+    assert rec["c"]["eff_tokens_micro"] == 4_000_000
+    assert rec["c"]["eff_share"] == 0.5  # 4e6 / 8e6 exactly
+    assert rec["a"]["n_tokens"] == 4  # raw counts stay undiscounted
+
+    _docs_parquet(tmp_path, [(1, "", "a"), (2, None, "b")])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q242_dedup_adjusted_mix", ["documents"]
+    )
+    assert len(rows) == 2
+    assert all(r[cols.index("eff_share")] is None for r in rows)
