@@ -158,3 +158,74 @@ def test_temperature_targets_never_exceed_budget(counts, budget_frac):
     targets = [math.floor((wi * budget) / denom) for wi in w]
     assert sum(targets) <= budget
     assert all(t >= 0 for t in targets)
+
+
+def _q240_closed_form(counts: dict, cap: int, budget: int) -> dict:
+    """Exact Python replica of q240's closed-form algebra (the same
+    integer ops the Spark body and the DuckDB twin run)."""
+    rows = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    n_src = len(rows)
+    cum = m = cum_m = 0
+    for i, (_, n) in enumerate(rows, start=1):
+        cum += cap * n
+        if cap * n * (n_src - i + 1) <= budget - (cum - cap * n):
+            m, cum_m = i, cum
+    out = {}
+    for i, (s, n) in enumerate(rows, start=1):
+        if i <= m:
+            out[s] = cap * n
+        else:
+            base, rem = divmod(budget - cum_m, n_src - m)
+            out[s] = base + (1 if i - m <= rem else 0)
+    return out
+
+
+def _waterfill_reference(counts: dict, cap: int, budget: int) -> dict:
+    """Independent ITERATIVE waterfilling: repeatedly give the
+    smallest remaining source min(cap·n, fair share); once a source
+    rejects the cap, every larger one does too (sorted ascending), so
+    the rest split the remainder uniformly with the deterministic
+    remainder-to-smallest rule."""
+    rows = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    remaining, k, out = budget, len(rows), {}
+    for i, (s, n) in enumerate(rows):
+        if k and cap * n <= remaining // k:
+            out[s] = cap * n
+            remaining -= cap * n
+            k -= 1
+        else:
+            base, rem = divmod(remaining, k)
+            for j, (s2, _) in enumerate(rows[i:]):
+                out[s2] = base + (1 if j < rem else 0)
+            break
+    return out
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=12,
+    ),
+    cap=st.sampled_from([1, 2, 3]),
+    num_den=st.sampled_from([(0, 1), (1, 4), (39, 20), (3, 1), (7, 2)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_q240_closed_form_equals_iterative_waterfilling(
+    counts, cap, num_den
+):
+    """The q240 waterline is computed WITHOUT iteration (one window +
+    one MAX); this pins the closed form against an independent
+    iterative simulation over random count distributions, budgets from
+    zero to 3.5x the corpus, ties, and zero-token sources — including
+    the prefix-closedness of the cap predicate the closed form relies
+    on (MAX-true-index == first-false-index - 1)."""
+    cts = {f"s{i:02d}": n for i, n in enumerate(counts)}
+    total = sum(cts.values())
+    budget = (num_den[0] * total) // num_den[1]
+    got = _q240_closed_form(cts, cap, budget)
+    ref = _waterfill_reference(cts, cap, budget)
+    assert got == ref
+    spent = sum(got.values())
+    assert spent == min(budget, cap * total)
+    for s, a in got.items():
+        assert 0 <= a <= max(cap * cts[s], budget)
