@@ -276,10 +276,12 @@ def _run(sf_dir: str, sf: float) -> None:
         )
 
     # The driver keeps only a bounded tail of this process's output, so the
-    # JSON result line must be SHORT (short `qNN` keys, 3-decimal timings)
+    # JSON result line must be SHORT (short `qNN` keys, 2-decimal timings
+    # — r8: 111 entries pushed the 3-decimal worst case past the 1600-char
+    # cap; 10 ms stdout granularity, BENCH_LOCAL.json keeps full precision)
     # and LAST (after spark.stop(), so no shutdown log noise follows it).
     spark.stop()
-    compact = {n.split("_", 1)[0]: round(t, 3) for n, t in timings.items()}
+    compact = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),

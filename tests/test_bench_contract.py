@@ -15,19 +15,21 @@ from bench import HEADLINE  # noqa: E402
 
 
 def test_bench_json_line_stays_parseable():
-    # Headroom (r5): 63 headline entries emit a ~1000-char line; each
-    # entry adds ~14 chars ('"q123":99.999,'), so the 1600-char cap
-    # holds to ~105 entries.  bench.py enforces the same cap at
-    # runtime — if the per-query map would overflow it, the map is
-    # dropped from stdout (total stays) and BENCH_LOCAL.json keeps the
-    # full per-query timings; the assert here is the early warning.
+    # Headroom (r8): per-query stdout values are 2-decimal (each entry
+    # ~13 chars, '"q123":99.99,'), so the 1600-char cap holds to ~119
+    # entries; BENCH_LOCAL.json keeps full precision.  bench.py
+    # enforces the same cap at runtime — if the per-query map would
+    # overflow it, the map is dropped from stdout (total stays) and
+    # BENCH_LOCAL.json keeps the full per-query timings; the assert
+    # here is the early warning.
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": 9999.9999,
             "unit": "sec",
-            "queries": {n.split("_", 1)[0]: 99.999 for n in HEADLINE},
+            "queries": {n.split("_", 1)[0]: 99.99 for n in HEADLINE},
             "sf": 0.1,
+            "ingest_sec": 9999.99,
         },
         separators=(",", ":"),
     )
