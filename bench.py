@@ -149,6 +149,7 @@ HEADLINE = [
     "q240_epoch_capped_allocation",
     "q241_ivf_nprobe_sweep",
     "q242_dedup_adjusted_mix",
+    "q243_quality_budget_curve",
 ]
 
 

@@ -850,3 +850,117 @@ def q242(spark, sf_dir):
             / F.col("te").cast("double"),
         ).alias("eff_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — quality-budget curve: the filter operating-point table.
+# ---------------------------------------------------------------------------
+_Q243_TAUS = (0, 250_000, 500_000, 750_000)
+
+
+def _q243_oracle() -> str:
+    from .pipeline_queries9 import _q213_scored_cte
+
+    per_tau = ",\n        ".join(
+        f"""CAST(coalesce(sum(CASE WHEN p_micro >= {t} THEN 1 END), 0)
+             AS BIGINT) AS n{i},
+        CAST(coalesce(sum(CASE WHEN p_micro >= {t}
+                          THEN coalesce(n_tok, 0) END), 0)
+             AS BIGINT) AS t{i},
+        CAST(coalesce(sum(CASE WHEN p_micro >= {t} THEN p_micro END), 0)
+             AS BIGINT) AS s{i}"""
+        for i, t in enumerate(_Q243_TAUS)
+    )
+    legs = "\n      UNION ALL ".join(
+        f"SELECT {t} AS tau_micro, n{i} AS n_docs, t{i} AS n_tokens,"
+        f" s{i} AS p_sum, tot_tok FROM g"
+        for i, t in enumerate(_Q243_TAUS)
+    )
+    return f"""
+    WITH {_q213_scored_cte()},
+    s AS (
+      SELECT n_tok, p_micro FROM scored WHERE p_micro IS NOT NULL),
+    g AS (
+      SELECT
+        {per_tau},
+        CAST(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS tot_tok
+      FROM s)
+    SELECT tau_micro, n_docs, n_tokens,
+           CASE WHEN n_docs > 0 THEN p_sum // n_docs END AS mean_p_micro,
+           CASE WHEN tot_tok > 0
+                THEN CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)
+           END AS tok_share
+    FROM ({legs}) t"""
+
+
+@query("q243_quality_budget_curve", _q243_oracle())
+def q243(spark, sf_dir):
+    """The quality filter's operating-point table: for each candidate
+    threshold τ over the DEPLOYED model's score (q213's trained
+    artifact), the surviving document count, surviving token budget,
+    its share of the scored corpus, and the mean score of the kept
+    set — the curve a curation run reads to pick where to cut (keep
+    60% of tokens at mean quality 0.8, or 30% at 0.9?).  Completes
+    the quality family's planner edge the way q241 does for ANN:
+    q213 scores, q229 evaluates, q236 retrains, THIS picks the
+    deployment threshold.
+
+    Exactness: the per-τ sums are integer (micro scores, token
+    counts); the mean is a positive integer division and the share is
+    ONE guarded double division.  NULL-scored docs (NULL text) are
+    excluded on both sides — p_micro ≥ τ is NULL-false in Spark and
+    the SQL CASE falls through — and the τ = 0 row anchors the whole
+    scored corpus.
+
+    100 TB shape: ONE codegen'd scan (the q213 scoring projection)
+    into ONE aggregate row of 13 partial sums — no shuffle wider than
+    a single row, the sweep is literal CASE arms, and the 4-row stack
+    is driver-free constant fan-out."""
+    from .pipeline_queries9 import q213_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = q213_scored(docs).where(F.col("p_micro").isNotNull())
+    aggs = []
+    for i, t in enumerate(_Q243_TAUS):
+        kept = F.col("p_micro") >= t
+        aggs += [
+            F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"n{i}"),
+            F.coalesce(
+                F.sum(F.when(kept, F.coalesce(F.col("n_tok"), F.lit(0)))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"t{i}"),
+            F.coalesce(F.sum(F.when(kept, F.col("p_micro"))), F.lit(0))
+            .cast("long")
+            .alias(f"s{i}"),
+        ]
+    aggs.append(
+        F.coalesce(F.sum(F.coalesce(F.col("n_tok"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("tot_tok")
+    )
+    g = s.agg(*aggs)
+    stack_args = ", ".join(
+        f"{t}, n{i}, t{i}, s{i}" for i, t in enumerate(_Q243_TAUS)
+    )
+    stacked = g.selectExpr(
+        f"stack({len(_Q243_TAUS)}, {stack_args})"
+        " AS (tau_micro, n_docs, n_tokens, p_sum)",
+        "tot_tok",
+    )
+    return stacked.select(
+        "tau_micro",
+        "n_docs",
+        "n_tokens",
+        F.when(
+            F.col("n_docs") > 0, F.expr("p_sum DIV n_docs")
+        ).alias("mean_p_micro"),
+        F.when(
+            F.col("tot_tok") > 0,
+            F.col("n_tokens").cast("double")
+            / F.col("tot_tok").cast("double"),
+        ).alias("tok_share"),
+    )

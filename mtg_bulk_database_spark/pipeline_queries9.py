@@ -1776,9 +1776,13 @@ _Q213_W = (-1.829144, 3.689062, -1.558226, 0.060455)
 _Q213_TOKS = sql_tokens("text")
 
 
-def _q213_oracle() -> str:
+def _q213_scored_cte() -> str:
+    """The feats→scored WITH-body fragment (doc_id, n_tok, p_micro
+    under the deployed ``_Q213_W`` artifact) — shared by the q213 gate
+    and the q243 budget curve so the scoring expression can never
+    drift between its consumers."""
     w0, w1, w2, w3 = _Q213_W
-    return f"""WITH feats AS (
+    return f"""feats AS (
       SELECT doc_id,
              len({_Q213_TOKS}) AS n_tok,
              round(ln(1.0 + len({_Q213_TOKS})), 6) AS f_logtok,
@@ -1791,11 +1795,15 @@ def _q213_oracle() -> str:
                   ELSE 0.0 END AS stopword_ratio
       FROM documents),
     scored AS (
-      SELECT doc_id,
+      SELECT doc_id, n_tok,
              CAST(floor(1000000.0 / (1.0 + exp(-(
                {w0} + {w1} * f_logtok + {w2} * alpha_ratio
                     + {w3} * stopword_ratio)))) AS BIGINT) AS p_micro
-      FROM feats)
+      FROM feats)"""
+
+
+def _q213_oracle() -> str:
+    return f"""WITH {_q213_scored_cte()}
     SELECT doc_id,
            p_micro / 1000000.0 AS quality_p,
            CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS INT)
@@ -1817,6 +1825,24 @@ def q213(spark, sf_dir):
     identical scalar; every other term is integer-derived ratio algebra
     on 6 dp-rounded doubles in an identical association order. One scan,
     zero shuffles, whole-stage codegen end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = q213_scored(docs)
+    p_micro = F.col("p_micro")
+    return scored.select(
+        "doc_id",
+        (p_micro / F.lit(1000000.0)).alias("quality_p"),
+        F.when(p_micro >= 500000, 1).otherwise(0).cast("int").alias("pred"),
+        F.least(
+            F.floor(p_micro / 100000).cast("int"), F.lit(9)
+        ).alias("p_bucket"),
+    )
+
+
+def q213_scored(docs):
+    """(doc_id, n_tok, p_micro) under the deployed ``_Q213_W``
+    artifact — the Spark twin of :func:`_q213_scored_cte`, shared by
+    q213 and the q243 budget curve.  NULL-text rows carry NULL
+    p_micro (log of NULL propagates), matching the SQL side."""
     w0, w1, w2, w3 = _Q213_W
     tok = tokens("text")
     n_tok = F.size(tok)
@@ -1846,12 +1872,6 @@ def q213(spark, sf_dir):
     p_micro = F.floor(
         F.lit(1000000.0) / (F.lit(1.0) + F.exp(-margin))
     ).cast("bigint")
-    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id",
-        (p_micro / F.lit(1000000.0)).alias("quality_p"),
-        F.when(p_micro >= 500000, 1).otherwise(0).cast("int").alias("pred"),
-        F.least(
-            F.floor(p_micro / 100000).cast("int"), F.lit(9)
-        ).alias("p_bucket"),
+        "doc_id", n_tok.alias("n_tok"), p_micro.alias("p_micro")
     )

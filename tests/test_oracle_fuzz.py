@@ -706,9 +706,14 @@ def _docs_parquet(tmp_path, rows):
     df = pd.DataFrame(
         {
             "doc_id": [r[0] for r in rows],
-            "text": [r[1] for r in rows],
+            # explicit string dtype: an all-None column would otherwise
+            # land as a null-typed parquet column neither engine can
+            # bind string functions against (the real schema is string)
+            "text": pd.array([r[1] for r in rows], dtype="string"),
             "lang": ["en"] * len(rows),
-            "source": [r[2] for r in rows],
+            "source": pd.array(
+                [r[2] for r in rows], dtype="string"
+            ),
             "n_chars": [len(r[1] or "") for r in rows],
         }
     )
@@ -899,3 +904,31 @@ def test_q242_cross_source_copies_split_their_mass(spark, tmp_path):
     )
     assert len(rows) == 2
     assert all(r[cols.index("eff_share")] is None for r in rows)
+
+
+def test_q243_degenerate_curves(spark, tmp_path):
+    """r8 targeted corpus: when every document scores below the top
+    threshold, that row reports 0 docs / 0 tokens / NULL mean / 0.0
+    share (never a division error); and with NO scorable documents
+    (all NULL text) every row is zeros with NULL mean AND NULL share
+    on both engines (the guarded divisions)."""
+    junk = "zzz " * 50  # no stopwords, low alpha-after-spaces score
+    _docs_parquet(tmp_path, [(i, junk, "s") for i in range(5)])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q243_quality_budget_curve", ["documents"]
+    )
+    rec = {r[cols.index("tau_micro")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {0, 250_000, 500_000, 750_000}
+    assert rec[0]["n_docs"] == 5 and rec[0]["tok_share"] == 1.0
+    top = rec[750_000]
+    if top["n_docs"] == 0:
+        assert top["mean_p_micro"] is None and top["tok_share"] == 0.0
+
+    _docs_parquet(tmp_path, [(1, None, "s"), (2, None, "s")])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q243_quality_budget_curve", ["documents"]
+    )
+    for r in rows:
+        rec = dict(zip(cols, r))
+        assert rec["n_docs"] == 0 and rec["n_tokens"] == 0
+        assert rec["mean_p_micro"] is None and rec["tok_share"] is None
