@@ -102,3 +102,42 @@ def test_empty_document_stream_returns_empty_counts(spark, tmp_path):
     assert counts.count() == 0
     # the allocation tail is total on the empty relation too
     assert epoch_capped_allocation(counts).count() == 0
+
+
+def test_rerun_with_same_checkpoint_is_idempotent(spark, tmp_path):
+    """The batch=<id> overwrite contract under replay: a second run
+    over the SAME checkpoint drains nothing new and must return the
+    identical merged counts (no double-counting from re-reading the
+    state directory), and a file added between runs folds in as one
+    incremental batch."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_docs(str(src / "p0.parquet"), [(1, "aa bb cc", "a")])
+    schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    args = (str(src), str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    first = {
+        (r["source"], r["n_tokens"])
+        for r in stream_fold_source_token_counts(
+            spark, *args, schema=schema
+        ).collect()
+    }
+    assert first == {("a", 3)}
+    rerun = {
+        (r["source"], r["n_tokens"])
+        for r in stream_fold_source_token_counts(
+            spark, *args, schema=schema
+        ).collect()
+    }
+    assert rerun == first  # no drained batch, no duplication
+
+    _write_docs(str(src / "p1.parquet"), [(2, "dd ee", "a"), (3, "x", "b")])
+    resumed = {
+        (r["source"], r["n_tokens"])
+        for r in stream_fold_source_token_counts(
+            spark, *args, schema=schema
+        ).collect()
+    }
+    assert resumed == {("a", 5), ("b", 1)}
