@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # demote the already-proven block to the tail.
 #
 # r8 prefix by construction: this round's new gates (fresh+oracled,
-# newest first — the q237-q242 curation-planning gates, then the
+# newest first — the q237-q243 curation-planning gates, then the
 # q232-q236 serving-half gates) plus the newly-oracled q137/q165,
 # then the 10 never-externally-run rows-only names (q117, q124,
 # q130, q132, q148, q149, q161, q200, q203, q206 — VERDICT r7
