@@ -150,6 +150,7 @@ HEADLINE = [
     "q241_ivf_nprobe_sweep",
     "q242_dedup_adjusted_mix",
     "q243_quality_budget_curve",
+    "q244_ivf_workload_recall",
 ]
 
 

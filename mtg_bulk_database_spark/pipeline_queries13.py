@@ -964,3 +964,197 @@ def q243(spark, sf_dir):
             / F.col("tot_tok").cast("double"),
         ).alias("tok_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — multi-query IVF recall: the serving eval over a query WORKLOAD.
+# ---------------------------------------------------------------------------
+_Q244_QUERY_IDS = (1, 2, 3, 4)
+_Q244_NPROBE = 4
+_Q244_K = 10
+
+
+def _q244_oracle() -> str:
+    from .functions.vectors import sql_cosine, sql_indexable
+    from .pipeline_queries10 import _Q217_CENTROIDS, _sql_cent
+
+    cent_rows = ",\n        ".join(
+        f"({i}, {_sql_cent(c)})" for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    score_cols = ",\n             ".join(
+        f"round({sql_cosine('embedding', _sql_cent(c))}, 6) AS s{i}"
+        for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    arr = "[" + ", ".join(f"s{i}" for i in range(len(_Q217_CENTROIDS))) + "]"
+    qids = ", ".join(str(i) for i in _Q244_QUERY_IDS)
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({qids}) AND {sql_indexable('embedding')}),
+    cents(idx, cent) AS (VALUES
+        {cent_rows}),
+    qs AS (
+      SELECT query_id, idx,
+             round({sql_cosine('cent', 'qv')}, 6) AS qscore
+      FROM cents, q),
+    probe AS (
+      SELECT query_id, idx AS list_id FROM (
+        SELECT query_id, idx,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qscore DESC, idx) AS crank
+        FROM qs) WHERE crank <= {_Q244_NPROBE}),
+    pool AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id > {max(_Q244_QUERY_IDS)} AND vec_id <> 0
+        AND {sql_indexable('embedding')}),
+    scored AS (
+      SELECT vec_id, embedding,
+             {score_cols}
+      FROM pool),
+    base AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(list_position({arr}, list_aggregate({arr}, 'max')) - 1
+                  AS INT) AS list_id,
+             round({sql_cosine('s.embedding', 'q.qv')}, 4) AS qcos
+      FROM scored s, q),
+    exact10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, vec_id) AS rn
+        FROM base) WHERE rn <= {_Q244_K}),
+    probe10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT b.query_id, b.vec_id,
+               row_number() OVER (PARTITION BY b.query_id
+                                  ORDER BY b.qcos DESC, b.vec_id) AS rn
+        FROM base b JOIN probe p
+          ON b.query_id = p.query_id AND b.list_id = p.list_id)
+      WHERE rn <= {_Q244_K}),
+    hits AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM probe10 JOIN exact10 USING (query_id, vec_id)
+      GROUP BY query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {_Q244_K}.0 AS recall
+    FROM q LEFT JOIN hits h USING (query_id)"""
+
+
+@query("q244_ivf_workload_recall", _q244_oracle())
+def q244(spark, sf_dir):
+    """IVF recall over a query WORKLOAD, hash-checked: q241 tunes
+    nprobe on one query; this evaluates the frozen quantizer at the
+    deployed nprobe across a query set — per query, recall@10 of the
+    probe against that query's own brute-force top-10 — the per-query
+    report an ANN rollout reads for tail behaviour (macro-recall is
+    its mean; a query whose probe misses entirely still reports 0.0
+    via the left join rather than vanishing).
+
+    Exactness: the q221-proven float path per (query, vector) pair;
+    every ranking window is partitioned BY query_id (the q222
+    discipline — compiles to partial+final WindowGroupLimit, pinned),
+    ties break on vec_id, and recall is an integer count over one
+    division.  Queries are the indexable vectors with the designated
+    ids; the pool excludes them, so self-matches can't inflate recall.
+
+    100 TB shape: ONE scan of the embedding column computes the
+    query-independent list assignment and all |Q| query cosines in a
+    single codegen'd projection against broadcast literals; the
+    checkpointed sweep frame carries only (query_id, vec_id, qcos,
+    in_probe) — the wide vectors never move — and both top-k windows
+    forward at most k rows per query per map task."""
+    from .functions.vectors import indexable_vector
+    from .pipeline_queries10 import _Q217_CENTROIDS, _cos_total
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.where(
+        F.col("vec_id").isin(list(_Q244_QUERY_IDS))
+        & indexable_vector(F.col("embedding"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(_Q217_CENTROIDS)],
+        "idx int, cent array<double>",
+    )
+    qs = cents.crossJoin(F.broadcast(qset)).select(
+        "query_id",
+        "idx",
+        F.round(_cos_total(F.col("cent"), F.col("qv")), 6).alias("qscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), "idx"
+    )
+    probe = (
+        qs.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= _Q244_NPROBE)
+        .select("query_id", F.col("idx").alias("list_id"))
+    )
+    pool = emb.where(
+        (F.col("vec_id") > max(_Q244_QUERY_IDS))
+        & (F.col("vec_id") != 0)
+        & indexable_vector(F.col("embedding"))
+    )
+    scores = F.array(
+        *[
+            F.round(
+                _cos_total(
+                    F.col("embedding"), F.array(*[F.lit(v) for v in c])
+                ),
+                6,
+            )
+            for c in _Q217_CENTROIDS
+        ]
+    )
+    base = pool.crossJoin(F.broadcast(qset)).select(
+        "query_id",
+        "vec_id",
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("list_id"),
+        F.round(_cos_total(F.col("embedding"), F.col("qv")), 4).alias(
+            "qcos"
+        ),
+    )
+    flagged = (
+        base.join(
+            F.broadcast(probe.withColumn("in_probe", F.lit(1))),
+            ["query_id", "list_id"],
+            "left",
+        )
+        # wide vectors are gone; |Q|·|pool| rows of four scalars feed
+        # both top-k windows (the q241 one-scan contract)
+        .select("query_id", "vec_id", "qcos", "in_probe")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), "vec_id"
+    )
+    exact10 = (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _Q244_K)
+        .select("query_id", "vec_id")
+    )
+    probe10 = (
+        flagged.where(F.col("in_probe") == 1)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _Q244_K)
+        .select("query_id", "vec_id")
+    )
+    # both top-k frames are ≤ |Q|·k rows — broadcast, never sort-merge
+    hits = probe10.join(
+        F.broadcast(exact10), ["query_id", "vec_id"]
+    ).groupBy("query_id").agg(F.count("*").cast("long").alias("n_hit"))
+    return qset.select("query_id").join(
+        F.broadcast(hits), "query_id", "left"
+    ).select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.lit(float(_Q244_K))
+        ).alias("recall"),
+    )

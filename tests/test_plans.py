@@ -989,3 +989,25 @@ def test_ivf_probe_on_list_partitioned_table_prunes(spark, tmp_path):
     assert [tuple(r) for r in ranked.collect()] == [
         tuple(r) for r in inline.collect()
     ]
+
+
+def test_q244_workload_windows_are_group_limited(spark):
+    """r8: the workload-recall eval holds the q222 discipline on the
+    serving loop — both top-k windows partition BY query_id and
+    compile to WindowGroupLimit with a partial stage, and the sweep
+    side of the plan reads the checkpointed scalar frame, never the
+    parquet vectors."""
+    df = QUERIES["q244_ivf_workload_recall"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("WindowGroupLimit") >= 4, plan[:2000]
+    assert "Partial" in plan
+    import re
+
+    for m in re.finditer(r"WindowGroupLimit \[(\w+)", plan):
+        assert m.group(1).startswith("query_id"), m.group(0)
+    # the wide vectors are read only at checkpoint build: the sweep
+    # plan's ONLY parquet scan is the 4-row query-set anchor, fully
+    # pushed down, and the tiny top-k joins broadcast
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("In(vec_id" in ln for ln in scans), scans
+    assert "SortMergeJoin" not in plan, plan[:2000]
