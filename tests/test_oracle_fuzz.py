@@ -932,3 +932,45 @@ def test_q243_degenerate_curves(spark, tmp_path):
         rec = dict(zip(cols, r))
         assert rec["n_docs"] == 0 and rec["n_tokens"] == 0
         assert rec["mean_p_micro"] is None and rec["tok_share"] is None
+
+
+def test_q244_absent_queries_and_tiny_pool(spark, tmp_path):
+    """r8 targeted corpus: only two of the four designated query ids
+    exist (the anchor join must emit exactly the present ones, no
+    phantom rows), the pool is smaller than k (top-10 windows over 3
+    rows), and every pool vector sits in some probed or unprobed list
+    — recall stays in [0, 1] and the engines agree row-exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mtg_bulk_database_spark.pipeline_queries10 import _Q217_CENTROIDS
+
+    # queries 1 and 2 near distinct centroids; pool ids 6/7/8 scaled
+    # copies of three other centroids
+    vecs = {
+        1: [x * 1.01 for x in _Q217_CENTROIDS[0]],
+        2: [x * 0.99 for x in _Q217_CENTROIDS[3]],
+        6: [x * 1.02 for x in _Q217_CENTROIDS[1]],
+        7: [x * 0.98 for x in _Q217_CENTROIDS[5]],
+        8: [x * 1.05 for x in _Q217_CENTROIDS[7]],
+    }
+    ids = sorted(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in vecs[i]] for i in ids],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q244_ivf_workload_recall", ["embeddings"]
+    )
+    rec = {r[cols.index("query_id")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {1, 2}  # ids 3/4 absent: no phantom rows
+    for r in rec.values():
+        assert 0 <= r["n_hit"] <= 3
+        assert r["recall"] == r["n_hit"] / 10.0
