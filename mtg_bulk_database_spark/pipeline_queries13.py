@@ -828,7 +828,7 @@ def q242(spark, sf_dir):
     wtd = fp.select(
         "source",
         "nt",
-        F.expr("nt * 1000000").alias("_ntm"),
+        F.expr("CAST(nt AS BIGINT) * 1000000").alias("_ntm"),
         n_copies.alias("_nc"),
     ).select(
         "source", "nt", F.expr("_ntm DIV _nc").alias("eff_micro")

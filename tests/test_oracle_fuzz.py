@@ -884,9 +884,14 @@ def test_q242_cross_source_copies_split_their_mass(spark, tmp_path):
     shares on both engines (the guarded division), never 0/0."""
     dup = "alpha beta gamma delta"        # 4 tokens, copied a <-> b
     uniq = "uno dos tres cuatro"          # 4 tokens, only in c
+    # 3000 tokens: nt * 1_000_000 overflows int32 (2148-token
+    # ceiling) unless the multiplicand is widened to BIGINT first —
+    # under ANSI mode the un-widened plan THROWS, so this doc pins
+    # the widening, not just the value.
+    big = " ".join(f"tok{i}" for i in range(3000))
     _docs_parquet(
         tmp_path,
-        [(1, dup, "a"), (2, dup, "b"), (3, uniq, "c")],
+        [(1, dup, "a"), (2, dup, "b"), (3, uniq, "c"), (4, big, "d")],
     )
     rows, cols = _diff_check(
         spark, str(tmp_path), "q242_dedup_adjusted_mix", ["documents"]
@@ -895,7 +900,7 @@ def test_q242_cross_source_copies_split_their_mass(spark, tmp_path):
     assert rec["a"]["eff_tokens_micro"] == 2_000_000  # 4e6 DIV 2
     assert rec["b"]["eff_tokens_micro"] == 2_000_000
     assert rec["c"]["eff_tokens_micro"] == 4_000_000
-    assert rec["c"]["eff_share"] == 0.5  # 4e6 / 8e6 exactly
+    assert rec["d"]["eff_tokens_micro"] == 3_000_000_000  # > int32 max
     assert rec["a"]["n_tokens"] == 4  # raw counts stay undiscounted
 
     _docs_parquet(tmp_path, [(1, "", "a"), (2, None, "b")])
@@ -912,7 +917,10 @@ def test_q243_degenerate_curves(spark, tmp_path):
     share (never a division error); and with NO scorable documents
     (all NULL text) every row is zeros with NULL mean AND NULL share
     on both engines (the guarded divisions)."""
-    junk = "zzz " * 50  # no stopwords, low alpha-after-spaces score
+    # one token, all-alpha, no stopwords: the logit is
+    # -1.829144 + 3.689062*ln(2) - 1.558226 ~= -0.830, so
+    # p_micro ~= 303_600 — provably below the 750_000 threshold
+    junk = "zzz"
     _docs_parquet(tmp_path, [(i, junk, "s") for i in range(5)])
     rows, cols = _diff_check(
         spark, str(tmp_path), "q243_quality_budget_curve", ["documents"]
@@ -921,8 +929,11 @@ def test_q243_degenerate_curves(spark, tmp_path):
     assert set(rec) == {0, 250_000, 500_000, 750_000}
     assert rec[0]["n_docs"] == 5 and rec[0]["tok_share"] == 1.0
     top = rec[750_000]
-    if top["n_docs"] == 0:
-        assert top["mean_p_micro"] is None and top["tok_share"] == 0.0
+    # the corpus is deterministic and provably below the top
+    # threshold — assert unconditionally so the degenerate branch
+    # (NULL mean, 0.0 share) can never silently go unexercised
+    assert top["n_docs"] == 0
+    assert top["mean_p_micro"] is None and top["tok_share"] == 0.0
 
     _docs_parquet(tmp_path, [(1, None, "s"), (2, None, "s")])
     rows, cols = _diff_check(

@@ -1073,7 +1073,7 @@ def test_multitouch_credits_sum_to_one_per_conversion(spark):
     from mtg_bulk_database_spark.registry import load_registry
 
     q, _ = load_registry()
-    out = q["q207_multitouch_attribution"](spark, "/root/testdata/sf0.01")
+    out = q["q207_multitouch_attribution"](spark, SF_DIR)
     sums = (
         out.groupBy("user_id", "conv_id")
         .agg(F.sum("credit").alias("s"), F.max("n_touches").alias("n"))
@@ -1091,7 +1091,7 @@ def test_kaplan_meier_invariants(spark):
 
     q, _ = load_registry()
     rows = sorted(
-        q["q208_kaplan_meier"](spark, "/root/testdata/sf0.01").collect(),
+        q["q208_kaplan_meier"](spark, SF_DIR).collect(),
         key=lambda r: r["t"],
     )
     assert rows
@@ -1111,7 +1111,7 @@ def test_bootstrap_ci_brackets_mean(spark):
     from mtg_bulk_database_spark.registry import load_registry
 
     q, _ = load_registry()
-    rows = q["q212_bootstrap_ci"](spark, "/root/testdata/sf0.01").collect()
+    rows = q["q212_bootstrap_ci"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r["ci_lo"] is not None and r["ci_lo"] < r["ci_hi"]
