@@ -151,6 +151,10 @@ HEADLINE = [
     "q242_dedup_adjusted_mix",
     "q243_quality_budget_curve",
     "q244_ivf_workload_recall",
+    # r9 additions: paragraph-level cross-document dedup family
+    "q245_paragraph_dedup",
+    "q246_paragraph_near_dup",
+    "q247_top_repeated_paragraphs",
 ]
 
 

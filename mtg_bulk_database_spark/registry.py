@@ -42,6 +42,7 @@ def load_registry():
         pipeline_queries11,
         pipeline_queries12,
         pipeline_queries13,
+        pipeline_queries14,
         queries,
         queries_extra,
     )

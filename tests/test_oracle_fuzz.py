@@ -985,3 +985,122 @@ def test_q244_absent_queries_and_tiny_pool(spark, tmp_path):
     for r in rec.values():
         assert 0 <= r["n_hit"] <= 3
         assert r["recall"] == r["n_hit"] / 10.0
+
+
+# ---------------------------------------------------------------------------
+# r9: paragraph-level cross-document dedup (q245/q246/q247)
+# ---------------------------------------------------------------------------
+_PARA_BOILER = ("nav home about contact privacy terms "
+                "login logout search help faq cart")          # 12 tokens
+_PARA_EDIT = ("nav home about contact privacy SIGNUP "
+              "login logout search help faq cart")            # t6 changed
+_PARA_PROSE_A = ("alpha bravo charlie delta echo foxtrot "
+                 "golf hotel india juliet kilo lima")
+_PARA_PROSE_B = ("mike november oscar papa quebec romeo "
+                 "sierra tango uniform victor whiskey xray")
+
+
+def _para_corpus(tmp_path):
+    """Planted corpus: a boilerplate paragraph shared verbatim by docs
+    1/2 and twice WITHIN doc 4, a one-middle-token edit of it in doc 3
+    (trigram J = 7/13 ~ 0.538 — above tau=0.5, below exact), doc 3's
+    prose an UPPER-CASED copy of doc 1's (the ascii-fold tokenizer
+    normalizes it to an exact duplicate — pins case-insensitive
+    fingerprints), plus empty/NULL docs."""
+    _docs_parquet(
+        tmp_path,
+        [
+            (1, f"{_PARA_BOILER} {_PARA_PROSE_A}", "a"),
+            (2, f"{_PARA_BOILER} {_PARA_PROSE_B}", "b"),
+            (3, f"{_PARA_EDIT} {_PARA_PROSE_A.upper()}", "c"),
+            (4, f"{_PARA_BOILER} {_PARA_BOILER}", "d"),
+            (5, "", "e"),
+            (6, None, "f"),
+            (7, "tiny doc five tokens here", "g"),
+        ],
+    )
+
+
+def test_q245_paragraph_dedup_planted(spark, tmp_path):
+    """Exact paragraph dedup keeps the FIRST (doc_id, para_idx)
+    occurrence corpus-wide: doc 1 keeps everything, doc 2 loses its
+    boilerplate paragraph (50% of its tokens), doc 3 keeps the edited
+    boilerplate (exact fingerprints don't near-match) but loses its
+    upper-cased prose (the fold makes it an exact copy of doc 1's),
+    doc 4 loses BOTH copies (within-doc repeats count), and empty/NULL
+    docs emit no row at all."""
+    _para_corpus(tmp_path)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q245_paragraph_dedup", ["documents"]
+    )
+    rec = {r[cols.index("doc_id")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {1, 2, 3, 4, 7}  # 5 (empty) and 6 (NULL) absent
+    assert rec[1]["n_dropped"] == 0 and rec[1]["tok_kept"] == 24
+    assert rec[2]["n_dropped"] == 1 and rec[2]["tok_dropped"] == 12
+    assert rec[2]["drop_micro"] == 500_000
+    assert rec[3]["n_dropped"] == 1  # the folded prose copy drops...
+    assert rec[3]["tok_kept"] == 12  # ...the edited boilerplate stays
+    assert rec[4]["n_dropped"] == 2 and rec[4]["tok_kept"] == 0
+    assert rec[4]["drop_micro"] == 1_000_000
+    assert rec[7]["n_paras"] == 1 and rec[7]["tok_kept"] == 5
+    # chars: kept paragraphs account for the normalized text length
+    assert rec[1]["chars_kept"] == len(_PARA_BOILER) + len(_PARA_PROSE_A)
+    assert rec[2]["chars_kept"] == len(_PARA_PROSE_B)
+
+
+def test_q246_paragraph_near_dup_planted(spark, tmp_path):
+    """The paragraph posting join finds exactly the cross-document
+    boilerplate pairs: verbatim copies at J=1.0 (including both copies
+    inside doc 4 pairing with docs 1/2 — but never with each other:
+    same-doc pairs are excluded — and doc 3's case-folded prose copy
+    of doc 1's), and the one-middle-token edit at J=7/13; unique
+    prose pairs with nothing."""
+    _para_corpus(tmp_path)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q246_paragraph_near_dup", ["documents"]
+    )
+    got = {
+        (r[cols.index("doc_a")], r[cols.index("para_a")],
+         r[cols.index("doc_b")], r[cols.index("para_b")]):
+        r[cols.index("jaccard")]
+        for r in rows
+    }
+    exact = {(1, 0, 2, 0), (1, 0, 4, 0), (1, 0, 4, 1),
+             (2, 0, 4, 0), (2, 0, 4, 1), (1, 1, 3, 1)}
+    near = {(1, 0, 3, 0), (2, 0, 3, 0), (3, 0, 4, 0), (3, 0, 4, 1)}
+    assert set(got) == exact | near
+    for k in exact:
+        assert got[k] == 1.0
+    for k in near:
+        assert got[k] == 7 / 13
+
+
+def test_q247_top_repeated_paragraphs_planted(spark, tmp_path):
+    """Two repeated-paragraph groups: the boilerplate with 4 copies
+    across 3 documents (n_docs < n_copies exposes the within-doc
+    repeat in doc 4) and the case-folded prose with 2 copies in 2
+    docs; the single-copy edit never appears."""
+    _para_corpus(tmp_path)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q247_top_repeated_paragraphs", ["documents"]
+    )
+    rec = {r[cols.index("p_text")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {_PARA_BOILER, _PARA_PROSE_A}
+    assert rec[_PARA_BOILER]["n_copies"] == 4
+    assert rec[_PARA_BOILER]["n_docs"] == 3
+    assert rec[_PARA_PROSE_A]["n_copies"] == 2
+    assert rec[_PARA_PROSE_A]["n_docs"] == 2
+
+
+def test_paragraph_gates_all_null_corpus(spark, tmp_path):
+    """Degenerate corpus (every text NULL): all three paragraph gates
+    return zero rows on both engines — no NULL-key pairs, no phantom
+    per-doc stats."""
+    _docs_parquet(tmp_path, [(1, None, "a"), (2, None, "b")])
+    for name in (
+        "q245_paragraph_dedup",
+        "q246_paragraph_near_dup",
+        "q247_top_repeated_paragraphs",
+    ):
+        rows, _ = _diff_check(spark, str(tmp_path), name, ["documents"])
+        assert rows == []

@@ -1011,3 +1011,42 @@ def test_q244_workload_windows_are_group_limited(spark):
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and all("In(vec_id" in ln for ln in scans), scans
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# r9: paragraph-level dedup (q245-q247) scale contracts
+# ---------------------------------------------------------------------------
+def test_q245_keeper_selection_partial_aggregates_no_window(spark):
+    """The keeper-per-fingerprint step must be a GROUP BY (map-side
+    partial min/count per local fingerprint before the only shuffle),
+    never a row_number window — a boilerplate paragraph with millions
+    of copies would serialize one hot window partition."""
+    df = QUERIES["q245_paragraph_dedup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "partial_sum" in plan  # per-doc stats combine map-side too
+    assert "CartesianProduct" not in plan
+
+
+def test_q246_paragraph_posting_join_map_side_combines(spark):
+    """VERDICT r9 directive #2's pin: the paragraph posting join's
+    pair-count aggregation partial-aggregates before its shuffle, and
+    the plan never degenerates to a cross product (posting equi-join
+    only)."""
+    df = QUERIES["q246_paragraph_near_dup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_q247_topk_is_take_ordered(spark):
+    """The boilerplate head is a TakeOrderedAndProject (per-partition
+    heaps), not a global sort, over a map-side-combined group table
+    keyed by the 32-char fingerprint."""
+    df = QUERIES["q247_top_repeated_paragraphs"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_min" in plan
