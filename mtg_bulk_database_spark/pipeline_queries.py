@@ -839,7 +839,12 @@ def q71(spark, sf_dir):
     from .operators.curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return curate_corpus(docs)
+    # r9: the near-dup stage reads the prebuilt shingle index (semi-
+    # joined to the gate survivors) instead of re-tokenizing — the
+    # same ingest artifact q32/q224 consume
+    return curate_corpus(
+        docs, shingles_df=shingle_prebuilt_table(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

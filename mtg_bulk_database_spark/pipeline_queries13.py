@@ -406,13 +406,15 @@ _Q240_CAP_EPOCHS = 2
 _Q240_BUDGET_NUM, _Q240_BUDGET_DEN = 39, 20
 
 
-def _q240_oracle() -> str:
+def _q240_alloc_chain(counts_body: str) -> str:
+    """CTE chain ``counts -> ... -> alloc`` (the closed-form
+    waterfilling) over an arbitrary ``counts_body`` producing
+    ``(source, n_tokens)`` — shared by q240 (whitespace tokens), q248
+    (manifest materialization) and q249 (subword-count twin) so the
+    allocation algebra exists exactly once on the oracle side, the
+    way :func:`epoch_capped_allocation` is the one Spark body."""
     c = _Q240_CAP_EPOCHS
-    return f"""
-    WITH counts AS (
-      SELECT source,
-             CAST(sum(coalesce(len({_TOKS}), 0)) AS BIGINT) AS n_tokens
-      FROM documents WHERE source IS NOT NULL GROUP BY source),
+    return f"""counts AS ({counts_body}),
     tot AS (
       SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
              CAST(count(*) AS BIGINT) AS n_src
@@ -447,7 +449,18 @@ def _q240_oracle() -> str:
                               THEN 1 ELSE 0 END
              END AS alloc_tokens,
              CASE WHEN i <= m THEN 1 ELSE 0 END AS capped
-      FROM p CROSS JOIN m)
+      FROM p CROSS JOIN m)"""
+
+
+_Q240_COUNTS_BODY = f"""
+      SELECT source,
+             CAST(sum(coalesce(len({_TOKS}), 0)) AS BIGINT) AS n_tokens
+      FROM documents WHERE source IS NOT NULL GROUP BY source"""
+
+
+def _q240_oracle() -> str:
+    return f"""
+    WITH {_q240_alloc_chain(_Q240_COUNTS_BODY)}
     SELECT source, n_tokens, alloc_tokens, capped,
            CASE WHEN n_tokens > 0
                 THEN (alloc_tokens * 1000000) // n_tokens
@@ -792,6 +805,71 @@ def _q242_oracle() -> str:
     FROM g CROSS JOIN tot"""
 
 
+def dedup_mix_state(docs) -> "DataFrame":  # noqa: F821
+    """q242's SUM-mergeable state: ``(source, fingerprint, nt,
+    n_docs)`` — the finest grain at which the dedup-adjusted mix is
+    incrementally maintainable.  The grain must carry ``nt`` because
+    the per-document discount ``(nt·10⁶) DIV n_copies`` floors PER
+    DOCUMENT: two docs with the same content fingerprint can have
+    different raw token counts (repeats/stopwords don't change the
+    distinct-token fingerprint), and summing nt before the DIV would
+    change the floor.  Counts at this grain merge by plain SUM —
+    per-batch partials add — which is what makes the streaming fold
+    (``streaming.ingest.stream_fold_dedup_mix``) exact.  State size is
+    bounded by distinct (source, fingerprint, nt) triples — in the
+    worst case document-scale but tiny per row (two ints + a 32-char
+    hash), and exactly the state any incremental dedup ledger keeps."""
+    from .operators.text_analysis import with_fingerprint
+
+    return (
+        with_fingerprint(docs)
+        .select(
+            "source",
+            F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+            "fingerprint",
+        )
+        .groupBy("source", "fingerprint", "nt")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def dedup_adjusted_mix_from_state(state) -> "DataFrame":  # noqa: F821
+    """q242's output table derived from the (merged) state relation —
+    the tail the streaming leg shares with the equivalence tests.
+    Global copy counts come from ONE fingerprint groupBy over the
+    state (map-side combinable), joined back by fingerprint; every
+    discount is the same integer algebra as the batch gate, so
+    streamed ≡ batch row-exactly (pinned in
+    tests/test_streaming_dedup_mix.py)."""
+    copies = state.groupBy("fingerprint").agg(
+        F.sum("n_docs").cast("long").alias("_nc")
+    )
+    j = state.join(copies, "fingerprint")
+    g = j.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.col("nt").cast("long") * F.col("n_docs"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(
+            F.expr("(CAST(nt AS BIGINT) * 1000000 DIV _nc) * n_docs")
+        )
+        .cast("long")
+        .alias("eff_tokens_micro"),
+    )
+    tot = g.agg(F.sum("eff_tokens_micro").cast("long").alias("te"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "eff_tokens_micro",
+        F.when(
+            F.col("te") > 0,
+            F.col("eff_tokens_micro").cast("double")
+            / F.col("te").cast("double"),
+        ).alias("eff_share"),
+    )
+
+
 @query("q242_dedup_adjusted_mix", _q242_oracle())
 def q242(spark, sf_dir):
     """The source-mix table the planner should actually read: per
@@ -1034,11 +1112,19 @@ def _q244_oracle() -> str:
     hits AS (
       SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
       FROM probe10 JOIN exact10 USING (query_id, vec_id)
-      GROUP BY query_id)
-    SELECT q.query_id,
-           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {_Q244_K}.0 AS recall
-    FROM q LEFT JOIN hits h USING (query_id)"""
+      GROUP BY query_id),
+    res AS (
+      SELECT q.query_id,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {_Q244_K}.0 AS recall
+      FROM q LEFT JOIN hits h USING (query_id))
+    SELECT query_id, n_hit, recall FROM res
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS query_id,
+           CAST(sum(n_hit) AS BIGINT) AS n_hit,
+           CAST(sum(n_hit) AS DOUBLE)
+             / ({_Q244_K}.0 * count(*)) AS recall
+    FROM res HAVING count(*) > 0"""
 
 
 @query("q244_ivf_workload_recall", _q244_oracle())
@@ -1048,8 +1134,10 @@ def q244(spark, sf_dir):
     deployed nprobe across a query set — per query, recall@10 of the
     probe against that query's own brute-force top-10 — the per-query
     report an ANN rollout reads for tail behaviour (macro-recall is
-    its mean; a query whose probe misses entirely still reports 0.0
-    via the left join rather than vanishing).
+    the ``query_id = -1`` row — Σ n_hit / (k·|Q|), identically the
+    mean of the per-query recalls; a query whose probe misses
+    entirely still reports 0.0 via the left join rather than
+    vanishing, and drags the macro row down accordingly).
 
     Exactness: the q221-proven float path per (query, vector) pair;
     every ranking window is partitioned BY query_id (the q222
@@ -1148,7 +1236,7 @@ def q244(spark, sf_dir):
     hits = probe10.join(
         F.broadcast(exact10), ["query_id", "vec_id"]
     ).groupBy("query_id").agg(F.count("*").cast("long").alias("n_hit"))
-    return qset.select("query_id").join(
+    res = qset.select("query_id").join(
         F.broadcast(hits), "query_id", "left"
     ).select(
         "query_id",
@@ -1158,3 +1246,23 @@ def q244(spark, sf_dir):
             / F.lit(float(_Q244_K))
         ).alias("recall"),
     )
+    # macro-recall row (r9): query_id = -1 carries the workload mean,
+    # Σ n_hit / (k·|Q|) == mean of the per-query recalls — one extra
+    # aggregate over the ≤|Q|-row result, emitted only when the
+    # workload is non-empty (an empty query set stays empty)
+    macro = (
+        res.agg(
+            F.sum("n_hit").cast("long").alias("n_hit"),
+            F.count("*").alias("_nq"),
+        )
+        .where(F.col("_nq") > 0)
+        .select(
+            F.lit(-1).cast("long").alias("query_id"),
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / (F.lit(float(_Q244_K)) * F.col("_nq"))
+            ).alias("recall"),
+        )
+    )
+    return res.unionByName(macro)

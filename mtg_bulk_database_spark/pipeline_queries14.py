@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .catalog import load_table
-from .functions.text import sql_tokens
+from .functions.text import sql_tokens, tokens
 from .operators.text_analysis import chunk_documents
 from .registry import query
 
@@ -389,4 +389,241 @@ def q247(spark, sf_dir):
         .select("p_text", "n_copies", "n_docs")
         .orderBy(F.desc("n_copies"), "p_text")
         .limit(_Q247_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — mix-to-manifest: materialize q240's allocation as a
+# deterministic document sampling plan.
+# ---------------------------------------------------------------------------
+def _q248_oracle() -> str:
+    from .pipeline_queries13 import _Q240_COUNTS_BODY, _q240_alloc_chain
+
+    return f"""
+    WITH {_q240_alloc_chain(_Q240_COUNTS_BODY)},
+    d AS (
+      SELECT doc_id, source,
+             coalesce(len({_TOKS}), 0) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS ordkey
+      FROM documents WHERE source IS NOT NULL),
+    cumt AS (
+      SELECT doc_id, source, nt,
+             CAST(sum(nt) OVER (PARTITION BY source
+                  ORDER BY ordkey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM d WHERE nt > 0),
+    marked AS (
+      SELECT c.doc_id, c.source, c.nt,
+             CASE WHEN a.n_tokens > 0
+                  THEN a.alloc_tokens // a.n_tokens ELSE 0 END AS full_ep,
+             CASE WHEN c.cum - c.nt <
+                       (CASE WHEN a.n_tokens > 0
+                             THEN a.alloc_tokens % a.n_tokens
+                             ELSE 0 END)
+                  THEN 1 ELSE 0 END AS in_prefix,
+             a.alloc_tokens, a.n_tokens AS src_tokens
+      FROM cumt c JOIN alloc a ON c.source = a.source),
+    psel AS (
+      SELECT source,
+             CAST(coalesce(sum(CASE WHEN in_prefix = 1 THEN nt END), 0)
+                  AS BIGINT) AS prefix_tokens
+      FROM marked GROUP BY source)
+    SELECT m.doc_id, m.source, CAST(m.nt AS BIGINT) AS n_tok,
+           CAST(m.full_ep + m.in_prefix AS BIGINT) AS n_repeats,
+           m.alloc_tokens AS src_alloc,
+           CAST(m.full_ep * m.src_tokens + p.prefix_tokens AS BIGINT)
+             AS src_selected,
+           CAST(m.full_ep * m.src_tokens + p.prefix_tokens
+                - m.alloc_tokens AS BIGINT) AS src_overshoot
+    FROM marked m JOIN psel p ON m.source = p.source
+    WHERE m.full_ep + m.in_prefix > 0"""
+
+
+@query("q248_mix_manifest", _q248_oracle())
+def q248(spark, sf_dir):
+    """Mix-to-manifest: turn q240's per-source token allocation into
+    the deterministic DOCUMENT manifest that realizes it — the last
+    planning->execution edge (q242 prices the mix, q239/q240 choose
+    it, this makes it runnable).  Per source: every document repeats
+    ``alloc_tokens DIV n_tokens`` times (full epochs — the epoch cap
+    guarantees this is at most the cap), and the remainder budget is
+    filled by a greedy prefix of documents in md5(doc_id) order
+    (deterministic pseudo-shuffle, the q198/q230 quota discipline):
+    whole documents are taken until the remainder is covered, so the
+    plan OVERSHOOTS by at most one document — reported per source as
+    ``src_overshoot = src_selected - src_alloc`` (>= 0; exact 0 when
+    the remainder is 0).
+
+    Exactness: the allocation comes from the SHARED
+    :func:`epoch_capped_allocation` body; the manifest layer is one
+    per-source cumulative-sum window over an md5 total order plus
+    integer DIV/% — no doubles anywhere.
+
+    100 TB shape: the corpus-scale work is ONE window shuffle
+    partitioned BY SOURCE ordered by the uniform md5 key (the same
+    per-source running-sum shape as q230's balanced sampler; skew =
+    largest source, the unavoidable partition for any per-source
+    quota), with the |sources|-row allocation and prefix-sum tables
+    broadcast.  Zero-token documents are excluded up front (they
+    contribute nothing to a token budget); NULL sources are excluded
+    per q240's discipline."""
+    from .pipeline_queries13 import (
+        epoch_capped_allocation,
+        source_token_counts,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = epoch_capped_allocation(source_token_counts(docs)).select(
+        "source",
+        F.col("n_tokens").alias("src_tokens"),
+        "alloc_tokens",
+    )
+    d = docs.where(F.col("source").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+        F.md5(F.col("doc_id").cast("string")).alias("ordkey"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ordkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumt = (
+        d.filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "nt",
+            F.sum("nt").over(w).cast("long").alias("cum"),
+        )
+    )
+    marked = cumt.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        "nt",
+        F.expr(
+            "CASE WHEN src_tokens > 0"
+            " THEN alloc_tokens DIV src_tokens ELSE 0 END"
+        ).alias("full_ep"),
+        F.expr(
+            "CASE WHEN cum - nt < (CASE WHEN src_tokens > 0"
+            " THEN alloc_tokens % src_tokens ELSE 0 END)"
+            " THEN 1 ELSE 0 END"
+        ).alias("in_prefix"),
+        "alloc_tokens",
+        "src_tokens",
+    )
+    psel = marked.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("in_prefix") == 1, F.col("nt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("prefix_tokens")
+    )
+    return (
+        marked.join(F.broadcast(psel), "source")
+        .filter(F.col("full_ep") + F.col("in_prefix") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("nt").cast("long").alias("n_tok"),
+            (F.col("full_ep") + F.col("in_prefix"))
+            .cast("long")
+            .alias("n_repeats"),
+            F.col("alloc_tokens").alias("src_alloc"),
+            (F.col("full_ep") * F.col("src_tokens") + F.col("prefix_tokens"))
+            .cast("long")
+            .alias("src_selected"),
+            (
+                F.col("full_ep") * F.col("src_tokens")
+                + F.col("prefix_tokens")
+                - F.col("alloc_tokens")
+            )
+            .cast("long")
+            .alias("src_overshoot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249 — fertility-aware allocation: q240's waterfilling driven by
+# q238's subword counts under the frozen tokenizer.
+# ---------------------------------------------------------------------------
+def _q249_oracle() -> str:
+    from .pipeline_queries12 import _q234_merge_chain
+    from .pipeline_queries13 import _q240_alloc_chain
+
+    chain = _q234_merge_chain(
+        "(' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ')"
+    )
+    counts_body = f"""
+      SELECT source, CAST(sum(freq * n_pieces) AS BIGINT) AS n_tokens
+      FROM (
+        SELECT source, freq,
+               len(string_split(trim({chain}), ' ')) AS n_pieces
+        FROM (
+          SELECT source, word, count(*) AS freq
+          FROM (SELECT source, unnest({_TOKS}) AS word
+                FROM documents WHERE source IS NOT NULL)
+          GROUP BY source, word))
+      GROUP BY source"""
+    return f"""
+    WITH {_q240_alloc_chain(counts_body)}
+    SELECT source, n_tokens, alloc_tokens, capped,
+           CASE WHEN n_tokens > 0
+                THEN (alloc_tokens * 1000000) // n_tokens
+                ELSE 0 END AS epochs_micro
+    FROM alloc"""
+
+
+@query("q249_fertility_capped_allocation", _q249_oracle())
+def q249(spark, sf_dir):
+    """q240's epoch-capped allocation re-derived in REAL training
+    tokens: the per-source budget input is q238's subword count under
+    the frozen BPE merge table (q234's deployed artifact) instead of
+    whitespace tokens — the allocation a training run would actually
+    consume, where a high-fertility domain (more subwords per word)
+    correctly costs more of the budget.  Same closed-form waterfilling
+    tail, COMPOSED: :func:`epoch_capped_allocation` takes the counts
+    relation verbatim (one Spark body, one oracle CTE chain — nothing
+    reimplemented).
+
+    A source whose documents produce zero words has no subword mass
+    and drops out of the allocation (both engines identically); q240's
+    n_tokens=0 row for such a source is the whitespace-side analog.
+
+    100 TB shape: q238's shape (two map-side-combinable groupBys; the
+    merge fold runs over the VOCABULARY-sized per-source word relation,
+    not the corpus) followed by q240's |sources|-row algebra."""
+    from .pipeline_queries12 import _q234_merge_chain
+    from .pipeline_queries13 import epoch_capped_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.where(F.col("source").isNotNull())
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chain = _q234_merge_chain(
+        "concat(' ', regexp_replace(word, '(.)', '$1 '), '</w> ')"
+    )
+    counts = (
+        wf.selectExpr(
+            "source",
+            "freq",
+            f"size(split(trim({chain}), ' ')) AS n_pieces",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("freq") * F.col("n_pieces"))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    return epoch_capped_allocation(counts).select(
+        "source", "n_tokens", "alloc_tokens", "capped", "epochs_micro"
     )

@@ -646,3 +646,75 @@ def stream_fold_source_token_counts(
         .groupBy("source")
         .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+def stream_fold_dedup_mix(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+    schema=None,
+):
+    """Streaming leg of the dedup-adjusted mix planner (q242): each
+    micro-batch folds into the ``(source, fingerprint, nt, n_docs)``
+    state (``pipeline_queries13.dedup_mix_state``) — counts at that
+    grain are SUM-mergeable, so the merged state equals the batch
+    state over the union of all batches even when copies of one
+    fingerprint arrive in DIFFERENT micro-batches (the cross-batch
+    duplicate case the equivalence test plants).  Same replay-safe
+    ``batch=<id>`` overwrite contract, fresh-checkpoint state
+    clearing, and empty-source schema guard as the other folds.
+
+    Returns the MERGED state; feed it to
+    ``dedup_adjusted_mix_from_state`` for a mix table row-identical to
+    the batch q242 over the same documents.
+
+    At 100 TB: per batch the fold writes a pre-aggregated frame
+    (distinct triples in that batch); history is never reshuffled —
+    the merge is one groupBy over the state directory, and the
+    downstream copy-count groupBy is the only fingerprint-wide
+    shuffle, exactly the batch gate's shape."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..pipeline_queries13 import dedup_mix_state
+
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        p = os.path.join(state_dir, "dedupmix")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        dedup_mix_state(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/dedupmix/batch={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_dedup_mix did not drain within "
+            f"{timeout_s}s (src_dir={src_dir!r})"
+        )
+    if not os.path.isdir(os.path.join(state_dir, "dedupmix")):
+        empty = spark.createDataFrame([], src.schema)
+        return dedup_mix_state(empty)
+    return (
+        spark.read.parquet(f"{state_dir}/dedupmix")
+        .drop("batch")
+        .groupBy("source", "fingerprint", "nt")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )

@@ -981,10 +981,17 @@ def test_q244_absent_queries_and_tiny_pool(spark, tmp_path):
         spark, str(tmp_path), "q244_ivf_workload_recall", ["embeddings"]
     )
     rec = {r[cols.index("query_id")]: dict(zip(cols, r)) for r in rows}
-    assert set(rec) == {1, 2}  # ids 3/4 absent: no phantom rows
-    for r in rec.values():
+    # ids 3/4 absent: no phantom rows; -1 is the r9 macro-recall row
+    assert set(rec) == {1, 2, -1}
+    for qid in (1, 2):
+        r = rec[qid]
         assert 0 <= r["n_hit"] <= 3
         assert r["recall"] == r["n_hit"] / 10.0
+    assert rec[-1]["n_hit"] == rec[1]["n_hit"] + rec[2]["n_hit"]
+    # the macro mean over 2 queries at k=10, computed the way both
+    # engines do (sum/(10*|Q|) — bit-exact, unlike averaging the
+    # already-divided per-query doubles)
+    assert rec[-1]["recall"] == rec[-1]["n_hit"] / 20.0
 
 
 # ---------------------------------------------------------------------------
@@ -1104,3 +1111,147 @@ def test_paragraph_gates_all_null_corpus(spark, tmp_path):
     ):
         rows, _ = _diff_check(spark, str(tmp_path), name, ["documents"])
         assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# r9: mix-to-manifest (q248) and fertility-aware allocation (q249)
+# ---------------------------------------------------------------------------
+def test_q248_manifest_realizes_allocation(spark, tmp_path):
+    """Planted two-source corpus with hand-checkable waterfilling:
+    'small' (2 docs x 10 tokens = 20) caps at 2 epochs (rem 0 — no
+    prefix, zero overshoot); 'big' (6 docs x 100 = 600) takes the
+    remaining budget 1169 = 1 full epoch + a 569-token remainder
+    filled by whole docs in md5(doc_id) order.  The expected manifest
+    is REPLICATED in Python (same md5 greedy) and compared doc-exact;
+    on top, the accounting identities: src_selected = src_alloc +
+    src_overshoot, overshoot in [0, max_doc), and the manifest's
+    summed n_repeats*n_tok equals src_selected."""
+    import hashlib
+
+    small = [(1, "s" + " tok" * 9, "small"), (2, "t" + " tok" * 9, "small")]
+    big = [(10 + i, f"b{i}" + " word" * 99, "big") for i in range(6)]
+    _docs_parquet(tmp_path, small + big)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q248_mix_manifest", ["documents"]
+    )
+    rec = {r[cols.index("doc_id")]: dict(zip(cols, r)) for r in rows}
+
+    # waterfilling: total=620, budget=39*620//20=1209; small caps
+    # (2*20*2=80 fits), big gets 1209-40=1169 -> full=1, rem=569
+    for d in (1, 2):
+        assert rec[d]["n_repeats"] == 2
+        assert rec[d]["src_alloc"] == 40
+        assert rec[d]["src_overshoot"] == 0
+    # python replication of the greedy md5 prefix for 'big'
+    order = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d)
+        for d, _, s in big
+    )
+    cum, prefix = 0, set()
+    for _, d in order:
+        if cum < 569:
+            prefix.add(d)
+        cum += 100
+    for d, _, _ in big:
+        assert rec[d]["n_repeats"] == (2 if d in prefix else 1)
+        assert rec[d]["src_alloc"] == 1169
+        assert rec[d]["src_selected"] == 600 + 100 * len(prefix)
+        assert rec[d]["src_overshoot"] == 600 + 100 * len(prefix) - 1169
+        assert 0 <= rec[d]["src_overshoot"] < 100
+    # accounting identity over the whole manifest
+    for src in ("small", "big"):
+        sel = sum(
+            r["n_repeats"] * r["n_tok"]
+            for r in rec.values() if r["source"] == src
+        )
+        any_row = next(r for r in rec.values() if r["source"] == src)
+        assert sel == any_row["src_selected"]
+        assert any_row["src_selected"] == (
+            any_row["src_alloc"] + any_row["src_overshoot"]
+        )
+
+
+def test_q249_allocation_exhausts_subword_budget(spark, tmp_path):
+    """The fertility-aware allocation must spend EXACTLY the subword
+    budget (39/20 of total subword mass) — the waterfilling exactness
+    invariant — and every source's subword count is >= its word count
+    (each word encodes to >= 1 piece)."""
+    import pandas as pd
+
+    texts = {
+        "code": "xq zz qq " * 30,        # odd words -> high fertility
+        "prose": "the and for with " * 40,
+        "mix": "hello world the zz " * 25,
+    }
+    dfrows = []
+    for i, (src, t) in enumerate(sorted(texts.items())):
+        for j in range(3):
+            dfrows.append((i * 10 + j, t, src))
+    _docs_parquet(tmp_path, dfrows)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q249_fertility_capped_allocation",
+        ["documents"],
+    )
+    rec = {r[cols.index("source")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == set(texts)
+    total = sum(r["n_tokens"] for r in rec.values())
+    assert sum(r["alloc_tokens"] for r in rec.values()) == (39 * total) // 20
+    # subwords >= words: 'prose' has 160 words per doc x 3 docs
+    assert rec["prose"]["n_tokens"] >= 160 * 3
+    for r in rec.values():
+        assert r["alloc_tokens"] <= 2 * r["n_tokens"]  # the epoch cap
+
+
+def test_q244_empty_probe_query_reports_zero(spark, tmp_path):
+    """r9 edge corpus (VERDICT r8 #6): one query whose probed lists
+    contain NO pool vectors at all — the probe side of its top-10 is
+    empty end-to-end, and the LEFT join must still emit the query with
+    n_hit=0 / recall=0.0 (externally pinned via the oracle); a second
+    well-served query keeps a positive recall for contrast, and the
+    macro row averages the two."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mtg_bulk_database_spark.pipeline_queries10 import _Q217_CENTROIDS
+
+    C = np.array(_Q217_CENTROIDS)
+
+    def _cos_rank(q):
+        s = C @ q / (np.linalg.norm(C, axis=1) * np.linalg.norm(q))
+        return np.argsort(np.round(s, 6))[::-1]  # desc, like the gate
+
+    q1 = C[0] * 1.01          # query 1: probes its 4 nearest lists
+    probed1 = set(_cos_rank(q1)[:4].tolist())
+    unprobed1 = [i for i in range(8) if i not in probed1]
+    assert len(unprobed1) == 4
+    q2 = C[unprobed1[0]] * 0.99  # query 2 lives in q1's blind spot
+
+    # pool: scaled copies of q1's UNPROBED centroids only — every pool
+    # vector self-assigns to a list q1 never probes
+    vecs = {1: q1, 2: q2}
+    for j, c in enumerate(unprobed1):
+        vecs[10 + j] = C[c] * (1.0 + 0.01 * (j + 1))
+    for j, c in enumerate(unprobed1):
+        assert int(_cos_rank(vecs[10 + j])[0]) == c  # self-assignment
+    ids = sorted(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in vecs[i]] for i in ids],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q244_ivf_workload_recall", ["embeddings"]
+    )
+    rec = {r[cols.index("query_id")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {1, 2, -1}
+    assert rec[1]["n_hit"] == 0 and rec[1]["recall"] == 0.0
+    assert rec[2]["n_hit"] > 0  # q2 probes where the pool lives
+    assert rec[-1]["n_hit"] == rec[2]["n_hit"]
+    assert rec[-1]["recall"] == rec[-1]["n_hit"] / 20.0
