@@ -25,6 +25,15 @@ QUERIES, _ = load_registry()
 
 # Headline set: one per operator family — scans/filters, FTS, joins,
 # aggregation, window, dedup/similarity once those land.
+# Headline-set budget (r9): the stdout JSON line must stay under the
+# driver's bounded tail (~1600 chars; see tests/test_bench_contract).
+# When additions would overflow it, TRIM entries whose operator family
+# keeps another representative rather than dropping the per-query map:
+# r9 removed q162/q163 (window-scan family: q60/q122/q123/q133/q139/
+# q160 remain), q178 (sketches: q179/q177/q202 remain), q204
+# (maintenance: q125/q140 remain), q205 (JSON: q43 remains), q149
+# (multimodal: q130/q132/q148 remain), q183 (TPC-H: q184/q186 remain),
+# q211 (stats: q209/q210/q212 remain).
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -81,34 +90,26 @@ HEADLINE = [
     "q141_funnel_counts",
     "q144_supplier_triangles",
     "q148_cross_format_image_dedup",
-    "q149_mjpeg_frame_sample",
     "q150_market_basket",
     "q155_event_transitions",
     "q156_spatial_neighbor_join",
     "q176_scale_exact_percentiles",
     "q177_minhash_lsh_portable",
-    "q178_hll_portable_distinct",
     "q179_cms_portable_heavy_hitters",
     "q160_ohlc_bars",
-    "q162_ewma_smoothing",
-    "q163_cusum_alerts",
     # TPC-H completion set (r5): the three with distinct plan character
     # at scale — pure pushdown agg, two-nation market share, fact⋈fact
     # quarter join + top-k
-    "q183_forecast_revenue",
     "q184_national_market_share",
     "q186_returned_item_customers",
     "q198_weighted_sample",
     "q199_tfidf_keywords",
     "q201_hard_negatives",
     "q202_quantile_sketch",
-    "q204_ingest_drift",
-    "q205_variant_extract",
     "q207_multitouch_attribution",
     "q208_kaplan_meier",
     "q209_revenue_trend_ols",
     "q210_classifier_calibration",
-    "q211_ab_test_zstat",
     "q212_bootstrap_ci",
     # r6 additions: trained-gate scoring, per-source KL divergence,
     # readability, HLL register set algebra, IVF assignment, cohort
@@ -151,10 +152,14 @@ HEADLINE = [
     "q242_dedup_adjusted_mix",
     "q243_quality_budget_curve",
     "q244_ivf_workload_recall",
-    # r9 additions: paragraph-level cross-document dedup family
+    # r9 additions: paragraph-level cross-document dedup family +
+    # the planning-to-execution gates
     "q245_paragraph_dedup",
     "q246_paragraph_near_dup",
     "q247_top_repeated_paragraphs",
+    "q248_mix_manifest",
+    "q249_fertility_capped_allocation",
+    "q250_paragraph_rewrite",
 ]
 
 

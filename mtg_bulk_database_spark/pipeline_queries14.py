@@ -3,7 +3,8 @@ the one capability gap VERDICT r8 left open.  Document-granularity
 dedup (q30/q31 exact, q32/q33 near, q224 containment) treats a page
 as atomic; production curation pipelines ALSO remove paragraphs that
 repeat ACROSS documents (navigation chrome, license blocks, syndicated
-passages) and keep the surrounding unique prose.  Three gates:
+passages) and keep the surrounding unique prose.  Plus the round's
+planning-to-execution gates.  Six gates:
 
 - q245: exact cross-document paragraph dedup with per-document
   surviving-text stats (paragraphs/tokens/chars kept vs dropped) —
@@ -13,6 +14,11 @@ passages) and keep the surrounding unique prose.  Three gates:
   ``(doc_id, para_idx)`` granularity with the stop-shingle DF cap.
 - q247: top repeated paragraphs — the boilerplate head a curation
   team reviews before committing the drop list.
+- q248: mix-to-manifest — q240's allocation materialized as the
+  deterministic document sampling plan that realizes it.
+- q249: the allocation re-derived from frozen-tokenizer subword
+  counts (q238 × q240, composed).
+- q250: the paragraph-dedup REWRITE — per-document surviving text.
 
 Paragraph definition: non-overlapping ``_PARA_W``-token windows (the
 q80 chunker with overlap=0).  On corpora with structural separators
@@ -92,6 +98,58 @@ def paragraph_table(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q245/q250 shared keeper machinery.
+# ---------------------------------------------------------------------------
+_SQL_PKEY = (
+    "lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' || "
+    "lpad(CAST(para_idx AS VARCHAR), 9, '0')"
+)
+
+
+def _keeper_mark_cte(carry: str) -> str:
+    """``grp``+``mark`` fragment over an ``fp`` CTE carrying
+    ``(fpr, pkey, ...)`` — the corpus-wide first-occurrence-wins rule
+    shared by q245 (stats) and q250 (rewrite)."""
+    return f"""grp AS (SELECT fpr, min(pkey) AS keeper,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM fp GROUP BY fpr),
+    mark AS (
+      SELECT {carry},
+             CASE WHEN g.n_copies > 1 AND f.pkey <> g.keeper
+                  THEN 1 ELSE 0 END AS dropped
+      FROM fp f JOIN grp g ON f.fpr = g.fpr)"""
+
+
+def _pkey_col():
+    return F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 18, "0"),
+        F.lit(":"),
+        F.lpad(F.col("para_idx").cast("string"), 9, "0"),
+    )
+
+
+def keeper_marked(fp: DataFrame, carry: list[str]) -> DataFrame:
+    """Mark each paragraph occurrence dropped/kept under the
+    first-occurrence-wins rule: the map-side-combinable
+    ``min(pkey)+count`` per fingerprint, joined back (the q245
+    docstring's scale argument).  ``fp`` must carry ``fpr`` and
+    ``pkey``; ``carry`` lists the columns to keep alongside
+    ``dropped``."""
+    grp = fp.groupBy("fpr").agg(
+        F.min("pkey").alias("keeper"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+    return fp.join(grp, "fpr").select(
+        *carry,
+        F.when(
+            (F.col("n_copies") > 1) & (F.col("pkey") != F.col("keeper")), 1
+        )
+        .otherwise(0)
+        .alias("dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q245 — exact cross-document paragraph dedup: per-document surviving-
 # text stats.
 # ---------------------------------------------------------------------------
@@ -100,17 +158,9 @@ def _q245_oracle() -> str:
     fp AS (
       SELECT doc_id, n_ptok, length(p_text) AS n_pchars,
              md5(p_text) AS fpr,
-             lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' ||
-             lpad(CAST(para_idx AS VARCHAR), 9, '0') AS pkey
+             {_SQL_PKEY} AS pkey
       FROM para),
-    grp AS (SELECT fpr, min(pkey) AS keeper,
-                   CAST(count(*) AS BIGINT) AS n_copies
-            FROM fp GROUP BY fpr),
-    mark AS (
-      SELECT f.doc_id, f.n_ptok, f.n_pchars,
-             CASE WHEN g.n_copies > 1 AND f.pkey <> g.keeper
-                  THEN 1 ELSE 0 END AS dropped
-      FROM fp f JOIN grp g ON f.fpr = g.fpr),
+    {_keeper_mark_cte("f.doc_id, f.n_ptok, f.n_pchars")},
     agg AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_paras,
@@ -162,26 +212,9 @@ def q245(spark, sf_dir):
         "n_ptok",
         F.length("p_text").alias("n_pchars"),
         F.md5("p_text").alias("fpr"),
-        F.concat(
-            F.lpad(F.col("doc_id").cast("string"), 18, "0"),
-            F.lit(":"),
-            F.lpad(F.col("para_idx").cast("string"), 9, "0"),
-        ).alias("pkey"),
+        _pkey_col().alias("pkey"),
     ).localCheckpoint(eager=False)
-    grp = fp.groupBy("fpr").agg(
-        F.min("pkey").alias("keeper"),
-        F.count("*").cast("long").alias("n_copies"),
-    )
-    mark = fp.join(grp, "fpr").select(
-        "doc_id",
-        "n_ptok",
-        "n_pchars",
-        F.when(
-            (F.col("n_copies") > 1) & (F.col("pkey") != F.col("keeper")), 1
-        )
-        .otherwise(0)
-        .alias("dropped"),
-    )
+    mark = keeper_marked(fp, ["doc_id", "n_ptok", "n_pchars"])
     kept = F.col("dropped") == 0
     return (
         mark.groupBy("doc_id")
@@ -626,4 +659,71 @@ def q249(spark, sf_dir):
     )
     return epoch_capped_allocation(counts).select(
         "source", "n_tokens", "alloc_tokens", "capped", "epochs_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — the paragraph-dedup REWRITE: per-document surviving text.
+# ---------------------------------------------------------------------------
+def _q250_oracle() -> str:
+    return f"""WITH {_para_cte()},
+    fp AS (
+      SELECT doc_id, para_idx, p_text, md5(p_text) AS fpr,
+             {_SQL_PKEY} AS pkey
+      FROM para),
+    {_keeper_mark_cte("f.doc_id, f.para_idx, f.p_text")}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN dropped = 0 THEN p_text END,
+                               ' ' ORDER BY para_idx), '') AS kept_text
+    FROM mark GROUP BY doc_id"""
+
+
+@query("q250_paragraph_rewrite", _q250_oracle())
+def q250(spark, sf_dir):
+    """The paragraph-dedup REWRITE itself: per document, the surviving
+    text after cross-document paragraph dedup — q245 reports the
+    accounting, this emits the corpus a training run would actually
+    read (kept paragraphs reassembled in original order; a document
+    whose every paragraph is boilerplate collapses to '' rather than
+    vanishing, so downstream length filters see it).
+
+    Same keeper machinery as q245 (:func:`keeper_marked` — map-side-
+    combinable GROUP BY min, no window); the reassembly is one per-doc
+    aggregate: collect the kept ``(para_idx, p_text)`` structs, sort
+    by index, join with spaces — embarrassingly parallel after the
+    fingerprint join, the per-doc frame bounded by document length.
+    ``collect_list`` skips the NULLed dropped entries exactly as
+    DuckDB's ``string_agg`` skips NULLs; the empty aggregate is pinned
+    to '' on BOTH sides (Spark ``array_join([])`` vs DuckDB
+    ``coalesce(NULL, '')`` — the engine seam the verify notes flag
+    for scalarized list aggregations).
+
+    100 TB shape: identical to q245's plus the final reassembly
+    groupBy keyed by doc_id (partial collect_list combines map-side;
+    the shuffled payload is exactly the kept text — the rewrite has
+    to move that once by definition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = paragraph_table(docs).select(
+        "doc_id",
+        "para_idx",
+        "p_text",
+        F.md5("p_text").alias("fpr"),
+        _pkey_col().alias("pkey"),
+    ).localCheckpoint(eager=False)
+    mark = keeper_marked(fp, ["doc_id", "para_idx", "p_text"])
+    kept_struct = F.when(
+        F.col("dropped") == 0, F.struct("para_idx", "p_text")
+    )
+    return mark.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        (F.count("*") - F.sum("dropped")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["p_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
     )

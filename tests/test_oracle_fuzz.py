@@ -1255,3 +1255,23 @@ def test_q244_empty_probe_query_reports_zero(spark, tmp_path):
     assert rec[2]["n_hit"] > 0  # q2 probes where the pool lives
     assert rec[-1]["n_hit"] == rec[2]["n_hit"]
     assert rec[-1]["recall"] == rec[-1]["n_hit"] / 20.0
+
+
+def test_q250_paragraph_rewrite_planted(spark, tmp_path):
+    """The rewrite emits the corpus a training run would read: doc 1
+    keeps its full text, doc 2 keeps only its unique prose, doc 3
+    keeps the edited boilerplate but loses its case-folded prose copy,
+    doc 4 (pure boilerplate twice) collapses to the EMPTY STRING
+    rather than vanishing, and paragraphs reassemble in original
+    para_idx order."""
+    _para_corpus(tmp_path)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q250_paragraph_rewrite", ["documents"]
+    )
+    rec = {r[cols.index("doc_id")]: dict(zip(cols, r)) for r in rows}
+    assert set(rec) == {1, 2, 3, 4, 7}
+    assert rec[1]["kept_text"] == f"{_PARA_BOILER} {_PARA_PROSE_A}"
+    assert rec[2]["kept_text"] == _PARA_PROSE_B
+    assert rec[3]["kept_text"] == _PARA_EDIT.lower()
+    assert rec[4]["kept_text"] == "" and rec[4]["n_kept"] == 0
+    assert rec[7]["n_paras"] == rec[7]["n_kept"] == 1
