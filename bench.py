@@ -160,6 +160,7 @@ HEADLINE = [
     "q248_mix_manifest",
     "q249_fertility_capped_allocation",
     "q250_paragraph_rewrite",
+    "q251_paragraph_near_dup_lsh",
 ]
 
 

@@ -4,7 +4,7 @@ dedup (q30/q31 exact, q32/q33 near, q224 containment) treats a page
 as atomic; production curation pipelines ALSO remove paragraphs that
 repeat ACROSS documents (navigation chrome, license blocks, syndicated
 passages) and keep the surrounding unique prose.  Plus the round's
-planning-to-execution gates.  Six gates:
+planning-to-execution gates.  Seven gates:
 
 - q245: exact cross-document paragraph dedup with per-document
   surviving-text stats (paragraphs/tokens/chars kept vs dropped) —
@@ -19,6 +19,8 @@ planning-to-execution gates.  Six gates:
 - q249: the allocation re-derived from frozen-tokenizer subword
   counts (q238 × q240, composed).
 - q250: the paragraph-dedup REWRITE — per-document surviving text.
+- q251: q246's banded-MinHash scale twin (portable md5 family,
+  fully oracled — no posting join at all).
 
 Paragraph definition: non-overlapping ``_PARA_W``-token windows (the
 q80 chunker with overlap=0).  On corpora with structural separators
@@ -206,7 +208,7 @@ def q245(spark, sf_dir):
     table).  All stats are BIGINT sums; the ratio
     is the house integer-micro division (positive DIV == floor both
     engines) — no doubles anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     fp = paragraph_table(docs).select(
         "doc_id",
         "n_ptok",
@@ -312,7 +314,7 @@ def q246(spark, sf_dir):
     family already maintains (``shingle_prebuilt_table``)."""
     from .operators.dedup import shingles as shingle_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     para = paragraph_table(docs).filter(F.col("n_ptok") >= 3)
     # split into an ATTRIBUTE token array first (the with_shingles
     # projection rule), then the when-guarded shingles() expression —
@@ -409,7 +411,7 @@ def q247(spark, sf_dir):
     plans TakeOrderedAndProject (per-partition heaps, no global sort)
     with the tie broken by paragraph text — a deterministic total
     order, so the LIMIT cut is identical in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     para = paragraph_table(docs)
     return (
         para.groupBy(F.md5("p_text").alias("fpr"))
@@ -507,7 +509,7 @@ def q248(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     alloc = epoch_capped_allocation(source_token_counts(docs)).select(
         "source",
         F.col("n_tokens").alias("src_tokens"),
@@ -634,7 +636,7 @@ def q249(spark, sf_dir):
     from .pipeline_queries12 import _q234_merge_chain
     from .pipeline_queries13 import epoch_capped_allocation
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     wf = (
         docs.where(F.col("source").isNotNull())
         .select("source", F.explode(tokens("text")).alias("word"))
@@ -704,7 +706,7 @@ def q250(spark, sf_dir):
     groupBy keyed by doc_id (partial collect_list combines map-side;
     the shuffled payload is exactly the kept text — the rewrite has
     to move that once by definition)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     fp = paragraph_table(docs).select(
         "doc_id",
         "para_idx",
@@ -727,3 +729,119 @@ def q250(spark, sf_dir):
             " ",
         ).alias("kept_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — paragraph near-dup via banded MinHash (the q246 scale twin).
+# ---------------------------------------------------------------------------
+#: banding for the paragraph tau=0.5 operating point: 16 bands x 2
+#: rows of a 32-perm signature.  Candidate probability 1-(1-s^2)^16:
+#: 0.990 at s=0.5, 0.996 at the one-token-edit point 7/13, 1.0 for
+#: verbatim copies (identical shingles => identical signatures);
+#: random paragraph pairs (J ~ 1e-4 on disjoint trigram sets) stay at
+#: the hash-collision floor.  q33/q166's (32,8) knee targets tau=0.8 —
+#: a 0.5 threshold needs SHALLOWER bands (r=2), and halving the perm
+#: count halves the dominant signature-projection cost (the r9 A/B
+#: that moved this off 64x21x3: ~11 s -> ~4 s warm at sf0.1).
+_Q251_NUM_PERM = 32
+_Q251_BANDS = 16
+_Q251_SEED = 13
+
+
+def _q251_oracle() -> str:
+    from .operators.dedup import _MERSENNE_31, _perm_params
+
+    p = _MERSENNE_31
+    rows = _Q251_NUM_PERM // _Q251_BANDS
+    sig = ", ".join(
+        f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {p}))"
+        for a, b in _perm_params(_Q251_NUM_PERM, _Q251_SEED)
+    )
+    return f"""
+    WITH {_para_cte()},
+    sh AS (
+      SELECT {_SQL_PKEY} AS pid,
+             list_distinct(list_transform(range(1, len(pt) - 1),
+               i -> pt[i] || ' ' || pt[i+1] || ' ' || pt[i+2]))
+               AS shingles
+      FROM para WHERE len(pt) >= 3),
+    hx AS (
+      SELECT pid,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s),1,15))::BIGINT % {p}) AS hs
+      FROM sh),
+    sig AS (SELECT pid, [{sig}] AS sig FROM hx),
+    bnd AS (
+      SELECT pid, band,
+             ('0x' || substr(md5(array_to_string(
+                 sig[band*{rows}+1 : band*{rows}+{rows}], '-')),1,15))::BIGINT
+               AS bucket
+      FROM sig, (SELECT unnest(range({_Q251_BANDS})) AS band)),
+    cand AS (
+      SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.pid < b.pid),
+    ver AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.pid = id_a
+      JOIN sh sb ON sb.pid = id_b)
+    SELECT CAST(substr(id_a, 1, 18) AS BIGINT) AS doc_a,
+           CAST(substr(id_a, 20, 9) AS BIGINT) AS para_a,
+           CAST(substr(id_b, 1, 18) AS BIGINT) AS doc_b,
+           CAST(substr(id_b, 20, 9) AS BIGINT) AS para_b,
+           jaccard
+    FROM ver
+    WHERE jaccard >= {_PARA_TAU}
+      AND substr(id_a, 1, 18) <> substr(id_b, 1, 18)"""
+
+
+@query("q251_paragraph_near_dup_lsh", _q251_oracle())
+def q251(spark, sf_dir):
+    """q246's banded-MinHash scale twin, fully oracled: the same
+    cross-document paragraph near-dup relation computed WITHOUT the
+    posting-list self-join — 21x3 banded signatures over the portable
+    md5 hash family (q177's engine-exact chain), candidates from the
+    (band, bucket) equi-join, exact-Jaccard verify, then the packed
+    paragraph key split back to (doc, para).  At 100 TB this is the
+    path when even capped posting lists are too hot (agglutinative
+    boilerplate with no Zipf head to cap): the shuffle carries
+    64-slot signatures per PARAGRAPH, size-independent of text.
+
+    Approximation contract: verbatim copies are found with p=1
+    (identical shingles => identical signatures); the one-token-edit
+    point (J=7/13) with p~0.965 per pair; both engines compute the
+    SAME approximate relation (the banded plan is the spec, not a
+    sample), so the gate hash-checks like every exact one.  Pair
+    direction: the packed-key '<' equals (doc_id, para_idx)
+    lexicographic order, so emitted pairs carry doc_a < doc_b exactly
+    like q246; same-document bucket collisions are filtered at the
+    end."""
+    from .operators.dedup import minhash_lsh_pairs_portable, shingles as shingle_expr
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    para = paragraph_table(docs).filter(F.col("n_ptok") >= 3)
+    sh = para.select(
+        _pkey_col().alias("pid"),
+        F.split("p_text", " ").alias("_pt"),
+    ).select("pid", shingle_expr(F.col("_pt"), 3).alias("shingles"))
+    pairs = minhash_lsh_pairs_portable(
+        None,
+        "p_text",
+        "pid",
+        threshold=_PARA_TAU,
+        num_perm=_Q251_NUM_PERM,
+        bands=_Q251_BANDS,
+        seed=_Q251_SEED,
+        shingles_df=sh,
+    )
+    return pairs.select(
+        F.substring("id_a", 1, 18).cast("long").alias("doc_a"),
+        F.substring("id_a", 20, 9).cast("long").alias("para_a"),
+        F.substring("id_b", 1, 18).cast("long").alias("doc_b"),
+        F.substring("id_b", 20, 9).cast("long").alias("para_b"),
+        "jaccard",
+    ).filter(F.col("doc_a") != F.col("doc_b"))

@@ -1275,3 +1275,26 @@ def test_q250_paragraph_rewrite_planted(spark, tmp_path):
     assert rec[3]["kept_text"] == _PARA_EDIT.lower()
     assert rec[4]["kept_text"] == "" and rec[4]["n_kept"] == 0
     assert rec[7]["n_paras"] == rec[7]["n_kept"] == 1
+
+
+def test_q251_lsh_subset_of_exact_and_complete_on_verbatim(spark, tmp_path):
+    """Two provable invariants of the banded paragraph LSH against the
+    exact posting join (q246): zero false positives (candidates verify
+    with exact Jaccard, so every emitted pair is a true q246 pair),
+    and completeness on VERBATIM copies (identical shingle sets give
+    identical signatures, so J=1.0 pairs are candidates with p=1).
+    The planted corpus also pins the current banding's deterministic
+    behaviour on the J=7/13 edit pairs."""
+    _para_corpus(tmp_path)
+    q246_rows, cols = _diff_check(
+        spark, str(tmp_path), "q246_paragraph_near_dup", ["documents"]
+    )
+    q251_rows, cols2 = _diff_check(
+        spark, str(tmp_path), "q251_paragraph_near_dup_lsh", ["documents"]
+    )
+    assert cols == cols2
+    exact = {tuple(r) for r in q246_rows}
+    approx = {tuple(r) for r in q251_rows}
+    assert approx <= exact  # no false positives, ever
+    verbatim = {r for r in exact if r[cols.index("jaccard")] == 1.0}
+    assert verbatim <= approx  # J=1.0 pairs cannot be missed

@@ -1050,3 +1050,26 @@ def test_q247_topk_is_take_ordered(spark):
     plan = executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "partial_min" in plan
+
+
+def test_q248_manifest_window_is_partitioned_by_source(spark):
+    """The only corpus-scale window in the manifest gate is the
+    per-source cumulative token sum — partitioned BY SOURCE over the
+    md5 order, never a global window (the unpartitioned windows in
+    the plan are the |sources|-row allocation relation, bounded by
+    construction — q240's documented argument)."""
+    df = QUERIES["q248_mix_manifest"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "windowspecdefinition(source" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q250_rewrite_partial_collects_no_window(spark):
+    """The rewrite's reassembly aggregate partial-combines map-side
+    (partial collect_list of kept structs) and the keeper rule stays
+    a GROUP BY — no window anywhere."""
+    df = QUERIES["q250_paragraph_rewrite"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan
+    assert "partial_collect" in plan
+    assert "CartesianProduct" not in plan
