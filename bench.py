@@ -161,6 +161,7 @@ HEADLINE = [
     "q249_fertility_capped_allocation",
     "q250_paragraph_rewrite",
     "q251_paragraph_near_dup_lsh",
+    "q252_budget_to_threshold",
 ]
 
 

@@ -936,7 +936,10 @@ def q242(spark, sf_dir):
 _Q243_TAUS = (0, 250_000, 500_000, 750_000)
 
 
-def _q243_oracle() -> str:
+def _q243_grid_ctes() -> str:
+    """CTE chain ``scored -> s -> g -> grid`` — the per-τ operating-
+    point table (τ, n_docs, n_tokens, p_sum, tot_tok), shared by q243
+    (the curve) and q252 (budget→threshold inversion)."""
     from .pipeline_queries9 import _q213_scored_cte
 
     per_tau = ",\n        ".join(
@@ -954,49 +957,35 @@ def _q243_oracle() -> str:
         f" s{i} AS p_sum, tot_tok FROM g"
         for i, t in enumerate(_Q243_TAUS)
     )
-    return f"""
-    WITH {_q213_scored_cte()},
+    return f"""{_q213_scored_cte()},
     s AS (
       SELECT n_tok, p_micro FROM scored WHERE p_micro IS NOT NULL),
     g AS (
       SELECT
         {per_tau},
         CAST(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS tot_tok
-      FROM s)
+      FROM s),
+    grid AS ({legs})"""
+
+
+def _q243_oracle() -> str:
+    return f"""
+    WITH {_q243_grid_ctes()}
     SELECT tau_micro, n_docs, n_tokens,
            CASE WHEN n_docs > 0 THEN p_sum // n_docs END AS mean_p_micro,
            CASE WHEN tot_tok > 0
                 THEN CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)
            END AS tok_share
-    FROM ({legs}) t"""
+    FROM grid"""
 
 
-@query("q243_quality_budget_curve", _q243_oracle())
-def q243(spark, sf_dir):
-    """The quality filter's operating-point table: for each candidate
-    threshold τ over the DEPLOYED model's score (q213's trained
-    artifact), the surviving document count, surviving token budget,
-    its share of the scored corpus, and the mean score of the kept
-    set — the curve a curation run reads to pick where to cut (keep
-    60% of tokens at mean quality 0.8, or 30% at 0.9?).  Completes
-    the quality family's planner edge the way q241 does for ANN:
-    q213 scores, q229 evaluates, q236 retrains, THIS picks the
-    deployment threshold.
-
-    Exactness: the per-τ sums are integer (micro scores, token
-    counts); the mean is a positive integer division and the share is
-    ONE guarded double division.  NULL-scored docs (NULL text) are
-    excluded on both sides — p_micro ≥ τ is NULL-false in Spark and
-    the SQL CASE falls through — and the τ = 0 row anchors the whole
-    scored corpus.
-
-    100 TB shape: ONE codegen'd scan (the q213 scoring projection)
-    into ONE aggregate row of 13 partial sums — no shuffle wider than
-    a single row, the sweep is literal CASE arms, and the 4-row stack
-    is driver-free constant fan-out."""
+def quality_budget_grid(docs) -> "DataFrame":  # noqa: F821
+    """The per-τ operating-point grid (tau_micro, n_docs, n_tokens,
+    p_sum, tot_tok) — ONE single-row aggregate of literal CASE arms
+    over the q213 scoring projection, stacked to |τ| rows.  The Spark
+    twin of ``_q243_grid_ctes``; shared by q243 and q252."""
     from .pipeline_queries9 import q213_scored
 
-    docs = load_table(spark, sf_dir, "documents")
     s = q213_scored(docs).where(F.col("p_micro").isNotNull())
     aggs = []
     for i, t in enumerate(_Q243_TAUS):
@@ -1024,12 +1013,38 @@ def q243(spark, sf_dir):
     stack_args = ", ".join(
         f"{t}, n{i}, t{i}, s{i}" for i, t in enumerate(_Q243_TAUS)
     )
-    stacked = g.selectExpr(
+    return g.selectExpr(
         f"stack({len(_Q243_TAUS)}, {stack_args})"
         " AS (tau_micro, n_docs, n_tokens, p_sum)",
         "tot_tok",
     )
-    return stacked.select(
+
+
+@query("q243_quality_budget_curve", _q243_oracle())
+def q243(spark, sf_dir):
+    """The quality filter's operating-point table: for each candidate
+    threshold τ over the DEPLOYED model's score (q213's trained
+    artifact), the surviving document count, surviving token budget,
+    its share of the scored corpus, and the mean score of the kept
+    set — the curve a curation run reads to pick where to cut (keep
+    60% of tokens at mean quality 0.8, or 30% at 0.9?).  Completes
+    the quality family's planner edge the way q241 does for ANN:
+    q213 scores, q229 evaluates, q236 retrains, THIS picks the
+    deployment threshold.
+
+    Exactness: the per-τ sums are integer (micro scores, token
+    counts); the mean is a positive integer division and the share is
+    ONE guarded double division.  NULL-scored docs (NULL text) are
+    excluded on both sides — p_micro ≥ τ is NULL-false in Spark and
+    the SQL CASE falls through — and the τ = 0 row anchors the whole
+    scored corpus.
+
+    100 TB shape: ONE codegen'd scan (the q213 scoring projection)
+    into ONE aggregate row of 13 partial sums — no shuffle wider than
+    a single row, the sweep is literal CASE arms, and the 4-row stack
+    is driver-free constant fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_budget_grid(docs).select(
         "tau_micro",
         "n_docs",
         "n_tokens",

@@ -4,7 +4,7 @@ dedup (q30/q31 exact, q32/q33 near, q224 containment) treats a page
 as atomic; production curation pipelines ALSO remove paragraphs that
 repeat ACROSS documents (navigation chrome, license blocks, syndicated
 passages) and keep the surrounding unique prose.  Plus the round's
-planning-to-execution gates.  Seven gates:
+planning-to-execution gates.  Eight gates:
 
 - q245: exact cross-document paragraph dedup with per-document
   surviving-text stats (paragraphs/tokens/chars kept vs dropped) —
@@ -21,6 +21,8 @@ planning-to-execution gates.  Seven gates:
 - q250: the paragraph-dedup REWRITE — per-document surviving text.
 - q251: q246's banded-MinHash scale twin (portable md5 family,
   fully oracled — no posting join at all).
+- q252: budget->threshold inversion — pick the strictest quality cut
+  whose surviving token mass meets a target budget (q243 inverted).
 
 Paragraph definition: non-overlapping ``_PARA_W``-token windows (the
 q80 chunker with overlap=0).  On corpora with structural separators
@@ -845,3 +847,102 @@ def q251(spark, sf_dir):
         F.substring("id_b", 20, 9).cast("long").alias("para_b"),
         "jaccard",
     ).filter(F.col("doc_a") != F.col("doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# q252 — budget→threshold inversion: pick the quality cut FOR a token
+# budget.
+# ---------------------------------------------------------------------------
+#: the target budget as a fraction of the scored corpus' token mass:
+#: budget = (tot_tok * NUM) DIV DEN — half the corpus, the q240-style
+#: data-derived target (a fixed literal budget would be meaningless
+#: across scale factors).
+_Q252_BUDGET_NUM, _Q252_BUDGET_DEN = 1, 2
+
+
+def _q252_oracle() -> str:
+    from .pipeline_queries13 import _q243_grid_ctes
+
+    return f"""
+    WITH {_q243_grid_ctes()},
+    b AS (
+      SELECT tau_micro, n_docs, n_tokens,
+             (tot_tok * {_Q252_BUDGET_NUM}) // {_Q252_BUDGET_DEN}
+               AS budget,
+             CASE WHEN n_tokens >=
+                       (tot_tok * {_Q252_BUDGET_NUM})
+                         // {_Q252_BUDGET_DEN}
+                  THEN 1 ELSE 0 END AS meets_budget
+      FROM grid),
+    m AS (
+      SELECT CAST(max(CASE WHEN meets_budget = 1 THEN tau_micro
+                           ELSE -1 END) AS BIGINT) AS chosen_tau
+      FROM b)
+    SELECT tau_micro, n_docs, n_tokens, budget, meets_budget,
+           CAST(CASE WHEN tau_micro = chosen_tau THEN 1 ELSE 0 END
+                AS INT) AS chosen,
+           CAST(n_tokens - budget AS BIGINT) AS surplus
+    FROM b CROSS JOIN m"""
+
+
+@query("q252_budget_to_threshold", _q252_oracle())
+def q252(spark, sf_dir):
+    """The q243 curve INVERTED: given a token budget (half the scored
+    corpus — a data-derived target like q240's), pick the STRICTEST
+    quality threshold whose surviving token mass still meets it — the
+    decision a curation run actually makes ("we need B tokens; how
+    high can we set the bar?").  Emits the whole grid with
+    ``meets_budget`` per τ and ``chosen`` on the argmax row, plus the
+    signed surplus, so the report shows the neighborhood of the cut,
+    not just the winner.  Closes the quality-planning loop: q213
+    scores, q243 prices the thresholds, THIS picks one for a budget,
+    q248 then materializes the manifest.
+
+    Exactness: pure BIGINT algebra over the shared
+    :func:`quality_budget_grid` (one Spark body, one oracle CTE
+    chain); the argmax over the |τ|-row grid is one MAX with a -1
+    sentinel.  For any budget fraction ≤ 100% the τ=0 row always
+    meets (it keeps the whole corpus), so the sentinel is defensive
+    algebra, never an output; on an all-NULL corpus the budget is 0,
+    every row trivially meets it, and the STRICTEST τ is chosen —
+    the right call for a zero budget.
+
+    100 TB shape: q243's — one codegen'd scan into a single-row
+    aggregate; everything after is constant-size algebra behind a
+    1-row broadcast."""
+    from .pipeline_queries13 import quality_budget_grid
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    budget = F.expr(
+        f"(tot_tok * {_Q252_BUDGET_NUM}) DIV {_Q252_BUDGET_DEN}"
+    )
+    b = quality_budget_grid(docs).select(
+        "tau_micro",
+        "n_docs",
+        "n_tokens",
+        budget.alias("budget"),
+        F.when(F.col("n_tokens") >= budget, 1).otherwise(0).alias(
+            "meets_budget"
+        ),
+    )
+    m = b.agg(
+        F.max(
+            F.when(F.col("meets_budget") == 1, F.col("tau_micro")).otherwise(
+                -1
+            )
+        )
+        .cast("long")
+        .alias("chosen_tau")
+    )
+    return b.crossJoin(F.broadcast(m)).select(
+        "tau_micro",
+        "n_docs",
+        "n_tokens",
+        "budget",
+        "meets_budget",
+        F.when(F.col("tau_micro") == F.col("chosen_tau"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("chosen"),
+        (F.col("n_tokens") - F.col("budget")).cast("long").alias("surplus"),
+    )

@@ -1298,3 +1298,38 @@ def test_q251_lsh_subset_of_exact_and_complete_on_verbatim(spark, tmp_path):
     assert approx <= exact  # no false positives, ever
     verbatim = {r for r in exact if r[cols.index("jaccard")] == 1.0}
     assert verbatim <= approx  # J=1.0 pairs cannot be missed
+
+
+def test_q252_mid_grid_threshold_choice(spark, tmp_path):
+    """Planted three-band corpus where the budget cut lands MID-GRID:
+    3-token docs score ~881k (pass every tau), 2-token ~708k (fail
+    750k), 1-token ~303k (fail 500k).  Token masses 60/60/40 with a
+    half-corpus budget of 80: tau=750k keeps only 60 (misses), so the
+    chosen threshold must be 500k with surplus 40 — the inversion
+    actually has to step DOWN the grid.  Then the all-NULL corpus:
+    budget 0, every row meets, the strictest tau wins."""
+    rows_in = (
+        [(i, "zzz yyy www", "s") for i in range(20)]
+        + [(100 + i, "zzz yyy", "s") for i in range(30)]
+        + [(200 + i, "zzz", "s") for i in range(40)]
+    )
+    _docs_parquet(tmp_path, rows_in)
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q252_budget_to_threshold", ["documents"]
+    )
+    rec = {r[cols.index("tau_micro")]: dict(zip(cols, r)) for r in rows}
+    assert rec[0]["budget"] == 80
+    assert rec[750_000]["meets_budget"] == 0  # keeps 60 < 80
+    assert rec[750_000]["chosen"] == 0
+    assert rec[500_000]["meets_budget"] == 1  # keeps 120 >= 80
+    assert rec[500_000]["chosen"] == 1
+    assert rec[500_000]["surplus"] == 40
+    assert rec[250_000]["chosen"] == 0  # meets, but not the max tau
+
+    _docs_parquet(tmp_path, [(1, None, "s"), (2, None, "s")])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q252_budget_to_threshold", ["documents"]
+    )
+    rec = {r[cols.index("tau_micro")]: dict(zip(cols, r)) for r in rows}
+    assert all(r["meets_budget"] == 1 for r in rec.values())
+    assert rec[750_000]["chosen"] == 1  # zero budget -> strictest cut
