@@ -235,6 +235,10 @@ def _run(sf_dir: str, sf: float) -> None:
     from mtg_bulk_database_spark.queries_extra import asof_click_depth
 
     from mtg_bulk_database_spark.pipeline_queries import shingle_prebuilt_table
+    from mtg_bulk_database_spark.pipeline_queries14 import (
+        paragraph_prebuilt_table,
+        paragraph_shingles_prebuilt,
+    )
 
     t_art = time.perf_counter()
     ivf_prebuilt_index(spark, sf_dir)
@@ -247,6 +251,9 @@ def _run(sf_dir: str, sf: float) -> None:
     shingle_prebuilt_table(spark, sf_dir, "string")
     shingle_prebuilt_table(spark, sf_dir, "hashed")
     hot_shingles_prebuilt(spark, sf_dir)
+    # the paragraph-grain index + posting table (r9 sub-document family)
+    paragraph_prebuilt_table(spark, sf_dir)
+    paragraph_shingles_prebuilt(spark, sf_dir)
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's
