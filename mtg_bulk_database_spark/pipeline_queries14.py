@@ -262,13 +262,30 @@ def q245(spark, sf_dir):
     it replaced).  All stats are BIGINT sums; the ratio
     is the house integer-micro division (positive DIV == floor both
     engines) — no doubles anywhere."""
-    fp = paragraph_prebuilt_table(spark, sf_dir).select(
+    fp = paragraph_occurrences(paragraph_prebuilt_table(spark, sf_dir))
+    return paragraph_dedup_stats(fp)
+
+
+def paragraph_occurrences(para: DataFrame) -> DataFrame:
+    """The paragraph-occurrence relation ``(doc_id, n_ptok, n_pchars,
+    fpr, pkey)`` — the expensive (tokenize+fingerprint) half of q245,
+    and exactly the append-only state the streaming fold persists per
+    micro-batch (``streaming.ingest.stream_fold_paragraph_dedup``):
+    occurrences from different batches never interact until the
+    keeper GROUP BY, which is MIN/COUNT-mergeable over their union."""
+    return para.select(
         "doc_id",
         "n_ptok",
         F.length("p_text").alias("n_pchars"),
         F.md5("p_text").alias("fpr"),
         _pkey_col().alias("pkey"),
     )
+
+
+def paragraph_dedup_stats(fp: DataFrame) -> DataFrame:
+    """q245's tail over an occurrence relation — shared by the batch
+    gate and the streamed leg so streamed ≡ batch is one expression
+    tree."""
     mark = keeper_marked(fp, ["doc_id", "n_ptok", "n_pchars"])
     kept = F.col("dropped") == 0
     return (

@@ -718,3 +718,72 @@ def stream_fold_dedup_mix(
         .groupBy("source", "fingerprint", "nt")
         .agg(F.sum("n_docs").cast("long").alias("n_docs"))
     )
+
+
+def stream_fold_paragraph_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+    schema=None,
+):
+    """Streaming leg of paragraph-level dedup (q245): each micro-batch
+    of the document stream folds into the paragraph OCCURRENCE ledger
+    (``pipeline_queries14.paragraph_occurrences`` — the expensive
+    tokenize+window+fingerprint half runs once per batch, never over
+    history), under the replay-safe ``batch=<id>`` overwrite contract
+    with the fresh-checkpoint clearing and empty-source guard the fold
+    family shares.
+
+    Returns the MERGED occurrence relation; feed it to
+    ``paragraph_dedup_stats`` for per-document surviving-text stats
+    row-identical to the batch q245 over the same documents — the
+    keeper rule is a MIN(first-occurrence key) + COUNT per
+    fingerprint, both mergeable over the batch union, so a paragraph
+    whose TRUE first occurrence arrives in a LATER batch re-bases the
+    keeper exactly like the retention fold's straggler case (pinned
+    in tests/test_streaming_paragraph_dedup.py).
+
+    At 100 TB: the ledger is one row per paragraph occurrence (two
+    ints + two fixed-width keys — no text), the incremental analog of
+    the persisted paragraph index; the only corpus-wide shuffle stays
+    the fingerprint GROUP BY at read time."""
+    import os
+    import shutil
+
+    from ..pipeline_queries14 import paragraph_occurrences, paragraph_table
+
+    if not os.path.isdir(checkpoint_dir) or not os.listdir(checkpoint_dir):
+        p = os.path.join(state_dir, "paraocc")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        paragraph_occurrences(
+            paragraph_table(batch_df)
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/paraocc/batch={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_fold_paragraph_dedup did not drain within "
+            f"{timeout_s}s (src_dir={src_dir!r})"
+        )
+    if not os.path.isdir(os.path.join(state_dir, "paraocc")):
+        empty = spark.createDataFrame([], src.schema)
+        return paragraph_occurrences(paragraph_table(empty))
+    return spark.read.parquet(f"{state_dir}/paraocc").drop("batch")
