@@ -386,14 +386,29 @@ def q246(spark, sf_dir):
     no optimizer reordering can evaluate it against a too-short
     paragraph (an ANSI out-of-bounds caught by a no-checkpoint A/B
     variant of the first cut)."""
-    sh = paragraph_shingles_prebuilt(spark, sf_dir)
+    return paragraph_near_dup_pairs(
+        paragraph_shingles_prebuilt(spark, sf_dir)
+    )
+
+
+def paragraph_near_dup_pairs(
+    sh: DataFrame,
+    tau: float = _PARA_TAU,
+    shingle_df_cap: int = _PARA_DF_CAP,
+) -> DataFrame:
+    """q246's pair computation over a (doc_id, para_idx, shingles)
+    table, with the stop-shingle DF cap as a real parameter (the q224
+    discipline — tests pin the head-fanout bound by driving it low on
+    a boilerplate-heavy corpus).  The cap only ever SHRINKS common, so
+    a capped run is a subset of the uncapped relation: conservative
+    for dedup, never a false positive."""
     ex = sh.select(
         "doc_id", "para_idx", F.explode("shingles").alias("s")
     )
     hot = (
         ex.groupBy("s")
         .agg(F.count("*").alias("_df_s"))
-        .filter(F.col("_df_s") > _PARA_DF_CAP)
+        .filter(F.col("_df_s") > shingle_df_cap)
         .select("s")
     )
     ex = ex.join(F.broadcast(hot), on="s", how="left_anti")
@@ -432,7 +447,7 @@ def q246(spark, sf_dir):
     )
     return sized.select(
         "doc_a", "para_a", "doc_b", "para_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= _PARA_TAU)
+    ).filter(F.col("jaccard") >= tau)
 
 
 # ---------------------------------------------------------------------------

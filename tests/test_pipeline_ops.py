@@ -1345,3 +1345,59 @@ def test_q235_step_matches_float_means(spark, emb):
             n_got, mean_got = got[(lid, d + 1)]
             assert n_got == counts[lid], (lid, d)
             assert abs(mean_got - m[d]) < 2e-6, (lid, d)
+
+
+def test_q246_paragraph_cap_bounds_head_fanout(spark):
+    """r9: the paragraph posting join takes the same stop-shingle DF
+    cap as q224's containment.  Corpus: eight docs whose FIRST
+    paragraph is one shared boilerplate window (the hot head — all
+    C(8,2)=28 cross-doc pairs at J=1.0) and whose second paragraph is
+    unique, plus one rare two-doc repeat.  With the cap below the
+    head's DF the boilerplate shingles leave the posting join — the
+    quadratic head fanout is gone — while the rare repeat (DF=2)
+    survives at exactly 1.0.  Capped output ⊆ uncapped (the cap only
+    shrinks common: conservative, never a false positive)."""
+    import pandas as pd
+
+    from mtg_bulk_database_spark.pipeline_queries14 import (
+        paragraph_near_dup_pairs,
+        paragraph_table,
+    )
+    from mtg_bulk_database_spark.operators.dedup import shingles as shex
+    from pyspark.sql import functions as F
+
+    boiler = ("nav home about contact privacy terms "
+              "login logout search help faq cart")
+    rare = ("alpha bravo charlie delta echo foxtrot "
+            "golf hotel india juliet kilo lima")
+    rows = [
+        (i, f"{boiler} uniq{i} " + " ".join(f"w{i}x{j}" for j in range(11)))
+        for i in range(8)
+    ]
+    rows += [(100, rare), (101, rare)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    sh = (
+        paragraph_table(docs)
+        .filter(F.col("n_ptok") >= 3)
+        .select("doc_id", "para_idx", F.split("p_text", " ").alias("_pt"))
+        .select("doc_id", "para_idx", shex(F.col("_pt"), 3).alias("shingles"))
+    )
+    uncapped = {
+        (r["doc_a"], r["para_a"], r["doc_b"], r["para_b"]): r["jaccard"]
+        for r in paragraph_near_dup_pairs(sh).collect()
+    }
+    capped = {
+        (r["doc_a"], r["para_a"], r["doc_b"], r["para_b"]): r["jaccard"]
+        for r in paragraph_near_dup_pairs(sh, shingle_df_cap=2).collect()
+    }
+    assert sum(1 for k in uncapped if k[0] < 100) == 28  # the hot head
+    assert uncapped[(100, 0, 101, 0)] == 1.0
+    assert capped == {(100, 0, 101, 0): 1.0}  # head gone, rare intact
+    assert set(capped) <= set(uncapped)
