@@ -162,6 +162,7 @@ HEADLINE = [
     "q250_paragraph_rewrite",
     "q251_paragraph_near_dup_lsh",
     "q252_budget_to_threshold",
+    "q253_decontaminated_manifest",
 ]
 
 

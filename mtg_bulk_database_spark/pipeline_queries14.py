@@ -4,7 +4,7 @@ dedup (q30/q31 exact, q32/q33 near, q224 containment) treats a page
 as atomic; production curation pipelines ALSO remove paragraphs that
 repeat ACROSS documents (navigation chrome, license blocks, syndicated
 passages) and keep the surrounding unique prose.  Plus the round's
-planning-to-execution gates.  Eight gates:
+planning-to-execution gates.  Nine gates:
 
 - q245: exact cross-document paragraph dedup with per-document
   surviving-text stats (paragraphs/tokens/chars kept vs dropped) —
@@ -23,6 +23,8 @@ planning-to-execution gates.  Eight gates:
   fully oracled — no posting join at all).
 - q252: budget->threshold inversion — pick the strictest quality cut
   whose surviving token mass meets a target budget (q243 inverted).
+- q253: decontaminated manifest — q248's plan realized from CLEAN
+  documents only (q81's screen), shortfall + clean-epoch report.
 
 Paragraph definition: non-overlapping ``_PARA_W``-token windows (the
 q80 chunker with overlap=0).  On corpora with structural separators
@@ -592,8 +594,34 @@ def q248(spark, sf_dir):
         "doc_id",
         "source",
         F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
-        F.md5(F.col("doc_id").cast("string")).alias("ordkey"),
     )
+    out = greedy_manifest(d, alloc)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_repeats",
+        F.col("alloc_tokens").alias("src_alloc"),
+        F.col("selected").alias("src_selected"),
+        (F.col("selected") - F.col("alloc_tokens"))
+        .cast("long")
+        .alias("src_overshoot"),
+    )
+
+
+def greedy_manifest(d: DataFrame, alloc: DataFrame) -> DataFrame:
+    """The manifest kernel shared by q248 and q253: given eligible
+    documents ``d = (doc_id, source, nt)`` and a per-source allocation
+    ``alloc = (source, src_tokens, alloc_tokens)`` (``src_tokens`` =
+    the eligible token mass the epochs repeat over), emit one row per
+    selected document: ``(doc_id, source, n_tok, n_repeats,
+    alloc_tokens, src_tokens, selected)`` where ``selected`` is the
+    realized per-source token mass (full epochs + greedy md5-ordered
+    prefix of whole documents).  Zero-token documents are excluded;
+    the per-source cumulative window runs over the md5(doc_id) order
+    (q230's shape); allocation and prefix-sum tables broadcast."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("source")
         .orderBy("ordkey", "doc_id")
@@ -601,6 +629,12 @@ def q248(spark, sf_dir):
     )
     cumt = (
         d.filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "nt",
+            F.md5(F.col("doc_id").cast("string")).alias("ordkey"),
+        )
         .select(
             "doc_id",
             "source",
@@ -641,17 +675,11 @@ def q248(spark, sf_dir):
             (F.col("full_ep") + F.col("in_prefix"))
             .cast("long")
             .alias("n_repeats"),
-            F.col("alloc_tokens").alias("src_alloc"),
+            "alloc_tokens",
+            "src_tokens",
             (F.col("full_ep") * F.col("src_tokens") + F.col("prefix_tokens"))
             .cast("long")
-            .alias("src_selected"),
-            (
-                F.col("full_ep") * F.col("src_tokens")
-                + F.col("prefix_tokens")
-                - F.col("alloc_tokens")
-            )
-            .cast("long")
-            .alias("src_overshoot"),
+            .alias("selected"),
         )
     )
 
@@ -1012,4 +1040,171 @@ def q252(spark, sf_dir):
         .cast("int")
         .alias("chosen"),
         (F.col("n_tokens") - F.col("budget")).cast("long").alias("surplus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — decontaminated manifest: realize the allocation from CLEAN
+# documents only (q81 x q240 x q248).
+# ---------------------------------------------------------------------------
+def _q253_oracle() -> str:
+    from .pipeline_queries13 import (
+        _Q240_CAP_EPOCHS,
+        _Q240_COUNTS_BODY,
+        _q240_alloc_chain,
+    )
+
+    c = _Q240_CAP_EPOCHS
+    return f"""
+    WITH {_q240_alloc_chain(_Q240_COUNTS_BODY)},
+    toksd AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shd AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM toksd WHERE len(t) >= 3),
+    tr AS (SELECT doc_id, unnest(shingles) AS s FROM shd
+           WHERE doc_id % 41 <> 0),
+    be AS (SELECT DISTINCT unnest(shingles) AS s FROM shd
+           WHERE doc_id % 41 = 0),
+    contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN be USING (s)),
+    dclean AS (
+      SELECT doc_id, source, coalesce(len({_TOKS}), 0) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS ordkey
+      FROM documents
+      WHERE source IS NOT NULL AND doc_id % 41 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    cleant AS (
+      SELECT source, CAST(sum(nt) AS BIGINT) AS clean_t
+      FROM dclean WHERE nt > 0 GROUP BY source),
+    allocc AS (
+      SELECT a.source, a.alloc_tokens,
+             CAST(coalesce(ct.clean_t, 0) AS BIGINT) AS clean_t,
+             CAST(least(a.alloc_tokens,
+                        {c} * coalesce(ct.clean_t, 0)) AS BIGINT)
+               AS alloc_clean
+      FROM alloc a LEFT JOIN cleant ct ON a.source = ct.source),
+    cumt AS (
+      SELECT doc_id, source, nt,
+             CAST(sum(nt) OVER (PARTITION BY source
+                  ORDER BY ordkey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM dclean WHERE nt > 0),
+    markedc AS (
+      SELECT cu.doc_id, cu.source, cu.nt,
+             CASE WHEN a.clean_t > 0
+                  THEN a.alloc_clean // a.clean_t ELSE 0 END AS full_ep,
+             CASE WHEN cu.cum - cu.nt <
+                       (CASE WHEN a.clean_t > 0
+                             THEN a.alloc_clean % a.clean_t
+                             ELSE 0 END)
+                  THEN 1 ELSE 0 END AS in_prefix,
+             a.alloc_tokens, a.alloc_clean, a.clean_t
+      FROM cumt cu JOIN allocc a ON cu.source = a.source)
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tok,
+           CAST(full_ep + in_prefix AS BIGINT) AS n_repeats,
+           alloc_tokens AS src_alloc,
+           alloc_clean AS src_alloc_clean,
+           CAST(alloc_tokens - alloc_clean AS BIGINT) AS src_shortfall,
+           CASE WHEN clean_t > 0
+                THEN (alloc_clean * 1000000) // clean_t
+                ELSE 0 END AS epochs_clean_micro
+    FROM markedc
+    WHERE full_ep + in_prefix > 0"""
+
+
+@query("q253_decontaminated_manifest", _q253_oracle())
+def q253(spark, sf_dir):
+    """The manifest a run can actually TRAIN on: q248's sampling plan
+    realized from CLEAN documents only — benchmark documents (q64/q81's
+    held-out convention, doc_id ≡ 0 mod 41) and any training document
+    sharing an n-gram with them (q81's decontamination screen) are
+    ineligible, while the ALLOCATION stays the full-corpus plan (the
+    mix was chosen before decontamination — realistic pipeline order).
+    Per source the realizable budget is re-capped at the epoch cap
+    times the CLEAN token mass: a source whose corpus was mostly contaminated cannot
+    silently repeat its survivors past the epoch cap, so the gate
+    reports ``src_shortfall = src_alloc - src_alloc_clean`` (the
+    tokens the plan loses to decontamination) and the effective clean
+    epochs.  A source with NO clean documents disappears from the
+    manifest entirely — its whole allocation is shortfall (pinned in
+    the planted test by absence).
+
+    Composition, not reimplementation: the allocation is
+    :func:`epoch_capped_allocation`, the contamination screen is
+    ``dedup.benchmark_ngram_overlap`` (q81's operator), and the
+    sampling kernel is :func:`greedy_manifest` — the oracle chains
+    the same three published fragments.
+
+    100 TB shape: q81's broadcast benchmark-shingle anti-join (corpus
+    rows never shuffle for the screen), then q248's per-source
+    cumulative window over the clean subset; everything per-source is
+    |sources|-row broadcast algebra."""
+    from .operators import dedup
+    from .pipeline_queries13 import (
+        _Q240_CAP_EPOCHS,
+        epoch_capped_allocation,
+        source_token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    alloc = epoch_capped_allocation(source_token_counts(docs)).select(
+        "source", "alloc_tokens"
+    )
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    overlap = dedup.benchmark_ngram_overlap(
+        train, bench, "text", "doc_id", n=3, min_hits=1
+    ).select("doc_id")
+    clean = train.join(overlap, "doc_id", "left_anti")
+    d = clean.where(F.col("source").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+    )
+    cleant = (
+        d.filter(F.col("nt") > 0)
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("clean_t"))
+    )
+    allocc = (
+        alloc.join(cleant, "source", "left")
+        .select(
+            "source",
+            F.col("alloc_tokens").alias("orig_alloc"),
+            F.coalesce("clean_t", F.lit(0)).cast("long").alias("src_tokens"),
+            F.least(
+                F.col("alloc_tokens"),
+                F.lit(_Q240_CAP_EPOCHS) * F.coalesce("clean_t", F.lit(0)),
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+    out = greedy_manifest(
+        d, allocc.select("source", "src_tokens", "alloc_tokens")
+    )
+    report = allocc.select(
+        "source",
+        F.col("orig_alloc").alias("src_alloc"),
+        F.col("alloc_tokens").alias("src_alloc_clean"),
+        (F.col("orig_alloc") - F.col("alloc_tokens"))
+        .cast("long")
+        .alias("src_shortfall"),
+        F.expr(
+            "CASE WHEN src_tokens > 0"
+            " THEN (alloc_tokens * 1000000) DIV src_tokens"
+            " ELSE 0 END"
+        ).alias("epochs_clean_micro"),
+    )
+    return out.join(F.broadcast(report), "source").select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_repeats",
+        "src_alloc",
+        "src_alloc_clean",
+        "src_shortfall",
+        "epochs_clean_micro",
     )

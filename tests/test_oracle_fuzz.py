@@ -1333,3 +1333,41 @@ def test_q252_mid_grid_threshold_choice(spark, tmp_path):
     rec = {r[cols.index("tau_micro")]: dict(zip(cols, r)) for r in rows}
     assert all(r["meets_budget"] == 1 for r in rec.values())
     assert rec[750_000]["chosen"] == 1  # zero budget -> strictest cut
+
+
+def test_q253_shortfall_and_vanished_source(spark, tmp_path):
+    """Planted corpus: doc 0 is the benchmark (id % 41 == 0) carrying
+    a distinctive trigram.  Source 'dirty' documents all contain it —
+    every one is screened out, the source VANISHES from the manifest
+    and its whole allocation is shortfall (pinned by absence).
+    Source 'mixed' loses one of two docs to the screen — its clean
+    budget re-caps at 2x the surviving mass, so shortfall is positive
+    but the survivor still repeats.  Source 'clean' shares nothing
+    with the benchmark and realizes its full allocation (zero
+    shortfall).  Everywhere the clean epochs respect the cap."""
+    leak = "alpha beta gamma delta"
+    rows = [(0, f"probe {leak} probe", "bench_src")]
+    rows += [(1 + i, f"{leak} junk{i} extra{i}", "dirty") for i in range(3)]
+    rows += [(10, f"{leak} mixed words here", "mixed"),
+             (11, "clean mixed words entirely different text", "mixed")]
+    rows += [(20 + i,
+              f"totally unrelated tokens doc{i} more filler stuff", "clean")
+             for i in range(2)]
+    _docs_parquet(tmp_path, rows)
+    out, cols = _diff_check(
+        spark, str(tmp_path), "q253_decontaminated_manifest", ["documents"]
+    )
+    recs = [dict(zip(cols, r)) for r in out]
+    srcs = {r["source"] for r in recs}
+    assert "dirty" not in srcs       # fully contaminated: vanished
+    assert "bench_src" not in srcs   # the benchmark never trains
+    mixed = [r for r in recs if r["source"] == "mixed"]
+    assert {r["doc_id"] for r in mixed} == {11}  # doc 10 screened out
+    assert all(r["src_shortfall"] > 0 for r in mixed)
+    assert all(
+        r["src_alloc_clean"] == r["src_alloc"] - r["src_shortfall"]
+        for r in recs
+    )
+    clean = [r for r in recs if r["source"] == "clean"]
+    assert clean and all(r["src_shortfall"] == 0 for r in clean)
+    assert all(r["epochs_clean_micro"] <= 2_000_000 for r in recs)
