@@ -1073,3 +1073,15 @@ def test_q250_rewrite_partial_collects_no_window(spark):
     assert "Window" not in plan
     assert "partial_collect" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q253_screen_broadcasts_bench_grams(spark):
+    """The decontamination screen's benchmark n-gram set is broadcast
+    (corpus rows never shuffle for the screen) and nothing in the
+    composed plan degenerates to a cross product; the corpus-side
+    manifest window stays partitioned by source."""
+    df = QUERIES["q253_decontaminated_manifest"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(source" in plan
