@@ -237,6 +237,7 @@ def _run(sf_dir: str, sf: float) -> None:
 
     from mtg_bulk_database_spark.pipeline_queries import shingle_prebuilt_table
     from mtg_bulk_database_spark.pipeline_queries14 import (
+        paragraph_hot_shingles_prebuilt,
         paragraph_prebuilt_table,
         paragraph_shingles_prebuilt,
     )
@@ -255,6 +256,7 @@ def _run(sf_dir: str, sf: float) -> None:
     # the paragraph-grain index + posting table (r9 sub-document family)
     paragraph_prebuilt_table(spark, sf_dir)
     paragraph_shingles_prebuilt(spark, sf_dir)
+    paragraph_hot_shingles_prebuilt(spark, sf_dir)
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's

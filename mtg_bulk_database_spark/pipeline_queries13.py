@@ -406,6 +406,34 @@ _Q240_CAP_EPOCHS = 2
 _Q240_BUDGET_NUM, _Q240_BUDGET_DEN = 39, 20
 
 
+def _micro_ratio_sql(num: str, den: str, div: str) -> str:
+    """Overflow-safe ``floor(num * 10^6 / den)`` for non-negative
+    BIGINTs: the naive ``num * 1000000`` overflows int64 once num
+    reaches ~9.2e12 (a single multi-trillion-token source at the
+    100 TB operating point — the same defect class as q242's int32
+    overflow, one width up; caught by the r9 review).  Split the
+    multiplier: with num = q*den + r and r*1000 = q1*den + r1,
+    floor(num*1e6/den) = q*1e6 + q1*1000 + floor(r1*1000/den) — every
+    intermediate stays under int64 for den <= 9.2e15.  ``div`` is the
+    engine's integer-division operator ('//' DuckDB, 'DIV' Spark);
+    all operands must be non-negative (true by construction here)."""
+    q = f"({num} {div} {den})"
+    r = f"({num} % {den})"
+    q1 = f"(({r} * 1000) {div} {den})"
+    r1 = f"(({r} * 1000) % {den})"
+    return f"({q} * 1000000 + {q1} * 1000 + ({r1} * 1000) {div} {den})"
+
+
+def epochs_micro_sql(alloc: str, n: str, div: str) -> str:
+    """Guarded overflow-safe epochs-in-micro expression shared by the
+    q240/q249/q253 oracles and Spark bodies."""
+    return (
+        f"CASE WHEN {n} > 0 THEN "
+        + _micro_ratio_sql(alloc, n, div)
+        + " ELSE 0 END"
+    )
+
+
 def _q240_alloc_chain(counts_body: str) -> str:
     """CTE chain ``counts -> ... -> alloc`` (the closed-form
     waterfilling) over an arbitrary ``counts_body`` producing
@@ -462,12 +490,10 @@ def _q240_oracle() -> str:
     return f"""
     WITH {_q240_alloc_chain(_Q240_COUNTS_BODY)}
     SELECT source, n_tokens, alloc_tokens, capped,
-           CASE WHEN n_tokens > 0
-                THEN (alloc_tokens * 1000000) // n_tokens
-                ELSE 0 END AS epochs_micro,
-           CAST(CASE WHEN n_tokens > 0
-                     THEN (alloc_tokens * 1000000) // n_tokens
-                     ELSE 0 END AS DOUBLE) / 1000000.0 AS epochs
+           {epochs_micro_sql("alloc_tokens", "n_tokens", "//")}
+             AS epochs_micro,
+           CAST({epochs_micro_sql("alloc_tokens", "n_tokens", "//")}
+                AS DOUBLE) / 1000000.0 AS epochs
     FROM alloc"""
 
 
@@ -545,9 +571,7 @@ def epoch_capped_allocation(counts) -> "DataFrame":  # noqa: F821
         F.when(F.col("i") <= F.col("m"), 1).otherwise(0).alias("capped"),
     )
     epochs_micro = F.expr(
-        """CASE WHEN n_tokens > 0
-           THEN (alloc_tokens * 1000000) DIV n_tokens
-           ELSE 0 END"""
+        epochs_micro_sql("alloc_tokens", "n_tokens", "DIV")
     )
     return alloc.select(
         "source",

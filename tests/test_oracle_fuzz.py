@@ -1371,3 +1371,29 @@ def test_q253_shortfall_and_vanished_source(spark, tmp_path):
     clean = [r for r in recs if r["source"] == "clean"]
     assert clean and all(r["src_shortfall"] == 0 for r in clean)
     assert all(r["epochs_clean_micro"] <= 2_000_000 for r in recs)
+
+
+def test_q245_q251_nineteen_digit_doc_ids(spark, tmp_path):
+    """r9 review regression: lpad SHORTENS over-width strings in both
+    engines, so an 18-wide keeper key collided 19-digit doc_ids
+    (snowflake-scale) — two distinct docs sharing a paragraph would
+    BOTH match the truncated keeper and the duplicate silently
+    survived.  With the 19-wide key the later doc drops its copy, and
+    q251 unpacks the packed key back to the exact 19-digit ids."""
+    a, b = 1000000000000000010, 1000000000000000019
+    shared = "alpha bravo charlie delta echo foxtrot " \
+             "golf hotel india juliet kilo lima"
+    _docs_parquet(tmp_path, [(a, shared, "s"), (b, shared, "s")])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q245_paragraph_dedup", ["documents"]
+    )
+    rec = {r[cols.index("doc_id")]: dict(zip(cols, r)) for r in rows}
+    assert rec[a]["n_dropped"] == 0      # the true keeper
+    assert rec[b]["n_dropped"] == 1      # the later id drops its copy
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q251_paragraph_near_dup_lsh", ["documents"]
+    )
+    assert len(rows) == 1
+    rec = dict(zip(cols, rows[0]))
+    assert rec["doc_a"] == a and rec["doc_b"] == b  # exact ids back
+    assert rec["jaccard"] == 1.0

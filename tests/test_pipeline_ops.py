@@ -1401,3 +1401,33 @@ def test_q246_paragraph_cap_bounds_head_fanout(spark):
     assert uncapped[(100, 0, 101, 0)] == 1.0
     assert capped == {(100, 0, 101, 0): 1.0}  # head gone, rare intact
     assert set(capped) <= set(uncapped)
+
+
+def test_epoch_allocation_survives_multi_trillion_token_source(spark):
+    """r9 review regression (the q242 overflow class, one width up):
+    the naive epochs_micro = alloc*1e6 DIV n overflows int64 once a
+    source holds ~9.2e12 tokens — under the 100 TB operating point a
+    single dominant source exceeds that.  The split-multiplier form
+    must return the EXACT floor at any BIGINT-representable mass,
+    pinned against Python big-int arithmetic."""
+    import pandas as pd
+
+    from mtg_bulk_database_spark.pipeline_queries13 import (
+        epoch_capped_allocation,
+    )
+
+    masses = {"giant": 12_000_000_000_000, "big": 7_400_000_000_001,
+              "small": 123_456_789}
+    counts = spark.createDataFrame(
+        pd.DataFrame(
+            {"source": list(masses), "n_tokens": list(masses.values())}
+        )
+    )
+    rows = {r["source"]: r for r in epoch_capped_allocation(counts).collect()}
+    total = sum(masses.values())
+    budget = (39 * total) // 20
+    assert sum(r["alloc_tokens"] for r in rows.values()) == budget
+    for src, r in rows.items():
+        exact = (r["alloc_tokens"] * 1_000_000) // masses[src]
+        assert r["epochs_micro"] == exact, src
+        assert r["epochs_micro"] <= 2_000_000
