@@ -952,9 +952,13 @@ def q251(spark, sf_dir):
 
     Approximation contract: verbatim copies are found with p=1
     (identical shingles => identical signatures); the one-token-edit
-    point (J=7/13) with p~0.965 per pair; both engines compute the
+    point (J=7/13) with p~0.996 per pair; both engines compute the
     SAME approximate relation (the banded plan is the spec, not a
-    sample), so the gate hash-checks like every exact one.  Pair
+    sample), so the gate hash-checks like every exact one.  Output is
+    provably a subset of the UNCAPPED q246 relation (exact verify);
+    where q246's DF cap binds, the two trade hot-head recall
+    differently — the LSH keeps verbatim boilerplate pairs the capped
+    posting join drops.  Pair
     direction: the packed-key '<' equals (doc_id, para_idx)
     lexicographic order, so emitted pairs carry doc_a < doc_b exactly
     like q246; same-document bucket collisions are filtered at the

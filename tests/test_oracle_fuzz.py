@@ -1279,12 +1279,25 @@ def test_q250_paragraph_rewrite_planted(spark, tmp_path):
 
 def test_q251_lsh_subset_of_exact_and_complete_on_verbatim(spark, tmp_path):
     """Two provable invariants of the banded paragraph LSH against the
-    exact posting join (q246): zero false positives (candidates verify
-    with exact Jaccard, so every emitted pair is a true q246 pair),
-    and completeness on VERBATIM copies (identical shingle sets give
-    identical signatures, so J=1.0 pairs are candidates with p=1).
-    The planted corpus also pins the current banding's deterministic
-    behaviour on the J=7/13 edit pairs."""
+    UNCAPPED exact posting join: zero false positives (candidates
+    verify with exact Jaccard, so every emitted pair is a true pair of
+    the uncapped relation), and completeness on VERBATIM copies
+    (identical shingle sets give identical signatures, so J=1.0 pairs
+    are candidates with p=1).  NOTE the subset claim is vs the
+    UNCAPPED relation by necessity: q246's stop-shingle DF cap can
+    only SHRINK its output, so on a corpus where the cap binds
+    (boilerplate DF above _PARA_DF_CAP) the LSH legitimately finds
+    verbatim pairs the capped q246 drops — the two operators trade
+    recall differently at the hot head (r9 review).  On this planted
+    corpus (DF <= 4) capped == uncapped, so the registered gates are
+    also compared."""
+    from pyspark.sql import functions as F
+
+    from mtg_bulk_database_spark.pipeline_queries14 import (
+        paragraph_near_dup_pairs,
+        paragraph_table,
+    )
+
     _para_corpus(tmp_path)
     q246_rows, cols = _diff_check(
         spark, str(tmp_path), "q246_paragraph_near_dup", ["documents"]
@@ -1293,10 +1306,29 @@ def test_q251_lsh_subset_of_exact_and_complete_on_verbatim(spark, tmp_path):
         spark, str(tmp_path), "q251_paragraph_near_dup_lsh", ["documents"]
     )
     assert cols == cols2
-    exact = {tuple(r) for r in q246_rows}
+    exact_capped = {tuple(r) for r in q246_rows}
     approx = {tuple(r) for r in q251_rows}
-    assert approx <= exact  # no false positives, ever
-    verbatim = {r for r in exact if r[cols.index("jaccard")] == 1.0}
+    # the uncapped exact relation, computed directly (cap -> infinity)
+    docs = spark.read.parquet(str(tmp_path) + "/documents.parquet")
+    from mtg_bulk_database_spark.operators.dedup import shingles as shex
+
+    sh = (
+        paragraph_table(docs)
+        .filter(F.col("n_ptok") >= 3)
+        .select("doc_id", "para_idx", F.split("p_text", " ").alias("_pt"))
+        .select(
+            "doc_id", "para_idx", shex(F.col("_pt"), 3).alias("shingles")
+        )
+    )
+    uncapped = {
+        tuple(r)
+        for r in paragraph_near_dup_pairs(
+            sh, shingle_df_cap=1 << 60
+        ).collect()
+    }
+    assert exact_capped == uncapped  # the cap does not bind here
+    assert approx <= uncapped  # no false positives, ever
+    verbatim = {r for r in uncapped if r[cols.index("jaccard")] == 1.0}
     assert verbatim <= approx  # J=1.0 pairs cannot be missed
 
 
