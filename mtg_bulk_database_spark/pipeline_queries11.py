@@ -737,9 +737,12 @@ def _q226_oracle() -> str:
       WHERE t.source <> '{_Q226_TARGET}'
       GROUP BY t.doc_id)
     SELECT doc_id, n_tokens,
-           round(CAST(s AS DOUBLE) / n_tokens, 6) AS log_ratio
+           CAST((CAST(s * 1000000 AS BIGINT) + n_tokens * 1000000000)
+                // n_tokens - 1000000000 AS DOUBLE) / 1000000.0
+             AS log_ratio
     FROM scored
-    ORDER BY round(CAST(s AS DOUBLE) / n_tokens, 6) DESC, doc_id
+    ORDER BY (CAST(s * 1000000 AS BIGINT) + n_tokens * 1000000000)
+             // n_tokens DESC, doc_id
     LIMIT {_Q226_TOPM}"""
 
 
@@ -797,13 +800,23 @@ def q226(spark, sf_dir):
             F.sum(ln_t - ln_c).alias("s"),
         )
     )
+    # per-doc ratio floored at 1e-6 via INTEGER division on the exact
+    # micro-sum (r9 fuzz seed 23 caught a half-micro round() seam:
+    # Spark BigDecimal HALF_UP vs DuckDB float rounding — the q235
+    # class); the +n*1e9 offset keeps the numerator positive so
+    # truncating (Spark DIV) and flooring (DuckDB //) division agree
+    # on negative log-ratios, then shifts back
+    ratio_micro = F.expr(
+        "(CAST(s * 1000000 AS BIGINT) + n_tokens * 1000000000)"
+        " DIV n_tokens - 1000000000"
+    )
     return (
         scored.select(
             "doc_id",
             "n_tokens",
-            F.round(
-                F.col("s").cast("double") / F.col("n_tokens"), 6
-            ).alias("log_ratio"),
+            (ratio_micro.cast("double") / F.lit(1000000.0)).alias(
+                "log_ratio"
+            ),
         )
         .orderBy(F.col("log_ratio").desc(), "doc_id")
         .limit(_Q226_TOPM)
