@@ -60,10 +60,13 @@ def _q214_oracle() -> str:
       CROSS JOIN v CROSS JOIN tot
       GROUP BY t.source)
     SELECT s.source, n.ns AS n_tokens,
-           round(-CAST(t.s_corp AS DOUBLE) / n.ns, 6) AS cross_entropy,
-           round(-CAST(t.s_self AS DOUBLE) / n.ns, 6) AS entropy,
-           round((-CAST(t.s_corp AS DOUBLE) / n.ns)
-                 - (-CAST(t.s_self AS DOUBLE) / n.ns), 6) AS kl
+           CAST(CAST(-t.s_corp * 1000000 AS BIGINT) // n.ns AS DOUBLE)
+             / 1000000.0 AS cross_entropy,
+           CAST(CAST(-t.s_self * 1000000 AS BIGINT) // n.ns AS DOUBLE)
+             / 1000000.0 AS entropy,
+           CAST(CAST(-t.s_corp * 1000000 AS BIGINT) // n.ns
+                - CAST(-t.s_self * 1000000 AS BIGINT) // n.ns AS DOUBLE)
+             / 1000000.0 AS kl
     FROM src_n n JOIN terms t ON t.source = n.source
     JOIN (SELECT DISTINCT source FROM documents) s
       ON s.source = n.source"""
@@ -86,8 +89,10 @@ def q214(spark, sf_dir):
     token→corpus-count join, so cost is linear in corpus tokens — one
     explode, two count tables, Zipf-head joins under AQE skew handling.
     Add-one smoothing over the corpus vocab keeps every ln finite;
-    each ln is 6 dp-rounded and DECIMAL-summed (house rules), two final
-    double divisions per source."""
+    each ln is 6 dp-rounded and DECIMAL-summed (house rules); the final
+    per-source ratios floor at 1e-6 via integer division on the exact
+    micro-sums (the r9 half-micro discipline), so kl is exactly
+    cross_entropy - entropy."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(tokens("text")).alias("w")
@@ -146,14 +151,24 @@ def q214(spark, sf_dir):
             ).alias("s_self"),
         )
     )
-    ce = -F.col("s_corp").cast("double") / F.col("ns")
-    h = -F.col("s_self").cast("double") / F.col("ns")
+    # floor-at-1e-6 via INTEGER division on the exact negated micro-
+    # sums (r9: the q226 fuzz seam generalized — round(decimal_sum /
+    # count, 6) lands on half-micros and the engines round apart;
+    # ln-probs are negative so -s_micro is non-negative and truncating
+    # DIV == flooring //).  KL is the difference of the two floored
+    # micros, so kl == cross_entropy - entropy EXACTLY post-floor.
+    ce_micro = F.expr("CAST(-s_corp * 1000000 AS BIGINT) DIV ns")
+    h_micro = F.expr("CAST(-s_self * 1000000 AS BIGINT) DIV ns")
     return src_n.join(terms, "source").select(
         "source",
         F.col("ns").alias("n_tokens"),
-        F.round(ce, 6).alias("cross_entropy"),
-        F.round(h, 6).alias("entropy"),
-        F.round(ce - h, 6).alias("kl"),
+        (ce_micro.cast("double") / F.lit(1000000.0)).alias(
+            "cross_entropy"
+        ),
+        (h_micro.cast("double") / F.lit(1000000.0)).alias("entropy"),
+        (
+            (ce_micro - h_micro).cast("double") / F.lit(1000000.0)
+        ).alias("kl"),
     )
 
 
@@ -640,19 +655,27 @@ def _q220_oracle() -> str:
     # layered ON the registered q102 oracle text, so the two gates can
     # never drift apart: the efficiency report audits exactly the
     # packing the packing gate verifies
+    from .functions.exact import guarded_micro_ratio_sql
+
+    fill = guarded_micro_ratio_sql(
+        "total_tokens", f"(n_seqs * {_PACK_BUDGET})", "//"
+    )
     return f"""WITH packed AS ({ORACLE_SQL["q102_pack_sequences"]}),
     per_seq AS (
       SELECT shard, seq_id,
              CAST(sum(n_chunk_tokens) AS BIGINT) AS toks
-      FROM packed GROUP BY shard, seq_id)
-    SELECT shard,
-           count(*) AS n_seqs,
-           CAST(sum(toks) AS BIGINT) AS total_tokens,
-           round(CAST(sum(toks) AS BIGINT)::DOUBLE
-                 / (count(*) * {_PACK_BUDGET}), 6) AS avg_fill,
-           count(CASE WHEN toks > {_PACK_BUDGET} THEN 1 END)
-             AS n_overflow
-    FROM per_seq GROUP BY shard"""
+      FROM packed GROUP BY shard, seq_id),
+    agg AS (
+      SELECT shard,
+             count(*) AS n_seqs,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             count(CASE WHEN toks > {_PACK_BUDGET} THEN 1 END)
+               AS n_overflow
+      FROM per_seq GROUP BY shard)
+    SELECT shard, n_seqs, total_tokens,
+           CAST({fill} AS DOUBLE) / 1000000.0 AS avg_fill,
+           n_overflow
+    FROM agg"""
 
 
 @query("q220_packing_efficiency", _q220_oracle())
@@ -668,21 +691,33 @@ def q220(spark, sf_dir):
     division per shard."""
     from .pipeline_queries4 import _PACK_BUDGET, q102
 
+    from .functions.exact import guarded_micro_ratio_sql
+
     packed = q102(spark, sf_dir)
     per_seq = packed.groupBy("shard", "seq_id").agg(
         F.sum("n_chunk_tokens").cast("bigint").alias("toks")
     )
-    return per_seq.groupBy("shard").agg(
+    agg = per_seq.groupBy("shard").agg(
         F.count("*").alias("n_seqs"),
         F.sum("toks").cast("bigint").alias("total_tokens"),
-        F.round(
-            F.sum("toks").cast("double")
-            / (F.count("*") * F.lit(_PACK_BUDGET)),
-            6,
-        ).alias("avg_fill"),
         F.count(
             F.when(F.col("toks") > _PACK_BUDGET, 1)
         ).alias("n_overflow"),
+    )
+    # fill rate floored at 1e-6 via the overflow-safe integer form
+    # (r9: fuzz seed 5 hit a half-micro — 1.0015625 — where the
+    # engines' round() disagree; the q226/q214 discipline)
+    fill_micro = F.expr(
+        guarded_micro_ratio_sql(
+            "total_tokens", f"(n_seqs * {_PACK_BUDGET})", "DIV"
+        )
+    )
+    return agg.select(
+        "shard",
+        "n_seqs",
+        "total_tokens",
+        (fill_micro.cast("double") / F.lit(1000000.0)).alias("avg_fill"),
+        "n_overflow",
     )
 
 

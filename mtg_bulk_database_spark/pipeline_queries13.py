@@ -406,32 +406,7 @@ _Q240_CAP_EPOCHS = 2
 _Q240_BUDGET_NUM, _Q240_BUDGET_DEN = 39, 20
 
 
-def _micro_ratio_sql(num: str, den: str, div: str) -> str:
-    """Overflow-safe ``floor(num * 10^6 / den)`` for non-negative
-    BIGINTs: the naive ``num * 1000000`` overflows int64 once num
-    reaches ~9.2e12 (a single multi-trillion-token source at the
-    100 TB operating point — the same defect class as q242's int32
-    overflow, one width up; caught by the r9 review).  Split the
-    multiplier: with num = q*den + r and r*1000 = q1*den + r1,
-    floor(num*1e6/den) = q*1e6 + q1*1000 + floor(r1*1000/den) — every
-    intermediate stays under int64 for den <= 9.2e15.  ``div`` is the
-    engine's integer-division operator ('//' DuckDB, 'DIV' Spark);
-    all operands must be non-negative (true by construction here)."""
-    q = f"({num} {div} {den})"
-    r = f"({num} % {den})"
-    q1 = f"(({r} * 1000) {div} {den})"
-    r1 = f"(({r} * 1000) % {den})"
-    return f"({q} * 1000000 + {q1} * 1000 + ({r1} * 1000) {div} {den})"
-
-
-def epochs_micro_sql(alloc: str, n: str, div: str) -> str:
-    """Guarded overflow-safe epochs-in-micro expression shared by the
-    q240/q249/q253 oracles and Spark bodies."""
-    return (
-        f"CASE WHEN {n} > 0 THEN "
-        + _micro_ratio_sql(alloc, n, div)
-        + " ELSE 0 END"
-    )
+from .functions.exact import guarded_micro_ratio_sql as epochs_micro_sql  # noqa: E501  (re-export: the overflow-safe micro-ratio lives in functions.exact, a leaf module, so pipeline_queries10/14 can import it without circular edges)
 
 
 def _q240_alloc_chain(counts_body: str) -> str:
