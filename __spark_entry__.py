@@ -34,28 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh names left each round re-verifies the stalest greens instead
 # of last round's (VERDICT r8 directive #1).
 _EVIDENCE_ROUND = {
-        # latest external evidence: round 1 (10 names)
-        "q50_correlated_subquery": 1, "q51_in_subquery": 1,
-        "q52_grouping_sets": 1, "q53_string_functions": 1,
-        "q54_date_functions": 1, "q55_conditional_expr": 1,
-        "q56_asof_join": 1, "q57_percentiles": 1, "q58_fts_ranked": 1,
-        "q59_window_suite": 1,
-        # latest external evidence: round 4 (32 names)
-        "q31_dedup_fingerprint": 4, "q32_ngram_jaccard_pairs": 4,
-        "q33_minhash_lsh_pairs": 4, "q35_embedding_top_pairs": 4,
-        "q36_cosine_topk": 4, "q38_language_id": 4, "q39_token_counts": 4,
-        "q40_quality_score": 4, "q41_multimodal_metadata": 4,
-        "q42_multimodal_decode": 4, "q43_json_extract": 4,
-        "q44_udaf_weighted_quality": 4, "q61_dup_clusters": 4,
-        "q62_normalize_text": 4, "q63_repetition_metrics": 4,
-        "q64_train_split": 4, "q65_attribution_counts": 4,
-        "q71_curate_corpus": 4, "q75_ivf_ann_topk": 4,
-        "q78_latest_by_key": 4, "q79_scd2_intervals": 4,
-        "q80_doc_chunks": 4, "q81_decontaminate": 4,
-        "q82_pii_redaction": 4, "q83_stratified_sample": 4,
-        "q84_winnow_fingerprints": 4, "q85_quantize_embeddings": 4,
-        "q86_length_outlier_filter": 4, "q87_approx_quantiles": 4,
-        "q88_global_interval_join": 4, "q95_ngram_jaccard_prefix": 4,
+        # latest external evidence: round 4 (1 names)
         "q96_dup_clusters_star": 4,
         # latest external evidence: round 5 (42 names)
         "q157_nearest_event_match": 5, "q162_ewma_smoothing": 5,
@@ -64,23 +43,21 @@ _EVIDENCE_ROUND = {
         "q169_mad_by_lang": 5, "q171_mom_growth": 5,
         "q173_abc_classification": 5, "q174_interarrival_histogram": 5,
         "q176_scale_exact_percentiles": 5, "q177_minhash_lsh_portable": 5,
-        "q178_hll_portable_distinct": 5,
-        "q179_cms_portable_heavy_hitters": 5,
+        "q178_hll_portable_distinct": 5, "q179_cms_portable_heavy_hitters": 5,
         "q181_dedup_ensemble_portable": 5, "q182_order_priority_check": 5,
         "q183_forecast_revenue": 5, "q184_national_market_share": 5,
         "q185_product_profit": 5, "q186_returned_item_customers": 5,
         "q187_important_parts": 5, "q188_shipmode_priority": 5,
-        "q189_customer_order_distribution": 5,
-        "q190_promo_revenue_share": 5, "q191_part_supplier_counts": 5,
-        "q192_disjunctive_revenue": 5, "q193_promotion_suppliers": 5,
-        "q194_dormant_rich_customers": 5, "q195_duplicate_substrings": 5,
-        "q196_duplicated_char_coverage": 5, "q197_url_canonical_dedup": 5,
-        "q198_weighted_sample": 5, "q199_tfidf_keywords": 5,
-        "q201_hard_negatives": 5, "q202_quantile_sketch": 5,
-        "q204_ingest_drift": 5, "q205_variant_extract": 5,
-        "q207_multitouch_attribution": 5, "q209_revenue_trend_ols": 5,
-        "q210_classifier_calibration": 5, "q211_ab_test_zstat": 5,
-        "q212_bootstrap_ci": 5,
+        "q189_customer_order_distribution": 5, "q190_promo_revenue_share": 5,
+        "q191_part_supplier_counts": 5, "q192_disjunctive_revenue": 5,
+        "q193_promotion_suppliers": 5, "q194_dormant_rich_customers": 5,
+        "q195_duplicate_substrings": 5, "q196_duplicated_char_coverage": 5,
+        "q197_url_canonical_dedup": 5, "q198_weighted_sample": 5,
+        "q199_tfidf_keywords": 5, "q201_hard_negatives": 5,
+        "q202_quantile_sketch": 5, "q204_ingest_drift": 5,
+        "q205_variant_extract": 5, "q207_multitouch_attribution": 5,
+        "q209_revenue_trend_ols": 5, "q210_classifier_calibration": 5,
+        "q211_ab_test_zstat": 5, "q212_bootstrap_ci": 5,
         # latest external evidence: round 6 (50 names)
         "q114_large_qty_orders": 6, "q118_remove_boilerplate": 6,
         "q119_soft_dedup_weights": 6, "q120_crosscorpus_lm_score": 6,
@@ -110,29 +87,28 @@ _EVIDENCE_ROUND = {
         # latest external evidence: round 7 (50 names)
         "q34_simhash_near_pairs": 7, "q37_lsh_ann_topk": 7,
         "q45_embedding_near_dup_lsh": 7, "q60_moving_sum": 7,
-        "q66_token_doc_frequency": 7, "q67_array_agg": 7,
-        "q68_stats_agg": 7, "q69_distribution_ranks": 7,
-        "q70_string_agg": 7, "q72_approx_distinct": 7,
-        "q73_shipping_priority": 7, "q74_returned_item_ranking": 7,
-        "q76_sliding_window": 7, "q77_multiset_ops": 7, "q89_bm25_topk": 7,
-        "q90_cluster_canonical": 7, "q91_label_centroids": 7,
-        "q92_volume_shipping": 7, "q93_source_mix_report": 7,
-        "q94_hybrid_search": 7, "q97_source_quota_cap": 7,
-        "q98_token_commonness": 7, "q99_repeated_passages": 7,
-        "q100_heavy_hitter_tokens": 7, "q101_cross_corpus_near_dup": 7,
-        "q102_pack_sequences": 7, "q103_sq_refine_topk": 7,
-        "q104_pq_ann_topk": 7, "q105_incremental_matview": 7,
-        "q106_gopher_quality_rules": 7, "q107_bpe_tokenize": 7,
-        "q108_semantic_dedup": 7, "q109_leakage_safe_split": 7,
-        "q110_bigram_lm_score": 7, "q111_temperature_mix": 7,
-        "q112_novel_against_corpus": 7, "q113_small_qty_revenue": 7,
-        "q115_hll_distinct_tokens": 7, "q116_cms_heavy_hitters": 7,
-        "q166_minhash_param_sweep": 7, "q222_grouped_ndcg": 7,
-        "q223_pq_adc_probe_portable": 7, "q224_shingle_containment": 7,
-        "q225_vocab_coverage": 7, "q226_dsir_importance": 7,
-        "q227_k_anonymity_census": 7, "q228_embedding_dim_qa": 7,
-        "q229_classifier_auc": 7, "q230_cluster_balanced_sample": 7,
-        "q231_source_token_fingerprint": 7,
+        "q66_token_doc_frequency": 7, "q67_array_agg": 7, "q68_stats_agg": 7,
+        "q69_distribution_ranks": 7, "q70_string_agg": 7,
+        "q72_approx_distinct": 7, "q73_shipping_priority": 7,
+        "q74_returned_item_ranking": 7, "q76_sliding_window": 7,
+        "q77_multiset_ops": 7, "q89_bm25_topk": 7, "q90_cluster_canonical": 7,
+        "q91_label_centroids": 7, "q92_volume_shipping": 7,
+        "q93_source_mix_report": 7, "q94_hybrid_search": 7,
+        "q97_source_quota_cap": 7, "q98_token_commonness": 7,
+        "q99_repeated_passages": 7, "q100_heavy_hitter_tokens": 7,
+        "q101_cross_corpus_near_dup": 7, "q102_pack_sequences": 7,
+        "q103_sq_refine_topk": 7, "q104_pq_ann_topk": 7,
+        "q105_incremental_matview": 7, "q106_gopher_quality_rules": 7,
+        "q107_bpe_tokenize": 7, "q108_semantic_dedup": 7,
+        "q109_leakage_safe_split": 7, "q110_bigram_lm_score": 7,
+        "q111_temperature_mix": 7, "q112_novel_against_corpus": 7,
+        "q113_small_qty_revenue": 7, "q115_hll_distinct_tokens": 7,
+        "q116_cms_heavy_hitters": 7, "q166_minhash_param_sweep": 7,
+        "q222_grouped_ndcg": 7, "q223_pq_adc_probe_portable": 7,
+        "q224_shingle_containment": 7, "q225_vocab_coverage": 7,
+        "q226_dsir_importance": 7, "q227_k_anonymity_census": 7,
+        "q228_embedding_dim_qa": 7, "q229_classifier_auc": 7,
+        "q230_cluster_balanced_sample": 7, "q231_source_token_fingerprint": 7,
         # latest external evidence: round 8 (50 names)
         "q01_pk_point_lookup": 8, "q02_secondary_equality": 8,
         "q03_containment_single": 8, "q04_containment_all": 8,
@@ -143,20 +119,44 @@ _EVIDENCE_ROUND = {
         "q14_cube": 8, "q15_distinct_counts": 8, "q16_sort_limit": 8,
         "q17_semi_join": 8, "q18_anti_join": 8, "q19_intersect": 8,
         "q20_except": 8, "q21_pivot": 8, "q22_revenue_by_nation": 8,
-        "q23_tumbling_window": 8, "q24_sessionize": 8,
-        "q30_dedup_exact": 8, "q117_dup_pagerank": 8,
-        "q124_audio_features": 8, "q130_video_frame_sample": 8,
-        "q132_image_phash_pairs": 8, "q137_minhash_eval": 8,
-        "q148_cross_format_image_dedup": 8, "q149_mjpeg_frame_sample": 8,
-        "q161_compression_quality": 8, "q165_dedup_ensemble": 8,
-        "q200_quality_classifier": 8, "q203_dup_communities": 8,
-        "q206_video_near_dup": 8, "q232_semdedup_serving_portable": 8,
-        "q233_pagerank_unrolled": 8, "q234_bpe_encode_frozen": 8,
-        "q235_kmeans_step_portable": 8, "q236_logreg_step_portable": 8,
-        "q237_source_overlap_minhash": 8, "q238_tokenizer_fertility": 8,
-        "q239_domain_reweight_eg": 8, "q240_epoch_capped_allocation": 8,
-        "q241_ivf_nprobe_sweep": 8, "q242_dedup_adjusted_mix": 8,
-        "q243_quality_budget_curve": 8, "q244_ivf_workload_recall": 8,
+        "q23_tumbling_window": 8, "q24_sessionize": 8, "q30_dedup_exact": 8,
+        "q117_dup_pagerank": 8, "q124_audio_features": 8,
+        "q130_video_frame_sample": 8, "q132_image_phash_pairs": 8,
+        "q137_minhash_eval": 8, "q148_cross_format_image_dedup": 8,
+        "q149_mjpeg_frame_sample": 8, "q161_compression_quality": 8,
+        "q165_dedup_ensemble": 8, "q200_quality_classifier": 8,
+        "q203_dup_communities": 8, "q206_video_near_dup": 8,
+        "q232_semdedup_serving_portable": 8, "q233_pagerank_unrolled": 8,
+        "q234_bpe_encode_frozen": 8, "q235_kmeans_step_portable": 8,
+        "q236_logreg_step_portable": 8, "q237_source_overlap_minhash": 8,
+        "q238_tokenizer_fertility": 8, "q239_domain_reweight_eg": 8,
+        "q240_epoch_capped_allocation": 8, "q241_ivf_nprobe_sweep": 8,
+        "q242_dedup_adjusted_mix": 8, "q243_quality_budget_curve": 8,
+        "q244_ivf_workload_recall": 8,
+        # latest external evidence: round 9 (50 names)
+        "q31_dedup_fingerprint": 9, "q32_ngram_jaccard_pairs": 9,
+        "q33_minhash_lsh_pairs": 9, "q35_embedding_top_pairs": 9,
+        "q36_cosine_topk": 9, "q38_language_id": 9, "q39_token_counts": 9,
+        "q40_quality_score": 9, "q41_multimodal_metadata": 9,
+        "q42_multimodal_decode": 9, "q43_json_extract": 9,
+        "q44_udaf_weighted_quality": 9, "q50_correlated_subquery": 9,
+        "q51_in_subquery": 9, "q52_grouping_sets": 9,
+        "q53_string_functions": 9, "q54_date_functions": 9,
+        "q55_conditional_expr": 9, "q56_asof_join": 9, "q57_percentiles": 9,
+        "q58_fts_ranked": 9, "q59_window_suite": 9, "q61_dup_clusters": 9,
+        "q62_normalize_text": 9, "q63_repetition_metrics": 9,
+        "q64_train_split": 9, "q65_attribution_counts": 9,
+        "q71_curate_corpus": 9, "q75_ivf_ann_topk": 9, "q78_latest_by_key": 9,
+        "q79_scd2_intervals": 9, "q80_doc_chunks": 9, "q81_decontaminate": 9,
+        "q82_pii_redaction": 9, "q83_stratified_sample": 9,
+        "q84_winnow_fingerprints": 9, "q85_quantize_embeddings": 9,
+        "q86_length_outlier_filter": 9, "q87_approx_quantiles": 9,
+        "q88_global_interval_join": 9, "q95_ngram_jaccard_prefix": 9,
+        "q245_paragraph_dedup": 9, "q246_paragraph_near_dup": 9,
+        "q247_top_repeated_paragraphs": 9, "q248_mix_manifest": 9,
+        "q249_fertility_capped_allocation": 9, "q250_paragraph_rewrite": 9,
+        "q251_paragraph_near_dup_lsh": 9, "q252_budget_to_threshold": 9,
+        "q253_decontaminated_manifest": 9,
 }
 
 _EXTERNALLY_VERIFIED = frozenset(_EVIDENCE_ROUND)

@@ -12,11 +12,22 @@ def micro_ratio_sql(num: str, den: str, div: str) -> str:
     100 TB operating point — the same defect class as q242's int32
     overflow, one width up; caught by the r9 review).  Split the
     multiplier: with num = q*den + r and r*1000 = q1*den + r1,
-    floor(num*1e6/den) = q*1e6 + q1*1000 + floor(r1*1000/den) — every
-    intermediate stays under int64 for den <= 9.2e15.  ``div`` is the
-    engine's integer-division operator ('//' DuckDB, 'DIV' Spark);
-    all operands must be non-negative (true by construction at every
-    call site)."""
+    floor(num*1e6/den) = q*1e6 + q1*1000 + floor(r1*1000/den).  ``div``
+    is the engine's integer-division operator ('//' DuckDB, 'DIV'
+    Spark).
+
+    Domain (pinned by tests/test_exact_fns.py): operands non-negative,
+    den <= 9.2e15 (so r*1000 fits int64) AND the RESULT
+    floor(num*1e6/den) <= 9.2e18 (q*1e6 is an int64 multiply — a
+    num/den ratio past ~9.2e12 overflows even though num and den each
+    fit; at the call sites the ratio is an epoch/fraction count, far
+    below it).  NEGATIVE numerators do NOT diverge between engines
+    (both integer divisions truncate toward zero — DuckDB ``//``
+    floors only for floats) but they silently break the FLOOR
+    contract: truncation ≠ floor on inexact negative quotients, and
+    DuckDB's INT32 literal typing can overflow where Spark computes.
+    Offset-shift first (the ``(s + n*K) DIV n - K`` trick) if an
+    operand can be negative."""
     q = f"({num} {div} {den})"
     r = f"({num} % {den})"
     q1 = f"(({r} * 1000) {div} {den})"

@@ -30,6 +30,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     k_shingle: int = 3,
     shingles_df: DataFrame | None = None,
+    shingles_k: int = 3,
 ) -> DataFrame:
     """Curated documents: one row per kept doc with its curation
     metadata (``n_tokens``, ``quality_score``, ``split``).
@@ -49,7 +50,21 @@ def curate_corpus(
     this is primarily the artifact-reuse discipline: at 100 TB the
     survivor re-tokenize is a full extra pass over kept text that the
     persisted index already paid for.  When absent, shingles build
-    in-query as before."""
+    in-query as before.
+
+    ``shingles_k`` declares the shingle width the artifact was BUILT
+    with (the prebuilt tables are k=3); passing ``shingles_df`` with a
+    mismatched ``k_shingle`` is rejected loudly — silently joining a
+    k=3 index into a k=4 request would produce wrong pairs (ADVICE r9
+    #1).  The artifact must also COVER ``docs``' doc_ids (it is
+    semi-joined down, so survivors absent from the index would simply
+    never pair): pass the index built from the same corpus."""
+    if shingles_df is not None and k_shingle != shingles_k:
+        raise ValueError(
+            f"shingles_df was built with k={shingles_k} but "
+            f"k_shingle={k_shingle} was requested — rebuild the "
+            "artifact at the requested width or drop shingles_df"
+        )
     scored = text_analysis.with_repetition_metrics(
         text_analysis.with_quality_score(docs)
     )

@@ -191,9 +191,13 @@ def paragraph_hot_shingles_prebuilt(spark, sf_dir, cap: int = _PARA_DF_CAP):
 #: longer strings in both engines, so an 18-wide key would silently
 #: collide 19-digit snowflake-style ids (caught by the r9 review;
 #: negative ids are outside the data model's id convention).
+#: para_idx gets the SAME 19-digit width (ADVICE r9 #2): a 9-digit pad
+#: would re-open the identical truncation seam one field over once a
+#: document holds >= 1e9 paragraphs — lexicographic min == numeric min
+#: only while every component renders at full fixed width.
 _SQL_PKEY = (
     "lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':' || "
-    "lpad(CAST(para_idx AS VARCHAR), 9, '0')"
+    "lpad(CAST(para_idx AS VARCHAR), 19, '0')"
 )
 
 
@@ -215,7 +219,7 @@ def _pkey_col():
     return F.concat(
         F.lpad(F.col("doc_id").cast("string"), 19, "0"),
         F.lit(":"),
-        F.lpad(F.col("para_idx").cast("string"), 9, "0"),
+        F.lpad(F.col("para_idx").cast("string"), 19, "0"),
     )
 
 

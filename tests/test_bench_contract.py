@@ -14,6 +14,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import HEADLINE  # noqa: E402
 
 
+def _projected_line(extra_queries: int = 0) -> str:
+    q = {n.split("_", 1)[0]: 99.99 for n in HEADLINE}
+    # hypothetical future additions, worst-width keys ('"q999":99.99,')
+    for i in range(extra_queries):
+        q[f"x{900 + i}"] = 99.99
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": q,
+            "sf": 0.1,
+            "ingest_sec": 9999.99,
+            "canary_sec": 99.99,
+        },
+        separators=(",", ":"),
+    )
+
+
 def test_bench_json_line_stays_parseable():
     # Headroom (r8): per-query stdout values are 2-decimal (each entry
     # ~13 chars, '"q123":99.99,'), so the 1600-char cap holds to ~119
@@ -22,20 +41,24 @@ def test_bench_json_line_stays_parseable():
     # overflow it, the map is dropped from stdout (total stays) and
     # BENCH_LOCAL.json keeps the full per-query timings; the assert
     # here is the early warning.
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": 9999.9999,
-            "unit": "sec",
-            "queries": {n.split("_", 1)[0]: 99.99 for n in HEADLINE},
-            "sf": 0.1,
-            "ingest_sec": 9999.99,
-        },
-        separators=(",", ":"),
-    )
+    line = _projected_line()
     assert len(line) < 1600, (
         f"bench JSON line would be {len(line)} chars — shrink keys or "
         "trim the headline set before it outgrows the driver's tail"
+    )
+
+
+def test_bench_json_line_has_next_round_headroom():
+    # VERDICT r9 #7: fail BEFORE the driver truncates — eviction
+    # decisions belong in review, not after a lost tail.  Require the
+    # line to survive TEN more worst-width entries, i.e. one round's
+    # typical growth, so the round that must trim learns it at pytest
+    # time rather than from a dropped per-query map.
+    line = _projected_line(extra_queries=10)
+    assert len(line) < 1600, (
+        f"bench JSON line would be {len(line)} chars with +10 queries "
+        f"({len(_projected_line())} today) — trim HEADLINE now (keep "
+        "one representative per operator family; see bench.py notes)"
     )
 
 

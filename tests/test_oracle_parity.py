@@ -143,6 +143,11 @@ def test_driver_facing_order_surfaces_fresh_oracled_first():
     # land inside the sample prefix even when the block exceeds it
     nums = [int("".join(c for c in n[1:4] if c.isdigit())) for n in head]
     assert nums == sorted(nums, reverse=True), nums
+    # VERDICT r9 #8: every evidence row must name a live registry
+    # entry — a renamed gate would otherwise silently orphan its
+    # evidence and be re-surfaced as "fresh" forever.
+    orphans = set(mod._EVIDENCE_ROUND) - set(names)
+    assert not orphans, f"_EVIDENCE_ROUND names not in registry: {orphans}"
 
 
 # DuckDB logical types that the external driver's comparator renders
