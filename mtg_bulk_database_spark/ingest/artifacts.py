@@ -1,0 +1,443 @@
+"""Durable ingest artifacts on the ledger (VERDICT r9 #2).
+
+The prebuilt indexes the hot query paths read — the document shingle
+posting index (``pipeline_queries.shingle_prebuilt_table``), the
+paragraph table + paragraph shingle postings + over-cap stop-shingle
+head (``pipeline_queries14``), and the IVF centroids/assignments
+(``pipeline_queries.ivf_prebuilt_index``) — were session-scoped
+``.persist()`` caches keyed by applicationId: rebuilt from scratch in
+every new SparkSession.  At 100 TB the rebuild IS the corpus scan the
+artifact exists to avoid.
+
+This module promotes each of them to a **ledger table**
+(``ingest.ledger`` — atomic commits, snapshot reads, file-skipping
+merge, vacuum), written once at ingest and read by ANY later session
+with zero corpus re-scan, and MAINTAINED incrementally when a document
+batch merges:
+
+- ``paragraphs``            (pkey, doc_id, para_idx, p_text, n_ptok),
+  key=pkey (the fixed-width ``doc_id:para_idx`` string, so file min/max
+  cluster by document), stats_cols=[doc_id].
+- ``paragraph_shingles``    (pkey, doc_id, para_idx, shingles),
+  key=pkey, stats_cols=[doc_id] — the paragraph posting index.
+- ``paragraph_shingle_df``  (s, df_s), key=s — the per-shingle
+  document-frequency STATISTIC the over-cap head derives from
+  (``hot head = filter(df_s > cap)``).  Maintained by SIGNED count
+  deltas: the count is SUM-mergeable, exactly the property the
+  streaming folds already exploit, so an increment adjusts only the
+  affected shingle rows.  Rows that reach df_s <= 0 stay as zero
+  tombstones (readers filter ``df_s > 0``); deleting them would force
+  a driver-side key collect — compaction can drop them offline.
+- ``doc_shingles``          (doc_id, shingles), key=doc_id — the
+  document-grain posting index (q32/q224/q253's artifact).
+- ``doc_shingle_df``        (s, df_s), key=s — its DF statistic.
+- ``ivf_centroids``         (list_id, centroid), key=list_id — the
+  FROZEN coarse quantizer (FAISS convention: train once).
+- ``ivf_assignments``       (vec_id, list_id, embedding), key=vec_id,
+  stats_cols=[list_id] — so a probe's ``ledger_read(prune={"list_id":
+  (l, l)})`` plans a scan of only that list's files after compaction
+  clusters by list: the list-partitioned layout every production IVF
+  store uses, expressed as manifest-level data skipping.
+
+Incremental maintenance (``refresh_documents`` / ``refresh_vectors``)
+is the MERGE hook: a continuously-ingesting pipeline calls it with
+each upserted batch, which is batch-sized by construction — so the
+one driver-side list this module keeps (the increment's doc_ids, for
+the stale-row delete) is micro-batch metadata, never corpus-scale.
+Maintenance equivalence (incremental update ≡ full rebuild, through
+the readers) and zero-corpus-re-scan cross-session reads are pinned in
+``tests/test_artifacts.py``.
+
+Design cross-refs: the keeper/dedup algebra reading these artifacts
+lives in ``pipeline_queries14``; the streamed folds proving the state
+mergeable live in ``streaming/ingest.py``; the reference prebuilds the
+document-grain analog of these as its trigram GIN index
+(``init.sql:137-138``) — durable in Postgres, durable here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .ledger import (
+    current_version,
+    ledger_merge_upsert,
+    ledger_read,
+    ledger_write,
+)
+
+#: ledger-table subdirectories under an artifact root
+PARAGRAPHS = "paragraphs"
+PARAGRAPH_SHINGLES = "paragraph_shingles"
+PARAGRAPH_SHINGLE_DF = "paragraph_shingle_df"
+DOC_SHINGLES = "doc_shingles"
+DOC_SHINGLE_DF = "doc_shingle_df"
+IVF_CENTROIDS = "ivf_centroids"
+IVF_ASSIGNMENTS = "ivf_assignments"
+
+
+def _sub(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+# ---------------------------------------------------------------------------
+# Relation builders (shared by full build and incremental refresh, so
+# "incremental ≡ rebuild" is the same expression tree over different
+# inputs — the streamed-fold discipline).
+# ---------------------------------------------------------------------------
+def _paragraph_rows(docs: DataFrame) -> DataFrame:
+    from ..pipeline_queries14 import _pkey_col, paragraph_table
+
+    return paragraph_table(docs).select(
+        _pkey_col().alias("pkey"),
+        "doc_id",
+        "para_idx",
+        "p_text",
+        "n_ptok",
+    )
+
+
+def _paragraph_shingle_rows(para: DataFrame) -> DataFrame:
+    from ..operators.dedup import shingles as shingle_expr
+    from ..pipeline_queries14 import _pkey_col
+
+    return (
+        para.filter(F.col("n_ptok") >= 3)
+        .select(
+            _pkey_col().alias("pkey"),
+            "doc_id",
+            "para_idx",
+            F.split("p_text", " ").alias("_pt"),
+        )
+        .select(
+            "pkey",
+            "doc_id",
+            "para_idx",
+            shingle_expr(F.col("_pt"), 3).alias("shingles"),
+        )
+    )
+
+
+def _doc_shingle_rows(docs: DataFrame) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.with_shingles(docs, "text", "doc_id", k=3).select(
+        "doc_id", "shingles"
+    )
+
+
+def _df_counts(sh: DataFrame) -> DataFrame:
+    """Per-shingle document/paragraph frequency over a postings frame —
+    map-side-combinable (one COUNT groupBy)."""
+    return (
+        sh.select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("df_s"))
+    )
+
+
+def assign_to_frozen_centroids(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Deterministic assignment of vectors to FROZEN centroids: cosine
+    argmax with first-index tiebreak — q217's serving pass
+    (``pipeline_queries10.q217``) minus the cross-engine rounding.  On
+    unit-normalized centroids cosine argmax ≡ the spherical k-means
+    Euclidean argmin the trainer used, and being a pure per-row
+    function it makes incremental assignment ≡ rebuild BY CONSTRUCTION
+    (no model object, no iteration): one codegen'd scan, zero
+    shuffles."""
+    from ..functions.vectors import cosine_similarity, indexable_vector
+
+    pool = emb.where(indexable_vector(F.col("embedding")))
+    scores = F.array(
+        *[
+            cosine_similarity(
+                F.col("embedding"), F.array(*[F.lit(v) for v in c])
+            )
+            for c in centroids
+        ]
+    )
+    return pool.select(
+        "vec_id",
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("list_id"),
+        "embedding",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full build (the initial-load path — one corpus scan total per family).
+# ---------------------------------------------------------------------------
+def build_document_artifacts(
+    spark: SparkSession, docs: DataFrame, root: str
+) -> dict[str, int]:
+    """Build and commit the document + paragraph artifact family from a
+    documents relation.  One tokenize+window pass feeds the paragraph
+    table; its postings and DF statistic derive from it (never from
+    the corpus again); the doc-grain index is its own single pass.
+    Returns {table: committed version}."""
+    para = _paragraph_rows(docs).localCheckpoint(eager=False)
+    psh = _paragraph_shingle_rows(para).localCheckpoint(eager=False)
+    dsh = _doc_shingle_rows(docs).localCheckpoint(eager=False)
+    versions = {
+        PARAGRAPHS: ledger_write(
+            spark, _sub(root, PARAGRAPHS), para, key="pkey",
+            stats_cols=["doc_id"],
+        ),
+        PARAGRAPH_SHINGLES: ledger_write(
+            spark, _sub(root, PARAGRAPH_SHINGLES), psh, key="pkey",
+            stats_cols=["doc_id"],
+        ),
+        PARAGRAPH_SHINGLE_DF: ledger_write(
+            spark, _sub(root, PARAGRAPH_SHINGLE_DF), _df_counts(psh),
+            key="s",
+        ),
+        DOC_SHINGLES: ledger_write(
+            spark, _sub(root, DOC_SHINGLES), dsh, key="doc_id"
+        ),
+        DOC_SHINGLE_DF: ledger_write(
+            spark, _sub(root, DOC_SHINGLE_DF), _df_counts(dsh), key="s"
+        ),
+    }
+    return versions
+
+
+def build_vector_artifacts(
+    spark: SparkSession, emb: DataFrame, root: str, n_lists: int = 16
+) -> dict[str, int]:
+    """Train the IVF coarse quantizer once (``similarity.ivf_index`` —
+    sample-trained spherical k-means) and commit BOTH halves durably:
+    the frozen centroids and the full assignment table.  The stored
+    assignment uses :func:`assign_to_frozen_centroids` so later
+    increments extend it with the identical per-row function."""
+    from ..operators.similarity import ivf_index
+
+    _, centroids = ivf_index(emb, n_lists=n_lists)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    assigned = assign_to_frozen_centroids(emb, centroids)
+    return {
+        IVF_CENTROIDS: ledger_write(
+            spark, _sub(root, IVF_CENTROIDS), cent_df, key="list_id"
+        ),
+        IVF_ASSIGNMENTS: ledger_write(
+            spark, _sub(root, IVF_ASSIGNMENTS), assigned, key="vec_id",
+            stats_cols=["list_id"],
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Readers (any session, zero corpus re-scan — every inputFile resolves
+# under the artifact root; pinned in tests).
+# ---------------------------------------------------------------------------
+def read_paragraphs(spark: SparkSession, root: str) -> DataFrame:
+    return ledger_read(spark, _sub(root, PARAGRAPHS))
+
+
+def read_paragraph_shingles(spark: SparkSession, root: str) -> DataFrame:
+    return ledger_read(spark, _sub(root, PARAGRAPH_SHINGLES))
+
+
+def read_paragraph_shingle_df(spark: SparkSession, root: str) -> DataFrame:
+    """DF statistic with zero-tombstones filtered — the reader is the
+    equivalence surface (a rebuild has no tombstones)."""
+    return ledger_read(spark, _sub(root, PARAGRAPH_SHINGLE_DF)).filter(
+        F.col("df_s") > 0
+    )
+
+
+def read_paragraph_hot_shingles(
+    spark: SparkSession, root: str, cap: int
+) -> DataFrame:
+    """The over-cap stop-shingle head, derived from the maintained DF
+    statistic — a filter over a vocabulary-sized table, never a corpus
+    pass."""
+    return read_paragraph_shingle_df(spark, root).filter(
+        F.col("df_s") > cap
+    ).select("s")
+
+
+def read_doc_shingles(spark: SparkSession, root: str) -> DataFrame:
+    return ledger_read(spark, _sub(root, DOC_SHINGLES))
+
+
+def read_doc_shingle_df(spark: SparkSession, root: str) -> DataFrame:
+    return ledger_read(spark, _sub(root, DOC_SHINGLE_DF)).filter(
+        F.col("df_s") > 0
+    )
+
+
+def read_ivf_centroids(spark: SparkSession, root: str) -> list[list[float]]:
+    rows = (
+        ledger_read(spark, _sub(root, IVF_CENTROIDS))
+        .orderBy("list_id")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def read_ivf_assignments(
+    spark: SparkSession, root: str, list_ids: list[int] | None = None
+) -> DataFrame:
+    """Probe read: with ``list_ids``, manifest stats prune non-matching
+    files before Spark opens them (exactness is re-guaranteed by the
+    row filter ledger_read re-applies)."""
+    root = _sub(root, IVF_ASSIGNMENTS)
+    if not list_ids:
+        return ledger_read(spark, root)
+    lo, hi = min(list_ids), max(list_ids)
+    df = ledger_read(spark, root, prune={"list_id": (lo, hi)})
+    return df.filter(F.col("list_id").isin(list_ids))
+
+
+def artifacts_exist(root: str) -> bool:
+    return current_version(_sub(root, PARAGRAPHS)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance — the MERGE hook.
+# ---------------------------------------------------------------------------
+def refresh_documents(
+    spark: SparkSession, root: str, docs_delta: DataFrame
+) -> dict[str, int]:
+    """Fold an upserted document batch into the durable artifacts
+    WITHOUT re-scanning the corpus: the only rows read back are the
+    increment's own current artifact rows (manifest-pruned by the
+    batch's doc_id range) and the DF rows its shingles touch.
+
+    Semantics per table:
+
+    - ``paragraphs`` / ``paragraph_shingles``: replaced at document
+      grain.  An updated document may have FEWER paragraphs than
+      before, so a pure keyed upsert would leave stale
+      high-``para_idx`` rows; instead ``ledger_delete`` drops the
+      batch's doc_ids' old rows first (the predicate's id list is
+      micro-batch-sized by construction, see module docstring; the
+      delete's exact file-probe rewrites only files actually holding
+      them) and the fresh rows then upsert keyed by pkey.
+    - ``paragraph_shingle_df`` / ``doc_shingle_df``: SIGNED deltas
+      (new counts minus the replaced rows' old counts) summed into the
+      affected shingle rows only — the SUM-mergeable state the
+      streaming folds already maintain.  Zero rows remain as
+      tombstones; readers filter them.
+    - ``doc_shingles``: keyed upsert (one row per doc, no shrinkage
+      problem).
+
+    Returns {table: committed version}."""
+    from .ledger import ledger_delete
+
+    ids = [r["doc_id"] for r in docs_delta.select("doc_id").distinct().collect()]
+    if not ids:
+        return {}
+    lo, hi = min(ids), max(ids)
+
+    para_new = _paragraph_rows(docs_delta).localCheckpoint(eager=False)
+    psh_new = _paragraph_shingle_rows(para_new).localCheckpoint(eager=False)
+    dsh_new = _doc_shingle_rows(docs_delta).localCheckpoint(eager=False)
+
+    # old contributions of the replaced documents (manifest-pruned read:
+    # only files whose doc_id range overlaps the batch are opened)
+    psh_old = ledger_read(
+        spark, _sub(root, PARAGRAPH_SHINGLES), prune={"doc_id": (lo, hi)}
+    ).filter(F.col("doc_id").isin(ids))
+    dsh_old = ledger_read(
+        spark, _sub(root, DOC_SHINGLES), prune={"doc_id": (lo, hi)}
+    ).filter(F.col("doc_id").isin(ids))
+    # signed DF deltas must resolve BEFORE the delete below rewrites
+    # the old rows' files (the snapshot read pins the file list, but
+    # eager checkpoints also keep the plan from re-resolving anything
+    # after the commits start)
+    pdf_delta = (
+        _df_counts(psh_new)
+        .withColumnRenamed("df_s", "d")
+        .unionByName(
+            _df_counts(psh_old).select(
+                "s", (-F.col("df_s")).alias("d")
+            )
+        )
+        .groupBy("s")
+        .agg(F.sum("d").cast("long").alias("d"))
+        .filter(F.col("d") != 0)
+        .localCheckpoint(eager=True)
+    )
+    ddf_delta = (
+        _df_counts(dsh_new)
+        .withColumnRenamed("df_s", "d")
+        .unionByName(
+            _df_counts(dsh_old).select(
+                "s", (-F.col("df_s")).alias("d")
+            )
+        )
+        .groupBy("s")
+        .agg(F.sum("d").cast("long").alias("d"))
+        .filter(F.col("d") != 0)
+        .localCheckpoint(eager=True)
+    )
+
+    versions: dict[str, int] = {}
+    # document-grain replace: delete stale rows, then upsert fresh ones
+    pred = F.col("doc_id").isin(ids)
+    ledger_delete(spark, _sub(root, PARAGRAPHS), pred)
+    versions[PARAGRAPHS] = ledger_merge_upsert(
+        spark, _sub(root, PARAGRAPHS), para_new, key="pkey"
+    )
+    ledger_delete(spark, _sub(root, PARAGRAPH_SHINGLES), pred)
+    versions[PARAGRAPH_SHINGLES] = ledger_merge_upsert(
+        spark, _sub(root, PARAGRAPH_SHINGLES), psh_new, key="pkey"
+    )
+    versions[DOC_SHINGLES] = ledger_merge_upsert(
+        spark, _sub(root, DOC_SHINGLES), dsh_new, key="doc_id"
+    )
+    versions[PARAGRAPH_SHINGLE_DF] = _merge_df_counts(
+        spark, _sub(root, PARAGRAPH_SHINGLE_DF), pdf_delta
+    )
+    versions[DOC_SHINGLE_DF] = _merge_df_counts(
+        spark, _sub(root, DOC_SHINGLE_DF), ddf_delta
+    )
+    return versions
+
+
+def _merge_df_counts(
+    spark: SparkSession, root: str, delta: DataFrame
+) -> int:
+    """Sum signed ``(s, d)`` deltas into a ``(s, df_s)`` count table.
+    The lookup join scans the count table once — vocabulary-sized, not
+    corpus-sized — and the merge's file skipping rewrites only files
+    whose key range the delta overlaps; untouched shingle rows carry
+    over byte-identical."""
+    cur = ledger_read(spark, root)
+    merged = (
+        delta.join(cur, "s", "left")
+        .select(
+            "s",
+            (F.coalesce(F.col("df_s"), F.lit(0)) + F.col("d"))
+            .cast("long")
+            .alias("df_s"),
+        )
+    )
+    return ledger_merge_upsert(spark, root, merged, key="s")
+
+
+def refresh_vectors(
+    spark: SparkSession, root: str, emb_delta: DataFrame
+) -> dict[str, int]:
+    """Assign a new vector batch to the FROZEN centroids and merge it
+    into the durable assignment table — the everyday IVF maintenance
+    operation (FAISS ``add`` after ``train``).  Centroids never move:
+    re-training on every increment would invalidate every stored
+    list_id; periodic re-train + full re-assign is a separate offline
+    rebuild (``build_vector_artifacts``)."""
+    centroids = read_ivf_centroids(spark, root)
+    assigned = assign_to_frozen_centroids(emb_delta, centroids)
+    return {
+        IVF_ASSIGNMENTS: ledger_merge_upsert(
+            spark, _sub(root, IVF_ASSIGNMENTS), assigned, key="vec_id"
+        )
+    }
