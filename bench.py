@@ -155,6 +155,12 @@ HEADLINE = [
     "q251_paragraph_near_dup_lsh",
     "q252_budget_to_threshold",
     "q253_decontaminated_manifest",
+    # r10 additions: incremental near-dup vs the durable corpus index,
+    # shortfall reallocation, structural splitter, artifact round-trip
+    "q254_incremental_paragraph_near_dup",
+    "q255_shortfall_reallocation",
+    "q256_structural_paragraph_dedup",
+    "q257_artifact_paragraph_stats",
 ]
 
 
@@ -289,6 +295,16 @@ def _run(sf_dir: str, sf: float) -> None:
     paragraph_prebuilt_table(spark, sf_dir)
     paragraph_shingles_prebuilt(spark, sf_dir)
     paragraph_hot_shingles_prebuilt(spark, sf_dir)
+    # the DURABLE ledger artifacts (r10): built once per corpus
+    # signature under /tmp and reused across sessions/rounds — the
+    # first round pays the build here (untimed, like every other
+    # ingest artifact), later rounds just resolve the existing root
+    from mtg_bulk_database_spark.pipeline_queries15 import (
+        documents_artifact_root,
+    )
+
+    documents_artifact_root(spark, sf_dir, subset="all")
+    documents_artifact_root(spark, sf_dir, subset="corpus90")
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's

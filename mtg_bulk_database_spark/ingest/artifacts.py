@@ -68,6 +68,11 @@ from .ledger import (
     ledger_write,
 )
 
+#: bump when any artifact table's schema or semantics change — roots
+#: are keyed by (corpus signature, format), so an old on-disk artifact
+#: can never be read by code expecting the new shape
+ARTIFACT_FORMAT = 2
+
 #: ledger-table subdirectories under an artifact root
 PARAGRAPHS = "paragraphs"
 PARAGRAPH_SHINGLES = "paragraph_shingles"
@@ -116,6 +121,12 @@ def _paragraph_shingle_rows(para: DataFrame) -> DataFrame:
             "doc_id",
             "para_idx",
             shingle_expr(F.col("_pt"), 3).alias("shingles"),
+        )
+        # |shingles| is stored so a consumer needing only sizes (the
+        # near-dup Jaccard denominator) scans a pruned int column
+        # instead of re-reading the wide shingle arrays
+        .withColumn(
+            "n_shingles", F.size("shingles").cast("long")
         )
     )
 

@@ -1098,17 +1098,22 @@ def q252(spark, sf_dir):
 # q253 — decontaminated manifest: realize the allocation from CLEAN
 # documents only (q81 x q240 x q248).
 # ---------------------------------------------------------------------------
-def _q253_oracle() -> str:
+def decon_allocc_chain() -> str:
+    """CTE chain ``alloc -> ... -> allocc`` — the full-corpus
+    waterfilling allocation re-capped at the epoch cap times each
+    source's CLEAN token mass (q81's decontamination screen).  Shared
+    by q253 (manifest realization) and q255 (shortfall reallocation)
+    so the decontaminated-allocation algebra exists exactly once on
+    the oracle side, the way the Spark bodies share
+    ``epoch_capped_allocation`` + the broadcast screen."""
     from .pipeline_queries13 import (
         _Q240_CAP_EPOCHS,
         _Q240_COUNTS_BODY,
         _q240_alloc_chain,
-        epochs_micro_sql,
     )
 
     c = _Q240_CAP_EPOCHS
-    return f"""
-    WITH {_q240_alloc_chain(_Q240_COUNTS_BODY)},
+    return f"""{_q240_alloc_chain(_Q240_COUNTS_BODY)},
     toksd AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     shd AS (
       SELECT doc_id,
@@ -1135,7 +1140,86 @@ def _q253_oracle() -> str:
              CAST(least(a.alloc_tokens,
                         {c} * coalesce(ct.clean_t, 0)) AS BIGINT)
                AS alloc_clean
-      FROM alloc a LEFT JOIN cleant ct ON a.source = ct.source),
+      FROM alloc a LEFT JOIN cleant ct ON a.source = ct.source)"""
+
+
+def decon_allocc_frames(spark, sf_dir):
+    """Spark twin of :func:`decon_allocc_chain`: returns ``(d,
+    allocc)`` — the clean per-doc token frame and the per-source
+    decontaminated allocation ``(source, orig_alloc, src_tokens,
+    alloc_tokens)``.  Shared by q253 (manifest) and q255 (shortfall
+    reallocation).
+
+    ONE tokenize pass feeds both the allocation counts and the clean
+    per-doc masses (lazily checkpointed: two consumers); the
+    contamination screen runs off the PREBUILT document shingle index
+    (benchmark_ngram_overlap's exact shape — broadcast bench grams,
+    corpus rows never shuffle — minus its two in-query shingle
+    builds; measured 4.1 s -> ~2 s wall at sf0.1)."""
+    from .pipeline_queries import shingle_prebuilt_table
+    from .pipeline_queries13 import (
+        _Q240_CAP_EPOCHS,
+        epoch_capped_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    ntdf = docs.where(F.col("source").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+    ).localCheckpoint(eager=False)
+    counts = ntdf.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("n_tokens")
+    )
+    alloc = epoch_capped_allocation(counts).select(
+        "source", "alloc_tokens"
+    )
+    sh = shingle_prebuilt_table(spark, sf_dir)
+    bench_grams = (
+        sh.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") % 41 != 0)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .join(F.broadcast(bench_grams), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    d = (
+        ntdf.filter(F.col("doc_id") % 41 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    cleant = (
+        d.filter(F.col("nt") > 0)
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("clean_t"))
+    )
+    allocc = (
+        alloc.join(cleant, "source", "left")
+        .select(
+            "source",
+            F.col("alloc_tokens").alias("orig_alloc"),
+            F.coalesce("clean_t", F.lit(0)).cast("long").alias("src_tokens"),
+            F.least(
+                F.col("alloc_tokens"),
+                F.lit(_Q240_CAP_EPOCHS) * F.coalesce("clean_t", F.lit(0)),
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+    return d, allocc
+
+
+def _q253_oracle() -> str:
+    from .pipeline_queries13 import epochs_micro_sql
+
+    return f"""
+    WITH {decon_allocc_chain()},
     cumt AS (
       SELECT doc_id, source, nt,
              CAST(sum(nt) OVER (PARTITION BY source
@@ -1192,69 +1276,9 @@ def q253(spark, sf_dir):
     rows never shuffle for the screen), then q248's per-source
     cumulative window over the clean subset; everything per-source is
     |sources|-row broadcast algebra."""
-    from .pipeline_queries import shingle_prebuilt_table
-    from .pipeline_queries13 import (
-        _Q240_CAP_EPOCHS,
-        epoch_capped_allocation,
-        epochs_micro_sql,
-    )
+    from .pipeline_queries13 import epochs_micro_sql
 
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    # ONE tokenize pass feeds both the allocation counts and the clean
-    # per-doc masses (lazily checkpointed: two consumers)
-    ntdf = docs.where(F.col("source").isNotNull()).select(
-        "doc_id",
-        "source",
-        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
-    ).localCheckpoint(eager=False)
-    counts = ntdf.groupBy("source").agg(
-        F.sum("nt").cast("long").alias("n_tokens")
-    )
-    alloc = epoch_capped_allocation(counts).select(
-        "source", "alloc_tokens"
-    )
-    # contamination screen off the PREBUILT document shingle index
-    # (benchmark_ngram_overlap's exact shape — broadcast bench grams,
-    # corpus rows never shuffle — minus its two in-query shingle
-    # builds; measured 4.1 s -> ~2 s wall at sf0.1)
-    sh = shingle_prebuilt_table(spark, sf_dir)
-    bench_grams = (
-        sh.filter(F.col("doc_id") % 41 == 0)
-        .select(F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .distinct()
-    )
-    contaminated = (
-        sh.filter(F.col("doc_id") % 41 != 0)
-        .select("doc_id", F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .join(F.broadcast(bench_grams), "s")
-        .select("doc_id")
-        .distinct()
-    )
-    d = (
-        ntdf.filter(F.col("doc_id") % 41 != 0)
-        .join(contaminated, "doc_id", "left_anti")
-    )
-    cleant = (
-        d.filter(F.col("nt") > 0)
-        .groupBy("source")
-        .agg(F.sum("nt").cast("long").alias("clean_t"))
-    )
-    allocc = (
-        alloc.join(cleant, "source", "left")
-        .select(
-            "source",
-            F.col("alloc_tokens").alias("orig_alloc"),
-            F.coalesce("clean_t", F.lit(0)).cast("long").alias("src_tokens"),
-            F.least(
-                F.col("alloc_tokens"),
-                F.lit(_Q240_CAP_EPOCHS) * F.coalesce("clean_t", F.lit(0)),
-            )
-            .cast("long")
-            .alias("alloc_tokens"),
-        )
-    )
+    d, allocc = decon_allocc_frames(spark, sf_dir)
     out = greedy_manifest(
         d, allocc.select("source", "src_tokens", "alloc_tokens")
     )

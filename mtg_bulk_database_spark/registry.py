@@ -43,6 +43,7 @@ def load_registry():
         pipeline_queries12,
         pipeline_queries13,
         pipeline_queries14,
+        pipeline_queries15,
         queries,
         queries_extra,
     )

@@ -1429,3 +1429,212 @@ def test_q245_q251_nineteen_digit_doc_ids(spark, tmp_path):
     rec = dict(zip(cols, rows[0]))
     assert rec["doc_a"] == a and rec["doc_b"] == b  # exact ids back
     assert rec["jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# r10: incremental near-dup vs the durable corpus index (q254),
+# shortfall reallocation (q255), structural splitter (q256), and the
+# durable-artifact round-trip (q257).
+# ---------------------------------------------------------------------------
+_R10_BOILER = ("nav home about contact privacy terms "
+               "login logout search help faq cart")
+_R10_PROSE = ("alpha bravo charlie delta echo foxtrot "
+              "golf hotel india juliet kilo lima")
+
+
+def test_q254_increment_pairs_only_cross_side(spark, tmp_path):
+    """Planted incremental scenario: corpus docs 1/2 share the
+    boilerplate paragraph; arriving batch docs 10/20 carry it too
+    (doc 20 with a one-word edit — the near-dup case).  The gate must
+    emit increment x corpus pairs ONLY: batch-internal (10, 20) and
+    corpus-internal (1, 2) pairs belong to other gates and must be
+    absent."""
+    near = _R10_BOILER.replace("cart", "kart")
+    _docs_parquet(tmp_path, [
+        (1, f"{_R10_BOILER} {_R10_PROSE}", "web"),
+        (2, f"{_R10_PROSE} {_R10_BOILER}", "web"),
+        (10, _R10_BOILER, "web"),
+        (20, near, "web"),
+    ])
+    rows, cols = _diff_check(
+        spark, str(tmp_path),
+        "q254_incremental_paragraph_near_dup", ["documents"],
+    )
+    i_new = cols.index("doc_new")
+    i_corp = cols.index("doc_corpus")
+    ends = {(r[i_new], r[i_corp]) for r in rows}
+    assert all(dn in (10, 20) and dc in (1, 2) for dn, dc in ends), ends
+    # both batch docs pair with both corpus docs' boilerplate copies
+    assert {dn for dn, _ in ends} == {10, 20}
+    assert {dc for _, dc in ends} == {1, 2}
+
+
+def test_q255_reallocation_closes_the_budget(spark, tmp_path):
+    """Planted shortfall: the benchmark doc (41) shares its text with
+    source 'dirty''s documents, so decontamination guts dirty's clean
+    mass and its allocation shortfall must re-waterfill into source
+    'clean''s headroom.  Pins the budget-closure identity carried in
+    the output: realloc_total == min(residual_budget, Σ headroom),
+    and no source exceeds its clean epoch cap."""
+    contaminated = f"{_R10_BOILER} {_R10_PROSE}"
+    _docs_parquet(tmp_path, [
+        (41, contaminated, None),  # benchmark doc (doc_id % 41 == 0)
+        (1, contaminated, "dirty"),
+        (2, f"{contaminated} {contaminated}", "dirty"),
+        (3, _R10_PROSE, "dirty"),
+        (4, f"{_R10_PROSE} extra words beyond the shared block here "
+            f"{_R10_PROSE}", "clean"),
+        (5, "unique filler tokens that overlap nothing benchmarky "
+            "one two three four five six seven eight nine ten", "clean"),
+    ])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q255_shortfall_reallocation",
+        ["documents"],
+    )
+    c = {n: i for i, n in enumerate(cols)}
+    residual = rows[0][c["residual_budget"]]
+    realloc_total = rows[0][c["realloc_total"]]
+    headroom_sum = sum(r[c["headroom"]] for r in rows)
+    assert realloc_total == min(residual, headroom_sum)
+    assert residual > 0, "planted contamination must create shortfall"
+    for r in rows:
+        assert 0 <= r[c["realloc_extra"]] <= r[c["headroom"]]
+        assert (
+            r[c["final_alloc"]]
+            == r[c["src_alloc_clean"]] + r[c["realloc_extra"]]
+        )
+    # docs 1-3 share text with the benchmark => dirty has shortfall
+    dirty = next(r for r in rows if r[c["source"]] == "dirty")
+    assert dirty[c["src_shortfall"]] > 0
+
+
+def test_waterfill_caps_properties(spark):
+    """The generalized waterfilling kernel (q255's refill pass):
+    closure (Σ extra == min(budget, Σ caps)), per-source cap respect,
+    and water-level fairness (any two UNSATURATED sources differ by at
+    most one token).  Swept over planted shapes including budget == 0,
+    budget beyond Σ caps, a single source, and ties."""
+    from mtg_bulk_database_spark.pipeline_queries15 import waterfill_caps
+
+    cases = [
+        ([5, 7, 100], 20),
+        ([5, 7, 100], 0),
+        ([5, 7, 100], 1000),   # all saturate, leftover unallocatable
+        ([10], 3),
+        ([3, 3, 3, 3], 7),     # ties + remainder spread
+        ([1, 2, 3, 4, 5], 12),
+        ([8, 8, 8], 24),       # budget exactly Σ caps
+    ]
+    for caps, budget in cases:
+        cdf = spark.createDataFrame(
+            [(f"s{i}", c) for i, c in enumerate(caps)],
+            "source string, cap_tokens long",
+        )
+        bdf = spark.createDataFrame([(budget,)], "budget long")
+        got = {
+            r["source"]: r["extra_tokens"]
+            for r in waterfill_caps(cdf, bdf).collect()
+        }
+        caps_by = {f"s{i}": c for i, c in enumerate(caps)}
+        assert sum(got.values()) == min(budget, sum(caps)), (caps, budget)
+        for s, extra in got.items():
+            assert 0 <= extra <= caps_by[s], (caps, budget, got)
+        unsat = [extra for s, extra in got.items()
+                 if extra < caps_by[s]]
+        assert (
+            max(unsat) - min(unsat) <= 1 if unsat else True
+        ), (caps, budget, got)
+
+
+def test_q256_structural_equals_window_splitter(spark, tmp_path):
+    """On the derived separator corpus the structural splitter's
+    paragraphs coincide with the token windows BY CONSTRUCTION, so
+    q256's stats must equal q245's stats on the original corpus
+    row-exactly — the proof the downstream algebra is shared, not
+    forked."""
+    _docs_parquet(tmp_path, [
+        (1, f"{_R10_BOILER} {_R10_PROSE}", "web"),
+        (2, f"{_R10_PROSE} {_R10_BOILER} {_R10_PROSE}", "web"),
+        (3, _R10_BOILER, "books"),
+        (4, "short", "books"),
+    ])
+    rows256, cols256 = _diff_check(
+        spark, str(tmp_path), "q256_structural_paragraph_dedup",
+        ["documents"],
+    )
+    rows245 = QUERIES["q245_paragraph_dedup"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sorted(map(tuple, rows256)) == sorted(map(tuple, rows245))
+
+
+def test_structural_splitter_separator_edges(spark):
+    """Raw-text edge cases for the structural splitter: leading /
+    trailing / tripled separators produce empty segments that are
+    DROPPED while surviving paragraphs keep their ORIGINAL segment
+    positions, and intra-paragraph whitespace is normalized out of
+    p_text (fingerprints must not depend on it)."""
+    from mtg_bulk_database_spark.pipeline_queries15 import (
+        paragraph_table_structural,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\n\nalpha  bravo\n\n\n\ncharlie\n\n"),
+            (2, "one two\nthree\n\nfour"),  # single \n is NOT a split
+            (3, "\n\n\n\n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["para_idx"]): (r["p_text"], r["n_ptok"])
+        for r in paragraph_table_structural(docs).collect()
+    }
+    assert got == {
+        (1, 1): ("alpha bravo", 2),
+        (1, 2): ("charlie", 1),
+        (2, 0): ("one two three", 3),
+        (2, 1): ("four", 1),
+    }
+
+
+def test_q257_artifact_stats_equal_recompute(spark, tmp_path):
+    """The durable round-trip: q257 (stats FROM the ledger artifact)
+    equals q245 (stats recomputed from documents) row-exactly, and
+    the oracle diff-check holds — what ingest persisted is what a
+    fresh session serves."""
+    _docs_parquet(tmp_path, [
+        (1, f"{_R10_BOILER} {_R10_PROSE}", "web"),
+        (2, f"{_R10_PROSE} {_R10_BOILER}", "web"),
+        (3, _R10_BOILER, "books"),
+    ])
+    rows257, _ = _diff_check(
+        spark, str(tmp_path), "q257_artifact_paragraph_stats",
+        ["documents"],
+    )
+    rows245 = QUERIES["q245_paragraph_dedup"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sorted(map(tuple, rows257)) == sorted(map(tuple, rows245))
+
+
+def test_r10_gates_all_null_corpus(spark, tmp_path):
+    """Degenerate corpus (every text NULL): the artifact-backed and
+    splitter gates return zero rows, and the reallocation gate
+    returns all-zero allocations — on both engines."""
+    _docs_parquet(tmp_path, [(1, None, "a"), (2, None, "b")])
+    for name in (
+        "q254_incremental_paragraph_near_dup",
+        "q256_structural_paragraph_dedup",
+        "q257_artifact_paragraph_stats",
+    ):
+        rows, _ = _diff_check(spark, str(tmp_path), name, ["documents"])
+        assert rows == []
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q255_shortfall_reallocation",
+        ["documents"],
+    )
+    c = {n: i for i, n in enumerate(cols)}
+    assert len(rows) == 2
+    for r in rows:
+        assert r[c["final_alloc"]] == 0 and r[c["realloc_extra"]] == 0

@@ -1085,3 +1085,77 @@ def test_q253_screen_broadcasts_bench_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(source" in plan
+
+
+def test_q254_corpus_side_reads_artifact_not_documents(spark):
+    """VERDICT r9 #4's pin: the incremental near-dup gate's corpus
+    side reads the DURABLE posting artifact — every documents FileScan
+    in the plan carries the pushed batch filter (``doc_id % 10 = 0``),
+    so the corpus is never re-derived from the documents table, and
+    the corpus side's input files all resolve under the artifact
+    root."""
+    df = QUERIES["q254_incremental_paragraph_near_dup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    doc_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and ",text#" in line
+    ]
+    assert doc_scans, "expected the batch to be read from documents"
+    assert all("% 10" in line for line in doc_scans), doc_scans
+    files = df.inputFiles()
+    art = [f for f in files if "spark_graft_artifacts" in f]
+    other = [
+        f
+        for f in files
+        if "spark_graft_artifacts" not in f
+        and "documents.parquet" not in f
+    ]
+    assert art, "corpus side must read the ledger artifact"
+    assert not other, other
+    # posting equi-join with map-side pair combine, never a product
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_q255_windows_are_sources_sized_only(spark):
+    """The reallocation gate's windows (waterfill rank/cumsum) run
+    over |sources|-row relations; its cross joins are 1-row broadcast
+    builds (the q240/q248 audited shape — BroadcastNestedLoopJoin
+    with a single-row build side, never a real CartesianProduct)."""
+    df = QUERIES["q255_shortfall_reallocation"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the waterfill rank/cumsum window exists and is the only window
+    # class in the gate — all of them over the sources relation
+    assert "windowspecdefinition" in plan
+
+
+def test_q256_structural_split_is_shuffle_free_expansion(spark):
+    """The structural splitter is a codegen'd regexp split +
+    posexplode per document (same shuffle-free expansion as the
+    window splitter); keeper selection stays a partial-agg GROUP BY,
+    never a window over occurrences."""
+    df = QUERIES["q256_structural_paragraph_dedup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q257_reads_only_the_artifact(spark):
+    """The durable round-trip gate's ENTIRE input is ledger parquet —
+    zero documents scans (the oracle recomputes from documents; the
+    Spark side must not)."""
+    df = QUERIES["q257_artifact_paragraph_stats"](spark, SF_DIR)
+    plan = executed_plan(df)
+    doc_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and ",text#" in line
+    ]
+    assert not doc_scans, doc_scans
+    files = df.inputFiles()
+    assert files and all("spark_graft_artifacts" in f for f in files)
+    assert "partial_min" in plan and "partial_count" in plan
