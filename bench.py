@@ -161,6 +161,7 @@ HEADLINE = [
     "q255_shortfall_reallocation",
     "q256_structural_paragraph_dedup",
     "q257_artifact_paragraph_stats",
+    "q258_incremental_paragraph_dedup",
 ]
 
 

@@ -28,6 +28,12 @@ batch merges:
   affected shingle rows.  Rows that reach df_s <= 0 stay as zero
   tombstones (readers filter ``df_s > 0``); deleting them would force
   a driver-side key collect — compaction can drop them offline.
+- ``paragraph_dedup_state`` (fpr, keeper, n_copies), key=fpr — the
+  per-fingerprint keeper state (min fixed-width pkey + copy count):
+  the streaming fold's MIN/SUM-mergeable occurrence state made
+  durable, and the corpus-side half of incremental exact dedup (q258)
+  — an arriving batch classifies against it without reading any
+  corpus text.
 - ``doc_shingles``          (doc_id, shingles), key=doc_id — the
   document-grain posting index (q32/q224/q253's artifact).
 - ``doc_shingle_df``        (s, df_s), key=s — its DF statistic.
@@ -71,12 +77,13 @@ from .ledger import (
 #: bump when any artifact table's schema or semantics change — roots
 #: are keyed by (corpus signature, format), so an old on-disk artifact
 #: can never be read by code expecting the new shape
-ARTIFACT_FORMAT = 2
+ARTIFACT_FORMAT = 3
 
 #: ledger-table subdirectories under an artifact root
 PARAGRAPHS = "paragraphs"
 PARAGRAPH_SHINGLES = "paragraph_shingles"
 PARAGRAPH_SHINGLE_DF = "paragraph_shingle_df"
+PARAGRAPH_DEDUP_STATE = "paragraph_dedup_state"
 DOC_SHINGLES = "doc_shingles"
 DOC_SHINGLE_DF = "doc_shingle_df"
 IVF_CENTROIDS = "ivf_centroids"
@@ -136,6 +143,25 @@ def _doc_shingle_rows(docs: DataFrame) -> DataFrame:
 
     return dedup.with_shingles(docs, "text", "doc_id", k=3).select(
         "doc_id", "shingles"
+    )
+
+
+def _dedup_state_rows(para: DataFrame) -> DataFrame:
+    """Per-fingerprint keeper state ``(fpr, keeper, n_copies)`` over a
+    paragraph relation — EXACTLY the MIN/SUM-mergeable state the
+    streaming fold maintains (``streaming.ingest.
+    stream_fold_paragraph_dedup``), now durable: the corpus-side half
+    of incremental exact dedup (q258) without ever re-reading
+    paragraph text."""
+    from ..pipeline_queries14 import paragraph_occurrences
+
+    return (
+        paragraph_occurrences(para)
+        .groupBy("fpr")
+        .agg(
+            F.min("pkey").alias("keeper"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
     )
 
 
@@ -213,6 +239,12 @@ def build_document_artifacts(
         DOC_SHINGLE_DF: ledger_write(
             spark, _sub(root, DOC_SHINGLE_DF), _df_counts(dsh), key="s"
         ),
+        PARAGRAPH_DEDUP_STATE: ledger_write(
+            spark,
+            _sub(root, PARAGRAPH_DEDUP_STATE),
+            _dedup_state_rows(para),
+            key="fpr",
+        ),
     }
     return versions
 
@@ -273,6 +305,10 @@ def read_paragraph_hot_shingles(
     return read_paragraph_shingle_df(spark, root).filter(
         F.col("df_s") > cap
     ).select("s")
+
+
+def read_paragraph_dedup_state(spark: SparkSession, root: str) -> DataFrame:
+    return ledger_read(spark, _sub(root, PARAGRAPH_DEDUP_STATE))
 
 
 def read_doc_shingles(spark: SparkSession, root: str) -> DataFrame:
@@ -340,6 +376,14 @@ def refresh_documents(
       tombstones; readers filter them.
     - ``doc_shingles``: keyed upsert (one row per doc, no shrinkage
       problem).
+    - ``paragraph_dedup_state``: for an APPEND-ONLY batch (no old rows
+      — the continuously-ingesting norm, and exactly the streaming
+      fold's contract) the per-fpr (min keeper, copy count) merges in
+      O(batch): MIN and SUM are both mergeable.  A REPLACEMENT batch
+      can delete a fingerprint's current keeper, and MIN is not
+      subtractable — so that path rebuilds the state from the (just
+      refreshed) paragraphs artifact: one index pass, still zero
+      corpus scans.
 
     Returns {table: committed version}."""
     from .ledger import ledger_delete
@@ -355,6 +399,10 @@ def refresh_documents(
 
     # old contributions of the replaced documents (manifest-pruned read:
     # only files whose doc_id range overlaps the batch are opened)
+    para_old = ledger_read(
+        spark, _sub(root, PARAGRAPHS), prune={"doc_id": (lo, hi)}
+    ).filter(F.col("doc_id").isin(ids))
+    is_append_only = para_old.limit(1).count() == 0
     psh_old = ledger_read(
         spark, _sub(root, PARAGRAPH_SHINGLES), prune={"doc_id": (lo, hi)}
     ).filter(F.col("doc_id").isin(ids))
@@ -412,6 +460,36 @@ def refresh_documents(
     versions[DOC_SHINGLE_DF] = _merge_df_counts(
         spark, _sub(root, DOC_SHINGLE_DF), ddf_delta
     )
+    state_root = _sub(root, PARAGRAPH_DEDUP_STATE)
+    if is_append_only:
+        new_partial = _dedup_state_rows(para_new)
+        cur = ledger_read(spark, state_root)
+        merged = (
+            new_partial.withColumnRenamed("keeper", "_k")
+            .withColumnRenamed("n_copies", "_n")
+            .join(cur, "fpr", "left")
+            .select(
+                "fpr",
+                F.least(
+                    F.col("_k"), F.coalesce("keeper", F.col("_k"))
+                ).alias("keeper"),
+                (F.col("_n") + F.coalesce("n_copies", F.lit(0)))
+                .cast("long")
+                .alias("n_copies"),
+            )
+        )
+        versions[PARAGRAPH_DEDUP_STATE] = ledger_merge_upsert(
+            spark, state_root, merged, key="fpr"
+        )
+    else:
+        # replacement: MIN is not subtractable — rebuild from the
+        # refreshed paragraphs artifact (one index pass, no corpus)
+        versions[PARAGRAPH_DEDUP_STATE] = ledger_write(
+            spark,
+            state_root,
+            _dedup_state_rows(read_paragraphs(spark, root)),
+            key="fpr",
+        )
     return versions
 
 

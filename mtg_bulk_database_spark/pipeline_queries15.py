@@ -1,5 +1,5 @@
 """Registry entries, round 10: the durable-artifact serving path and
-the two composition gaps VERDICT r9 named.  Four gates:
+the two composition gaps VERDICT r9 named.  Five gates:
 
 - q254: incremental paragraph near-dup — a NEW document batch joined
   against the PREBUILT corpus posting index (task #2's durable
@@ -27,6 +27,11 @@ the two composition gaps VERDICT r9 named.  Four gates:
   (``ingest.artifacts``) while the oracle recomputes from the raw
   documents table: external hash-proof that what ingest persisted is
   what a fresh session serves.
+- q258: incremental EXACT paragraph dedup — the arriving batch
+  classified against the durable per-fingerprint keeper state (the
+  streaming fold's MIN/SUM-mergeable state made durable): per batch
+  document, how much arriving text is corpus-duplicate,
+  batch-internal duplicate, and novel.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ from .ingest.artifacts import (
     _paragraph_shingle_rows,
     artifacts_exist,
     build_document_artifacts,
+    read_paragraph_dedup_state,
     read_paragraph_hot_shingles,
     read_paragraph_shingles,
     read_paragraphs,
@@ -59,6 +65,7 @@ from .pipeline_queries14 import (
     decon_allocc_frames,
     paragraph_dedup_stats,
     paragraph_occurrences,
+    paragraph_table,
 )
 from .registry import query
 
@@ -610,3 +617,109 @@ def q257(spark, sf_dir):
         "doc_id", "para_idx", "p_text", "n_ptok"
     )
     return paragraph_dedup_stats(paragraph_occurrences(para))
+
+
+# ---------------------------------------------------------------------------
+# q258 — incremental EXACT paragraph dedup: an arriving batch
+# classified against the durable per-fingerprint keeper state.
+# ---------------------------------------------------------------------------
+def _q258_oracle() -> str:
+    return f"""WITH {_para_cte()},
+    fp AS (
+      SELECT doc_id, n_ptok, md5(p_text) AS fpr,
+             {_SQL_PKEY} AS pkey
+      FROM para),
+    corpusf AS (SELECT DISTINCT fpr FROM fp WHERE doc_id % 10 <> 0),
+    b AS (
+      SELECT doc_id, n_ptok, fpr, pkey,
+             CASE WHEN fpr IN (SELECT fpr FROM corpusf)
+                  THEN 1 ELSE 0 END AS dup_corpus
+      FROM fp WHERE doc_id % 10 = 0),
+    g AS (SELECT fpr, min(pkey) AS keeper FROM b
+          WHERE dup_corpus = 0 GROUP BY fpr),
+    m AS (
+      SELECT b.doc_id, b.n_ptok, b.dup_corpus,
+             CASE WHEN b.dup_corpus = 0 AND b.pkey <> g.keeper
+                  THEN 1 ELSE 0 END AS dup_batch
+      FROM b LEFT JOIN g ON b.fpr = g.fpr)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(dup_corpus) AS BIGINT) AS n_dup_corpus,
+           CAST(sum(dup_batch) AS BIGINT) AS n_dup_batch,
+           CAST(sum(CASE WHEN dup_corpus = 0 AND dup_batch = 0
+                         THEN n_ptok ELSE 0 END) AS BIGINT) AS tok_kept,
+           CAST(sum(CASE WHEN dup_corpus = 1 OR dup_batch = 1
+                         THEN n_ptok ELSE 0 END) AS BIGINT)
+             AS tok_dropped,
+           CAST(((count(*) - sum(dup_corpus) - sum(dup_batch))
+                 * 1000000) // count(*) AS BIGINT) AS novel_micro
+    FROM m GROUP BY doc_id"""
+
+
+@query("q258_incremental_paragraph_dedup", _q258_oracle())
+def q258(spark, sf_dir):
+    """q245's exact dedup as the INCREMENT operation: each arriving
+    paragraph classifies against the corpus's durable per-fingerprint
+    keeper state (``ingest.artifacts.PARAGRAPH_DEDUP_STATE`` — the
+    streaming fold's MIN/SUM-mergeable occurrence state made durable)
+    and, for fingerprints the corpus has never seen, against the
+    batch's own first-occurrence-wins rule.  Per batch document the
+    gate reports how much arriving text is corpus-duplicate,
+    batch-internal duplicate, and novel — the keep/drop decision a
+    continuously-ingesting pipeline makes per micro-batch.
+
+    Scale shape: the batch side tokenizes/fingerprints only itself;
+    the corpus side is ONE fingerprint-keyed equi-join against the
+    state table — distinct-fingerprint-sized, no paragraph text, no
+    posting lists, and maintained in O(batch) on append (see
+    ``refresh_documents``).  The batch-internal keeper is the q245
+    partial-agg GROUP BY at batch scale.  All stats BIGINT; the
+    novel ratio is the house integer-micro division."""
+    root = documents_artifact_root(spark, sf_dir, subset="corpus90")
+    state = read_paragraph_dedup_state(spark, root).select("fpr")
+
+    batch_docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    occ = paragraph_occurrences(paragraph_table(batch_docs))
+    b = occ.join(
+        state.withColumn("_in_c", F.lit(1)), "fpr", "left"
+    ).select(
+        "doc_id",
+        "n_ptok",
+        "fpr",
+        "pkey",
+        F.coalesce("_in_c", F.lit(0)).alias("dup_corpus"),
+    )
+    g = (
+        b.filter(F.col("dup_corpus") == 0)
+        .groupBy("fpr")
+        .agg(F.min("pkey").alias("keeper"))
+    )
+    m = b.join(g, "fpr", "left").select(
+        "doc_id",
+        "n_ptok",
+        "dup_corpus",
+        F.when(
+            (F.col("dup_corpus") == 0) & (F.col("pkey") != F.col("keeper")),
+            1,
+        )
+        .otherwise(0)
+        .alias("dup_batch"),
+    )
+    kept = (F.col("dup_corpus") == 0) & (F.col("dup_batch") == 0)
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("dup_corpus").cast("long").alias("n_dup_corpus"),
+        F.sum("dup_batch").cast("long").alias("n_dup_batch"),
+        F.sum(F.when(kept, F.col("n_ptok")).otherwise(0))
+        .cast("long")
+        .alias("tok_kept"),
+        F.sum(F.when(~kept, F.col("n_ptok")).otherwise(0))
+        .cast("long")
+        .alias("tok_dropped"),
+        F.expr(
+            "((count(*) - sum(dup_corpus) - sum(dup_batch)) * 1000000)"
+            " DIV count(*)"
+        ).alias("novel_micro"),
+    )

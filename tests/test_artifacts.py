@@ -85,6 +85,18 @@ def _rows(df, cols):
     return sorted(out)
 
 
+_READERS = [
+    (A.read_paragraphs, ["pkey", "doc_id", "para_idx", "p_text",
+                         "n_ptok"]),
+    (A.read_paragraph_shingles, ["pkey", "doc_id", "para_idx",
+                                 "shingles", "n_shingles"]),
+    (A.read_paragraph_shingle_df, ["s", "df_s"]),
+    (A.read_doc_shingles, ["doc_id", "shingles"]),
+    (A.read_doc_shingle_df, ["s", "df_s"]),
+    (A.read_paragraph_dedup_state, ["fpr", "keeper", "n_copies"]),
+]
+
+
 def test_build_and_read_zero_corpus_scan(spark, tmp_path):
     root = str(tmp_path / "art")
     docs = _corpus_v1(spark)
@@ -140,15 +152,7 @@ def test_incremental_refresh_equals_rebuild(spark, tmp_path):
     A.refresh_documents(spark, inc_root, _delta(spark))
     A.build_document_artifacts(spark, _corpus_v2(spark), full_root)
 
-    for reader, cols in [
-        (A.read_paragraphs, ["pkey", "doc_id", "para_idx", "p_text",
-                             "n_ptok"]),
-        (A.read_paragraph_shingles, ["pkey", "doc_id", "para_idx",
-                                     "shingles"]),
-        (A.read_paragraph_shingle_df, ["s", "df_s"]),
-        (A.read_doc_shingles, ["doc_id", "shingles"]),
-        (A.read_doc_shingle_df, ["s", "df_s"]),
-    ]:
+    for reader, cols in _READERS:
         inc = _rows(reader(spark, inc_root), cols)
         full = _rows(reader(spark, full_root), cols)
         assert inc == full, f"{reader.__name__} diverged from rebuild"
@@ -182,6 +186,35 @@ def test_refresh_is_idempotent(spark, tmp_path):
                  ["s", "df_s"]) == before["pdf"]
     assert _rows(A.read_doc_shingle_df(spark, root),
                  ["s", "df_s"]) == before["ddf"]
+
+
+def test_append_only_refresh_equals_rebuild(spark, tmp_path):
+    """The streaming-norm path: a batch of ONLY-NEW doc_ids takes the
+    O(batch) MIN/SUM merge for the dedup state (no rebuild), and every
+    reader still equals a from-scratch rebuild — including a keeper
+    straggler (the appended doc 0 claims the boilerplate fingerprint's
+    keeper from doc 1 via the MIN merge)."""
+    inc_root = str(tmp_path / "inc")
+    full_root = str(tmp_path / "full")
+    A.build_document_artifacts(spark, _corpus_v1(spark), inc_root)
+    append = _docs(
+        spark,
+        [
+            (0, _BOILER, "web"),   # pkey sorts BEFORE doc 1's copy
+            (9, f"{_BOILER} {_BOILER}", "web"),
+        ],
+    )
+    A.refresh_documents(spark, inc_root, append)
+    all_docs = _corpus_v1(spark).unionByName(append)
+    A.build_document_artifacts(spark, all_docs, full_root)
+    for reader, cols in _READERS:
+        inc = _rows(reader(spark, inc_root), cols)
+        full = _rows(reader(spark, full_root), cols)
+        assert inc == full, f"{reader.__name__} diverged on append"
+    # the straggler really re-based: doc 0 owns the boilerplate keeper
+    state = A.read_paragraph_dedup_state(spark, inc_root)
+    keepers = {r["keeper"] for r in state.collect()}
+    assert any(k.startswith("0" * 19 + ":") for k in keepers)
 
 
 def test_ivf_artifacts_refresh_equals_rebuild(spark, tmp_path):

@@ -1638,3 +1638,45 @@ def test_r10_gates_all_null_corpus(spark, tmp_path):
     assert len(rows) == 2
     for r in rows:
         assert r[c["final_alloc"]] == 0 and r[c["realloc_extra"]] == 0
+
+
+def test_q258_classifies_corpus_batch_and_novel(spark, tmp_path):
+    """Planted increment: batch doc 10 re-sends the corpus boilerplate
+    (corpus-dup), docs 20/30 share a fresh paragraph between them
+    (batch-dup: the min-pkey copy survives) and doc 30 also carries
+    novel prose.  Checks the three-way classification and the
+    integer-micro novelty ratio."""
+    fresh = ("zulu yankee xray whiskey victor uniform "
+             "tango sierra romeo quebec papa oscar")
+    _docs_parquet(tmp_path, [
+        (1, _R10_BOILER, "web"),             # corpus owns boilerplate
+        (2, _R10_PROSE, "web"),
+        (10, _R10_BOILER, "web"),            # arrives again -> corpus-dup
+        (20, fresh, "web"),                  # first batch copy -> kept
+        (30, f"{fresh} {_R10_PROSE}", "web"),  # batch-dup + corpus-dup
+    ])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q258_incremental_paragraph_dedup",
+        ["documents"],
+    )
+    c = {n: i for i, n in enumerate(cols)}
+    by_doc = {r[c["doc_id"]]: r for r in rows}
+    assert set(by_doc) == {10, 20, 30}
+    assert by_doc[10][c["n_dup_corpus"]] == 1
+    assert by_doc[10][c["novel_micro"]] == 0
+    assert by_doc[20][c["n_dup_batch"]] == 0
+    assert by_doc[20][c["novel_micro"]] == 1_000_000
+    # doc 30: paragraph 'fresh' loses the batch keeper to doc 20,
+    # paragraph PROSE duplicates corpus doc 2
+    assert by_doc[30][c["n_dup_batch"]] == 1
+    assert by_doc[30][c["n_dup_corpus"]] == 1
+    assert by_doc[30][c["tok_kept"]] == 0
+
+
+def test_q258_all_null_corpus(spark, tmp_path):
+    _docs_parquet(tmp_path, [(1, None, "a"), (10, None, "b")])
+    rows, _ = _diff_check(
+        spark, str(tmp_path), "q258_incremental_paragraph_dedup",
+        ["documents"],
+    )
+    assert rows == []

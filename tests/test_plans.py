@@ -1159,3 +1159,24 @@ def test_q257_reads_only_the_artifact(spark):
     files = df.inputFiles()
     assert files and all("spark_graft_artifacts" in f for f in files)
     assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_q258_corpus_side_is_the_state_table_no_text(spark):
+    """Incremental exact dedup reads NO corpus paragraph text: the
+    corpus side is the fingerprint-keyed state table (ledger files
+    only), the batch side's documents scans carry the pushed batch
+    filter, and the batch-internal keeper stays a partial-agg GROUP
+    BY, never a window."""
+    df = QUERIES["q258_incremental_paragraph_dedup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    doc_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and ",text#" in line
+    ]
+    assert doc_scans and all("% 10" in line for line in doc_scans)
+    files = df.inputFiles()
+    art = [f for f in files if "spark_graft_artifacts" in f]
+    assert art and all("paragraph_dedup_state" in f for f in art), art
+    assert "Window" not in plan
+    assert "partial_min" in plan
