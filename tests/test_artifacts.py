@@ -288,3 +288,35 @@ def test_fresh_session_reads_without_corpus(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert f"FRESH_OK {n_para} {n_df}" in out.stdout
+
+
+def test_compacted_paragraphs_prune_to_one_file(spark, tmp_path):
+    """Artifact maintenance at scale: after many micro-batch refreshes
+    the paragraph table fragments; ``ledger_compact`` (zorder by
+    doc_id) re-clusters it so a single-document read plans a scan of
+    ONE data file via manifest min/max pruning — the 10k-file-listing
+    vs 1-file-scan move the ledger docstring promises, exercised on
+    the artifact the sub-document family actually serves."""
+    from mtg_bulk_database_spark.ingest.ledger import ledger_compact
+
+    root = str(tmp_path / "art")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    # fragment: three append batches -> >= 4 manifest versions
+    for i, txt in [(20, _PROSE), (21, _PROSE2), (22, _BOILER)]:
+        A.refresh_documents(spark, root, _docs(spark, [(i, txt, "web")]))
+    para_root = str(tmp_path / "art" / A.PARAGRAPHS)
+    frag = A.read_paragraphs(spark, root)
+    assert len(frag.inputFiles()) > 4
+    before = _rows(frag, ["pkey", "p_text"])
+    ledger_compact(
+        spark, para_root, target_files=4, zorder=["doc_id"]
+    )
+    from mtg_bulk_database_spark.ingest.ledger import ledger_read
+
+    pruned = ledger_read(spark, para_root, prune={"doc_id": (21, 21)})
+    assert len(pruned.inputFiles()) == 1
+    assert [r["doc_id"] for r in pruned.select("doc_id").distinct()
+            .collect()] == [21]
+    # compaction is a pure rewrite: reader contents identical
+    assert _rows(A.read_paragraphs(spark, root),
+                 ["pkey", "p_text"]) == before
