@@ -39,7 +39,9 @@ QUERIES, _ = load_registry()
 # stats + LM: q110/q225/q226 remain), q139/q160 (window-scan:
 # q60/q122/q133 remain), q155 (funnels: q141/q207 remain), q208/q212
 # (stats: q209/q210 remain), q217/q221 (IVF probes: q75/q241/q244
-# remain), q219 (retrieval: q222 remains).
+# remain), q219 (retrieval: q222 remains); late-r10: q250 (paragraph
+# rewrite: q259's near-dup rewrite exercises the same reassembly
+# aggregate, q245/q256/q257 keep the keeper-stats path).
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -151,7 +153,6 @@ HEADLINE = [
     "q247_top_repeated_paragraphs",
     "q248_mix_manifest",
     "q249_fertility_capped_allocation",
-    "q250_paragraph_rewrite",
     "q251_paragraph_near_dup_lsh",
     "q252_budget_to_threshold",
     "q253_decontaminated_manifest",
@@ -162,6 +163,7 @@ HEADLINE = [
     "q256_structural_paragraph_dedup",
     "q257_artifact_paragraph_stats",
     "q258_incremental_paragraph_dedup",
+    "q259_paragraph_near_dup_rewrite",
 ]
 
 

@@ -358,8 +358,11 @@ def paragraph_dedup_stats(fp: DataFrame) -> DataFrame:
 # q246 — cross-document paragraph NEAR-dup pairs (capped posting join
 # at paragraph granularity).
 # ---------------------------------------------------------------------------
-def _q246_oracle() -> str:
-    return f"""WITH {_para_cte()},
+def q246_pairs_chain() -> str:
+    """CTE chain ``para -> ... -> jpairs`` — q246's capped posting-join
+    near-dup pairs as a reusable fragment (q259's rewrite chains the
+    transitive closure on top of it)."""
+    return f"""{_para_cte()},
     sh AS (
       SELECT doc_id, para_idx,
              list_distinct(list_transform(range(1, len(pt) - 1),
@@ -384,11 +387,19 @@ def _q246_oracle() -> str:
       JOIN (SELECT doc_id, para_idx, len(shingles) AS n FROM sh) sa
         ON sa.doc_id = p.doc_a AND sa.para_idx = p.para_a
       JOIN (SELECT doc_id, para_idx, len(shingles) AS n FROM sh) sb
-        ON sb.doc_id = p.doc_b AND sb.para_idx = p.para_b)
-    SELECT doc_a, para_a, doc_b, para_b,
-           common::DOUBLE / (n_a + n_b - common) AS jaccard
-    FROM sized
-    WHERE common::DOUBLE / (n_a + n_b - common) >= {_PARA_TAU}"""
+        ON sb.doc_id = p.doc_b AND sb.para_idx = p.para_b),
+    jpairs AS (
+      SELECT doc_a, para_a, doc_b, para_b,
+             common::DOUBLE / (n_a + n_b - common) AS jaccard
+      FROM sized
+      WHERE common::DOUBLE / (n_a + n_b - common) >= {_PARA_TAU})"""
+
+
+def _q246_oracle() -> str:
+    return (
+        f"WITH {q246_pairs_chain()} "
+        "SELECT doc_a, para_a, doc_b, para_b, jaccard FROM jpairs"
+    )
 
 
 @query("q246_paragraph_near_dup", _q246_oracle())
@@ -932,9 +943,9 @@ def _q251_oracle() -> str:
       JOIN sh sa ON sa.pid = id_a
       JOIN sh sb ON sb.pid = id_b)
     SELECT CAST(substr(id_a, 1, 19) AS BIGINT) AS doc_a,
-           CAST(substr(id_a, 21, 9) AS BIGINT) AS para_a,
+           CAST(substr(id_a, 21, 19) AS BIGINT) AS para_a,
            CAST(substr(id_b, 1, 19) AS BIGINT) AS doc_b,
-           CAST(substr(id_b, 21, 9) AS BIGINT) AS para_b,
+           CAST(substr(id_b, 21, 19) AS BIGINT) AS para_b,
            jaccard
     FROM ver
     WHERE jaccard >= {_PARA_TAU}
@@ -982,11 +993,16 @@ def q251(spark, sf_dir):
         seed=_Q251_SEED,
         shingles_df=sh,
     )
+    # unpack widths MUST track _SQL_PKEY's field widths (19+1+19): the
+    # r10 para_idx widening with a stale 9-wide unpack collapsed every
+    # para index to its leading zeros — consistently on BOTH engines,
+    # so only the local subset-of-exact invariant caught it
+    # (test_q251_lsh_subset_of_exact_and_complete_on_verbatim)
     return pairs.select(
         F.substring("id_a", 1, 19).cast("long").alias("doc_a"),
-        F.substring("id_a", 21, 9).cast("long").alias("para_a"),
+        F.substring("id_a", 21, 19).cast("long").alias("para_a"),
         F.substring("id_b", 1, 19).cast("long").alias("doc_b"),
-        F.substring("id_b", 21, 9).cast("long").alias("para_b"),
+        F.substring("id_b", 21, 19).cast("long").alias("para_b"),
         "jaccard",
     ).filter(F.col("doc_a") != F.col("doc_b"))
 

@@ -1,5 +1,5 @@
 """Registry entries, round 10: the durable-artifact serving path and
-the two composition gaps VERDICT r9 named.  Five gates:
+the two composition gaps VERDICT r9 named.  Six gates:
 
 - q254: incremental paragraph near-dup — a NEW document batch joined
   against the PREBUILT corpus posting index (task #2's durable
@@ -32,6 +32,10 @@ the two composition gaps VERDICT r9 named.  Five gates:
   streaming fold's MIN/SUM-mergeable state made durable): per batch
   document, how much arriving text is corpus-duplicate,
   batch-internal duplicate, and novel.
+- q259: near-dup paragraph REWRITE — q246's pairs closed transitively
+  (q61's connected-components operator; the oracle runs the same
+  closure as a recursive CTE), one keeper per cluster, per-document
+  surviving text: the corpus a boilerplate-stripping pass emits.
 """
 
 from __future__ import annotations
@@ -722,4 +726,150 @@ def q258(spark, sf_dir):
             "((count(*) - sum(dup_corpus) - sum(dup_batch)) * 1000000)"
             " DIV count(*)"
         ).alias("novel_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — near-dup paragraph REWRITE: q246's pairs closed transitively,
+# one keeper per cluster, surviving text per document.
+# ---------------------------------------------------------------------------
+def _sql_pkey_of(doc: str, para: str) -> str:
+    return (
+        f"lpad(CAST({doc} AS VARCHAR), 19, '0') || ':' || "
+        f"lpad(CAST({para} AS VARCHAR), 19, '0')"
+    )
+
+
+def _q259_oracle() -> str:
+    from .pipeline_queries14 import q246_pairs_chain
+
+    return f"""WITH RECURSIVE {q246_pairs_chain()},
+    edges AS (
+      SELECT {_sql_pkey_of('doc_a', 'para_a')} AS src,
+             {_sql_pkey_of('doc_b', 'para_b')} AS dst
+      FROM jpairs
+      UNION
+      SELECT {_sql_pkey_of('doc_b', 'para_b')},
+             {_sql_pkey_of('doc_a', 'para_a')}
+      FROM jpairs),
+    reach AS (
+      SELECT src AS node, dst AS r FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e
+        ON reach.r = e.src),
+    comp AS (
+      SELECT node, least(node, min(r)) AS component
+      FROM reach GROUP BY node),
+    dropped_keys AS (SELECT node FROM comp WHERE node <> component),
+    marked AS (
+      SELECT doc_id, para_idx, p_text,
+             CASE WHEN {_SQL_PKEY} IN (SELECT node FROM dropped_keys)
+                  THEN 1 ELSE 0 END AS dropped
+      FROM para)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN dropped = 0 THEN p_text END,
+                               ' ' ORDER BY para_idx), '') AS kept_text
+    FROM marked GROUP BY doc_id"""
+
+
+@query("q259_paragraph_near_dup_rewrite", _q259_oracle())
+def q259(spark, sf_dir):
+    """The near-dup analog of q250's rewrite: q246's paragraph pair
+    relation is closed transitively (a cluster of mutually-similar
+    boilerplate variants is ONE duplicate group even when distant
+    members fall below τ pairwise), the minimum ``(doc_id, para_idx)``
+    member of each cluster survives, and every document's kept text is
+    reassembled in original order — the corpus a boilerplate-stripping
+    pass actually emits.  Exact copies are near-dup pairs at J=1.0, so
+    this subsumes q250 on shingled paragraphs; sub-3-token paragraphs
+    carry no shingles, never pair, and always survive (q250's exact
+    pass owns those — both facts deterministic on both engines).
+
+    Composition: ``paragraph_near_dup_pairs`` (q246, off the persisted
+    posting index) → ``connected_components`` (q61's operator — the
+    oracle runs the same closure as a recursive CTE) → q250's
+    reassembly aggregate.  The clustering runs over PAIR ENDPOINTS —
+    output-sized, bounded by the capped posting join, orders of
+    magnitude below corpus scale — so the dense-id window
+    (``row_number`` over the distinct endpoint keys, monotone in pkey,
+    so min dense id ≡ min pkey and the keeper is engine-identical) is
+    a small-relation pass, and the component solve uses the q61
+    auto-mode machinery (local union-find under the threshold,
+    min-label propagation above).  The corpus-scale work is exactly
+    q246's capped posting join plus one per-doc reassembly groupBy."""
+    from .operators.graph import connected_components
+    from .pipeline_queries14 import (
+        _pkey_col,
+        keeper_marked,  # noqa: F401  (doc cross-ref: q250's exact twin)
+        paragraph_hot_shingles_prebuilt,
+        paragraph_near_dup_pairs,
+        paragraph_prebuilt_table,
+        paragraph_shingles_prebuilt,
+    )
+
+    pairs = paragraph_near_dup_pairs(
+        paragraph_shingles_prebuilt(spark, sf_dir),
+        hot_df=paragraph_hot_shingles_prebuilt(spark, sf_dir),
+    )
+
+    def pk(doc: str, para: str):
+        return F.concat(
+            F.lpad(F.col(doc).cast("string"), 19, "0"),
+            F.lit(":"),
+            F.lpad(F.col(para).cast("string"), 19, "0"),
+        )
+
+    ed = pairs.select(
+        pk("doc_a", "para_a").alias("pk_a"),
+        pk("doc_b", "para_b").alias("pk_b"),
+    ).localCheckpoint(eager=False)  # endpoints + two nid joins reuse it
+    nodes = (
+        ed.select(F.col("pk_a").alias("pk"))
+        .unionByName(ed.select(F.col("pk_b").alias("pk")))
+        .distinct()
+        .withColumn(
+            "nid",
+            F.row_number().over(Window.orderBy("pk")).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e2 = ed.join(
+        nodes.select(F.col("pk").alias("pk_a"), F.col("nid").alias("id_a")),
+        "pk_a",
+    ).join(
+        nodes.select(F.col("pk").alias("pk_b"), F.col("nid").alias("id_b")),
+        "pk_b",
+    )
+    comp = connected_components(e2.select("id_a", "id_b"))
+    dropped = (
+        comp.filter(F.col("node") != F.col("component"))
+        .join(nodes, comp["node"] == nodes["nid"])
+        .select(F.col("pk").alias("pkey"), F.lit(1).alias("_d"))
+    )
+    mark = (
+        paragraph_prebuilt_table(spark, sf_dir)
+        .select("doc_id", "para_idx", "p_text", _pkey_col().alias("pkey"))
+        .join(F.broadcast(dropped), "pkey", "left")
+        .select(
+            "doc_id",
+            "para_idx",
+            "p_text",
+            F.coalesce("_d", F.lit(0)).alias("dropped"),
+        )
+    )
+    kept_struct = F.when(
+        F.col("dropped") == 0, F.struct("para_idx", "p_text")
+    )
+    return mark.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        (F.count("*") - F.sum("dropped")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["p_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
     )

@@ -1680,3 +1680,44 @@ def test_q258_all_null_corpus(spark, tmp_path):
         ["documents"],
     )
     assert rows == []
+
+
+def test_q259_transitive_chain_one_keeper(spark, tmp_path):
+    """Planted transitive chain: p1~p2 and p2~p3 clear τ=0.5 (one-word
+    edits, J=7/13) but p1~p3 does NOT (two edits, J=4/16) — the
+    closure must still make ONE cluster, keep only doc 1's copy, and
+    rewrite docs 2/3 to empty text.  Doc 4 is untouched prose."""
+    base = ("w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12").split()
+    p1 = " ".join(base)
+    p2_t = list(base); p2_t[2] = "EDITA"; p2 = " ".join(p2_t)
+    p3_t = list(p2_t); p3_t[8] = "EDITB"; p3 = " ".join(p3_t)
+    _docs_parquet(tmp_path, [
+        (1, p1, "web"), (2, p2, "web"), (3, p3, "web"),
+        (4, _R10_PROSE, "web"),
+    ])
+    rows, cols = _diff_check(
+        spark, str(tmp_path), "q259_paragraph_near_dup_rewrite",
+        ["documents"],
+    )
+    c = {n: i for i, n in enumerate(cols)}
+    by_doc = {r[c["doc_id"]]: r for r in rows}
+    assert by_doc[1][c["kept_text"]] == p1
+    assert by_doc[2][c["kept_text"]] == "" and by_doc[2][c["n_kept"]] == 0
+    assert by_doc[3][c["kept_text"]] == "" and by_doc[3][c["n_kept"]] == 0
+    assert by_doc[4][c["n_kept"]] == 1
+    # sanity: the chain is genuinely transitive (p1-p3 below tau)
+    pair_rows, pcols = _diff_check(
+        spark, str(tmp_path), "q246_paragraph_near_dup", ["documents"],
+    )
+    pc = {n: i for i, n in enumerate(pcols)}
+    ends = {(r[pc["doc_a"]], r[pc["doc_b"]]) for r in pair_rows}
+    assert (1, 2) in ends and (2, 3) in ends and (1, 3) not in ends
+
+
+def test_q259_all_null_corpus(spark, tmp_path):
+    _docs_parquet(tmp_path, [(1, None, "a"), (2, None, "b")])
+    rows, _ = _diff_check(
+        spark, str(tmp_path), "q259_paragraph_near_dup_rewrite",
+        ["documents"],
+    )
+    assert rows == []

@@ -1180,3 +1180,15 @@ def test_q258_corpus_side_is_the_state_table_no_text(spark):
     assert art and all("paragraph_dedup_state" in f for f in art), art
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_q259_cluster_solve_is_pair_sized(spark):
+    """The rewrite's clustering runs over pair endpoints, never the
+    corpus: the drop-marker join back onto the paragraph table is a
+    BROADCAST (the marker side is output-sized), keeper accounting
+    partial-aggregates, and nothing degenerates to a product."""
+    df = QUERIES["q259_paragraph_near_dup_rewrite"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
