@@ -388,6 +388,11 @@ def refresh_documents(
     Returns {table: committed version}."""
     from .ledger import ledger_delete
 
+    if not artifacts_exist(root):
+        # first batch on an empty root: the full build IS the refresh
+        # (the streaming integration's bootstrap path)
+        return build_document_artifacts(spark, docs_delta, root)
+
     ids = [r["doc_id"] for r in docs_delta.select("doc_id").distinct().collect()]
     if not ids:
         return {}

@@ -1,0 +1,133 @@
+"""r10: the durable ingest artifacts maintained BY the stream —
+``stream_refresh_artifacts`` folds each document micro-batch into the
+ledger tables via ``refresh_documents`` (foreachBatch + ledger MERGE),
+and the result must equal a from-scratch batch build of the final
+corpus through every reader.
+
+Planted hard cases: a cross-batch boilerplate duplicate whose TRUE
+first occurrence arrives in a LATER batch (the keeper-state MIN merge
+must re-base), and a document UPDATED by a later batch (the
+replacement path: stale paragraph rows deleted, DF deltas signed,
+keeper state rebuilt from the paragraph artifact)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from mtg_bulk_database_spark.ingest import artifacts as A
+from mtg_bulk_database_spark.streaming.ingest import (
+    stream_refresh_artifacts,
+)
+
+_SCHEMA = "doc_id bigint, text string, source string"
+
+_BOILER = ("nav home about contact privacy terms "
+           "login logout search help faq cart")
+_PROSE = ("alpha bravo charlie delta echo foxtrot "
+          "golf hotel india juliet kilo lima")
+
+
+def _write_batch(path, rows):
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": pd.array([r[1] for r in rows], dtype="string"),
+            "source": pd.array([r[2] for r in rows], dtype="string"),
+        }
+    ).to_parquet(path, index=False)
+
+
+_BATCHES = [
+    # batch 0: doc 5 holds the boilerplate — locally first
+    [(5, f"{_BOILER} {_PROSE}", "web"), (6, _PROSE, "web")],
+    # batch 1: doc 1 arrives LATE with the true first occurrence
+    [(1, _BOILER, "web"), (7, f"{_PROSE} {_PROSE}", "books")],
+    # batch 2: doc 6 is UPDATED (replacement) and doc 9 is new
+    [(6, _BOILER, "web"), (9, f"{_BOILER} {_BOILER}", "books")],
+]
+
+_FINAL = [
+    (5, f"{_BOILER} {_PROSE}", "web"),
+    (6, _BOILER, "web"),          # the updated version
+    (1, _BOILER, "web"),
+    (7, f"{_PROSE} {_PROSE}", "books"),
+    (9, f"{_BOILER} {_BOILER}", "books"),
+]
+
+
+def _rows(df, cols):
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(tuple(
+            tuple(sorted(v)) if isinstance(v, list) else v
+            for v in (r[c] for c in cols)
+        ))
+    return sorted(out)
+
+
+def _run_stream(spark, tmp_path, name):
+    src = tmp_path / f"src_{name}"
+    src.mkdir()
+    for i, rows in enumerate(_BATCHES):
+        _write_batch(str(src / f"b{i}.parquet"), rows)
+    root = str(tmp_path / f"art_{name}")
+    stream_refresh_artifacts(
+        spark,
+        str(src),
+        root,
+        str(tmp_path / f"ckpt_{name}"),
+        schema=_SCHEMA,
+    )
+    return root
+
+
+def test_streamed_artifacts_equal_batch_build(spark, tmp_path):
+    root = _run_stream(spark, tmp_path, "a")
+    full_root = str(tmp_path / "full")
+    final = spark.createDataFrame(_FINAL, _SCHEMA)
+    A.build_document_artifacts(spark, final, full_root)
+    from tests.test_artifacts import _READERS
+
+    for reader, cols in _READERS:
+        got = _rows(reader(spark, root), cols)
+        want = _rows(reader(spark, full_root), cols)
+        assert got == want, f"{reader.__name__} diverged from batch build"
+    # the late-arriving doc 1 really owns the boilerplate keeper
+    state = A.read_paragraph_dedup_state(spark, root)
+    boiler_keepers = [
+        r["keeper"]
+        for r in state.filter(state["n_copies"] >= 3).collect()
+    ]
+    assert any(k.startswith("0" * 18 + "1:") for k in boiler_keepers)
+
+
+def test_replayed_batch_is_a_no_op(spark, tmp_path):
+    """foreachBatch is at-least-once: re-feeding an already-folded
+    batch must leave every reader's view unchanged (the replacement
+    path re-derives identical rows; signed DF deltas net to zero)."""
+    root = _run_stream(spark, tmp_path, "b")
+    from tests.test_artifacts import _READERS
+
+    before = [
+        _rows(reader(spark, root), cols) for reader, cols in _READERS
+    ]
+    replay = spark.createDataFrame(_BATCHES[1], _SCHEMA)
+    A.refresh_documents(spark, root, replay)
+    after = [
+        _rows(reader(spark, root), cols) for reader, cols in _READERS
+    ]
+    assert before == after
+
+
+def test_empty_source_leaves_no_artifacts(spark, tmp_path):
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    root = str(tmp_path / "art_empty")
+    stream_refresh_artifacts(
+        spark, str(src), root, str(tmp_path / "ckpt_empty"),
+        schema=_SCHEMA,
+    )
+    assert not A.artifacts_exist(root)
+    assert not os.path.isdir(os.path.join(root, A.PARAGRAPHS))
