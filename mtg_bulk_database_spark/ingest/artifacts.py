@@ -68,6 +68,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .ledger import (
+    ConcurrentCommitError,
     current_version,
     ledger_merge_upsert,
     ledger_read,
@@ -90,8 +91,27 @@ IVF_CENTROIDS = "ivf_centroids"
 IVF_ASSIGNMENTS = "ivf_assignments"
 
 
+#: written atomically after ALL document tables commit — readers gate
+#: on it so a half-built root (crash, or a concurrent builder still
+#: writing) is never served
+_DOC_COMPLETE = "_DOC_ARTIFACTS_COMPLETE"
+
+
 def _sub(root: str, name: str) -> str:
     return os.path.join(root, name)
+
+
+def _write_tolerant(spark, root: str, df, key: str, stats_cols=None) -> int:
+    """``ledger_write`` that treats a lost commit race as success: two
+    processes building the SAME root necessarily derive their tables
+    from the same corpus (the root is content-signature-keyed), so the
+    winner's version is byte-equivalent and the loser's staged files
+    are invisible orphans for vacuum.  Returns the committed version
+    either way."""
+    try:
+        return ledger_write(spark, root, df, key=key, stats_cols=stats_cols)
+    except ConcurrentCommitError:
+        return current_version(root)
 
 
 # ---------------------------------------------------------------------------
@@ -221,31 +241,36 @@ def build_document_artifacts(
     psh = _paragraph_shingle_rows(para).localCheckpoint(eager=False)
     dsh = _doc_shingle_rows(docs).localCheckpoint(eager=False)
     versions = {
-        PARAGRAPHS: ledger_write(
+        PARAGRAPHS: _write_tolerant(
             spark, _sub(root, PARAGRAPHS), para, key="pkey",
             stats_cols=["doc_id"],
         ),
-        PARAGRAPH_SHINGLES: ledger_write(
+        PARAGRAPH_SHINGLES: _write_tolerant(
             spark, _sub(root, PARAGRAPH_SHINGLES), psh, key="pkey",
             stats_cols=["doc_id"],
         ),
-        PARAGRAPH_SHINGLE_DF: ledger_write(
+        PARAGRAPH_SHINGLE_DF: _write_tolerant(
             spark, _sub(root, PARAGRAPH_SHINGLE_DF), _df_counts(psh),
             key="s",
         ),
-        DOC_SHINGLES: ledger_write(
+        DOC_SHINGLES: _write_tolerant(
             spark, _sub(root, DOC_SHINGLES), dsh, key="doc_id"
         ),
-        DOC_SHINGLE_DF: ledger_write(
+        DOC_SHINGLE_DF: _write_tolerant(
             spark, _sub(root, DOC_SHINGLE_DF), _df_counts(dsh), key="s"
         ),
-        PARAGRAPH_DEDUP_STATE: ledger_write(
+        PARAGRAPH_DEDUP_STATE: _write_tolerant(
             spark,
             _sub(root, PARAGRAPH_DEDUP_STATE),
             _dedup_state_rows(para),
             key="fpr",
         ),
     }
+    # publish: readers (artifacts_exist) gate on this marker, so a
+    # crash or a concurrent builder mid-write never serves a partial
+    # root; creation is idempotent across racing builders
+    with open(os.path.join(root, _DOC_COMPLETE), "a", encoding="utf-8"):
+        pass
     return versions
 
 
@@ -266,10 +291,10 @@ def build_vector_artifacts(
     )
     assigned = assign_to_frozen_centroids(emb, centroids)
     return {
-        IVF_CENTROIDS: ledger_write(
+        IVF_CENTROIDS: _write_tolerant(
             spark, _sub(root, IVF_CENTROIDS), cent_df, key="list_id"
         ),
-        IVF_ASSIGNMENTS: ledger_write(
+        IVF_ASSIGNMENTS: _write_tolerant(
             spark, _sub(root, IVF_ASSIGNMENTS), assigned, key="vec_id",
             stats_cols=["list_id"],
         ),
@@ -345,7 +370,9 @@ def read_ivf_assignments(
 
 
 def artifacts_exist(root: str) -> bool:
-    return current_version(_sub(root, PARAGRAPHS)) > 0
+    """True only once a build PUBLISHED (all tables committed + the
+    completion marker written) — a half-built root reads as absent."""
+    return os.path.exists(os.path.join(root, _DOC_COMPLETE))
 
 
 # ---------------------------------------------------------------------------

@@ -73,8 +73,6 @@ from .pipeline_queries14 import (
 )
 from .registry import query
 
-_TOKS = sql_tokens("text")
-
 
 # ---------------------------------------------------------------------------
 # Durable-artifact accessor: build-once per corpus under a
@@ -95,10 +93,21 @@ def documents_artifact_root(spark, sf_dir: str, subset: str = "all") -> str:
 
     The build is ingest-time work (bench runs it in the untimed
     artifact block); under the driver the first invocation per corpus
-    pays it once and every later gate reads parquet from the ledger."""
+    pays it once and every later gate reads parquet from the ledger.
+    The key hashes the corpus's ABSOLUTE path alongside size+mtime —
+    two different corpora whose files coincide in basename/size/mtime
+    (two generated test dirs in the same second — the concurrent
+    full-suite collision that motivated this) can never share a root,
+    and the build itself is race-tolerant (see
+    ``build_document_artifacts``) for true same-root concurrency."""
+    import hashlib
+
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    sig = f"{st.st_size}_{int(st.st_mtime)}_v{ARTIFACT_FORMAT}"
+    path_h = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:10]
+    sig = f"{path_h}_{st.st_size}_{int(st.st_mtime)}_v{ARTIFACT_FORMAT}"
     root = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_artifacts",

@@ -320,3 +320,22 @@ def test_compacted_paragraphs_prune_to_one_file(spark, tmp_path):
     # compaction is a pure rewrite: reader contents identical
     assert _rows(A.read_paragraphs(spark, root),
                  ["pkey", "p_text"]) == before
+
+
+def test_half_built_root_reads_as_absent(spark, tmp_path):
+    """A root whose tables committed but whose completion marker never
+    landed (crash mid-build, or a concurrent builder still writing)
+    must read as absent — the accessor rebuilds rather than serving a
+    potentially partial artifact set."""
+    root = str(tmp_path / "art")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    assert A.artifacts_exist(root)
+    os.remove(os.path.join(root, A._DOC_COMPLETE))
+    assert not A.artifacts_exist(root)
+    # rebuilding over the unpublished root republishes (new versions,
+    # identical reader view)
+    before = _rows(A.read_paragraphs(spark, root), ["pkey", "p_text"])
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    assert A.artifacts_exist(root)
+    assert _rows(A.read_paragraphs(spark, root),
+                 ["pkey", "p_text"]) == before
