@@ -78,7 +78,7 @@ from .ledger import (
 #: bump when any artifact table's schema or semantics change — roots
 #: are keyed by (corpus signature, format), so an old on-disk artifact
 #: can never be read by code expecting the new shape
-ARTIFACT_FORMAT = 3
+ARTIFACT_FORMAT = 4
 
 #: ledger-table subdirectories under an artifact root
 PARAGRAPHS = "paragraphs"
@@ -122,12 +122,16 @@ def _write_tolerant(spark, root: str, df, key: str, stats_cols=None) -> int:
 def _paragraph_rows(docs: DataFrame) -> DataFrame:
     from ..pipeline_queries14 import _pkey_col, paragraph_table
 
+    # fpr is STORED (not derived at read) so keeper-state maintenance
+    # can rescan (fpr, pkey) as two pruned scalar columns — never the
+    # text — when a replaced document owned a fingerprint's keeper
     return paragraph_table(docs).select(
         _pkey_col().alias("pkey"),
         "doc_id",
         "para_idx",
         "p_text",
         "n_ptok",
+        F.md5("p_text").alias("fpr"),
     )
 
 
@@ -172,16 +176,11 @@ def _dedup_state_rows(para: DataFrame) -> DataFrame:
     streaming fold maintains (``streaming.ingest.
     stream_fold_paragraph_dedup``), now durable: the corpus-side half
     of incremental exact dedup (q258) without ever re-reading
-    paragraph text."""
-    from ..pipeline_queries14 import paragraph_occurrences
-
-    return (
-        paragraph_occurrences(para)
-        .groupBy("fpr")
-        .agg(
-            F.min("pkey").alias("keeper"),
-            F.count("*").cast("long").alias("n_copies"),
-        )
+    paragraph text.  ``para`` must carry the stored ``fpr``/``pkey``
+    columns (:func:`_paragraph_rows`)."""
+    return para.groupBy("fpr").agg(
+        F.min("pkey").alias("keeper"),
+        F.count("*").cast("long").alias("n_copies"),
     )
 
 
@@ -407,10 +406,12 @@ def refresh_documents(
       — the continuously-ingesting norm, and exactly the streaming
       fold's contract) the per-fpr (min keeper, copy count) merges in
       O(batch): MIN and SUM are both mergeable.  A REPLACEMENT batch
-      can delete a fingerprint's current keeper, and MIN is not
-      subtractable — so that path rebuilds the state from the (just
-      refreshed) paragraphs artifact: one index pass, still zero
-      corpus scans.
+      takes the affected-fingerprint merge
+      (:func:`_replace_dedup_state`): counts adjust by signed deltas,
+      surviving keepers fold exactly, and only the rare fingerprints
+      whose stored keeper was deleted rescan the refreshed paragraph
+      artifact's two pruned ``(fpr, pkey)`` columns — zero text, zero
+      corpus, O(affected) rows written.
 
     Returns {table: committed version}."""
     from .ledger import ledger_delete
@@ -514,15 +515,116 @@ def refresh_documents(
             spark, state_root, merged, key="fpr"
         )
     else:
-        # replacement: MIN is not subtractable — rebuild from the
-        # refreshed paragraphs artifact (one index pass, no corpus)
-        versions[PARAGRAPH_DEDUP_STATE] = ledger_write(
-            spark,
-            state_root,
-            _dedup_state_rows(read_paragraphs(spark, root)),
-            key="fpr",
+        versions[PARAGRAPH_DEDUP_STATE] = _replace_dedup_state(
+            spark, root, state_root, para_old, para_new
         )
     return versions
+
+
+def _replace_dedup_state(
+    spark: SparkSession,
+    root: str,
+    state_root: str,
+    para_old: DataFrame,
+    para_new: DataFrame,
+) -> int:
+    """Keeper-state maintenance for a REPLACEMENT batch — an
+    affected-fingerprint merge, never a full state rewrite.
+
+    MIN is not subtractable, but deletion only endangers a
+    fingerprint's keeper when the keeper itself was among the deleted
+    rows; everything else is arithmetic:
+
+    - ``n_copies`` adjusts by signed deltas (SUM-mergeable).
+    - If the stored keeper SURVIVES the batch (it is not one of the
+      replaced docs' old pkeys), the new keeper is
+      ``least(stored, batch min)`` — exact, no lookup.
+    - Only fingerprints whose stored keeper WAS deleted (rare: keepers
+      are global first occurrences) rescan — one pass over the already
+      refreshed paragraph artifact reading the two pruned scalar
+      columns ``(fpr, pkey)``, semi-joined to the broadcast rescan
+      set: zero text read, zero corpus scan, O(affected) rows written.
+    - Fingerprints whose every copy lived in the replaced docs vanish
+      (``ledger_delete`` on the batch-bounded fpr list).
+    """
+    from .ledger import ledger_delete
+
+    old_partial = para_old.groupBy("fpr").agg(
+        F.count("*").cast("long").alias("n_del"),
+    )
+    new_partial = _dedup_state_rows(para_new).select(
+        "fpr",
+        F.col("keeper").alias("new_min"),
+        F.col("n_copies").alias("n_new"),
+    )
+    cur = ledger_read(spark, state_root)
+    aff = (
+        old_partial.join(new_partial, "fpr", "full")
+        .join(cur, "fpr", "left")
+        .join(
+            # was the stored keeper one of the deleted rows?
+            para_old.select(
+                "fpr", F.col("pkey").alias("keeper"),
+                F.lit(1).alias("_kdel"),
+            ),
+            ["fpr", "keeper"],
+            "left",
+        )
+        .select(
+            "fpr",
+            "keeper",
+            "new_min",
+            "_kdel",
+            (
+                F.coalesce("n_copies", F.lit(0))
+                - F.coalesce("n_del", F.lit(0))
+                + F.coalesce("n_new", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_total"),
+        )
+        # four consumers (known / rescan keys / vanished list / merge)
+        # over a batch-bounded frame: materialize once
+        .localCheckpoint(eager=True)
+    )
+    live = aff.filter(F.col("n_total") > 0)
+    known = live.filter(F.col("_kdel").isNull()).select(
+        "fpr",
+        F.when(
+            F.col("keeper").isNull(), F.col("new_min")
+        )
+        .otherwise(
+            F.least(
+                F.col("keeper"),
+                F.coalesce("new_min", F.col("keeper")),
+            )
+        )
+        .alias("keeper"),
+        F.col("n_total").alias("n_copies"),
+    )
+    rescan_keys = live.filter(F.col("_kdel") == 1).select(
+        "fpr", F.col("n_total").alias("n_copies")
+    )
+    rescanned = (
+        read_paragraphs(spark, root)
+        .select("fpr", "pkey")
+        .join(F.broadcast(rescan_keys), "fpr")
+        .groupBy("fpr", "n_copies")
+        .agg(F.min("pkey").alias("keeper"))
+        .select("fpr", "keeper", "n_copies")
+    )
+    version = ledger_merge_upsert(
+        spark, state_root, known.unionByName(rescanned), key="fpr"
+    )
+    vanished = [
+        r["fpr"]
+        for r in aff.filter(F.col("n_total") <= 0).select("fpr").collect()
+    ]
+    if vanished:
+        version = ledger_delete(
+            spark, state_root, F.col("fpr").isin(vanished)
+        )
+    return version
 
 
 def _merge_df_counts(

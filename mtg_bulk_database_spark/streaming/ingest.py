@@ -805,8 +805,9 @@ def stream_refresh_artifacts(
     bootstraps an empty root (full build == refresh of everything);
     every later batch pays O(batch): document-grain replace for the
     paragraph/posting tables, signed SUM-merged DF deltas, MIN/SUM
-    keeper-state merge on append (state rebuild from the paragraph
-    artifact — never the corpus — when a batch replaces documents).
+    keeper-state merge on append, and the affected-fingerprint merge
+    (surviving keepers fold exactly; only keeper-losing fingerprints
+    rescan two pruned index columns) when a batch replaces documents.
 
     Replay safety WITHOUT the fold family's ``batch=<id>`` overwrite
     trick: a replayed batch re-enters ``refresh_documents`` with its

@@ -339,3 +339,61 @@ def test_half_built_root_reads_as_absent(spark, tmp_path):
     assert A.artifacts_exist(root)
     assert _rows(A.read_paragraphs(spark, root),
                  ["pkey", "p_text"]) == before
+
+
+def test_replacement_keeper_loss_rebases_to_surviving_corpus_member(
+    spark, tmp_path
+):
+    """The rescan leg of the affected-fingerprint merge: the batch
+    REMOVES the boilerplate fingerprint's keeper (doc 1's updated text
+    drops the paragraph), and the new keeper must come from a corpus
+    member NOT in the batch (doc 2's copy) — exactly the case pure
+    MIN/SUM arithmetic cannot answer.  A fingerprint owned entirely by
+    the replaced doc vanishes from the state."""
+    root = str(tmp_path / "art")
+    only_doc1 = ("solo unique paragraph living only in document one "
+                 "with twelve tokens")
+    A.build_document_artifacts(
+        spark,
+        _docs(spark, [
+            (1, f"{_BOILER} {only_doc1}", "web"),
+            (2, f"{_PROSE} {_BOILER}", "web"),
+        ]),
+        root,
+    )
+    state0 = {
+        r["fpr"]: (r["keeper"], r["n_copies"])
+        for r in A.read_paragraph_dedup_state(spark, root).collect()
+    }
+    boiler_fpr = next(
+        f for f, (k, n) in state0.items()
+        if n == 2 and k.startswith("0" * 18 + "1:")
+    )
+    solo_fprs = {f for f, (k, n) in state0.items()
+                 if k.startswith("0" * 18 + "1:") and n == 1}
+    A.refresh_documents(
+        spark, root, _docs(spark, [(1, _PROSE2, "web")])
+    )
+    state1 = {
+        r["fpr"]: (r["keeper"], r["n_copies"])
+        for r in A.read_paragraph_dedup_state(spark, root).collect()
+    }
+    # keeper re-based onto doc 2's surviving copy, count corrected
+    k, n = state1[boiler_fpr]
+    assert k.startswith("0" * 18 + "2:") and n == 1
+    # doc-1-only fingerprints vanished
+    assert not (solo_fprs & set(state1))
+    # and the whole state equals a from-scratch build of the new corpus
+    full = str(tmp_path / "full")
+    A.build_document_artifacts(
+        spark,
+        _docs(spark, [
+            (1, _PROSE2, "web"),
+            (2, f"{_PROSE} {_BOILER}", "web"),
+        ]),
+        full,
+    )
+    assert state1 == {
+        r["fpr"]: (r["keeper"], r["n_copies"])
+        for r in A.read_paragraph_dedup_state(spark, full).collect()
+    }
