@@ -648,6 +648,38 @@ def _merge_df_counts(
     return ledger_merge_upsert(spark, root, merged, key="s")
 
 
+def vacuum_artifacts(
+    root: str, retain_versions: int = 2, orphan_min_age_s: float = 3600.0
+) -> dict[str, list[str]]:
+    """Periodic storage maintenance for an artifact root: vacuum every
+    ledger table under it (dead files from replaced versions, orphans
+    staged by beaten concurrent builders) while keeping
+    ``retain_versions`` fully readable — the artifact lifecycle's last
+    verb after build / read / refresh / compact.  Returns
+    {table: deleted paths}."""
+    from .ledger import ledger_vacuum
+
+    out: dict[str, list[str]] = {}
+    for name in (
+        PARAGRAPHS,
+        PARAGRAPH_SHINGLES,
+        PARAGRAPH_SHINGLE_DF,
+        PARAGRAPH_DEDUP_STATE,
+        DOC_SHINGLES,
+        DOC_SHINGLE_DF,
+        IVF_CENTROIDS,
+        IVF_ASSIGNMENTS,
+    ):
+        sub = _sub(root, name)
+        if current_version(sub) > 0:
+            out[name] = ledger_vacuum(
+                sub,
+                retain_versions=retain_versions,
+                orphan_min_age_s=orphan_min_age_s,
+            )
+    return out
+
+
 def refresh_vectors(
     spark: SparkSession, root: str, emb_delta: DataFrame
 ) -> dict[str, int]:

@@ -397,3 +397,27 @@ def test_replacement_keeper_loss_rebases_to_surviving_corpus_member(
         r["fpr"]: (r["keeper"], r["n_copies"])
         for r in A.read_paragraph_dedup_state(spark, full).collect()
     }
+
+
+def test_vacuum_reclaims_replaced_files_readers_unchanged(spark, tmp_path):
+    """After refreshes fragment the tables, vacuum with retention 1
+    deletes files only dead versions reference; every reader's view is
+    identical before and after."""
+    from mtg_bulk_database_spark.ingest.ledger import current_version
+
+    root = str(tmp_path / "art")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    A.refresh_documents(spark, root, _delta(spark))
+    before = {
+        reader.__name__: _rows(reader(spark, root), cols)
+        for reader, cols in _READERS
+    }
+    deleted = A.vacuum_artifacts(root, retain_versions=1,
+                                 orphan_min_age_s=0.0)
+    assert sum(len(v) for v in deleted.values()) > 0
+    after = {
+        reader.__name__: _rows(reader(spark, root), cols)
+        for reader, cols in _READERS
+    }
+    assert before == after
+    assert current_version(os.path.join(root, A.PARAGRAPHS)) > 1
