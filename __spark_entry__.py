@@ -26,13 +26,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Latest round in which each name was exercised by an external driver
-# run (CORRECTNESS_r01..r08: every oracled sample hash-green, rows-only
+# run (CORRECTNESS_r01..r09: every oracled sample hash-green, rows-only
 # entries executed with rows returned).  The driver checks the FIRST
 # ~50 entries of ``queries()``, so surface (a) queries it has never
 # seen — oracled ones first, newest first — then (b) the already-
 # proven block ordered OLDEST external evidence first, so with no
 # fresh names left each round re-verifies the stalest greens instead
-# of last round's (VERDICT r8 directive #1).
+# of last round's (VERDICT r8 directive #1; r9 #1 keeps the map
+# current each round — tests pin that it stays a subset of the live
+# registry).
 _EVIDENCE_ROUND = {
         # latest external evidence: round 4 (1 names)
         "q96_dup_clusters_star": 4,
