@@ -16,8 +16,12 @@ def micro_ratio_sql(num: str, den: str, div: str) -> str:
     is the engine's integer-division operator ('//' DuckDB, 'DIV'
     Spark).
 
-    Domain (pinned by tests/test_exact_fns.py): operands non-negative,
-    den <= 9.2e15 (so r*1000 fits int64) AND the RESULT
+    Domain (pinned by tests/test_exact_fns.py): operands are
+    BIGINT-TYPED expressions (columns, or literals explicitly CAST —
+    DuckDB types a bare sub-2^31 literal INT32, and the internal
+    ``q * 1000000`` then overflows INT32 for quotients >= 2148; found
+    by the hypothesis sweep), non-negative, den <= 9.2e15 (so r*1000
+    fits int64) AND the RESULT
     floor(num*1e6/den) <= 9.2e18 (q*1e6 is an int64 multiply — a
     num/den ratio past ~9.2e12 overflows even though num and den each
     fit; at the call sites the ratio is an epoch/fraction count, far

@@ -88,3 +88,49 @@ def test_guarded_micro_ratio_zero_and_negative_den(spark):
         d = _duck(guarded_micro_ratio_sql("7", den, "//"))
         s = _spark(spark, guarded_micro_ratio_sql("7", den, "DIV"))
         assert d == s == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _valid_micro_operands(draw):
+    den = draw(st.integers(1, 9_200_000_000_000_000))
+    # result bound: num*1e6/den <= 9.2e18  =>  num <= den * 9.2e12
+    num_hi = min(9_200_000_000_000_000_000, den * 9_200_000_000_000)
+    num = draw(st.integers(0, num_hi))
+    return num, den
+
+
+@given(_valid_micro_operands())
+@settings(max_examples=60, deadline=None)
+def test_micro_ratio_hypothesis_sweep(spark, pair):
+    """Randomized domain sweep: for any (num, den) inside the
+    documented bounds both engines equal Python's exact floor.
+
+    Operands are CAST to BIGINT as the helper's contract requires
+    (every real call site feeds BIGINT column expressions): hypothesis
+    itself found that a bare sub-2^31 literal is INT32 in DuckDB, so
+    ``q * 1000000`` overflows INT32 for quotients >= 2148 even with
+    non-negative in-domain inputs — see the next test."""
+    num, den = pair
+    want = (num * 10**6) // den
+    n, d_ = f"CAST({num} AS BIGINT)", f"CAST({den} AS BIGINT)"
+    d = _duck(micro_ratio_sql(n, d_, "//"))
+    s = _spark(spark, micro_ratio_sql(n, d_, "DIV"))
+    assert d == s == want, (num, den)
+
+
+def test_micro_ratio_int32_literal_hazard():
+    """The BIGINT-operand contract is load-bearing: a bare INT32-range
+    numerator literal overflows DuckDB's INT32 multiply inside the
+    helper (found by the hypothesis sweep).  Real call sites pass
+    BIGINT columns; anyone embedding literals must cast them."""
+    import duckdb as _dd
+
+    with pytest.raises(_dd.OutOfRangeException):
+        _duck(micro_ratio_sql("2148", "1", "//"))
+    assert _duck(
+        micro_ratio_sql("CAST(2148 AS BIGINT)", "1", "//")
+    ) == 2148 * 10**6

@@ -1721,3 +1721,35 @@ def test_q259_all_null_corpus(spark, tmp_path):
         ["documents"],
     )
     assert rows == []
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_given(
+    caps=_st.lists(_st.integers(1, 10**12), min_size=0, max_size=7),
+    budget=_st.integers(0, 2 * 10**12),
+)
+@_settings(max_examples=15, deadline=None)
+def test_waterfill_caps_hypothesis_sweep(spark, caps, budget):
+    """Randomized waterfill properties beyond the hand-picked shapes:
+    closure (Σ extra == min(budget, Σ caps)), per-source cap respect,
+    and water-level fairness among unsaturated sources."""
+    from mtg_bulk_database_spark.pipeline_queries15 import waterfill_caps
+
+    cdf = spark.createDataFrame(
+        [(f"s{i}", c) for i, c in enumerate(caps)],
+        "source string, cap_tokens long",
+    )
+    bdf = spark.createDataFrame([(budget,)], "budget long")
+    got = {
+        r["source"]: r["extra_tokens"]
+        for r in waterfill_caps(cdf, bdf).collect()
+    }
+    caps_by = {f"s{i}": c for i, c in enumerate(caps)}
+    assert set(got) == set(caps_by)
+    assert sum(got.values()) == min(budget, sum(caps))
+    assert all(0 <= got[s] <= caps_by[s] for s in got)
+    unsat = [got[s] for s in got if got[s] < caps_by[s]]
+    assert not unsat or max(unsat) - min(unsat) <= 1
