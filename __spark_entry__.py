@@ -36,32 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # current each round — tests pin that it stays a subset of the live
 # registry).
 _EVIDENCE_ROUND = {
-        # latest external evidence: round 4 (1 names)
-        "q96_dup_clusters_star": 4,
-        # latest external evidence: round 5 (42 names)
-        "q157_nearest_event_match": 5, "q162_ewma_smoothing": 5,
-        "q163_cusum_alerts": 5, "q164_session_journeys": 5,
-        "q167_weighted_median_price": 5, "q168_revenue_gini": 5,
-        "q169_mad_by_lang": 5, "q171_mom_growth": 5,
-        "q173_abc_classification": 5, "q174_interarrival_histogram": 5,
-        "q176_scale_exact_percentiles": 5, "q177_minhash_lsh_portable": 5,
-        "q178_hll_portable_distinct": 5, "q179_cms_portable_heavy_hitters": 5,
-        "q181_dedup_ensemble_portable": 5, "q182_order_priority_check": 5,
-        "q183_forecast_revenue": 5, "q184_national_market_share": 5,
-        "q185_product_profit": 5, "q186_returned_item_customers": 5,
-        "q187_important_parts": 5, "q188_shipmode_priority": 5,
-        "q189_customer_order_distribution": 5, "q190_promo_revenue_share": 5,
-        "q191_part_supplier_counts": 5, "q192_disjunctive_revenue": 5,
-        "q193_promotion_suppliers": 5, "q194_dormant_rich_customers": 5,
-        "q195_duplicate_substrings": 5, "q196_duplicated_char_coverage": 5,
-        "q197_url_canonical_dedup": 5, "q198_weighted_sample": 5,
-        "q199_tfidf_keywords": 5, "q201_hard_negatives": 5,
-        "q202_quantile_sketch": 5, "q204_ingest_drift": 5,
-        "q205_variant_extract": 5, "q207_multitouch_attribution": 5,
-        "q209_revenue_trend_ols": 5, "q210_classifier_calibration": 5,
-        "q211_ab_test_zstat": 5, "q212_bootstrap_ci": 5,
-        # latest external evidence: round 6 (50 names)
-        "q114_large_qty_orders": 6, "q118_remove_boilerplate": 6,
+        # latest external evidence: round 6 (49 names)
+        "q118_remove_boilerplate": 6,
         "q119_soft_dedup_weights": 6, "q120_crosscorpus_lm_score": 6,
         "q121_quality_classifier": 6, "q122_gapfill_locf": 6,
         "q123_weighted_moving_avg": 6, "q125_table_checksum": 6,
@@ -159,6 +135,36 @@ _EVIDENCE_ROUND = {
         "q249_fertility_capped_allocation": 9, "q250_paragraph_rewrite": 9,
         "q251_paragraph_near_dup_lsh": 9, "q252_budget_to_threshold": 9,
         "q253_decontaminated_manifest": 9,
+        # latest external evidence: round 10 (50 names — the 6 new r10
+        # gates plus the re-greened stalest r4/r5/r6 evidence)
+        "q114_large_qty_orders": 10, "q157_nearest_event_match": 10,
+        "q162_ewma_smoothing": 10, "q163_cusum_alerts": 10,
+        "q164_session_journeys": 10, "q167_weighted_median_price": 10,
+        "q168_revenue_gini": 10, "q169_mad_by_lang": 10,
+        "q171_mom_growth": 10, "q173_abc_classification": 10,
+        "q174_interarrival_histogram": 10, "q176_scale_exact_percentiles": 10,
+        "q177_minhash_lsh_portable": 10, "q178_hll_portable_distinct": 10,
+        "q179_cms_portable_heavy_hitters": 10,
+        "q181_dedup_ensemble_portable": 10,
+        "q182_order_priority_check": 10, "q183_forecast_revenue": 10,
+        "q184_national_market_share": 10, "q185_product_profit": 10,
+        "q186_returned_item_customers": 10, "q187_important_parts": 10,
+        "q188_shipmode_priority": 10, "q189_customer_order_distribution": 10,
+        "q190_promo_revenue_share": 10, "q191_part_supplier_counts": 10,
+        "q192_disjunctive_revenue": 10, "q193_promotion_suppliers": 10,
+        "q194_dormant_rich_customers": 10, "q195_duplicate_substrings": 10,
+        "q196_duplicated_char_coverage": 10, "q197_url_canonical_dedup": 10,
+        "q198_weighted_sample": 10, "q199_tfidf_keywords": 10,
+        "q201_hard_negatives": 10, "q202_quantile_sketch": 10,
+        "q204_ingest_drift": 10, "q205_variant_extract": 10,
+        "q207_multitouch_attribution": 10, "q209_revenue_trend_ols": 10,
+        "q210_classifier_calibration": 10, "q211_ab_test_zstat": 10,
+        "q212_bootstrap_ci": 10, "q254_incremental_paragraph_near_dup": 10,
+        "q255_shortfall_reallocation": 10,
+        "q256_structural_paragraph_dedup": 10,
+        "q257_artifact_paragraph_stats": 10,
+        "q258_incremental_paragraph_dedup": 10,
+        "q259_paragraph_near_dup_rewrite": 10, "q96_dup_clusters_star": 10,
 }
 
 _EXTERNALLY_VERIFIED = frozenset(_EVIDENCE_ROUND)

@@ -38,13 +38,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _local_components(edge_rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+def _local_components(edge_rows: list[tuple]) -> list[tuple]:
     """Union-find over a collected edge list → (node, min-id component).
     Path-halving + union-by-lower-root keeps the min id at the root, so
-    labels match the distributed fixpoint exactly."""
-    parent: dict[int, int] = {}
+    labels match the distributed fixpoint exactly.  Ids are any
+    totally-ordered hashables (long node ids, or string pkeys — Python
+    string comparison agrees with Spark/DuckDB binary order on the
+    ASCII keys the dedup family uses)."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -166,12 +169,26 @@ def connected_components(
     diameter-many shuffles. ``mode="propagation"`` forces the label
     loop (testing/diagnostics).
 
+    Node ids may be NUMERIC (cast to long) or STRING (r11): string
+    keys — e.g. the paragraph family's fixed-width pkeys — flow
+    straight through min-label propagation, so a caller never needs a
+    dense-id ``row_number`` remap (an UNPARTITIONED window: every node
+    through one task — the q259 scale seam this removed).  All three
+    modes use only order-comparisons and MIN, which Spark, DuckDB and
+    Python agree on for ASCII strings; "min id" reads as
+    lexicographically-least for string keys.
+
     Raises if the distributed iteration hasn't converged after
     ``max_iter`` rounds (a correctness guard: an unconverged labeling
     silently splits components).
     """
+    from pyspark.sql import types as T
+
+    numeric = isinstance(pairs.schema[id_a].dataType, T.NumericType)
+    id_type = "long" if numeric else "string"
     fwd = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        F.col(id_a).cast(id_type).alias("src"),
+        F.col(id_b).cast(id_type).alias("dst"),
     )
     edges = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -205,20 +222,18 @@ def connected_components(
             ),
         )
         rdd = spark.sparkContext.parallelize(comp, slices)
-        return spark.createDataFrame(rdd, "node long, component long")
+        return spark.createDataFrame(
+            rdd, f"node {id_type}, component {id_type}"
+        )
 
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
-    # convergence probe: labels only DECREASE under min-propagation and
-    # the node set is fixed, so Σcomponent strictly decreases until the
-    # fixpoint — comparing two scalar sums replaces the naive
-    # new-vs-old join (an extra shuffle per round). decimal(38,0) sum:
-    # overflow-proof for any realistic node count × id magnitude.
-    def _label_sum(lb: DataFrame) -> int:
-        return lb.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()[0]
-
-    prev_sum = _label_sum(labels)
+    # convergence probe: each node's PREVIOUS label rides the same
+    # groupBy as one extra MIN column (neighbor rows contribute NULL,
+    # the node's own row its old label — MIN ignores NULLs and each
+    # node has exactly one own row), so "did any label change" is one
+    # scan of the checkpointed node-sized frame with a LIMIT-1
+    # short-circuit — no extra shuffle per round, and type-agnostic
+    # (the earlier decimal label-sum probe required numeric ids).
     for _ in range(max_iter):
         # neighbor labels: edge (src,dst) contributes dst's current label
         # to src; union with own label, keep the min per node
@@ -228,20 +243,29 @@ def connected_components(
                     F.col("src").alias("dst"), F.col("component")
                 ),
                 on="dst",
-            ).select("src", "component")
+            )
+            .select("src", "component")
+            .withColumn("_prev", F.lit(None).cast(id_type))
         )
         labels = (
-            nbr.unionByName(labels)
+            nbr.unionByName(labels.withColumn("_prev", F.col("component")))
             .groupBy("src")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_prev").alias("_prev"),
+            )
             .localCheckpoint(eager=False)
         )
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
+        changed = (
+            labels.filter(F.col("component") != F.col("_prev"))
+            .limit(1)
+            .count()
+        )
+        labels = labels.drop("_prev")
+        if changed == 0:
             return labels.select(
                 F.col("src").alias("node"), F.col("component")
             )
-        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "raise max_iter (diameter exceeds it) before trusting the labels"

@@ -107,7 +107,10 @@ def documents_artifact_root(spark, sf_dir: str, subset: str = "all") -> str:
     path_h = hashlib.md5(
         os.path.abspath(sf_dir).encode("utf-8")
     ).hexdigest()[:10]
-    sig = f"{path_h}_{st.st_size}_{int(st.st_mtime)}_v{ARTIFACT_FORMAT}"
+    # st_mtime_ns, not int(st_mtime) (r10 ADVICE): a corpus regenerated
+    # in place within the same SECOND at identical byte size would have
+    # silently served the stale index under the coarser signature
+    sig = f"{path_h}_{st.st_size}_{st.st_mtime_ns}_v{ARTIFACT_FORMAT}"
     root = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_artifacts",
@@ -799,15 +802,20 @@ def q259(spark, sf_dir):
     Composition: ``paragraph_near_dup_pairs`` (q246, off the persisted
     posting index) → ``connected_components`` (q61's operator — the
     oracle runs the same closure as a recursive CTE) → q250's
-    reassembly aggregate.  The clustering runs over PAIR ENDPOINTS —
-    output-sized, bounded by the capped posting join, orders of
-    magnitude below corpus scale — so the dense-id window
-    (``row_number`` over the distinct endpoint keys, monotone in pkey,
-    so min dense id ≡ min pkey and the keeper is engine-identical) is
-    a small-relation pass, and the component solve uses the q61
-    auto-mode machinery (local union-find under the threshold,
-    min-label propagation above).  The corpus-scale work is exactly
-    q246's capped posting join plus one per-doc reassembly groupBy."""
+    reassembly aggregate.  The fixed-width pkeys feed the component
+    solve DIRECTLY as string node ids (r11: ``connected_components``
+    is type-aware), so there is no dense-id remap — the r10 version's
+    ``row_number`` over an UNPARTITIONED window pushed every pair
+    endpoint through one task, a job-killer once a boilerplate-heavy
+    corpus makes the duplicate population corpus-proportional.  The
+    keeper = component = lexicographic min pkey, identical to the
+    oracle's ``least`` closure.  The drop-marker join back onto the
+    paragraph table is a plain pkey equi-join (high-cardinality,
+    unskewed — broadcast would ship the whole duplicate population to
+    every executor; AQE may still choose to at small SF, from runtime
+    sizes, which is exactly the right division of labor).  The
+    corpus-scale work is q246's capped posting join plus one per-doc
+    reassembly groupBy."""
     from .operators.graph import connected_components
     from .pipeline_queries14 import (
         _pkey_col,
@@ -833,34 +841,15 @@ def q259(spark, sf_dir):
     ed = pairs.select(
         pk("doc_a", "para_a").alias("pk_a"),
         pk("doc_b", "para_b").alias("pk_b"),
-    ).localCheckpoint(eager=False)  # endpoints + two nid joins reuse it
-    nodes = (
-        ed.select(F.col("pk_a").alias("pk"))
-        .unionByName(ed.select(F.col("pk_b").alias("pk")))
-        .distinct()
-        .withColumn(
-            "nid",
-            F.row_number().over(Window.orderBy("pk")).cast("long"),
-        )
-        .localCheckpoint(eager=False)
     )
-    e2 = ed.join(
-        nodes.select(F.col("pk").alias("pk_a"), F.col("nid").alias("id_a")),
-        "pk_a",
-    ).join(
-        nodes.select(F.col("pk").alias("pk_b"), F.col("nid").alias("id_b")),
-        "pk_b",
-    )
-    comp = connected_components(e2.select("id_a", "id_b"))
-    dropped = (
-        comp.filter(F.col("node") != F.col("component"))
-        .join(nodes, comp["node"] == nodes["nid"])
-        .select(F.col("pk").alias("pkey"), F.lit(1).alias("_d"))
+    comp = connected_components(ed, id_a="pk_a", id_b="pk_b")
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("pkey"), F.lit(1).alias("_d")
     )
     mark = (
         paragraph_prebuilt_table(spark, sf_dir)
         .select("doc_id", "para_idx", "p_text", _pkey_col().alias("pkey"))
-        .join(F.broadcast(dropped), "pkey", "left")
+        .join(dropped, "pkey", "left")
         .select(
             "doc_id",
             "para_idx",
