@@ -164,6 +164,11 @@ HEADLINE = [
     "q257_artifact_paragraph_stats",
     "q258_incremental_paragraph_dedup",
     "q259_paragraph_near_dup_rewrite",
+    # r11 additions: the transactional ingest-admission gate, the
+    # structural-variant artifact round-trip, the IVF drift monitor
+    "q260_ingest_admission",
+    "q261_structural_artifact_stats",
+    "q262_ivf_drift_report",
 ]
 
 
@@ -308,6 +313,12 @@ def _run(sf_dir: str, sf: float) -> None:
 
     documents_artifact_root(spark, sf_dir, subset="all")
     documents_artifact_root(spark, sf_dir, subset="corpus90")
+    # r11: the structural-splitter variant root (q261) and the IVF
+    # drift scenario's vector artifacts (q262)
+    from mtg_bulk_database_spark.pipeline_queries16 import ivf_drift_root
+
+    documents_artifact_root(spark, sf_dir, subset="structsep")
+    ivf_drift_root(spark, sf_dir)
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's

@@ -1,0 +1,209 @@
+"""End-to-end ingest admission (VERDICT r10 #3): the ONE operation a
+continuously-ingesting pipeline actually runs per arriving batch,
+composing the increment pieces r10 proved separately —
+
+1. exact classification of every batch paragraph against the durable
+   per-fingerprint keeper state (q258's corpus side: one
+   fingerprint-keyed equi-join, no corpus text),
+2. near-dup screen of the exact-novel remainder against the durable
+   paragraph posting index (q254's corpus side: the arriving shingles
+   join PREBUILT postings, stop-shingle head from the maintained DF
+   statistic — corpus-size-independent given the index),
+3. a per-document admission decision (enough NOVEL token mass), and
+4. ``refresh_documents`` with ONLY the admitted documents — the same
+   MERGE hook, so admit-then-refresh ≡ rebuild-on-admitted-corpus
+   through every reader (pinned in tests/test_admission.py).
+
+Paragraph classification precedence (deterministic in both engines —
+the oracle in ``pipeline_queries15._q260_oracle`` mirrors it):
+``dup_corpus`` (exact fingerprint already in the corpus state) >
+``dup_batch`` (exact batch-internal non-keeper) > ``near_dup``
+(exact-novel but Jaccard ≥ τ against some corpus paragraph) > novel.
+A document is ADMITTED when its novel tokens are at least half its
+total tokens (integer compare ``2·tok_novel ≥ tok_total`` — no
+division, no ties ambiguity).
+
+Scale shape: the batch side tokenizes/shingles only itself; both
+corpus-side probes are index reads (state table: distinct-fingerprint-
+sized; postings: read-pruned ledger parquet).  The splitter comes from
+the ROOT's recorded meta, so a batch can never classify under a
+different paragraph definition than the index was built with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .artifacts import (
+    _paragraph_rows,
+    _paragraph_shingle_rows,
+    artifact_meta,
+    read_paragraph_dedup_state,
+    read_paragraph_hot_shingles,
+    read_paragraph_shingles,
+    refresh_documents,
+)
+
+
+def classify_batch(
+    spark: SparkSession,
+    root: str,
+    batch_docs: DataFrame,
+    tau: float,
+    df_cap: int,
+) -> DataFrame:
+    """Per-document admission stats for an arriving batch against the
+    durable artifacts at ``root``: ``(doc_id, n_paras, n_dup_corpus,
+    n_dup_batch, n_near_dup, tok_total, tok_novel, admitted)``.
+
+    The corpus is touched ONLY through the artifact readers (keeper
+    state, posting index, DF statistic) — zero corpus text scans; the
+    batch pays one tokenize+shingle pass over itself."""
+    splitter = artifact_meta(root).get("splitter", "window")
+    # three consumers re-derive the batch paragraphs (exact class,
+    # shingles, sizes) — 3x a MICRO-BATCH scan, deliberately not
+    # checkpointed: the q254 discipline (a checkpoint would hide the
+    # pushed batch filter from the plan pin for no real win), and the
+    # A/B counter-case rule (vocab/batch-sized != checkpoint-worthy)
+    para = _paragraph_rows(batch_docs, splitter=splitter)
+
+    # 1. exact vs corpus: fingerprint-keyed equi-join against the state
+    state = read_paragraph_dedup_state(spark, root).select(
+        "fpr", F.lit(1).alias("_in_c")
+    )
+    b = para.join(state, "fpr", "left").select(
+        "doc_id",
+        "para_idx",
+        "n_ptok",
+        "fpr",
+        "pkey",
+        F.coalesce("_in_c", F.lit(0)).alias("dup_corpus"),
+    )
+    # 2. exact batch-internal: first-occurrence-wins among exact-novel
+    g = (
+        b.filter(F.col("dup_corpus") == 0)
+        .groupBy("fpr")
+        .agg(F.min("pkey").alias("keeper"))
+    )
+    m = b.join(g, "fpr", "left").withColumn(
+        "dup_batch",
+        F.when(
+            (F.col("dup_corpus") == 0) & (F.col("pkey") != F.col("keeper")),
+            1,
+        ).otherwise(0),
+    )
+
+    # 3. near-dup screen: batch shingles vs the PREBUILT posting index,
+    # stop-shingle head from the maintained DF statistic (q254's join)
+    hot = read_paragraph_hot_shingles(spark, root, df_cap)
+    corp_sh = read_paragraph_shingles(spark, root)
+    batch_sh = _paragraph_shingle_rows(para)
+    exb = batch_sh.select(
+        "doc_id", "para_idx", F.explode("shingles").alias("s")
+    ).join(F.broadcast(hot), "s", "left_anti")
+    exc = corp_sh.select(
+        F.col("doc_id").alias("doc_c"),
+        F.col("para_idx").alias("para_c"),
+        F.explode("shingles").alias("s"),
+    ).join(F.broadcast(hot), "s", "left_anti")
+    common = (
+        exb.join(exc, "s")
+        .groupBy("doc_id", "para_idx", "doc_c", "para_c")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    n_b = batch_sh.select(
+        "doc_id", "para_idx", F.col("n_shingles").alias("n_new")
+    )
+    n_c = corp_sh.select(
+        F.col("doc_id").alias("doc_c"),
+        F.col("para_idx").alias("para_c"),
+        F.col("n_shingles").alias("n_corpus"),
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_new") + F.col("n_corpus") - F.col("common")
+    )
+    near = (
+        common.join(n_b, ["doc_id", "para_idx"])
+        .join(n_c, ["doc_c", "para_c"])
+        .filter(jac >= tau)
+        .select("doc_id", "para_idx")
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+
+    cls = m.join(near, ["doc_id", "para_idx"], "left").select(
+        "doc_id",
+        "n_ptok",
+        "dup_corpus",
+        "dup_batch",
+        # precedence: exact classes win; near_dup only among exact-novel
+        F.when(
+            (F.col("dup_corpus") == 0)
+            & (F.col("dup_batch") == 0)
+            & (F.coalesce("_near", F.lit(0)) == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("near_dup"),
+    )
+    novel = (
+        (F.col("dup_corpus") == 0)
+        & (F.col("dup_batch") == 0)
+        & (F.col("near_dup") == 0)
+    )
+    return cls.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum("dup_corpus").cast("long").alias("n_dup_corpus"),
+        F.sum("dup_batch").cast("long").alias("n_dup_batch"),
+        F.sum("near_dup").cast("long").alias("n_near_dup"),
+        F.sum("n_ptok").cast("long").alias("tok_total"),
+        F.sum(F.when(novel, F.col("n_ptok")).otherwise(0))
+        .cast("long")
+        .alias("tok_novel"),
+    ).select(
+        "doc_id",
+        "n_paras",
+        "n_dup_corpus",
+        "n_dup_batch",
+        "n_near_dup",
+        "tok_total",
+        "tok_novel",
+        F.when(F.col("tok_novel") * 2 >= F.col("tok_total"), 1)
+        .otherwise(0)
+        .alias("admitted"),
+    )
+
+
+def admit_and_refresh(
+    spark: SparkSession,
+    root: str,
+    batch_docs: DataFrame,
+    tau: float,
+    df_cap: int,
+    batch_id=None,
+):
+    """The transactional admission gate: classify → admit → fold the
+    admitted documents into the durable artifacts.  Returns
+    ``(stats_df, versions)`` where ``stats_df`` is
+    :func:`classify_batch`'s per-document report (computed BEFORE the
+    refresh mutates the index — the report is checkpointed so its
+    reads pin the pre-refresh snapshots) and ``versions`` the ledger
+    versions the refresh committed ({} when nothing was admitted).
+
+    ``batch_id`` forwards to ``refresh_documents``'s exactly-once
+    replay contract; a replayed admission re-classifies against the
+    pre-batch state only if the fold never completed — after a
+    completed fold the admitted docs classify as corpus-duplicates and
+    the refresh replays to a per-table no-op, so the operation is
+    idempotent end-to-end either way."""
+    stats = classify_batch(
+        spark, root, batch_docs, tau, df_cap
+    ).localCheckpoint(eager=True)
+    admitted = stats.filter(F.col("admitted") == 1).select("doc_id")
+    admitted_docs = batch_docs.join(admitted, "doc_id", "left_semi")
+    if admitted_docs.limit(1).count() == 0:
+        return stats, {}
+    versions = refresh_documents(
+        spark, root, admitted_docs, batch_id=batch_id
+    )
+    return stats, versions

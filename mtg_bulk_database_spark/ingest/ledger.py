@@ -351,6 +351,7 @@ def ledger_merge_upsert(
     key: str = "id",
     order_col: str | None = None,
     max_retries: int = 3,
+    extra_meta: dict | None = None,
 ) -> int:
     """ON CONFLICT(key) DO UPDATE into a ledger table — same semantics
     as ``sink.merge_upsert`` but committed through the log, so readers
@@ -361,6 +362,9 @@ def ledger_merge_upsert(
     source's [min, max] are read and rewritten; every other file's
     manifest entry carries over byte-identical. Optimistic concurrency:
     a lost commit race re-reads the new snapshot and retries.
+    ``extra_meta`` rides in the manifest atomically with the file list
+    (e.g. ``artifacts.refresh_documents``'s per-table applied-batch
+    watermark — the exactly-once replay guard).
     """
     source = _dedup_last_wins(source, key, order_col)
     for _ in range(max_retries):
@@ -368,7 +372,7 @@ def ledger_merge_upsert(
         if base == 0:
             files = _stage_data_files(spark, root, source, key)
             try:
-                _commit(root, 1, files, key)
+                _commit(root, 1, files, key, extra_meta=extra_meta)
                 return 1
             except ConcurrentCommitError:
                 continue  # someone created the table mid-stage: re-merge
@@ -396,7 +400,8 @@ def ledger_merge_upsert(
         )
         try:
             _commit(
-                root, base + 1, untouched + new_files, key, stats_cols
+                root, base + 1, untouched + new_files, key, stats_cols,
+                extra_meta=extra_meta,
             )
             return base + 1
         except ConcurrentCommitError:
@@ -412,6 +417,7 @@ def ledger_delete(
     root: str,
     predicate,
     max_retries: int = 3,
+    extra_meta: dict | None = None,
 ) -> int:
     """DELETE WHERE ``predicate`` as a new snapshot version (the
     GDPR / retention-sweep path — the one table operation the upsert
@@ -498,11 +504,102 @@ def ledger_delete(
                 untouched + new_files,
                 key,
                 stats_cols,
-                extra_meta={"deleted_rows": n_deleted},
+                extra_meta={"deleted_rows": n_deleted, **(extra_meta or {})},
             )
             return base + 1
         except ConcurrentCommitError:
             continue  # staged files are invisible orphans; retry on new base
+    raise ConcurrentCommitError(
+        f"delete lost the commit race {max_retries} times at {root}"
+    )
+
+
+def ledger_delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys_df: DataFrame,
+    on: str,
+    max_retries: int = 3,
+    extra_meta: dict | None = None,
+) -> int:
+    """DELETE WHERE ``on`` IN (SELECT ``on`` FROM ``keys_df``) — the
+    bulk twin of :func:`ledger_delete` (r10 VERDICT #7): the match set
+    arrives as a DataFrame and every membership test is a semi/anti
+    JOIN, so a million-key delete never embeds literals in the plan or
+    crosses py4j.  ``on`` may be any column, not just the table key.
+
+    File skipping stays EXACT: the probe pass semi-joins the snapshot
+    to the key set and collects the distinct ``input_file_name``s that
+    hold matching rows; only those files rewrite (anti-join drops the
+    matches), every other manifest entry carries over byte-identical.
+    NULL keys never match (join semantics) — same as the predicate
+    form's NULL-keeps rule.  Returns the committed version (current if
+    nothing matched)."""
+    from pyspark.sql import functions as F
+
+    keys = keys_df.select(on).distinct().localCheckpoint(eager=False)
+    for _ in range(max_retries):
+        base = current_version(root)
+        if base == 0:
+            return 0
+        manifest = _read_manifest(root, base)
+        key = manifest["key"]
+        stats_cols = manifest.get("stats_cols")
+        paths = {
+            os.path.realpath(os.path.join(root, e["path"])): e
+            for e in manifest["files"]
+        }
+        if not paths:
+            return base
+        snap = spark.read.option("mergeSchema", "true").parquet(*paths)
+        from urllib.parse import unquote, urlparse
+
+        # input_file_name() must bind BEFORE the join: evaluated after
+        # an exchange (or on the join's other side, if the planner
+        # swaps the build side) it returns '' and the probe would
+        # silently match no manifest path
+        probe = snap.withColumn("_file", F.input_file_name())
+        hit_files = {
+            os.path.realpath(
+                unquote(urlparse(r[0]).path)
+                if r[0].startswith("file:")
+                else unquote(r[0])
+            )
+            for r in probe.join(keys, on=on, how="left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        }
+        if not hit_files:
+            return base
+        touched = [paths[p] for p in paths if p in hit_files]
+        untouched = [e for p, e in paths.items() if p not in hit_files]
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, e["path"]) for e in touched]
+        )
+        kept = old.join(keys, on=on, how="left_anti")
+        new_files = [
+            e
+            for e in _stage_data_files(
+                spark, root, kept, key, stats_cols=stats_cols
+            )
+            if e["rows"] > 0
+        ]
+        n_deleted = sum(e["rows"] for e in touched) - sum(
+            e["rows"] for e in new_files
+        )
+        try:
+            _commit(
+                root,
+                base + 1,
+                untouched + new_files,
+                key,
+                stats_cols,
+                extra_meta={"deleted_rows": n_deleted, **(extra_meta or {})},
+            )
+            return base + 1
+        except ConcurrentCommitError:
+            continue
     raise ConcurrentCommitError(
         f"delete lost the commit race {max_retries} times at {root}"
     )

@@ -103,6 +103,47 @@ def paragraph_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_table_structural(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, para_idx, p_text, n_ptok)`` — one row per
+    STRUCTURAL paragraph: the double-newline ``regexp_split`` splitter
+    this module's docstring promised for corpora with real separators.
+    Same output contract as :func:`paragraph_table` (the token-window
+    proxy), so every downstream gate (keeper stats, posting joins,
+    rewrite — and, r11, the durable artifact builder's
+    ``splitter="structural"`` variant) swaps splitters without
+    touching its algebra.  ``p_text`` is normalized to the
+    token-joined form (tokenize each segment, join with single
+    spaces) — fingerprints must not depend on incidental whitespace
+    inside a paragraph; empty segments (leading/dangling separators)
+    carry no tokens and are dropped, with ``para_idx`` keeping the
+    ORIGINAL segment position in both engines."""
+    parts = F.split(F.col(text_col), r"\n{2,}")
+    ex = docs.select(
+        "doc_id", F.posexplode(parts).alias("para_idx", "_seg")
+    )
+    toks = tokens(F.col("_seg"))
+    return (
+        ex.select(
+            "doc_id",
+            F.col("para_idx").cast("long").alias("para_idx"),
+            F.array_join(toks, " ").alias("p_text"),
+            F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_ptok"),
+        )
+        .filter(F.col("n_ptok") > 0)
+    )
+
+
+#: name → splitter fn: the contract surface ``ingest.artifacts``
+#: persists per root (an artifact built with one splitter must never
+#: serve algebra expecting the other)
+PARAGRAPH_SPLITTERS = {
+    "window": paragraph_table,
+    "structural": paragraph_table_structural,
+}
+
+
 #: (applicationId, sf_dir) → persisted paragraph index — the
 #: sub-document family's ingest artifact, the paragraph-grain analog
 #: of ``shingle_prebuilt_table`` (one tokenize+window pass shared by

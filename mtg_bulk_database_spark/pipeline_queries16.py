@@ -1,0 +1,361 @@
+"""Registry entries, round 11: the IVF maintenance honesty gate
+(VERDICT r10 #6).
+
+The frozen-centroid contract (FAISS convention: train once, ``add``
+forever) is right for serving, but nothing measured what accumulating
+increments DO to the index: as drifted vectors pile into lists trained
+on yesterday's distribution, per-list balance skews (hot lists slow
+every probe touching them) and quantization error grows (recall at
+fixed nprobe decays).  q262 reports both, per list, after each
+refresh step, FROM the durable artifacts — with a documented retrain
+policy and thresholds, so the operational decision ("retrain the
+coarse quantizer?") is a query, not a guess.
+
+Retrain policy (the documented thresholds the report's ``retrain``
+flag encodes): a list wants retraining when its cumulative mean
+quantization error has drifted more than ``_DRIFT_ERR_MICRO`` (5000
+micro = 0.005 cosine distance) above its base-build mean, or when its
+share of all vectors exceeds ``_SHARE_MICRO_CAP`` (375000 micro = 3x
+the balanced 1/8 share — the imbalance FAISS's own guidance flags).
+Retraining is the separate offline ``build_vector_artifacts`` rebuild;
+this gate is the monitor that schedules it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .catalog import load_table
+from .functions.vectors import (
+    cosine_similarity,
+    indexable_vector,
+    sql_cosine,
+    sql_indexable,
+)
+from .ingest.artifacts import (
+    ARTIFACT_FORMAT,
+    build_vector_artifacts,
+    read_ivf_assignments,
+    refresh_vectors,
+)
+from .pipeline_queries10 import _Q217_CENTROIDS
+from .registry import query
+
+#: element-wise shifts applied to refresh step 1 / step 2 vectors —
+#: simulated distribution drift, deterministic in both engines (pure
+#: per-element IEEE double adds, no cross-row float order anywhere)
+_Q262_SHIFT1, _Q262_SHIFT2 = 0.05, 0.10
+
+#: retrain thresholds (micro units) — see module docstring
+_DRIFT_ERR_MICRO = 5000
+_SHARE_MICRO_CAP = 375_000
+
+#: gate-local completion marker: the drift root is final only after
+#: the base build AND both refresh steps landed (a crash in between
+#: must rebuild, not serve a half-refreshed history)
+_DRIFT_READY = "_DRIFT_READY"
+
+
+def ivf_drift_root(spark, sf_dir: str) -> str:
+    """Resolve (building if absent) the drift scenario's durable
+    vector artifacts: base vectors (``vec_id % 10 != 0``) assigned to
+    the PORTABLE frozen centroids (q217's deployed codebook — what
+    keeps the whole gate oracle-able), then two ``refresh_vectors``
+    increments of progressively SHIFTED vectors (``% 20 == 0`` at
+    +0.05, the rest of ``% 10 == 0`` at +0.10).  Embeddings are cast
+    to double before the first write so the merged ledger schema never
+    mixes float/double across increments."""
+    import hashlib
+
+    from .ingest.artifact_catalog import (
+        register_artifact_root,
+        warehouse_root,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path_h = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:10]
+    sig = f"{path_h}_{st.st_size}_{st.st_mtime_ns}_v{ARTIFACT_FORMAT}"
+    root = os.path.join(
+        warehouse_root(),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{sig}_ivfdrift",
+    )
+    marker = os.path.join(root, _DRIFT_READY)
+    if not os.path.exists(marker):
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(
+                (F.col("vec_id") != 0)
+                & indexable_vector(F.col("embedding"))
+            )
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+        )
+        cents = [list(c) for c in _Q217_CENTROIDS]
+        build_vector_artifacts(
+            spark,
+            emb.filter(F.col("vec_id") % 10 != 0),
+            root,
+            centroids=cents,
+        )
+        def _shift(d: float):
+            # single-arg closure: a two-parameter lambda would be taken
+            # as F.transform's (element, index) form and silently add
+            # the INDEX instead of the default-bound delta
+            return lambda x: x + F.lit(d)
+
+        for pred, delta in (
+            (F.col("vec_id") % 20 == 0, _Q262_SHIFT1),
+            ((F.col("vec_id") % 10 == 0) & (F.col("vec_id") % 20 != 0),
+             _Q262_SHIFT2),
+        ):
+            inc = emb.filter(pred).select(
+                "vec_id",
+                F.transform("embedding", _shift(delta)).alias("embedding"),
+            )
+            refresh_vectors(spark, root, inc)
+        register_artifact_root(
+            root,
+            source_path=src,
+            source_size=st.st_size,
+            source_mtime_ns=st.st_mtime_ns,
+            fmt=ARTIFACT_FORMAT,
+            subset="ivfdrift",
+            splitter="n/a",
+        )
+        with open(marker, "a", encoding="utf-8"):
+            pass
+    return root
+
+
+def ivf_drift_report(
+    asg: DataFrame,
+    centroids: list[list[float]],
+    err_threshold_micro: int = _DRIFT_ERR_MICRO,
+    share_cap_micro: int | None = None,
+) -> DataFrame:
+    """The drift report over an assignment frame ``(vec_id, list_id,
+    embedding, step)``: for each refresh step r and each list, the
+    CUMULATIVE (over steps ≤ r) vector count, share, mean quantization
+    error (floor-micro of ``1 - cosine(v, centroid[list_id])`` — the
+    STORED list_id, so a corrupted assignment surfaces as error, and
+    under q262's oracle as a hash mismatch), the error drift vs the
+    base build, and the retrain flag.
+
+    Scale shape: one scan of the assignment table computes per-row
+    err_micro with the centroid table folded in as literals (the q217
+    selectExpr discipline is unnecessary at 8 centroids); the
+    triangular step≤r join multiplies only the |steps|x|lists| GRID,
+    not the data — the cumulative aggregate is a single groupBy whose
+    per-(step,list) partials are |steps|x|lists|-row algebra."""
+    spark = asg.sparkSession
+    n_lists = len(centroids)
+    if share_cap_micro is None:
+        # 3x the balanced 1/n_lists share (== _SHARE_MICRO_CAP at the
+        # portable 8-centroid codebook)
+        share_cap_micro = 3_000_000 // n_lists
+    sc = F.array(
+        *[
+            cosine_similarity(
+                F.col("embedding"), F.array(*[F.lit(v) for v in c])
+            )
+            for c in centroids
+        ]
+    )
+    err = (
+        asg.select("step", "list_id", sc.alias("_sc"))
+        .select(
+            "step",
+            "list_id",
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.element_at(
+                        "_sc", (F.col("list_id") + 1).cast("int")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("err_micro"),
+        )
+    )
+    grid = (
+        spark.range(3)
+        .select(F.col("id").cast("long").alias("step"))
+        .crossJoin(
+            spark.range(n_lists).select(
+                F.col("id").cast("long").alias("list_id")
+            )
+        )
+    )
+    cum = (
+        grid.join(
+            err.select(
+                F.col("step").alias("_s"),
+                F.col("list_id").alias("_l"),
+                "err_micro",
+            ),
+            (F.col("_l") == F.col("list_id"))
+            & (F.col("_s") <= F.col("step")),
+            "left",
+        )
+        .groupBy("step", "list_id")
+        .agg(
+            F.count("err_micro").cast("long").alias("n_vecs"),
+            F.coalesce(F.sum("err_micro"), F.lit(0))
+            .cast("long")
+            .alias("err_sum"),
+        )
+    )
+    tot = cum.groupBy("step").agg(
+        F.sum("n_vecs").cast("long").alias("total")
+    )
+    stats = cum.join(tot, "step").select(
+        "step",
+        "list_id",
+        "n_vecs",
+        F.expr(
+            "CASE WHEN n_vecs > 0 THEN err_sum DIV n_vecs ELSE -1 END"
+        ).alias("mean_err_micro"),
+        F.expr(
+            "CASE WHEN total > 0 THEN (n_vecs * 1000000) DIV total "
+            "ELSE 0 END"
+        ).alias("share_micro"),
+    )
+    base = stats.filter(F.col("step") == 0).select(
+        F.col("list_id"),
+        F.col("n_vecs").alias("_n0"),
+        F.col("mean_err_micro").alias("_m0"),
+    )
+    return stats.join(base, "list_id").select(
+        "step",
+        "list_id",
+        "n_vecs",
+        "share_micro",
+        "mean_err_micro",
+        F.expr(
+            "CASE WHEN n_vecs > 0 AND _n0 > 0 "
+            "THEN mean_err_micro - _m0 ELSE 0 END"
+        ).alias("err_drift_micro"),
+        F.expr(
+            f"CASE WHEN n_vecs > 0 AND ("
+            f"(CASE WHEN n_vecs > 0 AND _n0 > 0 "
+            f"THEN mean_err_micro - _m0 ELSE 0 END) > {err_threshold_micro}"
+            f" OR share_micro > {share_cap_micro}) THEN 1 ELSE 0 END"
+        ).alias("retrain"),
+    )
+
+
+def _q262_oracle() -> str:
+    def cent(c) -> str:
+        return "([" + ", ".join(repr(v) for v in c) + "]::DOUBLE[])"
+
+    n_lists = len(_Q217_CENTROIDS)
+    score_cols = ",\n             ".join(
+        f"{sql_cosine('emb', cent(c))} AS s{i}"
+        for i, c in enumerate(_Q217_CENTROIDS)
+    )
+    arr = "[" + ", ".join(f"s{i}" for i in range(n_lists)) + "]"
+    return f"""WITH pool AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id % 10 <> 0 THEN 0
+                  WHEN vec_id % 20 = 0 THEN 1 ELSE 2 END AS step
+      FROM embeddings
+      WHERE vec_id <> 0 AND {sql_indexable('embedding')}),
+    shifted AS (
+      SELECT vec_id, CAST(step AS BIGINT) AS step,
+             CASE step
+               WHEN 0 THEN list_transform(embedding, x -> x::DOUBLE)
+               WHEN 1 THEN list_transform(embedding,
+                                          x -> x::DOUBLE + {_Q262_SHIFT1})
+               ELSE list_transform(embedding,
+                                   x -> x::DOUBLE + {_Q262_SHIFT2})
+             END AS emb
+      FROM pool),
+    scored AS (
+      SELECT vec_id, step,
+             {score_cols}
+      FROM shifted),
+    arrd AS (SELECT vec_id, step, {arr} AS sc FROM scored),
+    asg AS (
+      SELECT vec_id, step,
+             CAST(list_position(sc, list_aggregate(sc, 'max')) - 1
+                  AS BIGINT) AS list_id,
+             CAST(floor((1 - list_aggregate(sc, 'max')) * 1000000)
+                  AS BIGINT) AS err_micro
+      FROM arrd),
+    grid AS (
+      SELECT r.step, l.list_id
+      FROM (SELECT CAST(unnest(range(0, 3)) AS BIGINT) AS step) r
+      CROSS JOIN (SELECT CAST(unnest(range(0, {n_lists})) AS BIGINT)
+                    AS list_id) l),
+    cum AS (
+      SELECT g.step, g.list_id,
+             CAST(count(a.vec_id) AS BIGINT) AS n_vecs,
+             CAST(coalesce(sum(a.err_micro), 0) AS BIGINT) AS err_sum
+      FROM grid g LEFT JOIN asg a
+        ON a.list_id = g.list_id AND a.step <= g.step
+      GROUP BY 1, 2),
+    tot AS (SELECT step, CAST(sum(n_vecs) AS BIGINT) AS total
+            FROM cum GROUP BY step),
+    stats AS (
+      SELECT c.step, c.list_id, c.n_vecs,
+             CASE WHEN c.n_vecs > 0 THEN c.err_sum // c.n_vecs
+                  ELSE -1 END AS mean_err_micro,
+             CASE WHEN t.total > 0 THEN (c.n_vecs * 1000000) // t.total
+                  ELSE 0 END AS share_micro
+      FROM cum c JOIN tot t USING (step)),
+    base AS (SELECT list_id, n_vecs AS n0, mean_err_micro AS m0
+             FROM stats WHERE step = 0)
+    SELECT s.step, s.list_id, s.n_vecs, s.share_micro, s.mean_err_micro,
+           CASE WHEN s.n_vecs > 0 AND b.n0 > 0
+                THEN s.mean_err_micro - b.m0 ELSE 0 END
+             AS err_drift_micro,
+           CASE WHEN s.n_vecs > 0 AND (
+                  (CASE WHEN s.n_vecs > 0 AND b.n0 > 0
+                        THEN s.mean_err_micro - b.m0 ELSE 0 END)
+                    > {_DRIFT_ERR_MICRO}
+                  OR s.share_micro > {_SHARE_MICRO_CAP})
+                THEN 1 ELSE 0 END AS retrain
+    FROM stats s JOIN base b ON s.list_id = b.list_id"""
+
+
+@query("q262_ivf_drift_report", _q262_oracle())
+def q262(spark, sf_dir):
+    """IVF maintenance honesty (VERDICT r10 #6): per-list assignment
+    balance and mean quantization error FROM the durable artifacts,
+    after each of two refreshes of progressively shifted vectors, with
+    the documented retrain thresholds encoded as the ``retrain`` flag
+    (module docstring: >0.005 cosine-distance drift over the base
+    build, or >3x the balanced share).
+
+    The Spark side reads the maintained assignment table (base build
+    on the portable frozen centroids + two ``refresh_vectors``
+    increments, all committed through the ledger) and recomputes each
+    vector's error against its STORED list's centroid; the oracle
+    recomputes assignment AND error from the raw embeddings table —
+    so a drifted/corrupted durable assignment shows up as an external
+    hash mismatch, not just a bigger number.  All report arithmetic is
+    floor-micro BIGINT (per-row floor of deterministic per-element
+    double math — no cross-row float sums)."""
+    root = ivf_drift_root(spark, sf_dir)
+    step = (
+        F.when(F.col("vec_id") % 10 != 0, 0)
+        .when(F.col("vec_id") % 20 == 0, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    asg = read_ivf_assignments(spark, root).select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        "embedding",
+        step.alias("step"),
+    )
+    return ivf_drift_report(asg, [list(c) for c in _Q217_CENTROIDS])

@@ -44,6 +44,7 @@ def load_registry():
         pipeline_queries13,
         pipeline_queries14,
         pipeline_queries15,
+        pipeline_queries16,
         queries,
         queries_extra,
     )

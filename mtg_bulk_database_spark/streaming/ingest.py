@@ -809,11 +809,15 @@ def stream_refresh_artifacts(
     (surviving keepers fold exactly; only keeper-losing fingerprints
     rescan two pruned index columns) when a batch replaces documents.
 
-    Replay safety WITHOUT the fold family's ``batch=<id>`` overwrite
-    trick: a replayed batch re-enters ``refresh_documents`` with its
-    doc_ids now PRESENT, so it takes the replacement path — delete +
-    re-upsert re-derives identical rows and the signed DF deltas net
-    to zero (pinned in tests/test_streaming_artifacts.py).  The ledger
+    Replay safety rides ``refresh_documents``'s ``batch_id`` contract
+    (r11): every ledger commit is stamped with the checkpoint's batch
+    id, so a replay — including one after a crash BETWEEN table
+    commits mid-fold — skips fully-applied tables and re-derives the
+    partially-applied ones from their pinned PRE-batch snapshots
+    (signed DF deltas against the pre-batch posting tables, never the
+    half-updated ones).  Fully-committed replays additionally net to
+    no-ops at the row level (delete + re-upsert re-derives identical
+    rows; pinned in tests/test_streaming_artifacts.py).  The ledger
     versions advance but every reader's view is unchanged; vacuum
     reclaims the dead files.
 
@@ -830,7 +834,7 @@ def stream_refresh_artifacts(
     def fold_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        refresh_documents(spark, artifact_root, batch_df)
+        refresh_documents(spark, artifact_root, batch_df, batch_id=batch_id)
 
     q = (
         src.writeStream.foreachBatch(fold_batch)

@@ -399,6 +399,201 @@ def test_replacement_keeper_loss_rebases_to_surviving_corpus_member(
     }
 
 
+def test_replacement_below_k_tokens_drops_doc_shingles(spark, tmp_path):
+    """r10 ADVICE: a replaced document whose NEW text has fewer than
+    k=3 tokens emits no doc_shingles row, so without the delete leg the
+    stale postings row survived while the DF delta subtracted its
+    counts — postings and statistic permanently disagreed.  Now the
+    doc-grain delete clears it and incremental == rebuild through every
+    reader."""
+    inc_root = str(tmp_path / "inc")
+    full_root = str(tmp_path / "full")
+    A.build_document_artifacts(spark, _corpus_v1(spark), inc_root)
+    shrink = _docs(spark, [(5, "tiny doc", "web")])  # 2 tokens < k
+    A.refresh_documents(spark, inc_root, shrink)
+    after = _corpus_v1(spark).filter(F.col("doc_id") != 5).unionByName(
+        shrink
+    )
+    A.build_document_artifacts(spark, after, full_root)
+    for reader, cols in _READERS:
+        inc = _rows(reader(spark, inc_root), cols)
+        full = _rows(reader(spark, full_root), cols)
+        assert inc == full, f"{reader.__name__} diverged on sub-k shrink"
+    assert (
+        A.read_doc_shingles(spark, inc_root)
+        .filter(F.col("doc_id") == 5)
+        .count()
+        == 0
+    )
+
+
+def test_duplicate_doc_id_batch_keeps_tables_in_sync(spark, tmp_path):
+    """r10 ADVICE: a batch carrying the same doc_id twice used to
+    desync the tables — the keyed upsert dedup'd rows last-wins while
+    ``_df_counts`` counted both copies into the deltas.  The up-front
+    doc_id dedup makes the stored DF statistic equal the one recomputed
+    from the stored postings, whichever copy won."""
+    root = str(tmp_path / "art")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    dup_batch = _docs(
+        spark,
+        [(9, f"{_PROSE} {_PROSE}", "web"),
+         (9, f"{_PROSE2} {_PROSE2}", "web")],
+    )
+    A.refresh_documents(spark, root, dup_batch)
+    # the invariant the ADVICE names: DF statistic == recount of the
+    # stored postings (for both grains)
+    assert _rows(A.read_paragraph_shingle_df(spark, root),
+                 ["s", "df_s"]) == _rows(
+        A._df_counts(A.read_paragraph_shingles(spark, root)),
+        ["s", "df_s"],
+    )
+    assert _rows(A.read_doc_shingle_df(spark, root),
+                 ["s", "df_s"]) == _rows(
+        A._df_counts(A.read_doc_shingles(spark, root)), ["s", "df_s"]
+    )
+    # exactly one surviving doc-9 row at doc grain
+    assert (
+        A.read_doc_shingles(spark, root)
+        .filter(F.col("doc_id") == 9)
+        .count()
+        == 1
+    )
+
+
+def test_midfold_crash_replay_is_exactly_once(spark, tmp_path, monkeypatch):
+    """r10 ADVICE (the replay-safety hole): crash BETWEEN the
+    PARAGRAPH_SHINGLES commit and the DF merge, then replay the same
+    batch_id — the old code recomputed the signed deltas against the
+    already-updated postings (delta = 0) and lost the batch's DF
+    contribution forever.  With the per-table applied-batch stamps the
+    replay skips the committed tables and folds the rest from the
+    pinned pre-batch snapshots: readers == rebuild."""
+    inc_root = str(tmp_path / "inc")
+    full_root = str(tmp_path / "full")
+    A.build_document_artifacts(spark, _corpus_v1(spark), inc_root)
+
+    real_merge = A._merge_df_counts
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the DF merge")
+
+    monkeypatch.setattr(A, "_merge_df_counts", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        A.refresh_documents(spark, inc_root, _delta(spark), batch_id=7)
+    monkeypatch.setattr(A, "_merge_df_counts", real_merge)
+
+    # replay exactly as foreachBatch would: same batch, same batch_id
+    A.refresh_documents(spark, inc_root, _delta(spark), batch_id=7)
+    A.build_document_artifacts(spark, _corpus_v2(spark), full_root)
+    for reader, cols in _READERS:
+        inc = _rows(reader(spark, inc_root), cols)
+        full = _rows(reader(spark, full_root), cols)
+        assert inc == full, f"{reader.__name__} lost the crashed batch"
+
+
+def test_bulk_batch_takes_join_path(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #7: above the id threshold every membership test
+    switches from isin literals to joins (including the stale-row
+    delete via ledger_delete_keys).  Forcing the threshold to 1 runs
+    the standard replacement corpus through the bulk path — results
+    must equal the rebuild exactly."""
+    monkeypatch.setattr(A, "_BULK_ID_THRESHOLD", 1)
+    inc_root = str(tmp_path / "inc")
+    full_root = str(tmp_path / "full")
+    A.build_document_artifacts(spark, _corpus_v1(spark), inc_root)
+    A.refresh_documents(spark, inc_root, _delta(spark))
+    A.build_document_artifacts(spark, _corpus_v2(spark), full_root)
+    for reader, cols in _READERS:
+        inc = _rows(reader(spark, inc_root), cols)
+        full = _rows(reader(spark, full_root), cols)
+        assert inc == full, f"{reader.__name__} diverged on bulk path"
+
+
+@pytest.mark.slow
+def test_bulk_backfill_no_plan_blowup(spark, tmp_path):
+    """A genuinely bulk batch (30k fresh doc_ids — 3x the threshold,
+    no monkeypatch) refreshes through the join path without embedding
+    30k literals in any plan; spot-check counts and the DF/postings
+    sync invariant."""
+    root = str(tmp_path / "art")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    big = spark.range(1_000, 31_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha bravo charlie delta unique doc "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+        F.lit("web").alias("source"),
+    )
+    A.refresh_documents(spark, root, big)
+    assert (
+        A.read_doc_shingles(spark, root)
+        .filter(F.col("doc_id") >= 1_000)
+        .count()
+        == 30_000
+    )
+    assert _rows(A.read_doc_shingle_df(spark, root),
+                 ["s", "df_s"]) == _rows(
+        A._df_counts(A.read_doc_shingles(spark, root)), ["s", "df_s"]
+    )
+
+
+def test_structural_splitter_variant_build_and_refresh(spark, tmp_path):
+    """VERDICT r10 #4: the durable artifacts can persist the
+    STRUCTURAL (double-newline) paragraph definition.  The splitter is
+    recorded in the root's meta, a refresh re-derives rows with the
+    SAME splitter (no parameter to misuse), and incremental == rebuild
+    through the readers on a corpus with real separators."""
+    from mtg_bulk_database_spark.pipeline_queries14 import (
+        paragraph_table_structural,
+    )
+
+    sep_docs = _docs(spark, [
+        (1, f"{_BOILER}\n\n{_PROSE}", "web"),
+        (2, f"{_PROSE}\n\n{_PROSE2}\n\n{_BOILER}", "web"),
+    ])
+    inc_root = str(tmp_path / "inc")
+    A.build_document_artifacts(spark, sep_docs, inc_root,
+                               splitter="structural")
+    assert A.artifact_meta(inc_root)["splitter"] == "structural"
+    # stored paragraphs follow the STRUCTURAL contract (2 + 3 rows,
+    # split at the separators), not the token-window proxy
+    got = _rows(A.read_paragraphs(spark, inc_root),
+                ["doc_id", "para_idx", "p_text", "n_ptok"])
+    want = _rows(paragraph_table_structural(sep_docs),
+                 ["doc_id", "para_idx", "p_text", "n_ptok"])
+    assert got == want and len(got) == 5
+
+    # refresh derives the increment with the ROOT's splitter: doc 1
+    # replaced by a 2-separator text, doc 3 appended
+    delta = _docs(spark, [
+        (1, f"{_PROSE2}\n\n{_PROSE2}", "web"),
+        (3, _BOILER, "web"),
+    ])
+    A.refresh_documents(spark, inc_root, delta)
+    full_root = str(tmp_path / "full")
+    after = _docs(spark, [
+        (1, f"{_PROSE2}\n\n{_PROSE2}", "web"),
+        (2, f"{_PROSE}\n\n{_PROSE2}\n\n{_BOILER}", "web"),
+        (3, _BOILER, "web"),
+    ])
+    A.build_document_artifacts(spark, after, full_root,
+                               splitter="structural")
+    for reader, cols in _READERS:
+        inc = _rows(reader(spark, inc_root), cols)
+        full = _rows(reader(spark, full_root), cols)
+        assert inc == full, f"{reader.__name__} diverged (structural)"
+
+
+def test_unknown_splitter_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown paragraph splitter"):
+        A.build_document_artifacts(
+            spark, _corpus_v1(spark), str(tmp_path / "x"),
+            splitter="sentences",
+        )
+
+
 def test_vacuum_reclaims_replaced_files_readers_unchanged(spark, tmp_path):
     """After refreshes fragment the tables, vacuum with retention 1
     deletes files only dead versions reference; every reader's view is

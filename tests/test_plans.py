@@ -1182,6 +1182,76 @@ def test_q258_corpus_side_is_the_state_table_no_text(spark):
     assert "partial_min" in plan
 
 
+def test_q260_admission_corpus_side_is_artifacts_only(spark):
+    """The admission gate's corpus probes are INDEX reads: every
+    documents scan carries the pushed batch filter (the corpus is
+    never re-read from documents), every other input file lives under
+    the artifact warehouse (state + postings + DF statistic), the hot
+    head is a broadcast anti-join, and the batch-internal keeper stays
+    a partial-agg GROUP BY."""
+    df = QUERIES["q260_ingest_admission"](spark, SF_DIR)
+    plan = executed_plan(df)
+    doc_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and ",text#" in line
+    ]
+    assert doc_scans and all("% 10" in line for line in doc_scans)
+    files = df.inputFiles()
+    other = [
+        f
+        for f in files
+        if "spark_graft_artifacts" not in f
+        and "documents.parquet" not in f
+    ]
+    assert not other, other
+    assert any("paragraph_dedup_state" in f for f in files)
+    assert any("paragraph_shingles" in f for f in files)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_q261_reads_only_the_structural_artifact(spark):
+    """q261's entire input is the STRUCTURAL-variant ledger root —
+    zero documents scans, and the resolved root records the
+    structural splitter in its meta (the variants can never serve
+    each other)."""
+    from mtg_bulk_database_spark.ingest.artifacts import artifact_meta
+    from mtg_bulk_database_spark.pipeline_queries15 import (
+        documents_artifact_root,
+    )
+
+    df = QUERIES["q261_structural_artifact_stats"](spark, SF_DIR)
+    plan = executed_plan(df)
+    doc_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and ",text#" in line
+    ]
+    assert not doc_scans, doc_scans
+    files = df.inputFiles()
+    assert files and all("structsep" in f for f in files)
+    root = documents_artifact_root(spark, SF_DIR, subset="structsep")
+    assert artifact_meta(root)["splitter"] == "structural"
+    win_root = documents_artifact_root(spark, SF_DIR, subset="all")
+    assert artifact_meta(win_root)["splitter"] == "window"
+    assert root != win_root
+
+
+def test_q262_report_reads_only_the_vector_artifact(spark):
+    """The drift report's input is the maintained assignment table
+    (ledger parquet under the ivfdrift root) — the raw embeddings are
+    never re-scanned at query time, and the cumulative aggregate never
+    funnels through a single partition."""
+    df = QUERIES["q262_ivf_drift_report"](spark, SF_DIR)
+    files = df.inputFiles()
+    assert files and all("ivfdrift" in f for f in files), files
+    plan = executed_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
 def test_q259_cluster_solve_is_pair_sized(spark):
     """r11 scale pin (flips the r10 assertion the verdict called the
     round's one weak mark): the cluster solve must contain NO
