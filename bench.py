@@ -42,6 +42,10 @@ QUERIES, _ = load_registry()
 # remain), q219 (retrieval: q222 remains); late-r10: q250 (paragraph
 # rewrite: q259's near-dup rewrite exercises the same reassembly
 # aggregate, q245/q256/q257 keep the keeper-stats path).
+# r11 removed (same rule): q247 (paragraph keeper head: q245 remains),
+# q249 (composed allocation kernel: q238 + q240 both remain), q256
+# (structural splitter: q261 measures the same splitter served from
+# the durable artifact; q245/q257 keep the window keeper-stats path).
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -150,9 +154,7 @@ HEADLINE = [
     # the planning-to-execution gates
     "q245_paragraph_dedup",
     "q246_paragraph_near_dup",
-    "q247_top_repeated_paragraphs",
     "q248_mix_manifest",
-    "q249_fertility_capped_allocation",
     "q251_paragraph_near_dup_lsh",
     "q252_budget_to_threshold",
     "q253_decontaminated_manifest",
@@ -160,7 +162,6 @@ HEADLINE = [
     # shortfall reallocation, structural splitter, artifact round-trip
     "q254_incremental_paragraph_near_dup",
     "q255_shortfall_reallocation",
-    "q256_structural_paragraph_dedup",
     "q257_artifact_paragraph_stats",
     "q258_incremental_paragraph_dedup",
     "q259_paragraph_near_dup_rewrite",
