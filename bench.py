@@ -45,7 +45,9 @@ QUERIES, _ = load_registry()
 # r11 removed (same rule): q247 (paragraph keeper head: q245 remains),
 # q249 (composed allocation kernel: q238 + q240 both remain), q256
 # (structural splitter: q261 measures the same splitter served from
-# the durable artifact; q245/q257 keep the window keeper-stats path).
+# the durable artifact; q245/q257 keep the window keeper-stats path),
+# q248 (manifest kernel: q263 runs the identical greedy_manifest +
+# alloc chain end-to-end plus the shard layer on top).
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -154,7 +156,6 @@ HEADLINE = [
     # the planning-to-execution gates
     "q245_paragraph_dedup",
     "q246_paragraph_near_dup",
-    "q248_mix_manifest",
     "q251_paragraph_near_dup_lsh",
     "q252_budget_to_threshold",
     "q253_decontaminated_manifest",
@@ -170,6 +171,7 @@ HEADLINE = [
     "q260_ingest_admission",
     "q261_structural_artifact_stats",
     "q262_ivf_drift_report",
+    "q263_epoch_shard_plan",
 ]
 
 

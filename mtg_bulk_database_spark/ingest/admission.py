@@ -207,3 +207,127 @@ def admit_and_refresh(
         spark, root, admitted_docs, batch_id=batch_id
     )
     return stats, versions
+
+
+# ---------------------------------------------------------------------------
+# Durable admission history (the streamed fold's exactly-once anchor)
+# ---------------------------------------------------------------------------
+#: ledger table under the artifact root holding one row per
+#: (batch, document) admission decision — keyed by the composite
+#: ``akey`` so a document re-arriving in a later batch appends a new
+#: decision instead of overwriting its history
+ADMISSION_STATS = "admission_stats"
+
+
+def read_admission_stats(spark: SparkSession, root: str) -> DataFrame:
+    """The persisted admission history: ``(akey, batch_id, doc_id,
+    n_paras, n_dup_corpus, n_dup_batch, n_near_dup, tok_total,
+    tok_novel, admitted)``, one row per (batch, document)."""
+    from .artifacts import _sub
+    from .ledger import ledger_read
+
+    return ledger_read(spark, _sub(root, ADMISSION_STATS))
+
+
+def persist_admission_stats(
+    spark: SparkSession, root: str, stats: DataFrame, batch_id
+) -> int:
+    """Commit a batch's admission decisions to the durable history.
+    The single commit is the decision's atomic anchor: the stats land
+    BEFORE any refresh mutates the index, so a replay that finds them
+    (row-presence probe in :func:`admit_batch_exactly_once`) re-derives
+    the admitted set from the RECORDED decision — re-classifying
+    against a half-folded index could flip it.  The ``applied_batch``
+    manifest stamp rides along for lineage/debugging only."""
+    from .artifacts import _sub
+    from .ledger import ledger_merge_upsert
+
+    rows = stats.select(
+        F.concat_ws(
+            ":",
+            F.lit(str(int(batch_id))),
+            F.col("doc_id").cast("string"),
+        ).alias("akey"),
+        F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        "*",
+    )
+    return ledger_merge_upsert(
+        spark,
+        _sub(root, ADMISSION_STATS),
+        rows,
+        key="akey",
+        extra_meta={
+            "applied_batch": int(batch_id),
+            "applied_batch_done": True,
+        },
+    )
+
+
+def admit_batch_exactly_once(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    tau: float,
+    df_cap: int,
+    batch_id,
+):
+    """One micro-batch of the continuous admission loop, idempotent
+    under at-least-once replay — the DECISION commit is the anchor:
+
+    - If the durable ``admission_stats`` table carries NO row for this
+      ``batch_id``, the batch was never decided: classify against the
+      index (which the batch has not touched — the stats commit
+      strictly precedes any refresh), persist the decisions (one
+      atomic ledger version), then fold only admitted docs.
+    - If rows are present, the batch WAS decided but the fold may have
+      crashed anywhere after: re-derive the admitted set from the
+      RECORDED decision (re-classifying against a half-folded index
+      would make already-folded admitted docs look like corpus
+      duplicates and silently starve the remaining tables), then
+      re-run ``refresh_documents``, whose per-table ``applied_batch``
+      stamps skip completed tables and pin pre-batch snapshots for the
+      partially-applied ones.  A fully-completed batch replays to a
+      no-op at every reader.
+
+    The decided-probe is ROW presence, not the newest manifest's
+    ``applied_batch`` stamp: the stats commit is atomic, and a
+    manifest check would only see the LAST batch — a replay of an
+    OLDER batch id (beyond foreachBatch's own guarantee, but cheap to
+    be correct under) would re-classify and overwrite its recorded
+    history.  The probe is manifest-pruned via the ``akey`` prefix
+    range, so it opens at most the files holding that batch's rows.
+
+    Returns ``(stats_df, versions)`` like :func:`admit_and_refresh`
+    (``stats_df`` is the recorded decision frame on the replay path).
+    """
+    from .artifacts import _sub
+    from .artifacts import refresh_documents
+    from .ledger import ledger_read
+
+    sub = _sub(root, ADMISSION_STATS)
+    # ':' is the separator; ';' is the next codepoint, so the range
+    # ["<id>:", "<id>;") covers exactly this batch's composite keys
+    lo, hi = f"{int(batch_id)}:", f"{int(batch_id)};"
+    try:
+        prior = ledger_read(spark, sub, prune={"akey": (lo, hi)})
+        decided = prior.limit(1).count() > 0
+    except FileNotFoundError:
+        decided = False
+    if decided:
+        stats = prior
+    else:
+        stats = classify_batch(
+            spark, root, batch_df, tau, df_cap
+        ).localCheckpoint(eager=True)
+        persist_admission_stats(spark, root, stats, batch_id)
+    admitted_docs = batch_df.join(
+        stats.filter(F.col("admitted") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    if admitted_docs.limit(1).count() == 0:
+        return stats, {}
+    versions = refresh_documents(
+        spark, root, admitted_docs, batch_id=batch_id
+    )
+    return stats, versions

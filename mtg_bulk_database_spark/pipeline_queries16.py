@@ -359,3 +359,177 @@ def q262(spark, sf_dir):
         step.alias("step"),
     )
     return ivf_drift_report(asg, [list(c) for c in _Q217_CENTROIDS])
+
+
+# ---------------------------------------------------------------------------
+# q263 — epoch shard plan: materialize the mix manifest into hash-
+# sharded, deterministically shuffled training shards.
+# ---------------------------------------------------------------------------
+#: shard fanout for the epoch plan — at production scale this is the
+#: number of output files per epoch (thousands); 64 keeps the gate's
+#: report readable while exercising the identical plan shape
+_Q263_SHARDS = 64
+
+
+def _q263_oracle() -> str:
+    from .pipeline_queries13 import _Q240_COUNTS_BODY, _q240_alloc_chain
+    from .pipeline_queries14 import _TOKS
+
+    n = _Q263_SHARDS
+    return f"""WITH {_q240_alloc_chain(_Q240_COUNTS_BODY)},
+    d AS (
+      SELECT doc_id, source,
+             coalesce(len({_TOKS}), 0) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS ordkey
+      FROM documents WHERE source IS NOT NULL),
+    cumt AS (
+      SELECT doc_id, source, nt,
+             CAST(sum(nt) OVER (PARTITION BY source
+                  ORDER BY ordkey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM d WHERE nt > 0),
+    man AS (
+      SELECT c.doc_id, c.nt,
+             CASE WHEN a.n_tokens > 0
+                  THEN a.alloc_tokens // a.n_tokens ELSE 0 END
+             + CASE WHEN c.cum - c.nt <
+                       (CASE WHEN a.n_tokens > 0
+                             THEN a.alloc_tokens % a.n_tokens ELSE 0 END)
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM cumt c JOIN alloc a ON c.source = a.source),
+    inst AS (
+      SELECT doc_id, nt, unnest(range(n_repeats)) AS rep_idx
+      FROM man WHERE n_repeats > 0),
+    keyed AS (
+      SELECT doc_id, nt, CAST(rep_idx AS BIGINT) AS rep_idx,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(rep_idx AS VARCHAR)), 1, 15))::BIGINT
+               AS h60
+      FROM inst),
+    lagged AS (
+      SELECT h60 % {n} AS shard, doc_id, nt,
+             CASE WHEN lag(doc_id) OVER (
+                    PARTITION BY h60 % {n}
+                    ORDER BY h60, doc_id, rep_idx) = doc_id
+                  THEN 1 ELSE 0 END AS adj
+      FROM keyed),
+    per AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_inst,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tok_sum,
+             CAST(sum(adj) AS BIGINT) AS n_adjacent_same_doc
+      FROM lagged GROUP BY shard),
+    gtot AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS total FROM per)
+    SELECT p.shard, p.n_inst, p.n_docs, p.tok_sum, p.n_adjacent_same_doc,
+           CAST((p.tok_sum * 1000000) // t.total AS BIGINT)
+             AS tok_share_micro
+    FROM per p CROSS JOIN gtot t"""
+
+
+@query("q263_epoch_shard_plan", _q263_oracle())
+def q263(spark, sf_dir):
+    """Epoch shard plan: the missing planning->execution edge BELOW
+    q248.  q240 chooses the per-source token allocation and q248 turns
+    it into a per-document repeat manifest; this gate materializes
+    that manifest into the thing a trainer actually consumes — a
+    DETERMINISTIC GLOBAL SHUFFLE of the repeat-expanded instance
+    stream, hash-partitioned into balanced shards — and reports, per
+    shard: instance count, distinct docs, token mass, token share
+    (floor-micro), and the shuffle-quality metric ``n_adjacent_same_doc``
+    (instances of the same document landing adjacent in the within-
+    shard order — what a bad epoch shuffle produces and a uniform hash
+    key makes rare).
+
+    Determinism: the shuffle key is ``md5_60(doc_id ':' rep_idx)`` —
+    the engine-portable 60-bit md5 prefix (`operators/dedup.md5_60`),
+    so the shard assignment AND the within-shard order are pure
+    functions of the manifest, reproducible across engines, runs and
+    cluster sizes (no ``rand()``, no partition-index dependence).
+
+    100 TB shape: the manifest kernel is shared with q248 (one
+    per-source cumulative window); the repeat expansion is a narrow
+    ``explode(sequence(...))`` bounded by the epoch cap (2 full epochs
+    + at most one prefix repeat, so <= 3x corpus instances, no
+    shuffle); then ONE hash-partition exchange on ``shard`` with a
+    per-shard sort — which is not overhead but the physical plan of
+    WRITING the shuffled training shards (repartition(shard) +
+    sortWithinPartitions(h60) ahead of a partitioned write).  Shards
+    are balanced by construction (uniform 60-bit key), so the
+    per-shard sort has no skewed partition; the report itself is a
+    map-side-combinable aggregate to |shards| rows."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+    from .operators.dedup import md5_60
+    from .pipeline_queries13 import (
+        epoch_capped_allocation,
+        source_token_counts,
+    )
+    from .pipeline_queries14 import greedy_manifest
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    alloc = epoch_capped_allocation(source_token_counts(docs)).select(
+        "source",
+        F.col("n_tokens").alias("src_tokens"),
+        "alloc_tokens",
+    )
+    d = docs.where(F.col("source").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+    )
+    man = greedy_manifest(d, alloc).filter(F.col("n_repeats") > 0)
+    inst = man.select(
+        "doc_id",
+        F.col("n_tok").alias("nt"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("n_repeats") - 1).cast("long"),
+            )
+        ).alias("rep_idx"),
+    )
+    keyed = inst.select(
+        "doc_id",
+        "nt",
+        "rep_idx",
+        md5_60(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("rep_idx").cast("string"),
+            )
+        ).alias("h60"),
+    )
+    wsh = Window.partitionBy("shard").orderBy("h60", "doc_id", "rep_idx")
+    lagged = keyed.select(
+        F.pmod(F.col("h60"), F.lit(_Q263_SHARDS)).alias("shard"),
+        "doc_id",
+        "nt",
+        "rep_idx",
+        "h60",
+    ).select(
+        "shard",
+        "doc_id",
+        "nt",
+        F.when(F.lag("doc_id").over(wsh) == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("adj"),
+    )
+    per = lagged.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_inst"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tok_sum"),
+        F.sum("adj").cast("long").alias("n_adjacent_same_doc"),
+    )
+    tot = per.agg(F.sum("tok_sum").cast("long").alias("total"))
+    return per.join(F.broadcast(tot)).select(
+        "shard",
+        "n_inst",
+        "n_docs",
+        "tok_sum",
+        "n_adjacent_same_doc",
+        F.expr("(tok_sum * 1000000) DIV total").alias("tok_share_micro"),
+    )

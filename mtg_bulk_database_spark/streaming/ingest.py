@@ -848,3 +848,61 @@ def stream_refresh_artifacts(
             f"stream_refresh_artifacts did not drain within "
             f"{timeout_s}s (src_dir={src_dir!r})"
         )
+
+
+def stream_admit_documents(
+    spark,
+    src_dir: str,
+    artifact_root: str,
+    checkpoint_dir: str,
+    tau: float,
+    df_cap: int,
+    timeout_s: int = 180,
+    schema=None,
+):
+    """Continuous ingest ADMISSION (the end-to-end loop a production
+    pipeline runs, composing r11's transactional gate with the
+    streamed artifact maintenance): each arriving document micro-batch
+    is classified against the durable artifacts (exact vs keeper
+    state, batch-internal exact, near-dup vs the posting index), the
+    per-document decisions are committed to the durable
+    ``admission_stats`` history, and ONLY admitted documents fold into
+    the index via ``refresh_documents`` — so rejected duplicates never
+    pollute the corpus state they would later be screened against.
+
+    Requires a BOOTSTRAPPED artifact root (``build_document_artifacts``
+    on the initial corpus, or a completed ``stream_refresh_artifacts``
+    run): admission against nothing is not a meaningful screen, and
+    the artifact readers raise on an uncommitted root by design.
+
+    Exactly-once rides ``ingest.admission.admit_batch_exactly_once``
+    (the decision commit is the anchor; see its docstring for the
+    crash matrix).  Equivalence to the batch gate (streamed N-batch
+    admission ≡ sequential ``admit_and_refresh`` calls, through every
+    artifact reader AND the recorded history) is pinned in
+    ``tests/test_streaming_admission.py``."""
+    from ..ingest.admission import admit_batch_exactly_once
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        admit_batch_exactly_once(
+            spark, artifact_root, batch_df, tau, df_cap, batch_id
+        )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_admit_documents did not drain within "
+            f"{timeout_s}s (src_dir={src_dir!r})"
+        )

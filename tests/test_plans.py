@@ -1268,3 +1268,19 @@ def test_q259_cluster_solve_is_pair_sized(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q263_shard_plan_shape(spark):
+    """q263's corpus-scale plan: the repeat expansion is a narrow
+    Generate (explode of a bounded sequence — no shuffle), the only
+    data-scale Window is partitioned BY SHARD (the within-shard order
+    that a sharded write would sort by anyway), and nothing
+    degenerates to a product.  The one Exchange SinglePartition in
+    the plan is the 64-row per-shard report's global total — metadata
+    scale by construction."""
+    df = QUERIES["q263_epoch_shard_plan"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Generate explode" in plan
+    assert "windowspecdefinition(shard" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

@@ -1,0 +1,267 @@
+"""r11: the streamed ingest-admission loop — ``stream_admit_documents``
+classifies each arriving micro-batch against the durable artifacts,
+records the per-document decision in the durable ``admission_stats``
+history, and folds ONLY admitted documents into the index.
+
+Planted outcomes across the batches: an exact corpus duplicate
+(rejected), a batch-internal duplicate pair (keeper admitted, copy
+rejected), a document that re-arrives AFTER its twin was admitted
+(now a corpus duplicate — rejected), a near-duplicate of corpus
+boilerplate (rejected), and a mixed document whose novel half carries
+the admission (admitted, boilerplate paragraph folds too).
+
+The crash tests pin the decision-anchored exactly-once contract: the
+decision commit precedes any index mutation, and a replay that finds
+the recorded decision must REUSE it — re-classifying against a
+half-folded index would see the batch's own admitted paragraphs as
+corpus duplicates and silently starve the remaining tables.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtg_bulk_database_spark.ingest import admission as AD
+from mtg_bulk_database_spark.ingest import artifacts as A
+from mtg_bulk_database_spark.pipeline_queries14 import (
+    _PARA_DF_CAP,
+    _PARA_TAU,
+)
+from mtg_bulk_database_spark.streaming.ingest import (
+    stream_admit_documents,
+)
+from tests.test_artifacts import _READERS
+
+_SCHEMA = "doc_id bigint, text string, source string"
+
+_BOILER = ("nav home about contact privacy terms "
+           "login logout search help faq cart")
+# one-token edit of _BOILER: 9 of 10 3-shingles shared, J = 9/11 > tau
+_BOILER_NEAR = ("nav home about contact privacy terms "
+                "login logout search help faq basket")
+_PROSE = ("alpha bravo charlie delta echo foxtrot "
+          "golf hotel india juliet kilo lima")
+_NOVEL1 = ("ember quartz willow fjord zephyr maple "
+           "onyx tundra saffron glacier raven dune")
+_NOVEL2 = ("cobalt meadow parchment anchor thistle lyric "
+           "harbor velvet ember2 canyon sable wren")
+_NOVEL3 = ("orchid bastion nimbus ledger copper gale "
+           "prism fathom juniper argent mosaic sterling")
+
+_BOOT = [(100, _BOILER, "web"), (101, _PROSE, "web")]
+
+_BATCHES = [
+    # batch 0: corpus dup (reject), novel (admit), batch-internal copy
+    # of the novel doc (reject)
+    [(1, _BOILER, "web"), (2, _NOVEL1, "web"), (3, _NOVEL1, "web")],
+    # batch 1: doc 2's twin re-arrives AFTER admission (reject),
+    # near-dup boilerplate (reject), novel (admit), mixed doc whose
+    # novel half carries it (admit)
+    [
+        (4, _NOVEL1, "books"),
+        (5, _BOILER_NEAR, "web"),
+        (6, _NOVEL2, "books"),
+        (7, f"{_BOILER} {_NOVEL3}", "web"),
+    ],
+]
+
+_ADMITTED = {2, 6, 7}
+_REJECTED = {1, 3, 4, 5}
+
+
+def _write_batch(path, rows):
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": pd.array([r[1] for r in rows], dtype="string"),
+            "source": pd.array([r[2] for r in rows], dtype="string"),
+        }
+    ).to_parquet(path, index=False)
+
+
+def _rows(df, cols):
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(tuple(
+            tuple(sorted(v)) if isinstance(v, list) else v
+            for v in (r[c] for c in cols)
+        ))
+    return sorted(out)
+
+
+def _bootstrap(spark, tmp_path, name) -> str:
+    root = str(tmp_path / f"root_{name}")
+    A.build_document_artifacts(
+        spark, spark.createDataFrame(_BOOT, _SCHEMA), root
+    )
+    return root
+
+
+def _batch_df(spark, i):
+    return spark.createDataFrame(_BATCHES[i], _SCHEMA)
+
+
+def _run_stream(spark, tmp_path, name) -> str:
+    src = tmp_path / f"src_{name}"
+    src.mkdir()
+    for i, rows in enumerate(_BATCHES):
+        _write_batch(str(src / f"b{i}.parquet"), rows)
+    root = _bootstrap(spark, tmp_path, name)
+    stream_admit_documents(
+        spark,
+        str(src),
+        root,
+        str(tmp_path / f"ckpt_{name}"),
+        tau=_PARA_TAU,
+        df_cap=_PARA_DF_CAP,
+        schema=_SCHEMA,
+    )
+    return root
+
+
+def _state(spark, root):
+    views = [_rows(reader(spark, root), cols) for reader, cols in _READERS]
+    views.append(_rows(
+        AD.read_admission_stats(spark, root),
+        ["akey", "batch_id", "doc_id", "admitted", "tok_novel"],
+    ))
+    return views
+
+
+def test_streamed_admission_equals_sequential_gate(spark, tmp_path):
+    """Streamed N-batch admission ≡ sequential ``admit_and_refresh``
+    through every artifact reader, the recorded decisions match the
+    planted outcomes, and rejected documents leave NO trace in the
+    index."""
+    root = _run_stream(spark, tmp_path, "a")
+    seq = _bootstrap(spark, tmp_path, "seq")
+    seq_stats = []
+    for i in range(len(_BATCHES)):
+        stats, _ = AD.admit_and_refresh(
+            spark, seq, _batch_df(spark, i), _PARA_TAU, _PARA_DF_CAP,
+            batch_id=i,
+        )
+        seq_stats.append(stats)
+
+    for reader, cols in _READERS:
+        got = _rows(reader(spark, root), cols)
+        want = _rows(reader(spark, seq), cols)
+        assert got == want, f"{reader.__name__} diverged from batch gate"
+
+    hist = AD.read_admission_stats(spark, root)
+    recorded = {
+        r["doc_id"]: r["admitted"]
+        for r in hist.select("doc_id", "admitted").collect()
+    }
+    assert {d for d, a in recorded.items() if a == 1} == _ADMITTED
+    assert {d for d, a in recorded.items() if a == 0} == _REJECTED
+    # the history equals the stats the batch gate computed
+    want_hist = sorted(
+        (i, r["doc_id"], r["admitted"])
+        for i, st in enumerate(seq_stats)
+        for r in st.select("doc_id", "admitted").collect()
+    )
+    got_hist = sorted(
+        (r["batch_id"], r["doc_id"], r["admitted"])
+        for r in hist.select("batch_id", "doc_id", "admitted").collect()
+    )
+    assert got_hist == want_hist
+    # rejected docs never reach the index; admitted docs do
+    idx_docs = {
+        r["doc_id"]
+        for r in A.read_paragraphs(spark, root)
+        .select("doc_id").distinct().collect()
+    }
+    assert idx_docs.isdisjoint(_REJECTED)
+    assert _ADMITTED <= idx_docs
+
+
+def test_streamed_admission_replay_is_a_no_op(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying every batch (same
+    batch ids) after the stream drained must change nothing — the
+    recorded decisions short-circuit re-classification and the
+    refresh replays against its per-table stamps."""
+    root = _run_stream(spark, tmp_path, "b")
+    before = _state(spark, root)
+    for i in range(len(_BATCHES)):
+        AD.admit_batch_exactly_once(
+            spark, root, _batch_df(spark, i), _PARA_TAU, _PARA_DF_CAP,
+            batch_id=i,
+        )
+    assert _state(spark, root) == before
+
+
+def test_decision_committed_crash_replays_exactly_once(spark, tmp_path):
+    """Crash AFTER the decision commit but BEFORE any index mutation:
+    the replay must fold from the recorded decision and land exactly
+    where the uncrashed path does."""
+    root = _bootstrap(spark, tmp_path, "c")
+    batch = _batch_df(spark, 0)
+    stats = AD.classify_batch(
+        spark, root, batch, _PARA_TAU, _PARA_DF_CAP
+    ).localCheckpoint(eager=True)
+    AD.persist_admission_stats(spark, root, stats, batch_id=0)
+    # ... crash here; foreachBatch replays the same batch_id
+    AD.admit_batch_exactly_once(
+        spark, root, batch, _PARA_TAU, _PARA_DF_CAP, batch_id=0
+    )
+    clean = _bootstrap(spark, tmp_path, "c_clean")
+    AD.admit_and_refresh(
+        spark, clean, batch, _PARA_TAU, _PARA_DF_CAP, batch_id=0
+    )
+    for reader, cols in _READERS:
+        assert _rows(reader(spark, root), cols) == _rows(
+            reader(spark, clean), cols
+        ), f"{reader.__name__} diverged after decision-committed crash"
+
+
+def test_midfold_crash_reuses_recorded_decision(spark, tmp_path,
+                                                monkeypatch):
+    """THE flip hazard: decision committed, refresh crashed between
+    table commits — the batch's admitted paragraphs are already in the
+    paragraphs table, so re-CLASSIFYING would mark them corpus
+    duplicates, admit nothing, and permanently starve the DF/state
+    tables.  The replay must reuse the recorded decision instead, and
+    finish the fold to exactly the uncrashed state."""
+    root = _bootstrap(spark, tmp_path, "d")
+    batch = _batch_df(spark, 0)
+
+    real_merge = A._merge_df_counts
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the DF merge")
+
+    monkeypatch.setattr(A, "_merge_df_counts", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AD.admit_batch_exactly_once(
+            spark, root, batch, _PARA_TAU, _PARA_DF_CAP, batch_id=0
+        )
+    monkeypatch.setattr(A, "_merge_df_counts", real_merge)
+    # the crashed attempt DID commit paragraph tables for admitted docs
+    folded = {
+        r["doc_id"]
+        for r in A.read_paragraphs(spark, root)
+        .select("doc_id").distinct().collect()
+    }
+    assert 2 in folded  # the hazard is real: replay sees its own rows
+
+    AD.admit_batch_exactly_once(
+        spark, root, batch, _PARA_TAU, _PARA_DF_CAP, batch_id=0
+    )
+    clean = _bootstrap(spark, tmp_path, "d_clean")
+    AD.admit_and_refresh(
+        spark, clean, batch, _PARA_TAU, _PARA_DF_CAP, batch_id=0
+    )
+    for reader, cols in _READERS:
+        assert _rows(reader(spark, root), cols) == _rows(
+            reader(spark, clean), cols
+        ), f"{reader.__name__} diverged after mid-fold crash"
+    # and the recorded decision is the ORIGINAL one, not a re-class
+    rec = {
+        r["doc_id"]: r["admitted"]
+        for r in AD.read_admission_stats(spark, root)
+        .select("doc_id", "admitted").collect()
+    }
+    assert rec[2] == 1 and rec[1] == 0 and rec[3] == 0
