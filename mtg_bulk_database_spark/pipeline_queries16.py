@@ -458,11 +458,14 @@ def q263(spark, sf_dir):
     sortWithinPartitions(h60) ahead of a partitioned write).  Shards
     are balanced by construction (uniform 60-bit key), so the
     per-shard sort has no skewed partition; the report itself is a
-    map-side-combinable aggregate to |shards| rows."""
-    from pyspark.sql import Window
+    map-side-combinable aggregate to |shards| rows.
 
+    The expansion/keying/report bodies live ONCE in
+    ``operators/shards.py`` (`manifest_instances` / `shard_report`),
+    shared with the executable sink ``write_epoch_shards`` — the gate
+    reports on exactly the stream the sink writes."""
     from .functions.text import tokens
-    from .operators.dedup import md5_60
+    from .operators.shards import manifest_instances, shard_report
     from .pipeline_queries13 import (
         epoch_capped_allocation,
         source_token_counts,
@@ -480,56 +483,6 @@ def q263(spark, sf_dir):
         "source",
         F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
     )
-    man = greedy_manifest(d, alloc).filter(F.col("n_repeats") > 0)
-    inst = man.select(
-        "doc_id",
-        F.col("n_tok").alias("nt"),
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                (F.col("n_repeats") - 1).cast("long"),
-            )
-        ).alias("rep_idx"),
-    )
-    keyed = inst.select(
-        "doc_id",
-        "nt",
-        "rep_idx",
-        md5_60(
-            F.concat_ws(
-                ":",
-                F.col("doc_id").cast("string"),
-                F.col("rep_idx").cast("string"),
-            )
-        ).alias("h60"),
-    )
-    wsh = Window.partitionBy("shard").orderBy("h60", "doc_id", "rep_idx")
-    lagged = keyed.select(
-        F.pmod(F.col("h60"), F.lit(_Q263_SHARDS)).alias("shard"),
-        "doc_id",
-        "nt",
-        "rep_idx",
-        "h60",
-    ).select(
-        "shard",
-        "doc_id",
-        "nt",
-        F.when(F.lag("doc_id").over(wsh) == F.col("doc_id"), 1)
-        .otherwise(0)
-        .alias("adj"),
-    )
-    per = lagged.groupBy("shard").agg(
-        F.count("*").cast("long").alias("n_inst"),
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.sum("nt").cast("long").alias("tok_sum"),
-        F.sum("adj").cast("long").alias("n_adjacent_same_doc"),
-    )
-    tot = per.agg(F.sum("tok_sum").cast("long").alias("total"))
-    return per.join(F.broadcast(tot)).select(
-        "shard",
-        "n_inst",
-        "n_docs",
-        "tok_sum",
-        "n_adjacent_same_doc",
-        F.expr("(tok_sum * 1000000) DIV total").alias("tok_share_micro"),
-    )
+    man = greedy_manifest(d, alloc)
+    inst = manifest_instances(man, _Q263_SHARDS)
+    return shard_report(inst)
