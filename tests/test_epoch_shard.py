@@ -114,3 +114,31 @@ def test_read_epoch_shard_prunes_partitions(spark, tmp_path):
     want = full.filter(F.col("shard") == 2).count()
     assert 0 < want < full.count()
     assert df.count() == want
+
+
+def test_write_plan_has_exactly_one_exchange(spark):
+    """The sink's pre-write frame plans exactly ONE Exchange (hash on
+    shard) followed by the per-partition sort — the epoch shuffle
+    costs one pass over the instance stream, no global sort, no
+    second shuffle."""
+    from mtg_bulk_database_spark.operators import shards as SH
+    from mtg_bulk_database_spark.plans import executed_plan
+
+    man = spark.createDataFrame(
+        [(i, 5, 2) for i in range(100)],
+        "doc_id bigint, n_tok bigint, n_repeats bigint",
+    )
+    frame = (
+        SH.manifest_instances(man, 8)
+        .repartition(8, "shard")
+        .sortWithinPartitions("shard", "h60", "doc_id", "rep_idx")
+    )
+    plan = executed_plan(frame)
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "hashpartitioning(shard" in plan
+    sort_lines = [
+        ln for ln in plan.splitlines() if "Sort [shard" in ln
+    ]
+    # `Sort [keys], false, 0` — the second operand is the GLOBAL flag;
+    # false = partition-local sort, no range-partition exchange
+    assert sort_lines and "], false, 0" in sort_lines[0], sort_lines
