@@ -941,3 +941,50 @@ def refresh_vectors(
             spark, _sub(root, IVF_ASSIGNMENTS), assigned, key="vec_id"
         )
     }
+
+
+def remove_documents(
+    spark: SparkSession,
+    root: str,
+    doc_ids,
+    batch_id=None,
+) -> dict[str, int]:
+    """Takedown: delete documents from every durable artifact table in
+    O(batch) — the corpus-CRUD edge a production pipeline needs the
+    day a removal request arrives, without a rebuild.
+
+    A removal IS a refresh whose new version carries no tokens: zero
+    paragraphs and zero shingles derive from an empty text, so
+    :func:`refresh_documents`'s existing machinery does all the work —
+    the document-grain delete legs drop the paragraph/posting/doc
+    rows, the SIGNED DF deltas subtract exactly the removed rows'
+    counts, and the keeper state takes the affected-fingerprint merge
+    (counts decrease, keepers owned by removed docs rebase to the
+    surviving corpus copy via the pruned ``(fpr, pkey)`` rescan, and
+    fingerprints wholly owned by removed docs vanish).  The artifacts
+    never store raw documents, so "no derived rows" and "absent" are
+    the same state — removal ≡ rebuild on the surviving corpus,
+    pinned through every reader in ``tests/test_artifacts.py``.
+
+    ``doc_ids`` is a list of ids or a single-column ``doc_id``
+    DataFrame (the bulk path — above ``_BULK_ID_THRESHOLD`` the fold
+    switches to join-based membership automatically).  ``batch_id``
+    forwards to the exactly-once replay contract.  Removing an id the
+    corpus never held is a no-op; removing from an unbuilt root
+    raises (there is nothing to remove from)."""
+    if not artifacts_exist(root):
+        raise FileNotFoundError(
+            f"no committed artifacts at {root} — nothing to remove from"
+        )
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select("doc_id").dropDuplicates()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+    tombstones = ids_df.select(
+        "doc_id",
+        F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    return refresh_documents(spark, root, tombstones, batch_id=batch_id)

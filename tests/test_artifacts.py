@@ -616,3 +616,91 @@ def test_vacuum_reclaims_replaced_files_readers_unchanged(spark, tmp_path):
     }
     assert before == after
     assert current_version(os.path.join(root, A.PARAGRAPHS)) > 1
+
+
+# ---------------------------------------------------------------------------
+# remove_documents — the takedown edge (r11)
+# ---------------------------------------------------------------------------
+def test_remove_documents_equals_rebuild(spark, tmp_path):
+    """Removing docs 1 and 4 from the maintained root must equal a
+    from-scratch build of the surviving corpus through every reader —
+    including the keeper-loss rebase: doc 1 owned the boilerplate
+    fingerprint's keeper, which must move to the surviving doc 3."""
+    root = str(tmp_path / "rm")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    A.remove_documents(spark, root, [1, 4])
+    want_root = str(tmp_path / "rm_want")
+    A.build_document_artifacts(
+        spark,
+        _docs(
+            spark,
+            [
+                (2, f"{_PROSE} {_PROSE2}", "web"),
+                (3, f"{_BOILER} {_PROSE2} {_PROSE}", "books"),
+                (5, f"{_PROSE} {_BOILER}", "web"),
+            ],
+        ),
+        want_root,
+    )
+    for reader, cols in _READERS:
+        got = _rows(reader(spark, root), cols)
+        want = _rows(reader(spark, want_root), cols)
+        assert got == want, f"{reader.__name__} diverged after removal"
+    state = A.read_paragraph_dedup_state(spark, root)
+    boiler_keepers = [
+        r["keeper"]
+        for r in state.filter(state["n_copies"] >= 2).collect()
+    ]
+    assert any(k.startswith("0" * 18 + "3:") for k in boiler_keepers)
+
+
+def test_remove_all_copies_vanishes_fingerprint(spark, tmp_path):
+    """Removing every document that held a fingerprint deletes its
+    state row and postings entirely (no zero-count ghosts through the
+    readers)."""
+    root = str(tmp_path / "rmv")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    A.remove_documents(spark, root, [2, 3, 4])
+    want_root = str(tmp_path / "rmv_want")
+    A.build_document_artifacts(
+        spark,
+        _docs(
+            spark,
+            [
+                (1, f"{_BOILER} {_PROSE}", "web"),
+                (5, f"{_PROSE} {_BOILER}", "web"),
+            ],
+        ),
+        want_root,
+    )
+    for reader, cols in _READERS:
+        got = _rows(reader(spark, root), cols)
+        want = _rows(reader(spark, want_root), cols)
+        assert got == want, f"{reader.__name__} kept a ghost"
+
+
+def test_remove_absent_id_is_a_noop_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Removing an id the corpus never held changes nothing (DataFrame
+    id path); replaying a removal with the same batch_id is a no-op
+    under the exactly-once contract."""
+    root = str(tmp_path / "rmn")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    before = [
+        _rows(reader(spark, root), cols) for reader, cols in _READERS
+    ]
+    ids = spark.createDataFrame([(42,)], "doc_id bigint")
+    A.remove_documents(spark, root, ids)
+    after = [
+        _rows(reader(spark, root), cols) for reader, cols in _READERS
+    ]
+    assert before == after
+    A.remove_documents(spark, root, [5], batch_id=11)
+    mid = [
+        _rows(reader(spark, root), cols) for reader, cols in _READERS
+    ]
+    A.remove_documents(spark, root, [5], batch_id=11)
+    assert mid == [
+        _rows(reader(spark, root), cols) for reader, cols in _READERS
+    ]
