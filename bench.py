@@ -47,7 +47,10 @@ QUERIES, _ = load_registry()
 # (structural splitter: q261 measures the same splitter served from
 # the durable artifact; q245/q257 keep the window keeper-stats path),
 # q248 (manifest kernel: q263 runs the identical greedy_manifest +
-# alloc chain end-to-end plus the shard layer on top).
+# alloc chain end-to-end plus the shard layer on top); late-r11: q257
+# (artifact-served keeper stats: q264 reads the same ledger tables
+# through the same stats bodies, plus the removal maintenance; q245
+# keeps the inline path, q261 the structural variant).
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -163,7 +166,6 @@ HEADLINE = [
     # shortfall reallocation, structural splitter, artifact round-trip
     "q254_incremental_paragraph_near_dup",
     "q255_shortfall_reallocation",
-    "q257_artifact_paragraph_stats",
     "q258_incremental_paragraph_dedup",
     "q259_paragraph_near_dup_rewrite",
     # r11 additions: the transactional ingest-admission gate, the
@@ -172,6 +174,7 @@ HEADLINE = [
     "q261_structural_artifact_stats",
     "q262_ivf_drift_report",
     "q263_epoch_shard_plan",
+    "q264_takedown_artifact_stats",
 ]
 
 
@@ -318,10 +321,15 @@ def _run(sf_dir: str, sf: float) -> None:
     documents_artifact_root(spark, sf_dir, subset="corpus90")
     # r11: the structural-splitter variant root (q261) and the IVF
     # drift scenario's vector artifacts (q262)
-    from mtg_bulk_database_spark.pipeline_queries16 import ivf_drift_root
+    from mtg_bulk_database_spark.pipeline_queries16 import (
+        ivf_drift_root,
+        takedown_artifact_root,
+    )
 
     documents_artifact_root(spark, sf_dir, subset="structsep")
     ivf_drift_root(spark, sf_dir)
+    # r11: the takedown scenario root (q264 — full build + removal)
+    takedown_artifact_root(spark, sf_dir)
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's

@@ -68,11 +68,13 @@ _PARA_DF_CAP = 1000
 _PARA_TAU = 0.5
 
 
-def _para_cte() -> str:
+def _para_cte(src: str = "documents") -> str:
     """Shared DuckDB CTE fragment: documents -> one row per paragraph
     ``(doc_id, para_idx, pt (token list), p_text, n_ptok)`` — the SQL
-    twin of :func:`paragraph_table`."""
-    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    twin of :func:`paragraph_table`.  ``src`` swaps the document
+    source (a table name or parenthesized subquery — q264 passes the
+    takedown scenario's retained subset)."""
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
     nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
     st AS (SELECT doc_id, t, unnest(range(0, len(t), {_PARA_W})) AS s
            FROM nz),
@@ -289,8 +291,8 @@ def keeper_marked(fp: DataFrame, carry: list[str]) -> DataFrame:
 # q245 — exact cross-document paragraph dedup: per-document surviving-
 # text stats.
 # ---------------------------------------------------------------------------
-def _q245_oracle() -> str:
-    return f"""WITH {_para_cte()},
+def _q245_oracle(src: str = "documents") -> str:
+    return f"""WITH {_para_cte(src)},
     fp AS (
       SELECT doc_id, n_ptok, length(p_text) AS n_pchars,
              md5(p_text) AS fpr,

@@ -486,3 +486,109 @@ def q263(spark, sf_dir):
     man = greedy_manifest(d, alloc)
     inst = manifest_instances(man, _Q263_SHARDS)
     return shard_report(inst)
+
+
+# ---------------------------------------------------------------------------
+# q264 — takedown round-trip: the removal maintenance externally
+# hash-proved from the durable artifacts.
+# ---------------------------------------------------------------------------
+#: every doc_id divisible by this leaves the corpus in the takedown
+#: scenario — deterministic in both engines, ~1/6 of the corpus, and
+#: guaranteed to hit shared-fingerprint keepers at sf0.01
+_Q264_MOD = 6
+
+#: gate-local completion marker: the scenario root is final only after
+#: the full build AND the removal landed (a crash in between must
+#: rebuild, not serve a half-removed corpus)
+_TAKEDOWN_READY = "_TAKEDOWN_READY"
+
+
+def takedown_artifact_root(spark, sf_dir: str) -> str:
+    """Resolve (building if absent) the takedown scenario's durable
+    artifacts: the FULL corpus built first, then ``remove_documents``
+    for every ``doc_id % _Q264_MOD == 0`` — the maintained index a
+    real pipeline holds after serving a removal request, never a
+    rebuild.  Root keyed like every scenario root (path hash + size +
+    mtime_ns + format version) and registered in the warehouse
+    catalog."""
+    import hashlib
+
+    from .ingest.artifact_catalog import (
+        register_artifact_root,
+        warehouse_root,
+    )
+    from .ingest.artifacts import (
+        build_document_artifacts,
+        remove_documents,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    path_h = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:10]
+    sig = f"{path_h}_{st.st_size}_{st.st_mtime_ns}_v{ARTIFACT_FORMAT}"
+    root = os.path.join(
+        warehouse_root(),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{sig}_takedown",
+    )
+    marker = os.path.join(root, _TAKEDOWN_READY)
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        build_document_artifacts(spark, docs, root)
+        remove_documents(
+            spark,
+            root,
+            docs.filter(F.col("doc_id") % _Q264_MOD == 0).select(
+                "doc_id"
+            ),
+        )
+        register_artifact_root(
+            root,
+            source_path=src,
+            source_size=st.st_size,
+            source_mtime_ns=st.st_mtime_ns,
+            fmt=ARTIFACT_FORMAT,
+            subset="takedown",
+            splitter="window",
+        )
+        with open(marker, "a", encoding="utf-8"):
+            pass
+    return root
+
+
+def _q264_oracle() -> str:
+    from .pipeline_queries14 import _q245_oracle
+
+    return _q245_oracle(
+        src=f"(SELECT * FROM documents WHERE doc_id % {_Q264_MOD} <> 0)"
+    )
+
+
+@query("q264_takedown_artifact_stats", _q264_oracle())
+def q264(spark, sf_dir):
+    """Takedown round-trip (the q257 pattern applied to REMOVAL):
+    q245's per-document dedup stats served FROM durable artifacts
+    that were maintained through ``remove_documents`` — full-corpus
+    build, then every ``doc_id % 6 == 0`` removed in O(batch) — while
+    the oracle recomputes everything from the raw documents table
+    MINUS the removed ids.  The external hash pins the whole removal
+    path: document-grain deletes, signed DF subtraction, keeper-loss
+    rebase to surviving copies, vanished wholly-owned fingerprints —
+    any ghost row or stale keeper is a mismatch, not a bigger number.
+
+    Spark side reads ONLY ledger parquet under the scenario root
+    (zero documents scans — plan-pinned like q257); the scenario
+    builds once per corpus signature and is maintenance, not query,
+    cost thereafter."""
+    from .ingest.artifacts import read_paragraphs
+    from .pipeline_queries14 import (
+        paragraph_dedup_stats,
+        paragraph_occurrences,
+    )
+
+    root = takedown_artifact_root(spark, sf_dir)
+    para = read_paragraphs(spark, root).select(
+        "doc_id", "para_idx", "p_text", "n_ptok"
+    )
+    return paragraph_dedup_stats(paragraph_occurrences(para))

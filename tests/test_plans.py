@@ -1284,3 +1284,21 @@ def test_q263_shard_plan_shape(spark):
     assert "windowspecdefinition(shard" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_q264_reads_only_the_takedown_artifact(spark):
+    """The takedown round-trip gate's ENTIRE input is ledger parquet
+    under the scenario root — zero documents scans (the oracle
+    recomputes from documents minus the removed ids; the Spark side
+    must serve the REMOVAL-maintained artifact)."""
+    df = QUERIES["q264_takedown_artifact_stats"](spark, SF_DIR)
+    plan = executed_plan(df)
+    doc_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and ",text#" in line
+    ]
+    assert not doc_scans, doc_scans
+    files = df.inputFiles()
+    assert files and all("_takedown" in f for f in files)
+    assert "partial_min" in plan and "partial_count" in plan
