@@ -901,22 +901,20 @@ def vacuum_artifacts(
     staged by beaten concurrent builders) while keeping
     ``retain_versions`` fully readable — the artifact lifecycle's last
     verb after build / read / refresh / compact.  Returns
-    {table: deleted paths}."""
+    {table: deleted paths}.
+
+    Tables are DISCOVERED (any subdirectory holding a committed
+    ledger), not enumerated from a fixed list — a fixed list silently
+    skipped every table added after it was written (the admission
+    history was the first casualty; pinned in tests)."""
     from .ledger import ledger_vacuum
 
     out: dict[str, list[str]] = {}
-    for name in (
-        PARAGRAPHS,
-        PARAGRAPH_SHINGLES,
-        PARAGRAPH_SHINGLE_DF,
-        PARAGRAPH_DEDUP_STATE,
-        DOC_SHINGLES,
-        DOC_SHINGLE_DF,
-        IVF_CENTROIDS,
-        IVF_ASSIGNMENTS,
-    ):
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
         sub = _sub(root, name)
-        if current_version(sub) > 0:
+        if os.path.isdir(sub) and current_version(sub) > 0:
             out[name] = ledger_vacuum(
                 sub,
                 retain_versions=retain_versions,
@@ -988,3 +986,41 @@ def remove_documents(
         F.lit(None).cast("string").alias("source"),
     )
     return refresh_documents(spark, root, tombstones, batch_id=batch_id)
+
+
+def remove_vectors(
+    spark: SparkSession,
+    root: str,
+    vec_ids,
+) -> dict[str, int]:
+    """Vector takedown — the ANN side of corpus CRUD: delete ids from
+    the durable assignment table in O(batch).  Centroids are frozen
+    and untouched (they encode the trained quantizer, not the data);
+    the manifest's vec_id file stats prune the delete to the files
+    actually holding the ids.  Removing an id the table never held is
+    a no-op.  ``vec_ids`` is a list or a single-column ``vec_id``
+    DataFrame (the bulk path takes the exact-file-probe delete)."""
+    from .ledger import ledger_delete, ledger_delete_keys
+
+    sub = _sub(root, IVF_ASSIGNMENTS)
+    if current_version(sub) == 0:
+        raise FileNotFoundError(
+            f"no committed assignments at {root} — nothing to remove"
+        )
+    if isinstance(vec_ids, DataFrame):
+        v = ledger_delete_keys(
+            spark, sub, vec_ids.select("vec_id").dropDuplicates(),
+            on="vec_id",
+        )
+    else:
+        ids = [int(i) for i in vec_ids]
+        if len(ids) > _BULK_ID_THRESHOLD:
+            ids_df = spark.createDataFrame(
+                [(i,) for i in ids], "vec_id bigint"
+            )
+            v = ledger_delete_keys(spark, sub, ids_df, on="vec_id")
+        else:
+            v = ledger_delete(
+                spark, sub, F.col("vec_id").isin(ids)
+            )
+    return {IVF_ASSIGNMENTS: v}

@@ -704,3 +704,60 @@ def test_remove_absent_id_is_a_noop_and_replay_idempotent(
     assert mid == [
         _rows(reader(spark, root), cols) for reader, cols in _READERS
     ]
+
+
+def test_remove_vectors_deletes_assignments(spark, tmp_path):
+    """Vector takedown: removed ids leave the assignment table (both
+    the list path and the bulk DataFrame path), the centroids stay
+    frozen, absent ids are a no-op, and the pruned probe reads still
+    serve the survivors."""
+    root = str(tmp_path / "ivf_rm")
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") != 0)
+        .limit(200)
+        .localCheckpoint(eager=True)
+    )
+    A.build_vector_artifacts(spark, emb, root, n_lists=4)
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    victims = sorted(all_ids)[:5]
+    A.remove_vectors(spark, root, victims)
+    left = {
+        r["vec_id"]
+        for r in A.read_ivf_assignments(spark, root)
+        .select("vec_id").collect()
+    }
+    assert left == all_ids - set(victims)
+    assert len(A.read_ivf_centroids(spark, root)) == 4
+    # bulk DataFrame path + absent-id no-op
+    more = spark.createDataFrame(
+        [(sorted(all_ids)[6],), (999_999_999,)], "vec_id bigint"
+    )
+    A.remove_vectors(spark, root, more)
+    left2 = {
+        r["vec_id"]
+        for r in A.read_ivf_assignments(spark, root)
+        .select("vec_id").collect()
+    }
+    assert left2 == left - {sorted(all_ids)[6]}
+
+
+def test_vacuum_discovers_every_ledger_table(spark, tmp_path):
+    """vacuum_artifacts must DISCOVER tables, not enumerate a fixed
+    list — the admission history lives under the same root and a
+    fixed list silently skipped it forever."""
+    from mtg_bulk_database_spark.ingest import admission as AD
+
+    root = str(tmp_path / "vac")
+    A.build_document_artifacts(spark, _corpus_v1(spark), root)
+    stats = AD.classify_batch(
+        spark, root, _delta(spark), tau=0.5, df_cap=1000
+    ).localCheckpoint(eager=True)
+    AD.persist_admission_stats(spark, root, stats, batch_id=0)
+    # create a dead version in the history so vacuum has work there
+    AD.persist_admission_stats(spark, root, stats, batch_id=0)
+    out = A.vacuum_artifacts(root, retain_versions=1, orphan_min_age_s=0)
+    assert AD.ADMISSION_STATS in out
+    assert A.PARAGRAPHS in out
+    # readers still serve after vacuum
+    assert AD.read_admission_stats(spark, root).count() == stats.count()
