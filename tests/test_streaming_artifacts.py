@@ -131,3 +131,36 @@ def test_empty_source_leaves_no_artifacts(spark, tmp_path):
     )
     assert not A.artifacts_exist(root)
     assert not os.path.isdir(os.path.join(root, A.PARAGRAPHS))
+
+
+def test_streamed_empty_text_tombstone_removes_document(spark, tmp_path):
+    """A producer emitting an empty-text tombstone through the stream
+    gets full removal semantics (the remove_documents equivalence): a
+    later batch blanks doc 6, and every reader equals a batch build of
+    the corpus WITHOUT it — no ghost postings, keeper rebased off the
+    removed doc."""
+    src = tmp_path / "src_tomb"
+    src.mkdir()
+    batches = [
+        [(6, f"{_PROSE} {_BOILER}", "web"), (7, _BOILER, "web")],
+        [(6, "", "web")],  # tombstone
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(str(src / f"b{i}.parquet"), rows)
+    root = str(tmp_path / "art_tomb")
+    stream_refresh_artifacts(
+        spark, str(src), root, str(tmp_path / "ckpt_tomb"),
+        schema=_SCHEMA,
+    )
+    full_root = str(tmp_path / "full_tomb")
+    A.build_document_artifacts(
+        spark,
+        spark.createDataFrame([(7, _BOILER, "web")], _SCHEMA),
+        full_root,
+    )
+    from tests.test_artifacts import _READERS
+
+    for reader, cols in _READERS:
+        got = _rows(reader(spark, root), cols)
+        want = _rows(reader(spark, full_root), cols)
+        assert got == want, f"{reader.__name__} kept a tombstone ghost"
