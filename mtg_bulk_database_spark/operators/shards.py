@@ -122,13 +122,15 @@ def write_epoch_shards(
 
 
 def read_epoch_shard(spark, out_dir: str, shard: int) -> DataFrame:
-    """One shard, in trainer order — partition pruning turns the path
-    filter into a single-directory scan."""
-    return (
-        spark.read.parquet(out_dir)
-        .filter(F.col("shard") == shard)
-        .sortWithinPartitions("h60", "doc_id", "rep_idx")
-    )
+    """One shard — partition pruning turns the path filter into a
+    single-directory scan.  Row order: each FILE holds its rows in the
+    (h60, doc_id, rep_idx) trainer order (the write sorts per
+    partition); a trainer consuming the stream sequentially should
+    read the shard's files in name order (``shard_files``), since a
+    DataFrame read may split or coalesce files and only guarantees
+    within-file order per split.  Callers needing a total order in
+    one frame sort by the carried key columns."""
+    return spark.read.parquet(out_dir).filter(F.col("shard") == shard)
 
 
 def shard_files(out_dir: str, shard: int) -> list[str]:
