@@ -536,12 +536,17 @@ def takedown_artifact_root(spark, sf_dir: str) -> str:
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents", fan_out=True)
         build_document_artifacts(spark, docs, root)
+        # the batch_id stamp makes the removal idempotent if two
+        # processes race this root before the marker lands: the
+        # loser's re-application sees the per-table applied stamps
+        # and skips instead of double-subtracting the DF deltas
         remove_documents(
             spark,
             root,
             docs.filter(F.col("doc_id") % _Q264_MOD == 0).select(
                 "doc_id"
             ),
+            batch_id="q264-takedown",
         )
         register_artifact_root(
             root,
