@@ -534,8 +534,28 @@ def takedown_artifact_root(spark, sf_dir: str) -> str:
     )
     marker = os.path.join(root, _TAKEDOWN_READY)
     if not os.path.exists(marker):
+        import shutil
+        import uuid
+
+        from .ingest.artifacts import artifacts_exist
+        from .pipeline_queries15 import documents_artifact_root
+
+        # seed the scenario by COPYING the full-corpus root (built
+        # once for q257) instead of re-deriving every table — the
+        # removal then runs against an index built elsewhere, exactly
+        # the production shape, and the driver's ingest block pays one
+        # full build, not two.  Ledger manifests hold root-relative
+        # paths, so a directory copy is a valid root; staged-via-temp
+        # + rename so a racing copier loses atomically.
+        if not artifacts_exist(root):
+            all_root = documents_artifact_root(spark, sf_dir, subset="all")
+            tmp = f"{root}.tmp_{uuid.uuid4().hex}"
+            shutil.copytree(all_root, tmp)
+            try:
+                os.rename(tmp, root)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         docs = load_table(spark, sf_dir, "documents", fan_out=True)
-        build_document_artifacts(spark, docs, root)
         # the batch_id stamp makes the removal idempotent if two
         # processes race this root before the marker lands: the
         # loser's re-application sees the per-table applied stamps
