@@ -142,3 +142,68 @@ def test_write_plan_has_exactly_one_exchange(spark):
     # `Sort [keys], false, 0` — the second operand is the GLOBAL flag;
     # false = partition-local sort, no range-partition exchange
     assert sort_lines and "], false, 0" in sort_lines[0], sort_lines
+
+
+def test_shard_kernel_matches_python_replica(spark):
+    """Third-engine check (the portable-hash discipline): a pure
+    Python replica — hashlib md5, int arithmetic, sorted adjacency —
+    must reproduce manifest_instances + shard_report EXACTLY on random
+    manifests.  Validates the 60-bit key derivation, the shard mod,
+    the within-shard order and every report column independently of
+    both Spark and DuckDB."""
+    import hashlib
+    import random
+
+    from mtg_bulk_database_spark.operators import shards as SH
+
+    for seed in (3, 77, 2024):
+        rng = random.Random(seed)
+        n = rng.choice([4, 8, 16])
+        man_rows = [
+            (did, rng.randint(1, 40), rng.randint(0, 4))
+            for did in rng.sample(range(1, 10_000), rng.randint(1, 120))
+        ]
+        man = spark.createDataFrame(
+            man_rows, "doc_id bigint, n_tok bigint, n_repeats bigint"
+        )
+        inst = SH.manifest_instances(man, n)
+        got = sorted(
+            (r.doc_id, r.nt, r.rep_idx, r.h60, r.shard)
+            for r in inst.collect()
+        )
+        # --- replica ---
+        rep = []
+        for did, nt, reps in man_rows:
+            for k in range(reps):
+                h60 = int(
+                    hashlib.md5(f"{did}:{k}".encode()).hexdigest()[:15],
+                    16,
+                )
+                rep.append((did, nt, k, h60, h60 % n))
+        assert got == sorted(rep), f"instances diverged (seed {seed})"
+
+        got_rep = sorted(
+            (
+                r.shard, r.n_inst, r.n_docs, r.tok_sum,
+                r.n_adjacent_same_doc, r.tok_share_micro,
+            )
+            for r in SH.shard_report(inst).collect()
+        )
+        want_rep = []
+        total = sum(t[1] for t in rep)
+        by_shard = {}
+        for t in rep:
+            by_shard.setdefault(t[4], []).append(t)
+        for s, rows in by_shard.items():
+            rows.sort(key=lambda t: (t[3], t[0], t[2]))
+            adj = sum(
+                1
+                for a, b in zip(rows, rows[1:])
+                if a[0] == b[0]
+            )
+            tok = sum(t[1] for t in rows)
+            want_rep.append((
+                s, len(rows), len({t[0] for t in rows}), tok, adj,
+                (tok * 1_000_000) // total,
+            ))
+        assert got_rep == sorted(want_rep), f"report diverged (seed {seed})"
