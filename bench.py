@@ -50,7 +50,9 @@ QUERIES, _ = load_registry()
 # alloc chain end-to-end plus the shard layer on top); late-r11: q257
 # (artifact-served keeper stats: q264 reads the same ledger tables
 # through the same stats bodies, plus the removal maintenance; q245
-# keeps the inline path, q261 the structural variant).
+# keeps the inline path, q261 the structural variant), q35 (brute
+# embedding pair scan: q36 keeps the one-scan cosine shape, q232 the
+# pair-screen shape, q251 the banded pair generation).
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -67,7 +69,6 @@ HEADLINE = [
     "q30_dedup_exact",
     "q32_ngram_jaccard_pairs",
     "q33_minhash_lsh_pairs",
-    "q35_embedding_top_pairs",
     "q36_cosine_topk",
     "q38_language_id",
     "q40_quality_score",
@@ -175,6 +176,7 @@ HEADLINE = [
     "q262_ivf_drift_report",
     "q263_epoch_shard_plan",
     "q264_takedown_artifact_stats",
+    "q265_epoch_shard_churn",
 ]
 
 

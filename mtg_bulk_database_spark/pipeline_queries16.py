@@ -617,3 +617,181 @@ def q264(spark, sf_dir):
         "doc_id", "para_idx", "p_text", "n_ptok"
     )
     return paragraph_dedup_stats(paragraph_occurrences(para))
+
+
+# ---------------------------------------------------------------------------
+# q265 — epoch-shard churn: which shards must be rewritten when the
+# corpus grows under a PINNED plan-of-record allocation.
+# ---------------------------------------------------------------------------
+#: arriving-batch predicate for the churn scenario: doc_id % 7 == 0.
+#: 7 is COPRIME to the testdata's source pattern (source tracks
+#: doc_id % 20), so the batch lands inside EVERY planned source — a
+#: mod-10 split would align with whole sources and make the batch
+#: 100% unplanned (zero churn by construction; caught by the
+#: conservation-identity test, not the cross-engine hash, which
+#: matched the trivial report just fine)
+_Q265_MOD = 7
+
+
+def _q265_oracle() -> str:
+    from .pipeline_queries13 import _q240_alloc_chain
+    from .pipeline_queries14 import _TOKS
+
+    n = _Q263_SHARDS
+    counts90 = f"""
+      SELECT source,
+             CAST(sum(coalesce(len({_TOKS}), 0)) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE source IS NOT NULL AND doc_id % {_Q265_MOD} <> 0
+      GROUP BY source"""
+
+    def man(tag: str, where: str) -> str:
+        return f"""d{tag} AS (
+      SELECT doc_id, source,
+             coalesce(len({_TOKS}), 0) AS nt,
+             md5(CAST(doc_id AS VARCHAR)) AS ordkey
+      FROM documents WHERE source IS NOT NULL{where}),
+    cumt{tag} AS (
+      SELECT doc_id, source, nt,
+             CAST(sum(nt) OVER (PARTITION BY source
+                  ORDER BY ordkey, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM d{tag} WHERE nt > 0),
+    man{tag} AS (
+      SELECT c.doc_id,
+             CASE WHEN a.n_tokens > 0
+                  THEN a.alloc_tokens // a.n_tokens ELSE 0 END
+             + CASE WHEN c.cum - c.nt <
+                       (CASE WHEN a.n_tokens > 0
+                             THEN a.alloc_tokens % a.n_tokens ELSE 0 END)
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM cumt{tag} c JOIN alloc a ON c.source = a.source),
+    inst{tag} AS (
+      SELECT doc_id, unnest(range(n_repeats)) AS rep_idx
+      FROM man{tag} WHERE n_repeats > 0),
+    keyed{tag} AS (
+      SELECT doc_id, CAST(rep_idx AS BIGINT) AS rep_idx,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(rep_idx AS VARCHAR)), 1, 15))::BIGINT
+               % {n} AS shard
+      FROM inst{tag})"""
+
+    return f"""WITH {_q240_alloc_chain(counts90)},
+    {man("0", f" AND doc_id % {_Q265_MOD} <> 0")},
+    {man("1", "")},
+    j AS (
+      SELECT coalesce(o.shard, nw.shard) AS shard,
+             CASE WHEN o.doc_id IS NOT NULL AND nw.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS kept,
+             CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+             CASE WHEN nw.doc_id IS NULL THEN 1 ELSE 0 END AS removed
+      FROM keyed0 o FULL OUTER JOIN keyed1 nw
+        ON o.doc_id = nw.doc_id AND o.rep_idx = nw.rep_idx),
+    grid AS (SELECT CAST(unnest(range(0, {n})) AS BIGINT) AS shard)
+    SELECT g.shard,
+           CAST(coalesce(sum(j.kept), 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(j.added), 0) AS BIGINT) AS n_added,
+           CAST(coalesce(sum(j.removed), 0) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN coalesce(sum(j.added), 0)
+                          + coalesce(sum(j.removed), 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS touched
+    FROM grid g LEFT JOIN j ON j.shard = g.shard
+    GROUP BY g.shard"""
+
+
+@query("q265_epoch_shard_churn", _q265_oracle())
+def q265(spark, sf_dir):
+    """Epoch-shard churn under corpus growth — the operational
+    question after q263's sink exists: WHEN the corpus changes, which
+    shard files must be rewritten?  Scenario (q254's split): the
+    allocation is the PLAN OF RECORD, computed when the corpus was
+    ``doc_id % 10 != 0``; the batch then arrives and the pipeline
+    re-materializes shards for the full corpus UNDER THE PINNED plan
+    (trainers pin manifests per run — re-planning is a separate,
+    deliberate act).  Because shard assignment is a pure function of
+    ``(doc_id, rep_idx)``, unchanged scheduled instances land in the
+    SAME shard both times; churn is exactly the arriving docs'
+    instances plus the remainder-prefix boundary shifts the new docs
+    cause inside each source's md5 order (reported honestly — a
+    pinned-plan world still moves the greedy prefix).  Per shard:
+    kept/added/removed instance counts and the rewrite flag.  A
+    source that exists only in the batch has no plan row and is not
+    scheduled (inner join against the allocation) — unplanned
+    sources are a re-plan, not a shard rewrite.
+
+    100 TB shape: two manifest windows (per-source, the q248 kernel)
+    + one narrow expansion each + ONE full-outer equi-join on the
+    instance key, hash-partitioned — the join IS the rewrite plan's
+    cost, bounded by the two instance streams; the report aggregates
+    map-side to |shards| rows anchored on a literal shard grid so
+    untouched shards report zeros rather than vanishing."""
+    from .functions.text import tokens
+    from .operators.shards import manifest_instances
+    from .pipeline_queries13 import (
+        epoch_capped_allocation,
+        source_token_counts,
+    )
+    from .pipeline_queries14 import greedy_manifest
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    docs90 = docs.filter(F.col("doc_id") % _Q265_MOD != 0)
+    alloc = epoch_capped_allocation(
+        source_token_counts(docs90)
+    ).select(
+        "source",
+        F.col("n_tokens").alias("src_tokens"),
+        "alloc_tokens",
+    )
+
+    def eligible(dd):
+        return dd.where(F.col("source").isNotNull()).select(
+            "doc_id",
+            "source",
+            F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+        )
+
+    man_old = greedy_manifest(eligible(docs90), alloc)
+    man_new = greedy_manifest(eligible(docs), alloc)
+    old = manifest_instances(man_old, _Q263_SHARDS).select(
+        "doc_id", "rep_idx", "shard", F.lit(1).alias("_o")
+    )
+    new = manifest_instances(man_new, _Q263_SHARDS).select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("rep_idx").alias("n_rep"),
+        F.col("shard").alias("n_shard"),
+        F.lit(1).alias("_n"),
+    )
+    j = old.join(
+        new,
+        (F.col("doc_id") == F.col("n_doc"))
+        & (F.col("rep_idx") == F.col("n_rep")),
+        "full_outer",
+    ).select(
+        F.coalesce("shard", "n_shard").alias("shard"),
+        F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1)
+        .otherwise(0)
+        .alias("kept"),
+        F.when(F.col("_o").isNull(), 1).otherwise(0).alias("added"),
+        F.when(F.col("_n").isNull(), 1).otherwise(0).alias("removed"),
+    )
+    grid = spark.range(_Q263_SHARDS).select(
+        F.col("id").cast("long").alias("shard")
+    )
+    agg = j.groupBy("shard").agg(
+        F.sum("kept").cast("long").alias("k"),
+        F.sum("added").cast("long").alias("a"),
+        F.sum("removed").cast("long").alias("r"),
+    )
+    return grid.join(agg, "shard", "left").select(
+        "shard",
+        F.coalesce("k", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("a", F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce("r", F.lit(0)).cast("long").alias("n_removed"),
+        F.when(
+            F.coalesce("a", F.lit(0)) + F.coalesce("r", F.lit(0)) > 0, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("touched"),
+    )

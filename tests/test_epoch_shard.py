@@ -207,3 +207,50 @@ def test_shard_kernel_matches_python_replica(spark):
                 (tok * 1_000_000) // total,
             ))
         assert got_rep == sorted(want_rep), f"report diverged (seed {seed})"
+
+
+def test_q265_churn_identities(spark):
+    """Conservation identities over the churn report: kept+removed ==
+    the pinned-plan instance count on the old corpus, kept+added ==
+    on the new corpus, and the arriving batch's scheduled instances
+    are a lower bound on the additions."""
+    from mtg_bulk_database_spark.operators.shards import (
+        manifest_instances,
+    )
+    from mtg_bulk_database_spark.functions.text import tokens
+    from mtg_bulk_database_spark.catalog import load_table
+    from mtg_bulk_database_spark.pipeline_queries13 import (
+        epoch_capped_allocation,
+        source_token_counts,
+    )
+    from mtg_bulk_database_spark.pipeline_queries14 import greedy_manifest
+    from mtg_bulk_database_spark.pipeline_queries16 import _Q263_SHARDS
+
+    rows = QUERIES["q265_epoch_shard_churn"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    docs90 = docs.filter(F.col("doc_id") % 7 != 0)
+    alloc = epoch_capped_allocation(
+        source_token_counts(docs90)
+    ).select(
+        "source",
+        F.col("n_tokens").alias("src_tokens"),
+        "alloc_tokens",
+    )
+
+    def n_inst(dd):
+        d = dd.where(F.col("source").isNotNull()).select(
+            "doc_id",
+            "source",
+            F.coalesce(F.size(tokens("text")), F.lit(0)).alias("nt"),
+        )
+        return manifest_instances(
+            greedy_manifest(d, alloc), _Q263_SHARDS
+        ).count()
+
+    kept = sum(r.n_kept for r in rows)
+    assert kept + sum(r.n_removed for r in rows) == n_inst(docs90)
+    assert kept + sum(r.n_added for r in rows) == n_inst(docs)
+    assert sum(r.n_added for r in rows) > 0
+    assert all(
+        (r.touched == 1) == (r.n_added + r.n_removed > 0) for r in rows
+    )
