@@ -505,26 +505,60 @@ def md5_60(c: Column) -> Column:
     )
 
 
+#: (num_perm, seed) → vectorized signature UDF, reused across calls so
+#: a session building many signature frames registers one UDF per
+#: parameter set (and a reused Python worker keeps its numpy arrays).
+_SIG_UDFS: dict = {}
+
+
 def _signature_from_hashes(
     hashes: Column, num_perm: int, seed: int
 ) -> Column:
-    """Shared permutation core: min over (aᵢ·x + bᵢ) mod p per perm."""
+    """Shared permutation core: min over (aᵢ·x + bᵢ) mod p per perm.
 
-    def perm_min(hs: Column, a: int, b: int) -> Column:
-        # closure factory: the HOF lambda must expose exactly one parameter
-        def h(x: Column) -> Column:
-            return F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31))
+    Evaluated as ONE vectorized Arrow batch kernel (r11, guide §4.2):
+    the previous form — ``num_perm`` HOF ``transform``+``array_min``
+    expressions per row — is a CodegenFallback path, so every
+    (perm × shingle) product ran through the row interpreter:
+    64 perms × ~220 shingles × |docs| ≈ 70M interpreted expression
+    evals per signature build, measured 50-65 executor-CPU-seconds per
+    q177/q251 run at sf0.1.  The numpy kernel computes the identical
+    integer algebra — ``(a·x + b) mod p`` then column-wise min — in
+    one (num_perm × |shingles|) vectorized pass per row: every operand
+    is < 2⁶² so int64 is exact, both operands are non-negative so
+    ``%`` ≡ ``pmod``, and the values (hence every downstream band
+    bucket, candidate set and oracle hash) are bit-identical.  Pinned
+    by tests/test_dedup.py::test_signature_kernel_matches_hof_core
+    against the old expression form.  A NULL/empty shingle array maps
+    to [null × num_perm] exactly as ``array_min(transform(NULL,…))``
+    did (unreachable through the ≥k-token builders, covered anyway).
+    """
+    key = (num_perm, seed)
+    sig_udf = _SIG_UDFS.get(key)
+    if sig_udf is None:
+        params = _perm_params(num_perm, seed)
+        a_list = tuple(p[0] for p in params)
+        b_list = tuple(p[1] for p in params)
+        n_perm = num_perm
 
-        return F.array_min(F.transform(hs, h))
+        @F.pandas_udf("array<bigint>")
+        def _sig(hs: pd.Series) -> pd.Series:
+            import numpy as np
 
-    def build(hs: Column) -> Column:
-        return F.array(
-            *[perm_min(hs, a, b) for a, b in _perm_params(num_perm, seed)]
-        )
+            a = np.asarray(a_list, dtype=np.int64)[:, None]
+            b = np.asarray(b_list, dtype=np.int64)[:, None]
+            nulls = [None] * n_perm
+            out = []
+            for v in hs:
+                if v is None or len(v) == 0:
+                    out.append(nulls)
+                    continue
+                x = np.asarray(v, dtype=np.int64)[None, :]
+                out.append(((a * x + b) % _MERSENNE_31).min(axis=1).tolist())
+            return pd.Series(out)
 
-    # single-element transform = let-binding: evaluates `hashes` once and
-    # exposes it to the signature builder as a bound lambda variable.
-    return F.element_at(F.transform(F.array(hashes), build), 1)
+        sig_udf = _SIG_UDFS[key] = _sig
+    return sig_udf(hashes)
 
 
 def minhash_signature(sh: Column, num_perm: int = 64, seed: int = 13) -> Column:
@@ -629,13 +663,23 @@ def minhash_lsh_pairs(
     )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B| for the distinct-element arrays every
+    # shingle builder emits (array_distinct at construction), so ONE
+    # hash-set pass per candidate replaces intersect+union (r11, guide
+    # §1.2 per-task work; integer counts → identical double).  The
+    # hoisted `_common` column is referenced twice, which blocks
+    # CollapseProject from inlining (non-cheap expr) — array_intersect
+    # evaluates once, same discipline as q223's named score arrays.
     verified = (
         cand.join(sh_a, on="id_a")
         .join(sh_b, on="id_b")
         .withColumn(
+            "_common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_common")),
         )
     )
     return verified.filter(F.col("jaccard") >= threshold).select(
@@ -715,13 +759,23 @@ def minhash_lsh_pairs_portable(
     )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B| for the distinct-element arrays every
+    # shingle builder emits (array_distinct at construction), so ONE
+    # hash-set pass per candidate replaces intersect+union (r11, guide
+    # §1.2 per-task work; integer counts → identical double).  The
+    # hoisted `_common` column is referenced twice, which blocks
+    # CollapseProject from inlining (non-cheap expr) — array_intersect
+    # evaluates once, same discipline as q223's named score arrays.
     verified = (
         cand.join(sh_a, on="id_a")
         .join(sh_b, on="id_b")
         .withColumn(
+            "_common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_common")),
         )
     )
     return verified.filter(F.col("jaccard") >= threshold).select(

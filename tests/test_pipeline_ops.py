@@ -41,6 +41,65 @@ def _pairs(df):
     return {(r["id_a"], r["id_b"]) for r in df.collect()}
 
 
+def test_signature_kernel_matches_hof_core(docs):
+    """r11 optimization pin: the vectorized Arrow signature kernel
+    (`dedup._signature_from_hashes`) must be BIT-IDENTICAL to the
+    original interpreted HOF expression form — min over
+    ``(aᵢ·x + bᵢ) mod p`` per permutation — for both base-hash
+    families and for non-default (num_perm, seed) parameter sets.
+    The HOF form below is a frozen copy of the pre-r11 expression."""
+
+    def hof_signature(hashes, num_perm, seed):
+        def perm_min(hs, a, b):
+            def h(x):
+                return F.pmod(
+                    F.lit(a) * x + F.lit(b), F.lit(dedup._MERSENNE_31)
+                )
+
+            return F.array_min(F.transform(hs, h))
+
+        def build(hs):
+            return F.array(
+                *[
+                    perm_min(hs, a, b)
+                    for a, b in dedup._perm_params(num_perm, seed)
+                ]
+            )
+
+        return F.element_at(F.transform(F.array(hashes), build), 1)
+
+    for kind, base_hash in (
+        ("hashed", lambda s: F.pmod(F.xxhash64(s), F.lit(dedup._MERSENNE_31))),
+        (
+            "string",
+            lambda s: F.pmod(dedup.md5_60(s), F.lit(dedup._MERSENNE_31)),
+        ),
+    ):
+        build_fn = (
+            dedup.with_hashed_shingles if kind == "hashed" else dedup.with_shingles
+        )
+        sh = build_fn(docs, "text", "doc_id", 3)
+        for num_perm, seed in ((64, 13), (32, 13), (8, 7)):
+            hashes = F.transform(F.col("shingles"), base_hash)
+            got = {
+                r["doc_id"]: r["sig"]
+                for r in sh.select(
+                    "doc_id",
+                    dedup._signature_from_hashes(
+                        hashes, num_perm, seed
+                    ).alias("sig"),
+                ).collect()
+            }
+            want = {
+                r["doc_id"]: r["sig"]
+                for r in sh.select(
+                    "doc_id",
+                    hof_signature(hashes, num_perm, seed).alias("sig"),
+                ).collect()
+            }
+            assert got == want, (kind, num_perm, seed)
+
+
 def test_minhash_lsh_matches_exact_jaccard(docs):
     exact = _pairs(dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.8))
     assert exact, "synthetic corpus should contain engineered near-dups"
