@@ -296,42 +296,91 @@ def _run(sf_dir: str, sf: float) -> None:
         paragraph_shingles_prebuilt,
     )
 
-    t_art = time.perf_counter()
-    ivf_prebuilt_index(spark, sf_dir)
-    pq_prebuilt_index(spark, sf_dir)
-    asof_click_depth(spark, sf_dir)
-    jaccard_lean_pair_estimate(spark, sf_dir)
-    # the shingle posting tables the dedup family shares (the
-    # reference's trigram GIN analog, init.sql:137-138) and the
-    # over-cap stop-shingle head (the ANALYZE-statistic analog)
-    shingle_prebuilt_table(spark, sf_dir, "string")
-    shingle_prebuilt_table(spark, sf_dir, "hashed")
-    hot_shingles_prebuilt(spark, sf_dir)
-    # the paragraph-grain index + posting table (r9 sub-document family)
-    paragraph_prebuilt_table(spark, sf_dir)
-    paragraph_shingles_prebuilt(spark, sf_dir)
-    paragraph_hot_shingles_prebuilt(spark, sf_dir)
-    # the DURABLE ledger artifacts (r10): built once per corpus
-    # signature under /tmp and reused across sessions/rounds — the
-    # first round pays the build here (untimed, like every other
-    # ingest artifact), later rounds just resolve the existing root
     from mtg_bulk_database_spark.pipeline_queries15 import (
         documents_artifact_root,
     )
-
-    documents_artifact_root(spark, sf_dir, subset="all")
-    documents_artifact_root(spark, sf_dir, subset="corpus90")
-    # r11: the structural-splitter variant root (q261) and the IVF
-    # drift scenario's vector artifacts (q262)
     from mtg_bulk_database_spark.pipeline_queries16 import (
         ivf_drift_root,
         takedown_artifact_root,
     )
 
-    documents_artifact_root(spark, sf_dir, subset="structsep")
-    ivf_drift_root(spark, sf_dir)
-    # r11: the takedown scenario root (q264 — full build + removal)
-    takedown_artifact_root(spark, sf_dir)
+    # r11 (guide §2.6): the prebuild steps form INDEPENDENT chains —
+    # each chain's internal order is a real dependency (hot-shingle
+    # heads need their posting table; the structsep/takedown roots
+    # need the paragraph table / full-corpus root, which their
+    # builders resolve internally) — so the chains run from a small
+    # driver thread pool and each chain's jobs back-fill executors
+    # freed by another chain's stragglers/driver-side phases.  The
+    # builders were made concurrency-safe in r10 (path-hashed roots,
+    # tolerant commits, publish markers); module caches are per-key
+    # dict writes under the GIL.  Cold-path A/B (fresh warehouse,
+    # interleaved seq/pooled/seq/pooled in one window): 122.8 → 47.2 s
+    # and 73.3 → 33.5 s (~2.3×) — same artifacts, same ingest_sec
+    # semantics (wall time of the whole block).  `ingest_sec` is still
+    # the honest cold cost; a warm session resolves existing roots.
+    chains = [
+        ("ingest: ivf index", lambda: ivf_prebuilt_index(spark, sf_dir)),
+        ("ingest: pq index", lambda: pq_prebuilt_index(spark, sf_dir)),
+        (
+            "ingest: asof + jaccard stats",
+            lambda: (
+                asof_click_depth(spark, sf_dir),
+                jaccard_lean_pair_estimate(spark, sf_dir),
+            ),
+        ),
+        # the shingle posting tables the dedup family shares (the
+        # reference's trigram GIN analog, init.sql:137-138) and the
+        # over-cap stop-shingle head (the ANALYZE-statistic analog)
+        (
+            "ingest: doc shingle tables",
+            lambda: (
+                shingle_prebuilt_table(spark, sf_dir, "string"),
+                shingle_prebuilt_table(spark, sf_dir, "hashed"),
+                hot_shingles_prebuilt(spark, sf_dir),
+            ),
+        ),
+        # paragraph-grain index chain (r9) + the structural-splitter
+        # variant root (q261) that derives from it
+        (
+            "ingest: paragraph tables + structsep root",
+            lambda: (
+                paragraph_prebuilt_table(spark, sf_dir),
+                paragraph_shingles_prebuilt(spark, sf_dir),
+                paragraph_hot_shingles_prebuilt(spark, sf_dir),
+                documents_artifact_root(spark, sf_dir, subset="structsep"),
+            ),
+        ),
+        # DURABLE ledger artifacts (r10): built once per corpus
+        # signature, reused across sessions — the takedown scenario
+        # (q264) seeds from the full-corpus root, so they chain
+        (
+            "ingest: durable roots + takedown",
+            lambda: (
+                documents_artifact_root(spark, sf_dir, subset="all"),
+                takedown_artifact_root(spark, sf_dir),
+            ),
+        ),
+        (
+            "ingest: corpus90 root",
+            lambda: documents_artifact_root(spark, sf_dir, subset="corpus90"),
+        ),
+        ("ingest: ivf drift roots", lambda: ivf_drift_root(spark, sf_dir)),
+    ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run_chain(item):
+        label, fn = item
+        spark.sparkContext.setJobDescription(label)  # thread-local (§1.5)
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    t_art = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        # list() re-raises the first chain failure with its traceback
+        list(pool.map(_run_chain, chains))
     ingest_artifacts_sec = round(time.perf_counter() - t_art, 4)
 
     # Two timed passes per query, report the MIN: the shared machine's

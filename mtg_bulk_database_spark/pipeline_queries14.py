@@ -1248,9 +1248,19 @@ def decon_allocc_frames(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
+    # d has TWO consumers (cleant → allocc, and the caller's manifest
+    # window): without a barrier the whole contamination screen —
+    # shingle-cache scan + explode + distinct + anti-join — re-runs
+    # once per consumer (r11 profile: q253 executed the screen twice
+    # per action).  d is |clean docs| rows × 3 scalar columns — the
+    # guide-§8 lightweight-proxy shape — so the barrier is cheap and
+    # the A/B (unlike q222/q239's counter-cases) wins: q253 7.2 → 5.0
+    # executor-CPU-s/run and 33 → 25 stages/run, q255 3.7 → 1.2
+    # (same-window stash A/B, min-of-2).
     d = (
         ntdf.filter(F.col("doc_id") % 41 != 0)
         .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
     )
     cleant = (
         d.filter(F.col("nt") > 0)

@@ -92,13 +92,15 @@ def main():
     for name in names:
         fn = queries[name]
         # before-side plan capture (no execution)
+        plan_path = os.path.join(PLANS, f"{name}_before.txt")
         try:
-            df0 = fn(spark, SF_DIR)
-            plan = df0._sc._jvm.PythonSQLUtils.explainString(
-                df0._jdf.queryExecution(), "formatted"
-            )
-            with open(os.path.join(PLANS, f"{name}_before.txt"), "w") as fh:
-                fh.write(plan)
+            if not os.path.exists(plan_path):  # never clobber a captured before-plan
+                df0 = fn(spark, SF_DIR)
+                plan = df0._sc._jvm.PythonSQLUtils.explainString(
+                    df0._jdf.queryExecution(), "formatted"
+                )
+                with open(plan_path, "w") as fh:
+                    fh.write(plan)
         except Exception as exc:  # pragma: no cover
             print(f"{name}: explain failed: {exc}", flush=True)
         if explain_only:
