@@ -68,6 +68,28 @@ def _local_components(edge_rows: list[tuple]) -> list[tuple]:
     return [(n, find(n)) for n in parent]
 
 
+def _both_directions(e: DataFrame) -> DataFrame:
+    """(src,dst) ∪ (dst,src) in ONE pass over ``e``'s lineage.
+
+    A self-union (``e.unionByName(e.swap)``) reads identically but
+    executes the whole upstream subtree once PER BRANCH — Spark does no
+    cross-branch common-subexpression elimination, so when ``e`` is an
+    expensive pair computation (q61: the full posting-join Jaccard
+    kernel) the union doubles its cost in every action.  Exploding a
+    2-element array of structs emits the exact same row multiset from a
+    single evaluation (r11 A/B: q61 executor CPU roughly halved)."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14) — O(log²) rounds
@@ -91,9 +113,7 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     """
 
     def _sym(e: DataFrame) -> DataFrame:
-        return e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        return _both_directions(e).distinct()
 
     def _mins(both: DataFrame) -> DataFrame:
         return (
@@ -190,11 +210,10 @@ def connected_components(
         F.col(id_a).cast(id_type).alias("src"),
         F.col(id_b).cast(id_type).alias("dst"),
     )
-    edges = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # one-pass symmetrization: a self-union here would run the whole
+    # ``pairs`` lineage (for q61, the posting-join Jaccard kernel)
+    # twice per action — see _both_directions
+    edges = _both_directions(fwd).distinct().localCheckpoint(eager=False)
     if mode == "star":
         return _star_components(edges, max_iter)
     if mode not in ("auto", "propagation"):
@@ -302,9 +321,7 @@ def pagerank(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
     )
-    sym = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    sym = _both_directions(fwd).distinct()
     degrees = sym.groupBy("src").agg(F.count("*").alias("deg"))
     # degrees are loop-invariant: pre-join them onto the edge list ONCE
     # so each iteration pays a single |E| join (edges_w ⋈ ranks) instead
@@ -432,11 +449,7 @@ def label_propagation(
         F.col(id_b).cast("long").alias("dst"),
     )
     sym = (
-        fwd.unionByName(
-            fwd.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+        _both_directions(fwd)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=False)

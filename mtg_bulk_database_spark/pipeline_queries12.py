@@ -208,14 +208,17 @@ def q233(spark, sf_dir):
         F.col("id_b").cast("long").alias("dst"),
     )
     # pair output is unique (id_a < id_b, grouped) so the symmetrized
-    # union is duplicate-free BY CONSTRUCTION — no distinct.  Checkpoint
+    # doubling is duplicate-free BY CONSTRUCTION — no distinct.  Checkpoint
     # the edge list EAGERLY: both the degree table and the rank init
     # hang off it, and an uncached lineage re-runs the whole posting
     # join once per consumer (measured 7.7 s → the pair join's 3.1 s
     # exactly once after the barrier).  Pair-scale rows, cheap to pin.
-    sym = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # r11: both directions come from ONE evaluation of the pair lineage
+    # (graph._both_directions) — the former self-union ran the posting
+    # join twice inside the eager checkpoint itself.
+    from .operators.graph import _both_directions
+
+    sym = _both_directions(fwd).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     # degrees are loop-invariant — pre-join once (graph.pagerank's shape)
     edges_w = sym.join(deg, on="src")
