@@ -247,17 +247,12 @@ def assign_to_frozen_centroids(
     function it makes incremental assignment ≡ rebuild BY CONSTRUCTION
     (no model object, no iteration): one codegen'd scan, zero
     shuffles."""
-    from ..functions.vectors import cosine_similarity, indexable_vector
+    from ..functions.vectors import indexable_vector, lit_cosine_scores
 
     pool = emb.where(indexable_vector(F.col("embedding")))
-    scores = F.array(
-        *[
-            cosine_similarity(
-                F.col("embedding"), F.array(*[F.lit(v) for v in c])
-            )
-            for c in centroids
-        ]
-    )
+    # literal-centroid scores as one JVM-parsed SQL string (q217
+    # discipline) — identical trees, ~1 s less construction per call
+    scores = lit_cosine_scores("embedding", centroids)
     return pool.select(
         "vec_id",
         (F.array_position(scores, F.array_max(scores)) - 1)

@@ -341,6 +341,7 @@ def q216(spark, sf_dir):
 from .functions.vectors import (  # noqa: E402
     cosine_similarity,
     indexable_vector,
+    lit_cosine_scores,
     sql_cosine,
     sql_indexable,
 )
@@ -401,18 +402,10 @@ def q217(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").where(
         (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
     )
-    scores = F.array(
-        *[
-            F.round(
-                cosine_similarity(
-                    F.col("embedding"),
-                    F.array(*[F.lit(v) for v in c]),
-                ),
-                6,
-            )
-            for c in _Q217_CENTROIDS
-        ]
-    )
+    # literal-codebook scores as ONE JVM-parsed SQL string — identical
+    # Catalyst trees, ~1.2 s less py4j construction per bench pass
+    # (functions.vectors.lit_cosine_scores; the q223 discipline)
+    scores = lit_cosine_scores("embedding", _Q217_CENTROIDS, round_dp=6)
     return emb.select(
         "vec_id",
         scores.alias("sc"),
@@ -827,16 +820,11 @@ def q221(spark, sf_dir):
     pool = emb.where(
         (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
     )
-    scores = F.array(
-        *[
-            F.round(
-                _cos_total(
-                    F.col("embedding"), F.array(*[F.lit(v) for v in c])
-                ),
-                6,
-            )
-            for c in _Q217_CENTROIDS
-        ]
+    # one JVM-parsed SQL string for the literal-codebook scores (see
+    # q217) — try_divide form: list_id feeds a join key, whose
+    # isnotnull check Catalyst pushes below the indexable filter
+    scores = lit_cosine_scores(
+        "embedding", _Q217_CENTROIDS, round_dp=6, total=True
     )
     assigned = pool.select(
         "vec_id",

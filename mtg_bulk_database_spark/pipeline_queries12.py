@@ -405,24 +405,15 @@ def q235(spark, sf_dir):
     literals, zero shuffles), posexplode fans out 64 dims, and the
     groupBy is partial-aggregated on ≤ 8·64 keys — output is
     centroid-table-sized however large the corpus."""
-    from .functions.vectors import cosine_similarity, indexable_vector
+    from .functions.vectors import indexable_vector, lit_cosine_scores
     from .pipeline_queries10 import _Q217_CENTROIDS
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
     )
-    scores = F.array(
-        *[
-            F.round(
-                cosine_similarity(
-                    F.col("embedding"),
-                    F.array(*[F.lit(v) for v in c]),
-                ),
-                6,
-            )
-            for c in _Q217_CENTROIDS
-        ]
-    )
+    # literal-codebook scores as one JVM-parsed SQL string (q217
+    # discipline) — identical trees, ~1.2 s less construction per pass
+    scores = lit_cosine_scores("embedding", _Q217_CENTROIDS, round_dp=6)
     assigned = emb.select(
         F.col("embedding").cast("array<double>").alias("e"),
         scores.alias("sc"),
