@@ -42,6 +42,18 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 #: per table per app, not once per query.
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
 
+#: (applicationId, path, mtime_ns) → the LAZY source DataFrame.  Every
+#: ``spark.read.parquet`` pays footer schema inference + file listing
+#: in the driver JVM (~0.15-0.3 s warm, measured r11) and most queries
+#: call ``load_table`` 1-3 times, so a full bench pass spent tens of
+#: seconds re-deriving the same immutable plans.  A DataFrame is a
+#: lazy, immutable plan — reusing it across queries materializes
+#: NOTHING (every action still recomputes from parquet); this is plan
+#: reuse, not result caching.  The mtime key drops stale entries if a
+#: path is rewritten within a session (test fixtures); applicationId
+#: scopes entries to a live SparkContext.
+_TABLE_PLANS: dict[tuple[str, str, int], DataFrame] = {}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
@@ -62,9 +74,21 @@ def load_table(
     """
     _ensure_worker_imports(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    pkey = (spark.sparkContext.applicationId, path, mtime)
+    df = _TABLE_PLANS.get(pkey)
+    if df is None:
+        df = (
+            _read_events(spark, path)
+            if name == "events"
+            else spark.read.parquet(path)
+        )
+        _TABLE_PLANS[pkey] = df
     if name == "events":
-        return _read_events(spark, path)
-    df = spark.read.parquet(path)
+        return df
     if fan_out:
         want = spark.sparkContext.defaultParallelism
         key = (spark.sparkContext.applicationId, path)

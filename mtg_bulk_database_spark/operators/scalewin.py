@@ -58,10 +58,15 @@ def _bucket_expr(range_col: str, bounds: Sequence[float]) -> Column:
     """
     if not bounds:
         return F.lit(0)
-    e: Column = F.lit(0)
-    for b in bounds:
-        e = e + F.when(F.col(range_col) > F.lit(b), 1).otherwise(0)
-    return e
+    # one JVM-parsed SQL string instead of per-boundary F.when py4j
+    # calls (~250 round trips / ~1 s per 64-bucket column, measured
+    # r11 inside q176's construction — the lit_cosine_scores lesson).
+    # Identical CaseWhen trees: repr() doubles round-trip exactly.
+    terms = " + ".join(
+        f"(CASE WHEN `{range_col}` > {float(b)!r}D THEN 1 ELSE 0 END)"
+        for b in bounds
+    )
+    return F.expr(f"0 + {terms}")
 
 
 def bucket_histogram(
