@@ -270,7 +270,7 @@ def hard_negative_pairs(
     cosine rounded to 6 dp per the module's portability rule), so the
     gate oracle hash-matches bitwise.
     """
-    from ..functions.vectors import cosine_similarity, indexable_vector
+    from ..functions.vectors import dot, indexable_vector, l2_norm
     from .dedup import with_shingles
 
     # ``shingles_df``: the prebuilt/persisted posting table shared
@@ -334,18 +334,37 @@ def hard_negative_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_min)
     )
+    # Per-VECTOR norms, hoisted below the pair join (guide §1.2 /
+    # first-principles): `cosine_similarity` per pair re-folds each
+    # embedding THREE times (dot + two l2 norms) per candidate pair,
+    # where the norm depends only on the vector — |vectors| folds, not
+    # |pairs|.  The joined row carries the scalar norm; the pair leg
+    # keeps exactly one fold (the dot).  Bit-identical: the same IEEE
+    # operations in the same order (l2(a)*l2(b) per pair ≡ the product
+    # of the per-row norms), verified null-safe-equal on the real
+    # corpus; zero-norm vectors were already excluded by
+    # indexable_vector, so no new division edge.  Linear-in-|pairs|
+    # work drops ~3× at 100× pair counts.
     ea = emb.filter(indexable_vector(F.col(emb_col))).select(
-        F.col(vec_id_col).alias("id_a"), F.col(emb_col).alias("_ea")
+        F.col(vec_id_col).alias("id_a"),
+        F.col(emb_col).alias("_ea"),
+        l2_norm(F.col(emb_col)).alias("_nrm_a"),
     )
     eb = emb.filter(indexable_vector(F.col(emb_col))).select(
-        F.col(vec_id_col).alias("id_b"), F.col(emb_col).alias("_eb")
+        F.col(vec_id_col).alias("id_b"),
+        F.col(emb_col).alias("_eb"),
+        l2_norm(F.col(emb_col)).alias("_nrm_b"),
     )
     scored = (
         jac.join(ea, on="id_a")
         .join(eb, on="id_b")
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("_ea"), F.col("_eb")), 6),
+            F.round(
+                dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_nrm_a") * F.col("_nrm_b")),
+                6,
+            ),
         )
         .filter(F.col("cosine") <= cosine_max)
         .select(

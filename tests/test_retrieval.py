@@ -207,3 +207,47 @@ def test_hard_negatives_stop_shingle_cap_bounds_fanout(spark):
     )
     assert capped.count() == 0
     assert uncapped.count() == 28  # all C(8,2) pairs share the shingle
+
+
+def test_hard_negatives_norm_hoist_bit_identical(spark):
+    """r11 opt: the pair leg computes cosine as dot/(norm_a*norm_b)
+    with the norms hoisted to per-VECTOR projections below the join.
+    Pin that the hoisted form is BIT-identical (null-safe <=>) to the
+    original per-pair ``cosine_similarity`` fold on awkward magnitudes
+    — same IEEE ops in the same order, so no tolerance is needed."""
+    from mtg_bulk_database_spark.functions.vectors import (
+        cosine_similarity,
+        dot,
+        l2_norm,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2, 0.30000000000000004]),
+            (2, [1e-8, -3.3333333333333335, 7.0]),
+            (3, [123456789.123456, -0.1, 2.5e-17]),
+            (4, [-1.0, -1.0, -1.0]),
+            (5, [0.7071067811865476, 0.7071067811865475, 1e300]),
+        ],
+        "vid int, v array<double>",
+    )
+    a = vecs.select(
+        F.col("vid").alias("ia"),
+        F.col("v").alias("va"),
+        l2_norm(F.col("v")).alias("na"),
+    )
+    b = vecs.select(
+        F.col("vid").alias("ib"),
+        F.col("v").alias("vb"),
+        l2_norm(F.col("v")).alias("nb"),
+    )
+    pairs = a.crossJoin(b).select(
+        cosine_similarity(F.col("va"), F.col("vb")).alias("per_pair"),
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "hoisted"
+        ),
+    )
+    mismatches = pairs.filter(
+        ~F.col("per_pair").eqNullSafe(F.col("hoisted"))
+    ).count()
+    assert mismatches == 0
