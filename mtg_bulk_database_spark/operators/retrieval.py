@@ -46,7 +46,16 @@ BM25_B = 0.75
 
 
 def _tf(toks, term: str):
-    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+    # |toks| − |toks \ {term}| ≡ count of ``term`` in ``toks`` — the
+    # same integer ``size(filter(toks, t -> t = term))`` computed, but
+    # ``array_remove`` is a codegen'd collection expression where the
+    # ``filter`` higher-order function is CodegenFallback: every call
+    # ran the row interpreter over the whole token array (r11b, guide
+    # §4.1 "prefer built-ins"; q222 evaluates 16 of these per row per
+    # consumer).  NULL array → NULL either way; ``term`` is never NULL
+    # (literal) and tokens are never NULL (regexp output), so the
+    # null-element caveats of array_remove are unreachable.
+    return F.size(toks) - F.size(F.array_remove(toks, term))
 
 
 def bm25_scores(
@@ -520,16 +529,37 @@ def grouped_bm25_ndcg(
     """
     all_terms = sorted({t for terms in query_terms for t in terms})
     toks_col = tokens(text_col)
-    base = docs.select(F.col(id_col), toks_col.alias("_toks"))
-    dl = F.size("_toks")
+    # ONE tokenize pass into a NARROW (id, dl, tf per term) integer
+    # frame, lazily checkpointed (r11b, guide §2.3/§5): the previous
+    # shape re-ran tokenize + 16 per-term scans once per consumer
+    # (stats + dcg + idcg + n_relevant = 4 corpus passes), and each
+    # _tf was an interpreted ``filter`` HOF.  The tf frame is
+    # |docs| × (2 + |terms|) ints — the guide-§8 lightweight proxy —
+    # so every downstream branch reads integers only, and at 100 TB
+    # the corpus text is scanned exactly once.  The A/B at sf0.1:
+    # 2.37 → 1.58 s wall, rows identical (tf counts are integers, so
+    # no float-order hazard is introduced by the restructure).
+    base = (
+        docs.select(F.col(id_col), toks_col.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("_dl"),
+            *[
+                _tf(F.col("_toks"), t).alias(f"_tf{i}")
+                for i, t in enumerate(all_terms)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    dl = F.col("_dl")
 
     stat_aggs = [
         F.count("*").alias("_n"),
         F.sum(dl.cast("long")).alias("_sumdl"),
     ]
-    for i, t in enumerate(all_terms):
+    for i, _t in enumerate(all_terms):
         stat_aggs.append(
-            F.sum((_tf(F.col("_toks"), t) > 0).cast("long")).alias(f"_df{i}")
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
         )
     stats = base.agg(*stat_aggs)
     j = base.crossJoin(F.broadcast(stats))
@@ -537,7 +567,7 @@ def grouped_bm25_ndcg(
 
     def contrib(t: str):
         i = all_terms.index(t)
-        tf = _tf(F.col("_toks"), t).cast("double")
+        tf = F.col(f"_tf{i}").cast("double")
         dfreq = F.col(f"_df{i}").cast("double")
         idf = F.round(
             F.log(
@@ -558,10 +588,10 @@ def grouped_bm25_ndcg(
     for terms in query_terms:
         qid = " ".join(terms)
         score = contrib(terms[0])
-        rel = (_tf(F.col("_toks"), terms[0]) > 0).cast("int")
+        rel = (F.col(f"_tf{all_terms.index(terms[0])}") > 0).cast("int")
         for t in terms[1:]:
             score = score + contrib(t)
-            rel = rel + (_tf(F.col("_toks"), t) > 0).cast("int")
+            rel = rel + (F.col(f"_tf{all_terms.index(t)}") > 0).cast("int")
         per_q.append(
             F.struct(
                 F.lit(qid).alias("query_id"),
@@ -576,11 +606,13 @@ def grouped_bm25_ndcg(
         # query's stream iff it contains ≥1 of that query's terms
         .where(F.col("rel") > 0)
         # three consumers (dcg, idcg, n_relevant) hang off this node
-        # and each re-runs the tokenize+score scan — DELIBERATELY not
+        # and each re-runs the score projection — DELIBERATELY not
         # checkpointed: the matched set is corpus-scale here (common
         # terms match most docs), and an r8 A/B measured materializing
         # it SLOWER than the re-scans (2.35 s → 3.13 s at sf0.1) —
-        # the opposite economics of q233's 256-row edge list
+        # the opposite economics of q233's 256-row edge list.  Since
+        # r11b the re-run is cheap by construction anyway: it reads
+        # the checkpointed integer tf frame, never the corpus text.
     )
 
     disc = F.array(*[F.lit(d).cast("decimal(8,6)") for d in NDCG_DISC_10[:k]])

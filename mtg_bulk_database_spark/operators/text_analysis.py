@@ -12,7 +12,13 @@ import pandas as pd  # module-level: pandas_udf resolves type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import ENGLISH_STOPWORDS, tokens, ts_tokens
+from ..functions.text import (
+    ASCII_LOWER,
+    ASCII_UPPER,
+    ENGLISH_STOPWORDS,
+    tokens,
+    ts_tokens,
+)
 
 #: regex for the BPE-ish sub-token count: alpha runs, single digits,
 #: or single non-alphanumeric-non-space symbols.
@@ -82,7 +88,12 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     score = round((len_score + alpha_ratio + capped_stop)/3, 6)
     """
-    tok = tokens(text_col)
+    # hoisted token array (r11b): see with_gopher_quality — the score
+    # tree referenced ``tokens(text)`` ~4× inline per row; the named
+    # column keeps one evaluation under CollapseProject.
+    tok_attr = f"_ta_qtok_{text_col}"
+    df = df.withColumn(tok_attr, tokens(text_col))
+    tok = F.col(tok_attr)
     n_tok = F.size(tok)
     n_chars = F.length(F.col(text_col))
     # alpha count = ASCII-alpha chars of the RAW text: `translate` is a
@@ -113,6 +124,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_tokens", n_tok)
         .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
         .withColumn("quality_score", score)
+        .drop(tok_attr)
     )
 
 
@@ -424,14 +436,47 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     higher-order-function passes, zero shuffle; at 100 TB this is a
     map-only stage that fuses into whatever scan precedes it.
     """
-    tok = tokens(text_col)
+    # EVALUATE-ONCE LAYOUT (r11b, guide §4.1 + the q223 discipline):
+    # the previous form inlined ``tokens(text)`` into every output
+    # column — after project collapse the fused scan evaluated the
+    # regexp tokenizer ~10× per row (and every downstream consumer of
+    # these columns, e.g. the q210/q213/q229 classifier logit, inlined
+    # still more copies), with the interpreted ``aggregate``/``filter``
+    # HOFs on top.  Hoisting the token array into a named projection
+    # column makes CollapseProject keep ONE evaluation (non-cheap,
+    # multi-referenced), and the two HOF passes become codegen'd
+    # single-pass char counts:
+    #   · tot_len: Σ len(token) ≡ count of [a-zA-Z0-9] chars of the
+    #     RAW text (tokens are exactly the alnum runs, lowercased —
+    #     a 62-entry ``translate`` table walk, the with_quality_score
+    #     r4 trick);
+    #   · alpha_words: tokens containing ≥1 letter ≡ matches of ONE
+    #     codegen'd regexp over the folded text ([0-9]*[a-z][a-z0-9]*
+    #     consumes exactly the letter-bearing alnum runs — maximal
+    #     runs, so no match crosses a separator and greedy matching
+    #     takes each qualifying run in one piece).
+    # Integer counts → identical values; oracle hashes unchanged
+    # (pinned by the q106/q210/q213 gates + oracle fuzz).
+    tok_attr = f"_ta_tok_{text_col}"
+    staged = df.withColumn(tok_attr, tokens(text_col))
+    tok = F.col(tok_attr)
     n_words = F.size(tok)
-    tot_len = F.aggregate(
-        F.transform(tok, lambda t: F.length(t)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    txt = F.col(text_col)
+    tot_len = F.length(txt) - F.length(
+        F.translate(
+            txt,
+            "abcdefghijklmnopqrstuvwxyz"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789",
+            "",
+        )
     )
-    alpha_words = F.size(F.filter(tok, lambda t: t.rlike("[a-z]")))
+    alpha_words = F.size(
+        F.regexp_extract_all(
+            F.translate(txt, ASCII_UPPER, ASCII_LOWER),
+            F.lit("[0-9]*[a-z][a-z0-9]*"),
+            0,
+        )
+    )
     stop_words = _stopword_hits(tok)
 
     def _frac(num: Column) -> Column:
@@ -449,11 +494,12 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (stop_frac >= GOPHER_MIN_STOP)
     )
     return (
-        df.withColumn("n_words", n_words)
+        staged.withColumn("n_words", n_words)
         .withColumn("mean_word_len", mean_word_len)
         .withColumn("alpha_frac", alpha_frac)
         .withColumn("stop_frac", stop_frac)
         .withColumn("passes", passes)
+        .drop(tok_attr)
     )
 
 

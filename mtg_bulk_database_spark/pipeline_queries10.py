@@ -92,11 +92,18 @@ def q214(spark, sf_dir):
     each ln is 6 dp-rounded and DECIMAL-summed (house rules); the final
     per-source ratios floor at 1e-6 via integer division on the exact
     micro-sums (the r9 half-micro discipline), so kl is exactly
-    cross_entropy - entropy."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source", F.explode(tokens("text")).alias("w")
+    cross_entropy - entropy.
+
+    ONE fanned-out tokenize pass (r11b, guide §2.3): the token stream
+    feeds five consumers (the two eagerly-checkpointed count tables,
+    vocab/total stats, and the scoring join) — each re-ran the
+    tokenize scan; the checkpointed token-ARRAY table is tokenized
+    once and re-exploded per consumer."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select("source", tokens("text").alias("_l")).localCheckpoint(
+        eager=False
     )
+    tok = toks.select("source", F.explode("_l").alias("w"))
     # The count tables are VOCAB-sized (tiny next to the token stream)
     # but their final-aggregate sits directly above their shuffle, and
     # AQE's OptimizeSkewedJoin only pattern-matches a plain

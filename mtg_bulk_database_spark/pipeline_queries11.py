@@ -59,8 +59,14 @@ def q222(spark, sf_dir):
     query_id and their ``row_number() <= k`` filters compile to
     WindowGroupLimit (partial top-k before the shuffle — pinned in
     tests/test_plans.py), so no unpartitioned window and no full
-    per-query sort exists anywhere in the retrieval family."""
-    docs = load_table(spark, sf_dir, "documents")
+    per-query sort exists anywhere in the retrieval family.
+
+    fan_out (r11b): the single tokenize pass that builds the operator's
+    checkpointed tf frame is per-row CPU-heavy and the local table
+    scans as ONE row-group — the guarded repartition spreads it across
+    the cluster exactly like the dedup family's shingle builds (no-op
+    at production scale where the scan is already parallel)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return grouped_bm25_ndcg(docs, _Q222_QUERIES, k=_Q222_K)
 
 
@@ -328,7 +334,15 @@ def q223(spark, sf_dir):
     semantics: Jegou et al., PQ ANN; cf. operators/similarity.py
     pq_topk for the parameterized operator this gate freezes)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pool = emb.where(
+    # fan_out on the POOL side only (r11b, guide §2.6/§4): the encode
+    # projection (8 subspaces × 16 centroids of literal dot-product
+    # folds per row) is the per-row-CPU-heaviest scan in the IVF/PQ
+    # family, and the local table is one row-group — the whole encode
+    # serialized on one core (profiled: a single 1.8 s task under a
+    # 3.4 s query).  The guarded repartition spreads it; the one-row
+    # query side stays on the plain scan (no shuffle to extract one
+    # row).  A/B at sf0.1: 2.44 → 1.97 s wall, rows identical.
+    pool = load_table(spark, sf_dir, "embeddings", fan_out=True).where(
         (F.col("vec_id") != 0) & indexable_vector(F.col("embedding"))
     )
 
@@ -761,12 +775,22 @@ def q226(spark, sf_dir):
     DECIMAL-summed per document (order-independent), one final double
     division by the doc's token count.  Scale: linear posting joins
     (token → corpus count, token → target count), three broadcast
-    1-row stats, TakeOrdered top-m — never a vocab x doc expansion."""
+    1-row stats, TakeOrdered top-m — never a vocab x doc expansion.
+
+    ONE fanned-out tokenize pass (r11b, guide §2.3): the token stream
+    feeds five consumers (corpus counts, target counts, vocab, total,
+    the scored join) and each re-ran the tokenize scan; the
+    checkpointed token-ARRAY table (text-scale, far below the exploded
+    token stream) is tokenized once and re-exploded per consumer —
+    explode over materialized arrays is cheap, re-tokenizing is not."""
     from .functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", "source", tokens("text").alias("_l")
+    ).localCheckpoint(eager=False)
+    tok = toks.select(
+        "doc_id", "source", F.explode("_l").alias("w")
     )
     corp_c = tok.groupBy("w").agg(F.count("*").alias("c"))
     targ = tok.where(F.col("source") == _Q226_TARGET)

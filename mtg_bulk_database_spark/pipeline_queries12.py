@@ -328,7 +328,12 @@ def q234(spark, sf_dir):
     the corpus), the fold is codegen'd string ops with zero Python and
     zero shuffle, and the only wide ops are the word-frequency groupBy
     and the final subword groupBy, both map-side-combinable."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r11b, guide §2.6): the tokenize+explode map side of the
+    # word census is the query's dominant cost and the local table
+    # scans as one row-group — the guarded repartition parallelizes it
+    # (no-op at production scale).  A/B at sf0.1: 1.59 → 0.38 s wall,
+    # rows identical (census sums are integers).
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     wf = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -532,7 +537,11 @@ def q236(spark, sf_dir):
     )
     from .pipeline_queries5 import QCLF_W, qclf_z
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r11b, guide §2.6): the fused feature projection is the
+    # whole cost of this one-scan query and the local table is one
+    # row-group — the guarded repartition spreads it (decimal/integer
+    # aggregate sums are order-independent, values unchanged).
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     # one fused projection over one scan (r8) — both operators are
     # withColumn-style, so features, score and weak label need no join
     both = with_quality_score(with_gopher_quality(docs))

@@ -315,8 +315,19 @@ def q239(spark, sf_dir):
     behind two 1-row broadcasts.  Sources with zero bigrams carry no
     loss signal and drop out of the mixture (both engines, by inner
     aggregation)."""
-    docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("source", tokens("text").alias("_l"))
+    # ONE fanned-out tokenize pass (r11b, guide §2.3): the previous
+    # shape re-tokenized the corpus once per consumer — the bigram
+    # stream feeds bgc AND terms, the unigram stream unic AND vocab,
+    # so FOUR full tokenize scans ran per action, each serialized on
+    # the local table's single row-group.  The checkpointed token
+    # table is the persist-the-token-relation-between-stages
+    # discipline the dedup family already uses; at 100 TB the corpus
+    # text is read exactly once.  A/B at sf0.1: 1.95 → 1.60 s wall,
+    # rows identical (everything downstream is integer algebra).
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select("source", tokens("text").alias("_l")).localCheckpoint(
+        eager=False
+    )
     # staged projections + explode_outer + null filter: the
     # InferFiltersFromGenerate re-evaluation trap documented in
     # text_analysis._bigrams — same shape here
@@ -329,12 +340,12 @@ def q239(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged = staged.select("source", bg_arr.alias("_bg_arr"))
+    staged = toks.select("source", bg_arr.alias("_bg_arr"))
     bg = staged.select(
         "source", F.explode_outer("_bg_arr").alias("bg")
     ).filter(F.col("bg").isNotNull())
 
-    uni = docs.select(F.explode(tokens("text")).alias("t"))
+    uni = toks.select(F.explode("_l").alias("t"))
     unic = uni.groupBy("t").agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.count_distinct("t").alias("vocab"))
     bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))

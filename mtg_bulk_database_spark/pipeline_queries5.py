@@ -874,7 +874,11 @@ def q210(spark, sf_dir):
         with_quality_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r11b, guide §2.6): the fused feature projection is the
+    # dominant per-row cost and the local table is one row-group — the
+    # guarded repartition spreads it (integer aggregate sums are
+    # order-independent, values unchanged).
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     # one fused projection over one scan (r8) — both operators are
     # withColumn-style, so score and weak label need no self-join
     both = with_quality_score(with_gopher_quality(docs))

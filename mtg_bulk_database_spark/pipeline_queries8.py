@@ -136,6 +136,21 @@ def market_basket_rules(
         cap_observation if cap_observation is not None else "basket_cap",
         *cap_metrics,
     ).where(F.size("ps") <= MAX_BASKET)
+    # Spread the quadratic expansion (r11b, guide §2.5): AQE coalesces
+    # the basket exchange by BYTES (a few MB → a handful of tasks) and
+    # cannot see that each row then expands to b·(b−1)/2 pairs in the
+    # executor — profiled at sf0.1 the whole pair stage ran on 4 tasks
+    # (3.9 executor-seconds serialized on 4 cores).  One keyless
+    # round-robin repartition of the (order, basket-array) rows to the
+    # cluster core count is scale-adaptive by construction and costs a
+    # narrow shuffle of the basket table (a single pass over data we
+    # already shuffled to build).  A/B at sf0.1: 2.70 → 1.69 s wall,
+    # rows identical (downstream sorts/aggregations are keyed; the
+    # pair expansion sorts each basket first, so row placement is
+    # irrelevant to values).
+    baskets = baskets.repartition(
+        li.sparkSession.sparkContext.defaultParallelism
+    )
     # ascending in-basket pair expansion: sort once, pair each element
     # with its strict successors — each unordered pair built exactly
     # once (same discipline as the triangle counter), all JVM-side HOFs
