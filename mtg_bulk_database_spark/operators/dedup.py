@@ -548,13 +548,49 @@ def _signature_from_hashes(
             a = np.asarray(a_list, dtype=np.int64)[:, None]
             b = np.asarray(b_list, dtype=np.int64)[:, None]
             nulls = [None] * n_perm
-            out = []
+            # Segment-batched kernel (r11b): the per-row form paid one
+            # numpy dispatch set (~20 µs) per row; concatenating rows
+            # and taking segment mins via ``np.minimum.reduceat``
+            # amortizes the dispatch across the batch.  The chunk is
+            # CACHE-sized deliberately: fully vectorizing the whole
+            # Arrow batch was measured 7× SLOWER than per-row (the
+            # (num_perm × Σ|shingles|) temporaries blow L2 and the mod
+            # pass goes memory-bound), while ~32k-element chunks ×
+            # num_perm stay resident — measured 2.1× over per-row,
+            # values bit-identical (same (a·x+b) mod p per element,
+            # min over each row's segment, grouping-independent;
+            # pinned by test_signature_kernel_matches_hof_core).
+            out: list = []
+            buf: list = []
+
+            def _flush() -> None:
+                if not buf:
+                    return
+                flat = np.concatenate(buf)
+                starts = np.zeros(len(buf), dtype=np.int64)
+                np.cumsum(
+                    [len(x) for x in buf[:-1]], out=starts[1:]
+                )
+                mins = np.minimum.reduceat(
+                    (a * flat[None, :] + b) % _MERSENNE_31,
+                    starts,
+                    axis=1,
+                ).T
+                out.extend(mins[i].tolist() for i in range(len(buf)))
+                buf.clear()
+
+            total = 0
             for v in hs:
                 if v is None or len(v) == 0:
+                    _flush()
                     out.append(nulls)
                     continue
-                x = np.asarray(v, dtype=np.int64)[None, :]
-                out.append(((a * x + b) % _MERSENNE_31).min(axis=1).tolist())
+                buf.append(np.asarray(v, dtype=np.int64))
+                total += len(buf[-1])
+                if total >= 32768:
+                    _flush()
+                    total = 0
+            _flush()
             return pd.Series(out)
 
         sig_udf = _SIG_UDFS[key] = _sig

@@ -186,7 +186,17 @@ def tfidf_keywords(
     tok = df.select(
         F.col(id_col), F.explode(toks).alias("term")
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    # tf feeds TWO consumers (the per-term document frequency and the
+    # scoring join) — without a barrier the tokenize+explode+shuffle
+    # lineage ran once per consumer (r11b, guide §2.3; interleaved A/B
+    # at sf0.1: 1.21 → 0.88 s wall, rows identical).  The (doc, term,
+    # tf) table is the reduced post-aggregation relation, the same
+    # persist-between-stages discipline as the dedup shingle tables.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
     dfq = tf.groupBy("term").agg(F.count("*").alias("_df_t"))
     n = df.agg(F.count("*").alias("_n"))
     idf = F.round(

@@ -54,16 +54,24 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     against; on real corpora swap in per-language stopword tables —
     same plan shape, one column per language score.)
     """
-    tok = tokens(text_col)
+    # hoisted token array (r11b): see with_gopher_quality — inlined,
+    # the tokenizer evaluated 3× per row after project collapse.
+    tok_attr = f"_ta_ltok_{text_col}"
+    df = df.withColumn(tok_attr, tokens(text_col))
+    tok = F.col(tok_attr)
     ratio = F.when(
         F.size(tok) > 0,
         _stopword_hits(tok).cast("double") / F.size(tok),
     ).otherwise(F.lit(0.0))
-    return df.withColumn("stopword_ratio", ratio).withColumn(
-        "predicted_lang",
-        F.when(F.col("stopword_ratio") >= 0.1, F.lit("en")).otherwise(
-            F.lit("other")
-        ),
+    return (
+        df.withColumn("stopword_ratio", ratio)
+        .withColumn(
+            "predicted_lang",
+            F.when(F.col("stopword_ratio") >= 0.1, F.lit("en")).otherwise(
+                F.lit("other")
+            ),
+        )
+        .drop(tok_attr)
     )
 
 

@@ -357,7 +357,10 @@ def q199(spark, sf_dir):
     ``operators/retrieval.py:tfidf_keywords`` for the two-shuffle +
     windowed-rank scale shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r11b): the tokenize+explode map side dominates and the
+    # local table scans as one row-group (guarded repartition, no-op at
+    # production scale).
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return retrieval.tfidf_keywords(docs, k=3)
 
 
