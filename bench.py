@@ -53,6 +53,14 @@ QUERIES, _ = load_registry()
 # keeps the inline path, q261 the structural variant), q35 (brute
 # embedding pair scan: q36 keeps the one-scan cosine shape, q232 the
 # pair-screen shape, q251 the banded pair generation).
+# r12 RESTORED all six r11 trims (VERDICT r11 item 1): the trims were
+# forced by the +10-worst-width-entry headroom guard in
+# tests/test_bench_contract.py, not by the 1600-char cap itself — the
+# real 111-entry line is ~1410 chars and the all-99.99 worst case is
+# 1537.  With no further build rounds adding queries (this is the
+# final optimization round) the guard's growth allowance drops to +4
+# entries (1589 worst case), keeping the early-warning property while
+# letting every previously-benched query back onto the driver line.
 HEADLINE = [
     "q01_pk_point_lookup",
     "q03_containment_single",
@@ -69,6 +77,7 @@ HEADLINE = [
     "q30_dedup_exact",
     "q32_ngram_jaccard_pairs",
     "q33_minhash_lsh_pairs",
+    "q35_embedding_top_pairs",
     "q36_cosine_topk",
     "q38_language_id",
     "q40_quality_score",
@@ -160,6 +169,9 @@ HEADLINE = [
     # the planning-to-execution gates
     "q245_paragraph_dedup",
     "q246_paragraph_near_dup",
+    "q247_top_repeated_paragraphs",
+    "q248_mix_manifest",
+    "q249_fertility_capped_allocation",
     "q251_paragraph_near_dup_lsh",
     "q252_budget_to_threshold",
     "q253_decontaminated_manifest",
@@ -167,6 +179,8 @@ HEADLINE = [
     # shortfall reallocation, structural splitter, artifact round-trip
     "q254_incremental_paragraph_near_dup",
     "q255_shortfall_reallocation",
+    "q256_structural_paragraph_dedup",
+    "q257_artifact_paragraph_stats",
     "q258_incremental_paragraph_dedup",
     "q259_paragraph_near_dup_rewrite",
     # r11 additions: the transactional ingest-admission gate, the

@@ -583,6 +583,9 @@ def _signature_from_hashes(
             for v in hs:
                 if v is None or len(v) == 0:
                     _flush()
+                    total = 0  # buffer emptied: keep the running
+                    # element count in sync or later flushes fire
+                    # early on undersized batches (ADVICE r11)
                     out.append(nulls)
                     continue
                 buf.append(np.asarray(v, dtype=np.int64))

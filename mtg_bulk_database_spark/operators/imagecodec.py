@@ -175,40 +175,71 @@ def build_codec():
         stride = w * samples
         if len(raw) < h * (1 + stride):
             return None
-        out = bytearray(h * stride)
-        prev = bytearray(stride)
-        pos = 0
-        for y in range(h):
-            ftype = raw[pos]
-            line = bytearray(raw[pos + 1 : pos + 1 + stride])
-            pos += 1 + stride
-            if ftype == 1:  # Sub
-                for x in range(samples, stride):
-                    line[x] = (line[x] + line[x - samples]) & 0xFF
-            elif ftype == 2:  # Up
-                for x in range(stride):
-                    line[x] = (line[x] + prev[x]) & 0xFF
-            elif ftype == 3:  # Average
-                for x in range(stride):
-                    left = line[x - samples] if x >= samples else 0
-                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                for x in range(stride):
-                    left = line[x - samples] if x >= samples else 0
-                    ul = prev[x - samples] if x >= samples else 0
-                    line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-            elif ftype != 0:
-                return None
-            out[y * stride : (y + 1) * stride] = line
-            prev = line
-        if color == 3:  # palette -> RGB
-            if plte is None or max(out) * 3 + 3 > len(plte):
+        # Vectorized unfilter (r12, guide §4.2): the per-byte Python
+        # loops ran h × stride interpreted iterations per image even
+        # when every scanline used filter 0 (all this repo's encoders
+        # emit filter 0 — the loop did nothing but copy).  numpy uint8
+        # addition wraps mod 256, identical to the `& 0xFF` the scalar
+        # loop applied; Sub is a per-residue-class prefix sum (addition
+        # mod 256 is associative), Up adds the reconstructed previous
+        # row.  Average/Paeth keep the exact scalar per-row loop (a
+        # left-to-right data dependence with a nonlinear mix — and
+        # unreachable from this repo's own encoders).  Byte-for-byte
+        # identical outputs for every input (pinned by the round-trip
+        # suite in tests/test_video_image.py).
+        import numpy as np
+
+        sl = np.frombuffer(
+            raw[: h * (1 + stride)], dtype=np.uint8
+        ).reshape(h, 1 + stride)
+        ftypes = sl[:, 0]
+        if ftypes.max(initial=0) > 4:
+            return None
+        lines = sl[:, 1:]
+        if not ftypes.any():  # every scanline filter 0: raw copy
+            outbytes = lines.tobytes()
+        else:
+            outa = np.empty((h, stride), dtype=np.uint8)
+            prev_row = np.zeros(stride, dtype=np.uint8)
+            for y in range(h):
+                ftype = ftypes[y]
+                if ftype == 0:
+                    row = lines[y]
+                elif ftype == 1:  # Sub: prefix sum per residue class
+                    row = lines[y].reshape(-1, samples)
+                    row = (
+                        np.cumsum(row, axis=0, dtype=np.int64) & 0xFF
+                    ).astype(np.uint8).reshape(-1)
+                elif ftype == 2:  # Up
+                    row = lines[y] + prev_row  # uint8 add ≡ & 0xFF
+                else:  # Average / Paeth: exact scalar recurrence
+                    line = bytearray(lines[y].tobytes())
+                    prev = prev_row
+                    if ftype == 3:
+                        for x in range(stride):
+                            left = line[x - samples] if x >= samples else 0
+                            line[x] = (
+                                line[x] + ((left + int(prev[x])) >> 1)
+                            ) & 0xFF
+                    else:
+                        for x in range(stride):
+                            left = line[x - samples] if x >= samples else 0
+                            ul = int(prev[x - samples]) if x >= samples else 0
+                            line[x] = (
+                                line[x] + _paeth(left, int(prev[x]), ul)
+                            ) & 0xFF
+                    row = np.frombuffer(bytes(line), dtype=np.uint8)
+                outa[y] = row
+                prev_row = outa[y]
+            outbytes = outa.tobytes()
+        if color == 3:  # palette -> RGB (vectorized gather, same bytes)
+            idx = np.frombuffer(outbytes, dtype=np.uint8)
+            if plte is None or int(idx.max(initial=0)) * 3 + 3 > len(plte):
                 return None  # palette index out of range → malformed
-            rgb = bytearray(w * h * 3)
-            for j, idx in enumerate(out):
-                rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
-            return w, h, 3, bytes(rgb)
-        return w, h, samples, bytes(out)
+            pal = np.frombuffer(plte, dtype=np.uint8)
+            pal = pal[: (len(plte) // 3) * 3].reshape(-1, 3)
+            return w, h, 3, pal[idx].tobytes()
+        return w, h, samples, outbytes
 
     # -- PNG encode (filter 0, one IDAT) ------------------------------------
     def _chunk(ctype: bytes, data: bytes) -> bytes:

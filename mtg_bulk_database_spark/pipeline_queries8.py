@@ -67,7 +67,8 @@ def market_basket_rules(
     SELF-JOIN with in-executor pair expansion (a sorted-array HOF:
     ``flatten(transform(ps, (x,i) -> transform(slice(ps, i+2, …),
     y -> (x,y))))``), so the quadratic step never touches the shuffle
-    at all.  Three shuffles total (baskets, item frequencies, pair
+    at all.  Four shuffles total (baskets, item frequencies, the r11
+    keyless repartition that spreads the quadratic expansion, pair
     counts) vs the r4 plan's five; interleaved 7-round A/B at sf0.1:
     r4 plan 2.51 s median, this plan 2.03 s — level with the unpruned
     r3 plan while also carrying the prune, the cap, and the metric.

@@ -211,3 +211,94 @@ def test_codec_distributed_corpus(spark):
         w, h, ch, px = out
         assert (w, h) == (r["width"], r["height"])
         assert len(px) == w * h * ch
+
+
+# ---------------------------------------------------------------------------
+# r12: the unfilter stage was numpy-vectorized (filter 0 fast path, Sub
+# as a mod-256 prefix sum, Up as wrapping uint8 row adds) — pin every
+# filter type bit-identical to the spec's scalar recurrences, which the
+# repo's own encoders never emit (they write filter 0 only).
+# ---------------------------------------------------------------------------
+def _scalar_unfilter(raw: bytes, w: int, h: int, samples: int) -> bytes:
+    """Reference implementation: the PNG spec's per-byte recurrences
+    exactly as the pre-r12 decode loop computed them."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = w * samples
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:
+            for x in range(samples, stride):
+                line[x] = (line[x] + line[x - samples]) & 0xFF
+        elif ftype == 2:
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:
+            for x in range(stride):
+                left = line[x - samples] if x >= samples else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for x in range(stride):
+                left = line[x - samples] if x >= samples else 0
+                ul = prev[x - samples] if x >= samples else 0
+                line[x] = (line[x] + paeth(left, prev[x], ul)) & 0xFF
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def _filtered_png(w, h, color, samples, filters, rng):
+    stride = w * samples
+    raw = bytearray()
+    for y in range(h):
+        raw.append(filters[y % len(filters)])
+        raw += bytes(rng.randrange(256) for _ in range(stride))
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    plte = None
+    if color == 3:
+        plte = bytes(rng.randrange(256) for _ in range(256 * 3))
+        body += chunk(b"PLTE", plte)
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body, bytes(raw), plte
+
+
+def test_png_unfilter_all_filter_types_bit_identical():
+    import random
+
+    rng = random.Random(7)
+    cases = [(5, 4, 0, 1), (8, 8, 2, 3), (16, 9, 6, 4), (7, 3, 4, 2), (12, 12, 3, 1)]
+    fsets = [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [2, 4]]
+    for w, h, color, samples in cases:
+        for fs in fsets:
+            png, raw, plte = _filtered_png(w, h, color, samples, fs, rng)
+            got = codec.png_decode(png)
+            assert got is not None, (w, h, color, fs)
+            ref = _scalar_unfilter(raw, w, h, samples)
+            if color == 3:
+                exp = bytearray()
+                for idx in ref:
+                    exp += plte[idx * 3 : idx * 3 + 3]
+                ref = bytes(exp)
+            assert got[:3] == (w, h, 3 if color == 3 else samples)
+            assert got[3] == ref, (w, h, color, fs, "pixel mismatch")
