@@ -3,7 +3,10 @@ batch against the durable artifacts, admit documents with enough novel
 token mass, fold ONLY the admitted ones — and the folded state equals
 a from-scratch rebuild on (corpus ∪ admitted) through every reader."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -70,6 +73,7 @@ _READERS = [
 ]
 
 
+@pytest.mark.slow
 def test_classification_and_admission_decision(spark, tmp_path):
     root = str(tmp_path / "art")
     A.build_document_artifacts(spark, _corpus(spark), root)
@@ -91,6 +95,7 @@ def test_classification_and_admission_decision(spark, tmp_path):
     assert stats[104]["n_dup_batch"] == 1 and stats[104]["admitted"] == 0
 
 
+@pytest.mark.slow
 def test_admit_then_refresh_equals_rebuild_on_admitted(spark, tmp_path):
     inc_root = str(tmp_path / "inc")
     full_root = str(tmp_path / "full")
@@ -113,6 +118,7 @@ def test_admit_then_refresh_equals_rebuild_on_admitted(spark, tmp_path):
         assert inc == full, f"{reader.__name__} diverged from rebuild"
 
 
+@pytest.mark.slow
 def test_admission_is_idempotent_after_completed_fold(spark, tmp_path):
     """Replaying the whole admission after a COMPLETED fold admits
     nothing (the previously admitted docs now classify as corpus

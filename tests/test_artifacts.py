@@ -145,6 +145,7 @@ def test_hot_head_matches_scratch(spark, tmp_path):
     assert hot.count() > 0, "planted boilerplate must exceed the cap"
 
 
+@pytest.mark.slow
 def test_incremental_refresh_equals_rebuild(spark, tmp_path):
     inc_root = str(tmp_path / "inc")
     full_root = str(tmp_path / "full")
@@ -166,6 +167,7 @@ def test_incremental_refresh_equals_rebuild(spark, tmp_path):
     assert para3 == 1
 
 
+@pytest.mark.slow
 def test_refresh_is_idempotent(spark, tmp_path):
     """Re-merging the same batch (crash-retry) must not change the
     readers' view — the delete+upsert replace and the signed-delta DF
@@ -188,6 +190,7 @@ def test_refresh_is_idempotent(spark, tmp_path):
                  ["s", "df_s"]) == before["ddf"]
 
 
+@pytest.mark.slow
 def test_append_only_refresh_equals_rebuild(spark, tmp_path):
     """The streaming-norm path: a batch of ONLY-NEW doc_ids takes the
     O(batch) MIN/SUM merge for the dedup state (no rebuild), and every
@@ -290,6 +293,7 @@ def test_fresh_session_reads_without_corpus(spark, tmp_path):
     assert f"FRESH_OK {n_para} {n_df}" in out.stdout
 
 
+@pytest.mark.slow
 def test_compacted_paragraphs_prune_to_one_file(spark, tmp_path):
     """Artifact maintenance at scale: after many micro-batch refreshes
     the paragraph table fragments; ``ledger_compact`` (zorder by
@@ -341,6 +345,7 @@ def test_half_built_root_reads_as_absent(spark, tmp_path):
                  ["pkey", "p_text"]) == before
 
 
+@pytest.mark.slow
 def test_replacement_keeper_loss_rebases_to_surviving_corpus_member(
     spark, tmp_path
 ):
@@ -399,6 +404,7 @@ def test_replacement_keeper_loss_rebases_to_surviving_corpus_member(
     }
 
 
+@pytest.mark.slow
 def test_replacement_below_k_tokens_drops_doc_shingles(spark, tmp_path):
     """r10 ADVICE: a replaced document whose NEW text has fewer than
     k=3 tokens emits no doc_shingles row, so without the delete leg the
@@ -461,6 +467,7 @@ def test_duplicate_doc_id_batch_keeps_tables_in_sync(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_midfold_crash_replay_is_exactly_once(spark, tmp_path, monkeypatch):
     """r10 ADVICE (the replay-safety hole): crash BETWEEN the
     PARAGRAPH_SHINGLES commit and the DF merge, then replay the same
@@ -492,6 +499,7 @@ def test_midfold_crash_replay_is_exactly_once(spark, tmp_path, monkeypatch):
         assert inc == full, f"{reader.__name__} lost the crashed batch"
 
 
+@pytest.mark.slow
 def test_bulk_batch_takes_join_path(spark, tmp_path, monkeypatch):
     """VERDICT r10 #7: above the id threshold every membership test
     switches from isin literals to joins (including the stale-row
@@ -539,6 +547,7 @@ def test_bulk_backfill_no_plan_blowup(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_structural_splitter_variant_build_and_refresh(spark, tmp_path):
     """VERDICT r10 #4: the durable artifacts can persist the
     STRUCTURAL (double-newline) paragraph definition.  The splitter is
@@ -594,6 +603,7 @@ def test_unknown_splitter_rejected(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_vacuum_reclaims_replaced_files_readers_unchanged(spark, tmp_path):
     """After refreshes fragment the tables, vacuum with retention 1
     deletes files only dead versions reference; every reader's view is
@@ -621,6 +631,7 @@ def test_vacuum_reclaims_replaced_files_readers_unchanged(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # remove_documents — the takedown edge (r11)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_remove_documents_equals_rebuild(spark, tmp_path):
     """Removing docs 1 and 4 from the maintained root must equal a
     from-scratch build of the surviving corpus through every reader —
@@ -654,6 +665,7 @@ def test_remove_documents_equals_rebuild(spark, tmp_path):
     assert any(k.startswith("0" * 18 + "3:") for k in boiler_keepers)
 
 
+@pytest.mark.slow
 def test_remove_all_copies_vanishes_fingerprint(spark, tmp_path):
     """Removing every document that held a fingerprint deletes its
     state row and postings entirely (no zero-count ghosts through the
@@ -679,6 +691,7 @@ def test_remove_all_copies_vanishes_fingerprint(spark, tmp_path):
         assert got == want, f"{reader.__name__} kept a ghost"
 
 
+@pytest.mark.slow
 def test_remove_absent_id_is_a_noop_and_replay_idempotent(
     spark, tmp_path
 ):

@@ -4,7 +4,10 @@ a reference union-find on random graphs. Driver-side (no Spark jobs in
 the hypothesis loop except the components check, which samples a few
 random graphs explicitly instead)."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import random
 
@@ -76,6 +79,7 @@ def _union_find_components(edges):
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark):
     from mtg_bulk_database_spark.operators.graph import connected_components
 

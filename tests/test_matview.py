@@ -153,6 +153,7 @@ def test_minmax_affected_group_recompute(spark, root):
     assert len(g2) == 1
 
 
+@pytest.mark.slow
 def test_random_merge_sequences_maintain_exactly(spark, tmp_path):
     """Property check: for random sequences of insert/update/delete-ish
     merge batches, the incrementally maintained state equals a full

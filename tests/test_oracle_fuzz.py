@@ -21,6 +21,11 @@ from mtg_bulk_database_spark.registry import load_registry
 from .datagen import make_fuzz_dir
 from .test_oracle_parity import _canon
 
+# r12 (VERDICT r11 item 2): this module's end-to-end legs exceed the
+# driver's verify window; the whole file is opt-in (run with -m slow
+# or -m "").  Full-suite runs before each round stay the standard.
+pytestmark = pytest.mark.slow
+
 QUERIES, ORACLE_SQL = load_registry()
 
 SEEDS = (7, 101)

@@ -75,6 +75,7 @@ def test_oracle_parity(spark, duck, name):
     assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
 
 
+@pytest.mark.slow
 def test_rows_only_queries_run(spark):
     """Queries without an oracle still must execute and return a schema."""
     for name, fn in QUERIES.items():
@@ -85,6 +86,7 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+@pytest.mark.slow
 def test_oracled_queries_emit_scalar_columns_only(spark):
     """The verification driver canonicalizes result cells with a pandas
     sort, which raises ``TypeError: unhashable type: 'list'`` on array
@@ -175,6 +177,7 @@ def test_no_oracle_output_types_huge_or_tz(duck):
     assert not bad, f"oracle outputs with driver-unsafe types: {bad}"
 
 
+@pytest.mark.slow
 def test_no_complex_output_columns(spark):
     """The external driver canonicalizes result cells through pandas
     hashing — array/struct/map cells throw `unhashable type` there

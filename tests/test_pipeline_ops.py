@@ -592,6 +592,7 @@ def test_jaccard_sampled_estimate_tracks_full(docs):
     assert 0.2 <= sampled / full <= 5.0
 
 
+@pytest.mark.slow
 def test_connected_components_star_mode(spark):
     """The large-star/small-star mode labels identically to union-find
     on the mixed-shape graph, and converges on a DEEP chain in far
@@ -1166,6 +1167,7 @@ def test_kaplan_meier_invariants(spark):
     assert rows[0]["n_at_risk"] == sum(r["d"] + r["c"] for r in rows)
 
 
+@pytest.mark.slow
 def test_bootstrap_ci_brackets_mean(spark):
     from mtg_bulk_database_spark.registry import load_registry
 

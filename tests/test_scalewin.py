@@ -219,6 +219,7 @@ from hypothesis import strategies as st
     tiles=st.integers(min_value=1, max_value=9),
     seed=st.integers(min_value=0, max_value=10_000),
 )
+@pytest.mark.slow
 def test_fuzz_rank_and_ntile(spark, n, mod, buckets, tiles, seed):
     df = spark.range(n).select(
         F.col("id"),
@@ -249,6 +250,7 @@ def test_fuzz_rank_and_ntile(spark, n, mod, buckets, tiles, seed):
     assert total == n and got == exp
 
 
+@pytest.mark.slow
 def test_scale_percentile_iterative_narrowing(spark):
     # a tiny task_rows_limit forces multi-round narrowing (the path a
     # 100 TB bucket takes): bit-equal to the built-in regardless
@@ -304,6 +306,7 @@ def test_scale_percentile_massive_tie_narrows(spark):
     assert got["g"][0.97] == exp["g"]
 
 
+@pytest.mark.slow
 def test_scale_percentile_null_group_and_null_values(spark):
     # ADVICE r4: NULL group keys crashed the bulk path (null-unsafe
     # equi-join left their ranks unjoined -> KeyError), and NULL values
@@ -354,6 +357,7 @@ def test_scale_percentile_all_null_group_absent(spark):
     assert set(got) == {"true"}
 
 
+@pytest.mark.slow
 def test_scale_percentile_multi_matches_per_column(spark):
     # the shared-pass multi-column API must equal independent
     # single-column runs (same histogram resolution) bit-for-bit
@@ -456,6 +460,7 @@ def test_q170_scale_plan_matches_builtin_bitwise(spark):
     assert scale == builtin  # exact float equality
 
 
+@pytest.mark.slow
 def test_uniform_histogram_mode_bit_equal_and_edge_cases(spark):
     # histogram="uniform" must change NOTHING about the result —
     # boundaries shape balance only. Compare bit-for-bit against the

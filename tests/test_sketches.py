@@ -2,7 +2,10 @@
 most εN; per-batch sketches merge losslessly; HLL estimates track exact
 distinct counts within the published error envelope."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import math
 
@@ -74,6 +77,7 @@ def test_hll_tracks_exact_distinct(spark):
 # --- PageRank invariants (operators/graph.py) ------------------------------
 
 
+@pytest.mark.slow
 def test_pagerank_conserves_mass_and_orders_path_graph(spark):
     from mtg_bulk_database_spark.operators.graph import pagerank
 

@@ -20,6 +20,11 @@ from mtg_bulk_database_spark.streaming.events import read_event_stream
 
 from .fixtures import make_cards, write_raw_json
 
+# r12 (VERDICT r11 item 2): this module's end-to-end legs exceed the
+# driver's verify window; the whole file is opt-in (run with -m slow
+# or -m "").  Full-suite runs before each round stay the standard.
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -8,7 +8,10 @@ micro-batches (the merge case), and ships a zero-token source plus
 NULL-text and NULL-source rows (the filter cases).
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import os
 
@@ -37,6 +40,7 @@ def _write_docs(path: str, rows) -> None:
     ).to_parquet(path, index=False)
 
 
+@pytest.mark.slow
 def test_streamed_allocation_equals_batch(spark, tmp_path):
     big = " ".join(f"w{i}" for i in range(400))
     tiny = "aa bb cc dd ee"

@@ -21,6 +21,13 @@ from mtg_bulk_database_spark.streaming.ingest import (
     stream_refresh_artifacts,
 )
 
+import pytest
+
+# r12 (VERDICT r11 item 2): this module's end-to-end legs exceed the
+# driver's verify window; the whole file is opt-in (run with -m slow
+# or -m "").  Full-suite runs before each round stay the standard.
+pytestmark = pytest.mark.slow
+
 _SCHEMA = "doc_id bigint, text string, source string"
 
 _BOILER = ("nav home about contact privacy terms "

@@ -10,7 +10,10 @@ counts (the per-document floor the state grain exists to preserve),
 NULL text, NULL source, and an empty doc.
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import pandas as pd
 
@@ -72,6 +75,7 @@ def _drive(spark, tmp_path):
     return state, str(batch_dir)
 
 
+@pytest.mark.slow
 def test_streamed_dedup_mix_equals_batch(spark, tmp_path):
     state, batch_dir = _drive(spark, tmp_path)
     st = {tuple(r) for r in state.collect()}

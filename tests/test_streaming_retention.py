@@ -1,6 +1,7 @@
 """r7: the cohort-retention matrix's streaming leg — the event stream
 folds per micro-batch into the two persisted artifacts (MIN-mergeable
 first-seen, UNION-mergeable user-week cells), and the report derived
+
 from the merged states must equal the batch q218 ROW-EXACTLY.
 
 The corpus deliberately ships a user whose EARLIEST event arrives in
@@ -10,6 +11,8 @@ it by construction.
 """
 
 from __future__ import annotations
+
+import pytest
 
 import os
 
@@ -24,6 +27,7 @@ from mtg_bulk_database_spark.streaming.ingest import (
 QUERIES, _ = load_registry()
 
 
+@pytest.mark.slow
 def test_streamed_retention_equals_batch(spark, tmp_path):
     rows = []
     eid = 0
@@ -141,6 +145,7 @@ def test_empty_source_returns_empty_states(spark, tmp_path):
     assert retention_from_states(first, weeks).count() == 0
 
 
+@pytest.mark.slow
 def test_fresh_checkpoint_clears_stale_state(spark, tmp_path):
     """r8 (ADVICE r7): reusing a state_dir with a FRESH checkpoint
     must not merge the prior run's batch directories — the second run
