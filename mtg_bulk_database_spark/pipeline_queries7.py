@@ -664,14 +664,38 @@ def q144(spark, sf_dir):
     from .operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
-    ).select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+    # r12 (guide §2.4): the candidate projection used to be
+    # pairs.distinct() self-joined on p — THREE exchanges before the
+    # sample (distinct on (p,s), then both join sides re-hashed on p)
+    # with the full 9M-row pair blowup materialized through the join.
+    # The per-part supplier list is tiny (≤ a few dozen suppliers per
+    # part at any scale of TPC-H-shaped data), so build it with ONE
+    # map-side-combined collect_set shuffle and expand the ordered
+    # pairs IN-EXECUTOR with codegen'd Generates (posexplode + slice)
+    # — the market-basket (q150) shape.  sort_array makes slice-after
+    # pairs satisfy src < dst exactly like the a.s < b.s join
+    # condition, and each (p, src, dst) appears once per part exactly
+    # as the distinct-projection join emitted it, so the sampled edge
+    # multiset — and every downstream count — is row-identical.
+    ps = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        # spread the quadratic expansion across the session's cores:
+        # AQE sizes the collect_set exchange by BYTES and cannot see
+        # the downstream b·(b−1)/2 blowup (the q150 lesson; no-op
+        # cost relative to the expansion, scale-adaptive by
+        # construction)
+        .repartition(int(spark.sparkContext.defaultParallelism))
+    )
+    edges = (
+        ps.select(F.posexplode("ss").alias("i", "src"), "ss")
+        .select(
+            "src",
+            F.explode(
+                F.slice(F.col("ss"), F.col("i") + 2, F.size("ss"))
+            ).alias("dst"),
+        )
+    )
     keep = (
         (F.col("src") * F.lit(2654435761) + F.col("dst") * F.lit(40503))
         % F.lit(1000003)
@@ -679,7 +703,7 @@ def q144(spark, sf_dir):
         == 0
     )
     # sample BEFORE distinct: the predicate is a pure function of the
-    # edge values, so filtering the raw 9M-row projection first is
+    # edge values, so filtering the raw 9M-row expansion first is
     # equivalent to sampling the distinct set — and the dedup shuffle
     # then carries 1/p of the edges
     sampled = edges.where(keep).distinct()

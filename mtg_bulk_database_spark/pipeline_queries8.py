@@ -154,20 +154,26 @@ def market_basket_rules(
     )
     # ascending in-basket pair expansion: sort once, pair each element
     # with its strict successors — each unordered pair built exactly
-    # once (same discipline as the triangle counter), all JVM-side HOFs
-    ps = F.array_sort(F.col("ps"))
-    pair_structs = F.flatten(
-        F.transform(
-            ps,
-            lambda x, i: F.transform(
-                F.slice(ps, i + F.lit(2), F.size(ps)),
-                lambda y: F.struct(x.alias("p_a"), y.alias("p_b")),
-            ),
-        )
-    )
+    # once (same discipline as the triangle counter).  r12 (guide
+    # §4.1/§1.2 per-task work): the nested flatten(transform(transform))
+    # HOF tree is a CodegenFallback path — every one of the ~b²/2 pair
+    # structs per basket ran through the row interpreter AND the whole
+    # pair array materialized per row before the explode.  Two chained
+    # codegen'd Generates (posexplode the sorted basket, then explode
+    # each element's strict-successor slice) stream the identical pair
+    # multiset without building the array: same sort, same i+2 slice,
+    # so (p_a, p_b) rows are exactly the old explode's output (the
+    # q144 rewrite's shape, multiset-pinned there on two SFs).
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("pr"))
-        .groupBy(F.col("pr.p_a").alias("p_a"), F.col("pr.p_b").alias("p_b"))
+        baskets.select(F.array_sort("ps").alias("pss"))
+        .select(F.posexplode("pss").alias("i", "p_a"), "pss")
+        .select(
+            "p_a",
+            F.explode(
+                F.slice(F.col("pss"), F.col("i") + 2, F.size("pss"))
+            ).alias("p_b"),
+        )
+        .groupBy("p_a", "p_b")
         .agg(F.count("*").alias("n_both"))
         .where(F.col("n_both") >= MIN_SUPPORT)
     )
